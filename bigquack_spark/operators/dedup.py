@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY §2.9).
+
+Scale design (the 100 TB mandate): every stage is a shuffle-based
+groupBy/join — no driver-side state, no collect, no cross product.  The LSH
+candidate generation bounds the pairwise work to documents sharing a band
+bucket; signatures are built from JVM hash expressions (xxhash64 / md5), not
+Python UDFs.
+
+Two signature flavors exist on purpose:
+- ``minhash_signatures`` (md5-hex min) — engine-portable, used by the
+  DuckDB-oracle queries;
+- ``minhash_signatures_fast`` (xxhash64) — the scale path: 64-bit integer
+  min-hash, ~4x cheaper than hex-string md5 comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_ROWS_PER_BAND = 2
+
+
+# ---------------------------------------------------------------- exact ----
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact deduplication — hash-aggregate distinct on the given columns
+    (all columns when None).  One shuffle, map-side partial dedup first."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Exact dedup keeping the lowest ``order_col`` row per key — the
+    deterministic variant (dropDuplicates keeps an arbitrary row)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -------------------------------------------------------------- minhash ----
+def _shingles(text_col: str, shingle_len: int) -> Column:
+    """Distinct word n-gram shingles as an array column.  shingle_len=1
+    degrades to the distinct-token set (what the oracle SQL mirrors)."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    if shingle_len == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - shingle_len)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_len), " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Engine-portable MinHash: signature row (id, seed, minhash) where
+    minhash = min over shingles of md5(seed || '|' || shingle).
+
+    Long format (one row per id x seed) so the result is flat-relational and
+    oracle-diffable.  Cost: explode + one groupBy(id, seed) shuffle.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(_shingles(text_col, 1)).alias("tok"))
+        .withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])))
+    )
+    return toks.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("tok")))).alias("minhash")
+    )
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Scale-path MinHash: wide format (id, sig array<bigint>), xxhash64 per
+    seed, computed without exploding — the per-row array fold keeps this a
+    pure projection (zero shuffle)."""
+    sh = _shingles(text_col, shingle_len)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Banding: split each wide signature into bands and key each band by a
+    hash of its slice -> (id, band_id, band_key).  Documents agreeing on any
+    full band land in the same bucket."""
+    sig = F.col("signature")
+    bands = F.sequence(F.lit(0), (F.size(sig) / rows_per_band).cast("int") - 1)
+    exploded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("band_id"), sig.alias("signature")
+    )
+    band_key = F.xxhash64(
+        F.col("band_id"),
+        F.array_join(
+            F.transform(
+                F.slice(sig, F.col("band_id") * rows_per_band + 1, rows_per_band),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ),
+    )
+    return exploded.select(F.col(id_col), "band_id", band_key.alias("band_key"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b).  The join key is
+    (band_id, band_key), so work is bounded by bucket sizes, never the corpus
+    cross product."""
+    left = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
+    right = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
+    similarity >= threshold.  Shingle sets are joined in (two broadcast-or-
+    shuffle hash joins on the id), intersect/union are per-row array ops."""
+    sa = df.select(F.col(id_col).alias("a"), _shingles(text_col, shingle_len).alias("sh_a"))
+    sb = df.select(F.col(id_col).alias("b"), _shingles(text_col, shingle_len).alias("sh_b"))
+    joined = pairs.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> bands -> candidate
+    pairs -> exact Jaccard verify.  End-to-end shuffle-based; the only
+    super-linear step is bounded by LSH bucket sizes."""
+    sigs = minhash_signatures_fast(df, id_col, text_col, num_hashes, shingle_len)
+    bands = lsh_bands(sigs, id_col, rows_per_band)
+    cands = lsh_candidate_pairs(bands, id_col)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_len, threshold)
+
+
+# -------------------------------------------------------------- simhash ----
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_len: int = 3
+) -> DataFrame:
+    """64-bit SimHash: per-shingle xxhash64, signed bit-vote per position,
+    packed back into one BIGINT.
+
+    Shape: one hashed-shingle array per doc, a bounded 64-row bit fan-out
+    (explode of bit positions — NOT per token), per-bit vote as a SQL
+    higher-order fold, then one groupBy(id) to pack.  Shuffle volume is
+    64 rows/doc regardless of document size."""
+    sh = _shingles(text_col, shingle_len)
+    hashed = df.select(
+        F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("hashes")
+    )
+    bits = hashed.select(
+        F.col(id_col), "hashes", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    )
+    # SQL lambda may shift by a column (the Python shiftright wrapper cannot)
+    vote = F.expr(
+        "aggregate(hashes, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        "(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return (
+        bits.select(F.col(id_col), F.col("b"), vote.alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: block on 16-bit chunks (any pair within Hamming
+    distance <= 3 of a 64-bit hash agrees on at least one of 4 chunks —
+    pigeonhole), then verify exact Hamming distance via bit_count(xor)."""
+    sh = simhash64(df, id_col, text_col, shingle_len)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk_id"),
+    ).withColumn(
+        "chunk",
+        F.shiftrightunsigned(F.col("simhash"), F.col("chunk_id") * 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    left = chunks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding near-dup ------
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairwise cosine over an optional blocking
+    key (e.g. an LSH bucket from simsearch.random_hyperplane_lsh — REQUIRED
+    at scale; None means full pairwise and is test-scale only)."""
+    from bigquack_spark.operators.simsearch import cosine
+
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *( [block_col] if block_col else []))
+    left = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"), *( [block_col] if block_col else []))
+    right = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), *( [block_col] if block_col else []))
+    joined = left.join(right, on=block_col) if block_col else left.crossJoin(right)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing (SURVEY §2.9): images/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched pandas
+functions over ``mapInPandas``.
+
+The container ships no image/audio codecs, so the decode kernels are
+deterministic fakes behind the same signatures a real implementation would
+use (PIL/librosa would slot into ``_decode_image_real``-shaped functions and
+raise NotImplementedError here).  The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — is real and tested.
+
+Scale notes: binary payloads ride in their own column so column pruning
+drops them unless a kernel asks; ``mapInPandas`` processes whole Arrow
+batches (no per-row Python); repartition before decode spreads byte-heavy
+rows across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_meta", T.StringType(), True),  # JSON sidecar
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset_ms", T.LongType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, src_col: str, kind: str = "image") -> DataFrame:
+    """Adapter: wrap any column's bytes as the canonical media record shape
+    (the offline stand-in for ``spark.read.format('binaryFile')``)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(src_col).cast("string"), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.col(id_col))).alias("media_meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for an image decoder.  A real build would call
+    PIL.Image.open here; the container has no codecs, so dimensions derive
+    from a stable digest of the bytes."""
+    if payload is None:
+        return (0, 0, "none")
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    fmt = ("jpeg", "png", "webp")[digest[2] % 3]
+    return (width, height, fmt)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract over Arrow batches via ``mapInPandas``.
+
+    Batch shape: each pandas chunk is one Arrow batch of media records; the
+    kernel is vectorized per batch.  Swap ``_fake_decode`` for a real codec
+    to productionize — the plan shape does not change.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "width": decoded.map(lambda d: d[0]).astype("int32"),
+                    "height": decoded.map(lambda d: d[1]).astype("int32"),
+                    "format": decoded.map(lambda d: d[2]),
+                    "phash": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()[:16]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: real implementation needs an image codec."""
+    raise NotImplementedError(
+        "image resize requires a codec library (PIL) not present in this "
+        "container; plumbing shape is decode_media -> per-batch resize kernel"
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits ``max_frames`` frame
+    stubs per video at ``every_ms`` spacing.  A real build would demux the
+    container format inside the kernel; the fan-out shape (one input row ->
+    N frame rows, batch-at-a-time) is the part that matters for scale."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_offset_ms": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = 0 if payload is None else min(max_frames, 1 + len(payload) % max_frames)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_ms"].append(i * every_ms)
+                    out["frame_bytes"].append(None)  # real demuxer would fill
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)

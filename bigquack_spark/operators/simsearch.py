@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (SURVEY §2.9).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the corpus with the dot product as a JVM ``zip_with``/
+``aggregate`` fold, ranked per query by a window.  Scale path: random-
+hyperplane LSH bucketing so candidate generation touches only same-bucket
+vectors; multiprobe widens recall without widening the shuffle.
+
+No Python UDFs anywhere: the fold over array<double> stays in codegen, and
+the hyperplanes enter the plan as literal arrays (driver-computed once with
+a seeded RNG, shipped inside the serialized plan — nothing is collected).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns as a codegen'd fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the full corpus.
+
+    The query side is broadcast (it is small by construction), so the corpus
+    never shuffles — one scan, per-row fold, then a window ranked per query.
+    Ranking key is (rounded sim DESC, id ASC): rounding to 6 decimals makes
+    the order engine-invariant, the id breaks residual ties.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sims = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _plane_literals(num_planes: int, dim: int, seed: int) -> list[Column]:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    return [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-LSH: project each vector onto ``num_planes`` seeded random
+    hyperplanes and pack the sign bits into one BIGINT bucket key.  Pure
+    per-row projection — the bucket becomes the shuffle/blocking key for
+    near-dup and ANN."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for i, plane in enumerate(_plane_literals(num_planes, dim, seed)):
+        bit = F.when(dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """ANN via LSH buckets: rank only corpus vectors whose bucket matches the
+    query's bucket or differs by <= ``multiprobe_bits`` sign bits (multiprobe
+    via a broadcast of perturbed query buckets).  Approximate — recall is
+    checked against :func:`cosine_topk` in tests."""
+    cb = random_hyperplane_lsh(corpus, vec_col, num_planes, seed, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "lsh_bucket",
+    )
+    qb = random_hyperplane_lsh(queries, vec_col, num_planes, seed, dim).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("lsh_bucket").alias("q_bucket"),
+    )
+    # multiprobe: explode each query into its bucket + single-bit flips
+    probes = [F.col("q_bucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("q_bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
+            for i in range(num_planes)
+        ]
+    qprobed = F.broadcast(
+        qb.withColumn("lsh_bucket", F.explode(F.array(*probes)))
+    )
+    sims = (
+        cb.join(qprobed, "lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,136 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting (SURVEY §2.9).
+
+Everything is built-in `pyspark.sql.functions` (split/regexp/filter/
+aggregate) — JVM expressions inside whole-stage codegen, zero Python UDFs —
+so each operator is a narrow projection over a scan and scales linearly with
+no shuffle at all (per-row ops) until an aggregate is asked for.
+
+The module constants (stopwords, language markers) are shared with the
+DuckDB oracle SQL in bigquack_spark.queries.text so both engines score with
+identical lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Split pattern shared with the oracle (DuckDB string_split_regex uses the
+#: same RE2-compatible pattern).
+TOKEN_SPLIT = r"\s+"
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+#: language-ID.  Alphabetical language order is the deterministic tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Lower-cased whitespace tokenization as an array column."""
+    return F.split(F.lower(text_col), TOKEN_SPLIT)
+
+
+def distinct_tokens(text_col: str | Column) -> Column:
+    return F.array_distinct(tokens(text_col))
+
+
+def _count_in(tok_array: Column, vocab: tuple[str, ...]) -> Column:
+    """Number of tokens that appear in ``vocab`` — a higher-order filter,
+    evaluated JVM-side per row."""
+    lit_vocab = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(tok_array, lambda t: F.array_contains(lit_vocab, t)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row token statistics: counts, distinct counts, mean token length.
+
+    Mean is an exact-int division (deterministic IEEE double) so it diffs
+    cleanly against any other engine.
+    """
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("bigint"),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "total_token_chars": F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ),
+        }
+    ).withColumn(
+        "avg_token_len",
+        F.col("total_token_chars").cast("double") / F.col("n_tokens").cast("double"),
+    )
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: alpha ratio, whitespace ratio, stopword
+    ratio, plus a composite keep/drop flag.  All ratios are exact-int
+    divisions."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("bigint")
+    space_chars = F.length(F.regexp_replace(F.col(text_col), "[^ ]", "")).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    stop_hits = _count_in(toks, STOPWORDS).cast("bigint")
+    out = df.withColumns(
+        {
+            "n_chars_obs": n_chars,
+            "n_tokens": n_tokens,
+            "alpha_ratio": alpha_chars.cast("double") / n_chars.cast("double"),
+            "space_ratio": space_chars.cast("double") / n_chars.cast("double"),
+            "stopword_ratio": stop_hits.cast("double") / n_tokens.cast("double"),
+        }
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("n_tokens") >= 5)
+        & (F.col("alpha_ratio") > 0.5)
+        & (F.col("stopword_ratio") < 0.9),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit counts (columns ``hits_<lang>``)."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {f"hits_{lang}": _count_in(toks, vocab).cast("int") for lang, vocab in sorted(LANG_MARKERS.items())}
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker hits, alphabetical tiebreak.
+
+    Implemented as a greatest-of-structs comparison so the argmax is one
+    codegen'd expression; the CASE-chain form in the oracle SQL encodes the
+    identical (>=, alphabetical-first) semantics.
+    """
+    scored = lang_scores(df, text_col)
+    langs = sorted(LANG_MARKERS)
+    # struct(hits, neg_alpha_rank) max == argmax with alphabetical tiebreak:
+    # put -index(lang) second so earlier alphabet wins ties.
+    pairs = [
+        F.struct(F.col(f"hits_{lang}").alias("h"), F.lit(-i).alias("o"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)
+    ]
+    return scored.withColumn("predicted_lang", F.greatest(*pairs).getField("lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text plus an md5
+    of the first-4-token prefix (cheap clustering key for near-dup triage)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "fingerprint": F.md5(normalized),
+            "prefix_fingerprint": F.md5(F.array_join(F.slice(toks, 1, 4), " ")),
+        }
+    )

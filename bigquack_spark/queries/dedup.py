@@ -1,0 +1,238 @@
+"""Deduplication query inventory (SURVEY §2.9).
+
+The md5-based MinHash is deterministic and engine-portable, so the ENTIRE
+LSH pipeline — signatures, banding, candidate generation, exact-Jaccard
+verify — is oracle-diffable: DuckDB computes the identical signatures, so
+even LSH false negatives agree bit-for-bit.  The xxhash64 fast path
+(operators.dedup.minhash_signatures_fast) is Spark-only and covered by
+pytest instead (q34_simhash below is likewise rows-only).
+
+Thresholds are calibrated to the synthetic corpus: the documents table is a
+31-word vocabulary, so unigram-set Jaccard runs high (near-dup threshold
+0.9) and embeddings max out at cosine ~0.51 (near-dup threshold 0.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.operators import dedup as D
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.9
+
+#: Shared CTE: engine-portable minhash signatures in long form.
+_SIG_SQL = f"""
+  toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    )
+  ),
+  seeds AS (SELECT CAST(unnest(range({NUM_HASHES})) AS INTEGER) AS seed),
+  sig AS (
+    SELECT doc_id, seed,
+           min(md5(concat(CAST(seed AS VARCHAR), '|', tok))) AS minhash
+    FROM toks CROSS JOIN seeds
+    GROUP BY doc_id, seed
+  )
+"""
+
+
+@query(
+    "q30_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: one shuffle on md5(text), keeper = min
+    id per group.  At 100 TB the md5 group key keeps the shuffle narrow (16
+    bytes/row) regardless of document size."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q31_dedup_by_key",
+    oracle="""
+    SELECT lang, source,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q31_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (keep-first semantics, deterministic): the aggregate form
+    of operators.dedup.exact_dedup_keep_first."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "q32_minhash_signatures",
+    oracle=f"""
+    WITH {_SIG_SQL}
+    SELECT doc_id, seed, minhash FROM sig
+    """,
+)
+def q32_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures (long form): min over distinct
+    tokens of md5(seed || '|' || token), per (doc, seed)."""
+    return D.minhash_signatures(
+        t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES
+    ).select("doc_id", "seed", "minhash")
+
+
+@query(
+    "q33_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    )
+    SELECT band_id, band_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM bands
+    GROUP BY band_id, band_key
+    """,
+)
+def q33_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the md5 signatures: bucket occupancy per
+    (band, band_key).  Bucket stats are the scale-safe observable — output
+    is bounded by docs x bands, never pairs."""
+    sigs = D.minhash_signatures(t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES)
+    bands = (
+        sigs.withColumn("band_id", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.getField("minhash"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    return bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query("q34_simhash", doc="64-bit SimHash per document (Spark-only: xxhash64 bit votes)")
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints — xxhash64 is Spark-specific, so this is a
+    rows-only check; semantics covered by tests/test_dedup.py (hamming
+    locality property)."""
+    return D.simhash64(t(spark, sf_dir, "documents"), "doc_id", "text", shingle_len=3)
+
+
+@query(
+    "q35_embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6
+           ) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(
+            list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6
+          ) >= 0.4
+    """,
+)
+def q35_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4, calibrated: the
+    synthetic embeddings max out at ~0.51).  Full pairwise here because the
+    corpus is small+fixed; the scale path is the same operator with an LSH
+    block_col (operators.dedup.embedding_near_dup)."""
+    e = t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(e, "vec_id", "embedding", threshold=0.4, block_col=None)
+
+
+@query(
+    "q36_lsh_near_dup_pairs",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents)
+    SELECT cand.a, cand.b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sets_ sa ON sa.doc_id = cand.a
+    JOIN sets_ sb ON sb.doc_id = cand.b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup, oracle-diffed END TO END: because the md5
+    signatures are bit-identical across engines, the banding false-negative
+    set is identical too — the oracle replays signatures -> bands ->
+    candidates -> exact unigram Jaccard >= 0.9 and must match exactly."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    bands = (
+        sigs.withColumn("band_id", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.getField("minhash"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    cands = D.lsh_candidate_pairs(
+        bands.select("doc_id", "band_id", F.col("band_key")), "doc_id"
+    )
+    return D.jaccard_verify(
+        cands, docs, "doc_id", "text", shingle_len=1, threshold=JACCARD_THRESHOLD
+    )

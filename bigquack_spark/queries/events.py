@@ -1,0 +1,120 @@
+"""Event-table queries: JSON extraction, time bucketing, sessionization.
+
+The reference stores JSON as STRING (bigquery_write.go:189-190 maps BQ JSON
+-> string; SURVEY §1.3) and queries it with engine functions; the `events`
+table's ``props`` column exercises that surface.  Time semantics: events.ts
+is ns in parquet — Spark truncates to µs, DuckDB keeps ns — so all time math
+here is done on explicit microsecond epochs (unix_micros / epoch_us) and all
+emitted time keys are formatted strings, keeping the two engines bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@query(
+    "q20_events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           avg(value) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q20_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-property extraction (get_json_object over the STRING-typed props
+    column, per the reference's JSON->STRING mapping) feeding an aggregate."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("k_sum"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q21_events_hourly",
+    oracle="""
+    SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q21_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form): hourly buckets with count,
+    distinct users, and value sum.  Hour key emitted as a formatted string —
+    engine-invariant vs ns/µs timestamp physical types.  The streaming twin
+    (withWatermark + window) lives in bigquack_spark.streaming."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q22_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(1 + sum(CASE WHEN prev_us IS NOT NULL
+                              AND t_us - prev_us > {SESSION_GAP_US}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ordered
+    GROUP BY user_id
+    """,
+)
+def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after a >30 min
+    silence.  One shuffle on user_id serves both the window and the final
+    aggregate (same partitioning, Catalyst reuses the exchange).  All gap math
+    on BIGINT microsecond epochs — exact across engines."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return (
+        e.withColumn("prev_us", F.lag("t_us").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_us").isNotNull()
+                & ((F.col("t_us") - F.col("prev_us")) > SESSION_GAP_US)
+            ).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.lit(1) + F.sum("is_new")).cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,426 @@
+"""Relational query inventory — the delegated-SQL surface (SURVEY §2.5).
+
+The reference's relational capability is DuckDB SQL behind
+``stmt.SetSqlQuery`` (duck.go:180,195,280); its own test corpus exercises
+projection/filter/order/limit (duck_test.go:83,225,236; bigquack_test.go:22-23).
+Here each construct is expressed with the DataFrame API (proving the Spark
+surface, not string passthrough) and diffed against DuckDB running the
+``oracle`` SQL on the same parquet.
+
+Cross-engine determinism rules applied throughout (FIXTURES.md §C):
+- every computed column aliased identically on both sides
+- integer aggregates cast to BIGINT on both sides (DuckDB sum(int) is HUGEINT)
+- ORDER BY only where LIMIT/top-k demands it, always with a unique tiebreaker
+- timestamps grouped/emitted as DATE or formatted strings where practical
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan -> hash aggregate with partial (map-side)
+    combine.  Catalyst pushes the shipdate filter into the parquet scan and
+    the whole agg runs in whole-stage codegen; one shuffle on the 6-value
+    group key."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_supplier_pushdown",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_suppkey > 0
+    ORDER BY s_suppkey
+    """,
+)
+def q02_supplier_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own pushdown test (bigquack_test.go:19-25): projected,
+    filtered supplier scan.  SelectedFields -> column pruning, RowRestriction
+    -> PushedFilters; verify with .explain('formatted')."""
+    return t(
+        spark, sf_dir, "supplier",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        predicate="s_suppkey > 0",
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k.
+    customer is small relative to lineitem: broadcast it so the big side
+    never shuffles for the first join; AQE handles the orders⋈lineitem side."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1996-01-01")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join with a non-equi residual.
+    The semi join keeps only the equi-key shuffle; the date comparison rides
+    along as the join residual, never materializing the match rows."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    l = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_regionkey < 3
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way star join.  region/nation/supplier/customer
+    are dimensions — broadcast all of them so the only shuffle in the plan
+    is the orders⋈lineitem equi-join; at 100 TB the fact tables are the only
+    shuffled inputs."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q06_revenue_delta",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero shuffle beyond the
+    final single-row reduce.  All four predicates push to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q07_top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def q07_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface: per-group top-k via row_number with a unique
+    tiebreaker (c_custkey) so ranking is deterministic across engines.
+    One shuffle on the window partition key."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_name", "c_acctbal", "rk")
+    )
+
+
+@query(
+    "q08_rollup_acctbal",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(c_acctbal) AS total_acctbal,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS lvl
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q08_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation surface: ROLLUP region -> nation -> grand
+    total, with grouping_id disambiguating the NULL levels.  Spark expands
+    rollup into a single shuffle (Expand + one agg), not one pass per level."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_acctbal"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )
+
+
+@query(
+    "q09_set_ops",
+    oracle="""
+    (
+      (SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    UNION
+    SELECT c_custkey FROM customer WHERE c_nationkey = 0
+    """,
+)
+def q09_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT / EXCEPT / UNION (all distinct
+    semantics), composed exactly as the SQL parenthesization reads."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    opened = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("cust_key"))
+    filled = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("cust_key"))
+    pending = o.filter("o_orderstatus = 'P'").select(F.col("o_custkey").alias("cust_key"))
+    nat0 = (
+        t(spark, sf_dir, "customer", predicate="c_nationkey = 0", columns=["c_custkey"])
+        .select(F.col("c_custkey").alias("cust_key"))
+    )
+    return opened.intersect(filled).exceptAll(pending).distinct().union(nat0).distinct()
+
+
+@query(
+    "q10_distinct_segments",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+def q10_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT surface — hash aggregate with map-side partial dedup."""
+    return t(spark, sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"]).distinct()
+
+
+@query(
+    "q11_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join (customers with no finalized order —
+    the status filter keeps the result non-empty at every SF).  Only order
+    keys shuffle; payload columns are pruned before the exchange."""
+    c = t(spark, sf_dir, "customer")
+    o = t(
+        spark, sf_dir, "orders",
+        columns=["o_custkey"], predicate="o_orderstatus = 'F'",
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q12_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+)
+def q12_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (string/conditional/math), all JVM built-ins
+    inside whole-stage codegen — no Python in the row path."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+    )
+
+
+@query(
+    "q13_orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q13_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregate.  Group keys cast to INT on both
+    sides (DuckDB year() returns BIGINT, Spark returns INT)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q14_limit_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 5
+    """,
+)
+def q14_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT surface (duck_test.go:236): top-k by unique key —
+    Spark plans TakeOrderedAndProject, never a full sort."""
+    return t(spark, sf_dir, "orders").orderBy("o_orderkey").limit(5)

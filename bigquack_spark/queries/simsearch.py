@@ -1,0 +1,73 @@
+"""Similarity-search query inventory (SURVEY §2.9).
+
+q40 (brute-force top-k) is the oracle-diffed baseline: both engines compute
+cosine as an explicit double-precision dot/norm formula over the same cast
+arrays, rounded to 6 decimals before ranking so the order is engine-
+invariant.  q41 (LSH-bucketed ANN) is the scale path — its hyperplanes are
+driver-seeded literals with no DuckDB equivalent, so it is a rows-only check
+with recall measured against q40 in tests/test_simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.operators import simsearch as S
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+TOP_K = 10
+N_QUERY_VECS = 5  # vec_id < 5 is the query set
+
+
+@query(
+    "q40_ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    sims AS (
+      SELECT q.qid, v.vec_id AS neighbor_id,
+             round(
+               list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+               6
+             ) AS cosine_sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, neighbor_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set x corpus scan, JVM fold
+    for the dot product, window-ranked per query.  The corpus never
+    shuffles — this plan holds at any corpus size (work = corpus x |Q|)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.cosine_topk(e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding")
+
+
+@query(
+    "q41_ann_lsh_topk",
+    doc="LSH-bucketed approximate top-k (Spark-only; recall vs q40 in tests)",
+)
+def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-LSH buckets + single-bit multiprobe prune the
+    candidate set before ranking.  Seeded-literal hyperplanes are not
+    reproducible in DuckDB SQL -> rows-only driver check; recall@10 vs the
+    brute-force baseline is asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.lsh_topk(
+        e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        num_planes=8, seed=42, dim=64, multiprobe_bits=1,
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis query inventory (SURVEY §2.9): token stats, quality
+scoring, language ID, fingerprinting — over the documents table.
+
+Oracle SQL is GENERATED from the same constants the Spark operators use
+(stopword list, language marker vocabularies), so the two engines can never
+drift.  All ratios are exact-integer divisions (deterministic IEEE doubles);
+no accumulation-order float risk anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.operators import text as X
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+
+
+@query(
+    "q50_token_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_token_chars,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len
+    FROM tk
+    """,
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, counts + distinct counts +
+    mean token length, all as codegen'd array expressions (zero shuffle)."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return X.token_stats(d).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "total_token_chars", "avg_token_len"
+    )
+
+
+@query(
+    "q51_quality_signals",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS space_ratio,
+           CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+           (len({_TOKS}) >= 5
+            AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) > 0.5
+            AND CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+                  / CAST(len({_TOKS}) AS DOUBLE) < 0.9) AS quality_pass
+    FROM documents
+    """,
+)
+def q51_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: alpha/space/stopword ratios + composite
+    keep/drop flag — the filtering front door of a training-data pipeline."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return X.quality_signals(d).select(
+        "doc_id", "n_chars_obs", "n_tokens", "alpha_ratio", "space_ratio",
+        "stopword_ratio", "quality_pass",
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKS}, x -> list_contains("
+        f"{_sql_list(X.LANG_MARKERS[lang])}, x)))"
+    )
+
+
+def _lang_case_sql() -> str:
+    """CASE chain implementing argmax with alphabetical tiebreak — the exact
+    semantics of the greatest-of-structs expression in operators.text.lang_id."""
+    langs = sorted(X.LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1 :]
+        if not rest:
+            clauses.append(f"ELSE '{lang}'")
+        else:
+            conds = " AND ".join(f"h_{lang} >= h_{r}" for r in rest)
+            clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@query(
+    "q52_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_lang_hits_sql(lg)} AS h_{lg}' for lg in sorted(X.LANG_MARKERS))}
+      FROM documents
+    )
+    SELECT doc_id, lang, {_lang_case_sql()} AS predicted_lang,
+           (lang = {_lang_case_sql()}) AS is_correct
+    FROM h
+    """,
+)
+def q52_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-vocabulary hit counts, argmax with
+    alphabetical tiebreak.  (The synthetic corpus is English word soup, so
+    accuracy is meaningless — the operator shape is what's exercised.)"""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return X.lang_id(d).select(
+        "doc_id",
+        "lang",
+        "predicted_lang",
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    )
+
+
+@query(
+    "q53_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           md5(array_to_string({_TOKS}[1:4], ' ')) AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text + a
+    4-token-prefix fingerprint (cheap near-dup triage key)."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return X.fingerprint(d).select("doc_id", "fingerprint", "prefix_fingerprint")
+
+
+@query(
+    "q60_multimodal_features",
+    doc="binary-column decode plumbing via mapInPandas (rows-only: fake codec)",
+)
+def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: wrap document text bytes as an opaque binary
+    payload, decode via an Arrow-batched mapInPandas kernel (deterministic
+    fake codec — the container ships no image libs), emit typed metadata.
+    Non-SQL-expressible -> rows-only driver check; determinism asserted in
+    tests/test_multimodal.py."""
+    from bigquack_spark.operators import multimodal as M
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    media = M.attach_binary_payload(d, "doc_id", "text", kind="image")
+    return M.decode_media(media)

@@ -1,0 +1,91 @@
+"""SparkSession construction and tuning.
+
+Reference parity: ``NewBigQuack`` (bigquack.go:32-55) builds the single engine
+handle (DuckDB conn + BigQuery read client); in Spark that handle is the
+SparkSession.  ``NewDB``'s driver auto-detection (duck.go:74-124) maps to
+builder config; there is no connection pool (duck.go:126-170) because the
+session is the singleton handle.
+
+Scale posture (the 100 TB mandate): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (vectorized Python boundary),
+session timezone pinned to UTC so timestamp semantics are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable on an existing session (the driver hands us
+#: its own SparkSession; these are applied per-query via :func:`tune`).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics vs the (TZ-naive) DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching.  This is the Spark
+    # answer to DuckDB's adaptive operators (SURVEY §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-batched transfer for any pandas-UDF / toPandas boundary — the
+    # same columnar batch model the reference uses end-to-end (SURVEY §1.1).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: division-by-zero yields NULL (matches oracle NULLIF guards),
+    # no overflow exceptions mid-pipeline at scale.
+    "spark.sql.ansi.enabled": "false",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects natively;
+    # read as int64 nanos and convert with exact integer math (sources.parquet
+    # normalizes back to a microsecond TimestampType column).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "bigquack-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine handle.
+
+    Mirrors ``NewBigQuack`` (bigquack.go:32-55): one call, one handle, all
+    source/sink capability hangs off it.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(RUNTIME_CONFS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # Keep scan partitions sized so a partition fits comfortably in executor
+    # memory at large SF (128 MiB is the scale-friendly default).
+    conf.setdefault("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if warehouse_dir:
+        conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if extra:
+        conf.update(extra)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session.
+
+    The correctness driver constructs its own SparkSession; every registry
+    query routes through here so semantics (UTC, AQE, Arrow) hold regardless
+    of who built the session.  Static confs are silently skipped.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on a live session
+            pass
+    return spark

@@ -1,0 +1,114 @@
+"""Atomic, exactly-once batch writes — the Storage Write API analogue.
+
+Reference protocol (bigquery_write.go):
+- create a write stream, PENDING (default, :123) or COMMITTED (:384-394)
+- ``WriteRecord``: schema gate (:422-424), append at an explicit offset,
+  block on ack, advance offset (:448-460) — idempotent/exactly-once
+- ``Finalize``: no more appends, then ``BatchCommitWriteStreams`` makes all
+  pending data visible atomically (:466-485)
+
+Spark-native mapping: COMMITTED ≅ ``mode("append")`` parquet writes (each
+batch visible as it lands, job-commit-atomic per batch); PENDING ≅ staging
+directory + atomic rename at finalize (the FileOutputCommitter pattern; on a
+real cluster/object store, Delta Lake's transaction log is the production
+version of the same contract — SURVEY §2.2 K3/K4).
+
+Exactly-once: the reference makes replays idempotent via explicit offsets —
+re-appending an already-acked offset is rejected by the server.  Here the
+writer tracks ``next_offset``; an append at ``offset < next_offset`` is a
+silent no-op (replay), ``offset > next_offset`` is an error (gap), matching
+the managed-writer contract.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+class WriteStreamType(enum.Enum):
+    PENDING = "pending"
+    COMMITTED = "committed"
+
+
+class AtomicWriter:
+    """Managed write stream over a parquet target directory."""
+
+    def __init__(self, target: str, stream_type: WriteStreamType = WriteStreamType.PENDING):
+        self.target = target
+        self.stream_type = stream_type
+        self.next_offset = 0
+        self.rows_written = 0
+        self.finalized = False
+        self._schema = None
+        if stream_type is WriteStreamType.PENDING:
+            self._dest = f"{target}.staging-{uuid.uuid4().hex[:12]}"
+        else:
+            self._dest = target
+
+    # -- bigquery_write.go:421-462 WriteRecord -------------------------------
+    def write(self, df: DataFrame, offset: int | None = None) -> int:
+        """Append one batch at an explicit offset; returns the ack'd offset.
+
+        Offset semantics per managed-writer: ``None`` means next-in-line;
+        a replayed (already-acked) offset is a no-op; a future offset is a
+        protocol error.
+        """
+        if self.finalized:
+            raise RuntimeError("write stream already finalized")
+        if self._schema is None:
+            self._schema = df.schema
+        elif {(f.name, f.dataType) for f in df.schema.fields} != {
+            (f.name, f.dataType) for f in self._schema.fields
+        }:
+            # schema-equality gate, bigquery_write.go:422-424
+            raise ValueError("record schema does not match expected schema")
+        if offset is None:
+            offset = self.next_offset
+        if offset < self.next_offset:  # replay — already durable, exactly-once
+            return offset
+        if offset > self.next_offset:
+            raise ValueError(f"offset gap: expected {self.next_offset}, got {offset}")
+        df.write.mode("append").parquet(self._dest)
+        self.rows_written += df.count()
+        self.next_offset += 1
+        return offset
+
+    # -- bigquery_write.go:466-485 Finalize + BatchCommit ---------------------
+    def finalize(self) -> int:
+        """Stop appends; atomically publish pending data.  Returns row count."""
+        if self.finalized:
+            return self.rows_written
+        self.finalized = True
+        if self.stream_type is WriteStreamType.PENDING and os.path.exists(self._dest):
+            if not os.path.exists(self.target):
+                os.rename(self._dest, self.target)  # atomic publish
+            else:  # target pre-exists: move batch files in, then success-mark
+                for name in os.listdir(self._dest):
+                    if name.startswith(("part-", ".part-")):
+                        shutil.move(os.path.join(self._dest, name), os.path.join(self.target, name))
+                shutil.rmtree(self._dest, ignore_errors=True)
+        marker = os.path.join(self.target, "_BQ_COMMIT")
+        if os.path.isdir(self.target):
+            with open(marker, "w") as fh:
+                json.dump({"rows": self.rows_written, "batches": self.next_offset}, fh)
+        return self.rows_written
+
+    def close(self) -> None:
+        """Abort if never finalized: pending staging data is discarded
+        (uncommitted stream drop, bigquery_write.go:488-503)."""
+        if not self.finalized and self.stream_type is WriteStreamType.PENDING:
+            shutil.rmtree(self._dest, ignore_errors=True)
+
+    def __enter__(self) -> "AtomicWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and not self.finalized:
+            self.finalize()
+        self.close()

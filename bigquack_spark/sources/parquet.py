@@ -1,0 +1,84 @@
+"""Parquet-backed table source for the offline harness.
+
+Stands in for the BigQuery Storage Read path (bigquery.go:85-129): the scan
+carries projection pushdown (``SelectedFields``, bigquery.go:80,91 -> Catalyst
+column pruning) and predicate pushdown (``RowRestriction``, bigquery.go:80,91
+-> Catalyst ``PushDownPredicates`` into the parquet scan).  Parallel stream
+fan-out (``MaxStreamCount``, bigquery.go:93) is DataFrame partitioning — and
+unlike the reference, which silently consumes only stream 0
+(bigquery.go:190-205, SURVEY §2.1 S4), Spark reads ALL partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver materializes at /root/testdata/sf*/.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Scan one table with source-level pushdown.
+
+    ``columns`` ≅ SelectedFields, ``predicate`` ≅ RowRestriction
+    (bigquery.go:78-94).  Expressed declaratively so Catalyst pushes both
+    into the parquet reader (visible as PushedFilters / ReadSchema in
+    ``df.explain("formatted")``).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _normalize_nanos(df)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as int64 nanos.
+    Convert to Spark's native microsecond TimestampType with exact integer
+    division (``div 1000`` — float division would lose precision above
+    2^53).  DuckDB applies the same ns->µs truncation, keeping the oracle
+    aligned (FIXTURES.md §C4)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` passthrough
+    (the duck.go:190-206 analogue) can reference them by name."""
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1,0 +1,36 @@
+"""DuckDB-as-oracle differential tests over the full declared query
+inventory (SURVEY §5 rebuild strategy) at sf0.001.
+
+This mirrors the driver's t2 gate: for every registry entry with oracle SQL,
+run the Spark callable and the DuckDB SQL on the same parquet and require a
+canonical (column-sorted, row-sorted, float-canonicalized) match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquack_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+from tests.util import assert_frames_match
+
+ORACLE_CASES = sorted(name for name, spec in QUERIES.items() if spec.oracle)
+ROWS_ONLY_CASES = sorted(name for name, spec in QUERIES.items() if not spec.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_match(spark, duck, name):
+    spec = QUERIES[name]
+    spark_pdf = spec.fn(spark, SF_SMOKE).toPandas()
+    oracle_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(spark, name):
+    """Non-SQL-expressible ops: must run and produce a stable schema with
+    >= 0 rows (the driver's weaker check); semantic tests live in their
+    dedicated test modules."""
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    assert df.columns  # schema resolves
+    assert df.count() >= 0
