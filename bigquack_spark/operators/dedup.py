@@ -56,25 +56,72 @@ def _shingles(text_col: str, shingle_len: int) -> Column:
     )
 
 
+def minhash_signature_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Engine-portable MinHash, wide form: one array<string> signature per
+    row, element ``seed`` = min over shingles of md5(seed || '|' || shingle).
+
+    Computed as a per-row array fold (array_min over the hashed shingle
+    array, once per seed) — ZERO shuffle, pure projection."""
+    toks = _shingles(text_col, 1)
+
+    def seed_min(seed: int) -> Column:
+        # NB: single-arg lambda only — F.transform treats a 2-arg lambda as
+        # (element, index), which would shadow a default-bound seed.
+        prefix = f"{seed}|"
+        return F.array_min(F.transform(toks, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    sig = F.array(*[seed_min(seed) for seed in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """Engine-portable MinHash: signature row (id, seed, minhash) where
-    minhash = min over shingles of md5(seed || '|' || shingle).
+    """Long-form (id, seed, minhash) view of :func:`minhash_signature_wide`
+    — flat-relational and oracle-diffable; fan-out is num_hashes rows/doc."""
+    wide = minhash_signature_wide(df, id_col, text_col, num_hashes)
+    return wide.select(
+        F.col(id_col), F.posexplode("signature").alias("seed", "minhash")
+    ).withColumn("seed", F.col("seed").cast("int"))
 
-    Long format (one row per id x seed) so the result is flat-relational and
-    oracle-diffable.  Cost: explode + one groupBy(id, seed) shuffle.
-    """
-    toks = (
-        df.select(F.col(id_col), F.explode(_shingles(text_col, 1)).alias("tok"))
-        .withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])))
+
+def minhash_bands_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_id, band_key) from the md5 signature, banded PER ROW —
+    band_key = md5(comma-joined band slice).  Zero shuffle: signature and
+    banding are both projections; downstream grouping is the first exchange.
+    Matches the oracle's md5(string_agg(minhash, ',' ORDER BY seed))."""
+    wide = minhash_signature_wide(df, id_col, text_col, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("signature", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
     )
-    return toks.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("tok")))).alias("minhash")
-    )
+    return wide.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    ).withColumn("band_id", F.col("band_id").cast("int"))
 
 
 def minhash_signatures_fast(
@@ -231,8 +278,10 @@ def simhash_near_dup(
         "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk_id"),
     ).withColumn(
+        # SQL form: the Python shiftrightunsigned wrapper rejects a Column
+        # shift amount
         "chunk",
-        F.shiftrightunsigned(F.col("simhash"), F.col("chunk_id") * 16).bitwiseAND(F.lit(0xFFFF)),
+        F.expr("shiftrightunsigned(simhash, chunk_id * 16) & 65535"),
     )
     left = chunks.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"

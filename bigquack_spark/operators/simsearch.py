@@ -131,12 +131,22 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.col("lsh_bucket").alias("q_bucket"),
     )
-    # multiprobe: explode each query into its bucket + single-bit flips
+    # multiprobe: explode each query into its bucket + <=multiprobe_bits
+    # sign-bit flips (widening probes is how recall is bought on weakly
+    # clustered data — candidate cost scales with probe count, not corpus)
     probes = [F.col("q_bucket")]
     if multiprobe_bits >= 1:
         probes += [
             F.col("q_bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
             for i in range(num_planes)
+        ]
+    if multiprobe_bits >= 2:
+        probes += [
+            F.col("q_bucket")
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), j))
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
         ]
     qprobed = F.broadcast(
         qb.withColumn("lsh_bucket", F.explode(F.array(*probes)))

@@ -121,23 +121,11 @@ def q32_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the md5 signatures: bucket occupancy per
-    (band, band_key).  Bucket stats are the scale-safe observable — output
-    is bounded by docs x bands, never pairs."""
-    sigs = D.minhash_signatures(t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES)
-    bands = (
-        sigs.withColumn("band_id", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s.getField("minhash"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    (band, band_key).  Banding is a per-row projection (zero shuffle); the
+    bucket groupBy is the plan's only exchange.  Bucket stats are the
+    scale-safe observable — output is bounded by docs x bands, never pairs."""
+    bands = D.minhash_bands_portable(
+        t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES, ROWS_PER_BAND
     )
     return bands.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -214,25 +202,8 @@ def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is identical too — the oracle replays signatures -> bands ->
     candidates -> exact unigram Jaccard >= 0.9 and must match exactly."""
     docs = t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
-    bands = (
-        sigs.withColumn("band_id", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s.getField("minhash"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
-    )
-    cands = D.lsh_candidate_pairs(
-        bands.select("doc_id", "band_id", F.col("band_key")), "doc_id"
-    )
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
     return D.jaccard_verify(
         cands, docs, "doc_id", "text", shingle_len=1, threshold=JACCARD_THRESHOLD
     )

@@ -69,5 +69,5 @@ def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.lsh_topk(
         e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
-        num_planes=8, seed=42, dim=64, multiprobe_bits=1,
+        num_planes=4, seed=42, dim=64, multiprobe_bits=2,
     )

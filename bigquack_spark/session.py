@@ -67,6 +67,7 @@ def get_spark(
     # memory at large SF (128 MiB is the scale-friendly default).
     conf.setdefault("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    conf.setdefault("spark.ui.enabled", "false")  # headless harness: skip UI server
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra:

@@ -1,0 +1,6 @@
+from bigquack_spark.streaming.events import (  # noqa: F401
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    sessionize_stateful,
+)

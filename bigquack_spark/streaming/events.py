@@ -1,0 +1,125 @@
+"""Structured Streaming extension surface (SURVEY §2.8).
+
+The reference is strictly batch — its "streams" are gRPC transport channels
+over table snapshots (bigquery.go:138, SURVEY §1.4).  This module is the
+extension the driver's north star asks for: event-time windowed aggregation
+with watermarked late-data handling, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Batch/stream parity: :func:`hourly_counts` over a stream (availableNow)
+must equal the batch q21-style aggregate — asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquack_spark.sources.parquet import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.  Schema is pinned from the
+    batch reader (a stream cannot infer), and the TIMESTAMP(NANOS) column is
+    normalized to a microsecond TimestampType exactly as in batch."""
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema
+    # the file source wants a directory; stream the sf_dir with a glob
+    # pinned to the events file
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(sf_dir)
+    )
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window with watermarked late-data handling —
+    the streaming twin of q21_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_key"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    session counting with an explicit session-gap state machine (the
+    streaming twin of q22_sessionize).
+
+    State per user: (last_seen_us, n_sessions, n_events).  Arrow-batched:
+    each poll hands the kernel whole pandas groups, never single rows.
+    """
+    import pandas as pd  # local: only the executors need it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        last_us, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
+        for pdf in pdf_iter:
+            for t_us in sorted(int(x) for x in pdf["t_us"]):
+                if last_us is None or t_us - last_us > gap_us:
+                    n_sessions += 1
+                last_us = t_us
+                n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    prepared = events.select("user_id", F.unix_micros("ts").alias("t_us"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Drain all currently-available input through the streaming plan into a
+    memory sink (test/drive harness; production sinks are parquet/Delta via
+    ``writeStream.toTable``).  Returns the result as a DataFrame."""
+    name = query_name or f"bq_stream_{uuid.uuid4().hex[:8]}"
+    # fresh checkpoint per invocation: this helper is a drain-once harness,
+    # not a resumable production query (those pass their own checkpoint)
+    checkpoint = tempfile.mkdtemp(prefix=f"bq_ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

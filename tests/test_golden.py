@@ -1,0 +1,86 @@
+"""Golden-value tests ported 1:1 from the reference's unit corpus
+(FIXTURES.md §A; duck_test.go:54-295)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquack_spark.codec import decode_rows, encode_rows
+from bigquack_spark.engine import Engine
+
+PEOPLE_ROWS = [(1, "Alice", 95.5), (2, "Bob", 87.2), (3, "Eve", 78.9)]
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)
+    # CREATE TABLE people + INSERT VALUES (duck_test.go:64,71-76), via the
+    # same SQL-passthrough surface the reference uses.
+    eng.exec("CREATE OR REPLACE TEMP VIEW people AS SELECT * FROM VALUES "
+             "(1, 'Alice', CAST(95.5 AS DOUBLE)), (2, 'Bob', 87.2), (3, 'Eve', 78.9) "
+             "AS people(id, name, score)")
+    return eng
+
+
+def test_golden_select_order_by(engine):
+    """duck_test.go:83,109-127: exact cell values, row/col counts, types."""
+    rows = engine.query_rows("SELECT id, name, score FROM people ORDER BY id")
+    assert len(rows) == 3
+    assert len(rows[0]) == 3
+    for row, (gid, gname, gscore) in zip(rows, PEOPLE_ROWS):
+        assert row.id == gid
+        assert row.name == gname
+        assert row.score == pytest.approx(gscore, abs=0.001)  # duck_test.go:123
+
+
+def test_golden_limit(engine):
+    """duck_test.go:236: LIMIT 1 -> exactly one row."""
+    assert len(engine.query_rows("SELECT id, name, score FROM people LIMIT 1")) == 1
+
+
+def test_golden_encode_roundtrip(engine):
+    """duck_test.go:192-295 (QueryProto): query -> per-row encode -> decode
+    -> field-by-field equality."""
+    df = engine.query("SELECT id, name, score FROM people ORDER BY id")
+    encoded = encode_rows(df)
+    assert encoded.columns == ["encoded"]
+    assert encoded.count() == 3
+    back = decode_rows(encoded, df.schema).orderBy("id").collect()
+    for row, (gid, gname, gscore) in zip(back, PEOPLE_ROWS):
+        assert (row.id, row.name) == (gid, gname)
+        assert row.score == pytest.approx(gscore, abs=0.001)
+
+
+def test_encode_strict_flat_rejects_nested(spark):
+    """bigquery_write.go:279-282: flat-only descriptor parity."""
+    df = spark.sql("SELECT 1 AS a, struct(2 AS x) AS s")
+    with pytest.raises(ValueError, match="nested"):
+        encode_rows(df, strict_flat=True)
+
+
+def test_golden_users_create_then_append(spark, tmp_path):
+    """duck_test.go:132-190: ingest once -> table created (2 rows); ingest
+    again -> appended (4 rows)."""
+    eng = Engine(spark)
+    batch = spark.createDataFrame([(10, "Kiki"), (11, "Lala")], "uid bigint, uname string")
+    table = "users_golden"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    eng.ingest_create_append(table, batch)
+    assert spark.table(table).count() == 2
+    eng.ingest_create_append(table, batch)
+    rows = eng.query_rows(f"SELECT uid, uname FROM {table} ORDER BY uid")
+    assert len(rows) == 4  # duck_test.go:189
+    assert [r.uid for r in rows] == [10, 10, 11, 11]
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_ingest_schema_mismatch_rejected(spark):
+    """bigquery_write.go:422-424: schema gate on append."""
+    eng = Engine(spark)
+    table = "users_schema_gate"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    eng.ingest_create_append(table, spark.createDataFrame([(1, "a")], "uid bigint, uname string"))
+    bad = spark.createDataFrame([(1.5, "a")], "uid double, uname string")
+    with pytest.raises(ValueError, match="does not match"):
+        eng.ingest_create_append(table, bad)
+    spark.sql(f"DROP TABLE {table}")

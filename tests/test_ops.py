@@ -1,0 +1,152 @@
+"""Semantic tests for the extension operators (SURVEY §2.9): dedup
+recall/precision on planted duplicates, simhash locality, ANN recall,
+multimodal plumbing determinism, type mapping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquack_spark.operators import dedup as D
+from bigquack_spark.operators import multimodal as M
+from bigquack_spark.operators import simsearch as S
+from bigquack_spark.operators import text as X
+from bigquack_spark.types import BQField, bq_field_to_spark, bq_schema_to_struct
+from tests.conftest import SF_SMOKE
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with known near-duplicate structure: docs 1/2 are near-dups of
+    0; docs 10.. are unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),  # 1-token change
+        (2, BASE + " extra trailing words here"),  # small suffix
+        (10, "completely different content about database engines and query planers"),
+        (11, "yet another unrelated document discussing spark shuffle partitions"),
+        (12, "numbers and symbols only one two three four five six seven eight"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_near_dup_pipeline_finds_planted(planted):
+    pairs = D.near_dup_pairs(
+        planted, num_hashes=32, rows_per_band=2, shingle_len=3, threshold=0.5
+    ).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in found and (0, 2) in found
+    assert all(a < 10 and b < 10 for a, b in found)  # no false positives
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id bigint, text string"
+    )
+    out = {r.text: r.doc_id for r in D.exact_dedup_keep_first(df, ["text"], "doc_id").collect()}
+    assert out == {"x": 1, "y": 2}
+
+
+def test_simhash_locality(planted):
+    """Identical text -> identical hash; near-dup -> small hamming; unrelated
+    -> large hamming."""
+    sh = {r.doc_id: r.simhash for r in D.simhash64(planted).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[10])
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[11])
+
+
+def test_simhash_near_dup_blocking(spark, planted):
+    """Chunk blocking guarantees detection for hamming <= 3 (pigeonhole over
+    4 x 16-bit chunks); plant an exact duplicate (hamming 0) plus the near
+    variants and require no unrelated pair survives."""
+    with_dup = planted.union(
+        spark.createDataFrame([(3, BASE)], "doc_id bigint, text string")
+    )
+    got = {(r.a, r.b) for r in D.simhash_near_dup(with_dup, max_hamming=3).collect()}
+    assert (0, 3) in got  # exact duplicate always blocked together
+    assert all(a < 10 and b < 10 for a, b in got)
+
+
+def test_lsh_topk_recall(spark):
+    """ANN recall@10 vs brute force on the real embeddings table."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = e.filter("vec_id < 5")
+    exact = S.cosine_topk(e, queries, k=10)
+    approx = S.lsh_topk(e, queries, k=10, num_planes=4, multiprobe_bits=2)
+    exact_set = {(r.qid, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.qid, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # synthetic embeddings are near-orthogonal (max cos ~0.51) — the worst
+    # case for sign-LSH; 4 planes + 2-bit multiprobe trades candidates for
+    # recall
+    assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
+    val = df.select(S.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
+    assert val == pytest.approx(1.0, abs=1e-12)
+
+
+def test_lang_id_picks_marker_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "el la de que y el la"),
+            (2, "the and of is a the and"),
+            (3, "der die das und ist der"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in X.lang_id(df).collect()}
+    assert out == {1: "es", 2: "en", 3: "de"}
+
+
+def test_multimodal_decode_deterministic(planted):
+    media = M.attach_binary_payload(planted, "doc_id", "text", kind="image")
+    a = sorted(M.decode_media(media).collect())
+    b = sorted(M.decode_media(media).collect())
+    assert a == b
+    first = a[0]
+    assert 16 <= first.width < 256 and 16 <= first.height < 256
+    assert first.format in ("jpeg", "png", "webp")
+    assert first.byte_len > 0 and len(first.phash) == 16
+
+
+def test_multimodal_frame_sampling(planted):
+    media = M.attach_binary_payload(planted, "doc_id", "text", kind="video")
+    frames = M.sample_frames(media, every_ms=500, max_frames=4).collect()
+    assert frames
+    assert all(f.frame_idx < 4 for f in frames)
+    assert all(f.frame_offset_ms == f.frame_idx * 500 for f in frames)
+
+
+def test_resize_is_explicit_stub(planted):
+    media = M.attach_binary_payload(planted, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        M.resize_stub(media, 64, 64)
+
+
+def test_bq_type_mapping():
+    """SURVEY §1.3 table: scalar map, REPEATED -> array, RECORD recursion,
+    precision caps, unsupported rejection."""
+    assert bq_field_to_spark(BQField("s", "STRING")).dataType == T.StringType()
+    assert bq_field_to_spark(BQField("n", "NUMERIC")).dataType == T.DecimalType(38, 9)
+    assert bq_field_to_spark(BQField("b", "BIGNUMERIC")).dataType == T.DecimalType(38, 18)
+    rep = bq_field_to_spark(BQField("r", "INT64", mode="REPEATED"))
+    assert rep.dataType == T.ArrayType(T.LongType(), containsNull=False)
+    req = bq_field_to_spark(BQField("q", "BOOL", mode="REQUIRED"))
+    assert not req.nullable
+    nested = bq_schema_to_struct(
+        [BQField("rec", "RECORD", fields=[BQField("x", "FLOAT"), BQField("t", "TIMESTAMP")])]
+    )
+    inner = nested["rec"].dataType
+    assert isinstance(inner, T.StructType) and inner["x"].dataType == T.DoubleType()
+    with pytest.raises(ValueError, match="unsupported"):
+        bq_field_to_spark(BQField("u", "UNION"))

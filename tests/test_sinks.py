@@ -1,0 +1,80 @@
+"""Atomic write-stream tests (bigquery_write.go protocol, SURVEY §2.2
+K2-K4): pending invisibility, atomic publish, exactly-once offsets,
+schema gate, abort-discard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigquack_spark.sinks.atomic import AtomicWriter, WriteStreamType
+
+
+@pytest.fixture()
+def batch(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+
+
+def test_pending_invisible_until_finalize(spark, batch, tmp_path):
+    target = str(tmp_path / "t1")
+    w = AtomicWriter(target, WriteStreamType.PENDING)
+    w.write(batch)
+    assert not os.path.exists(target)  # pending data not visible
+    assert w.finalize() == 2
+    assert spark.read.parquet(target).count() == 2
+    assert os.path.exists(os.path.join(target, "_BQ_COMMIT"))
+
+
+def test_committed_visible_per_batch(spark, batch, tmp_path):
+    target = str(tmp_path / "t2")
+    w = AtomicWriter(target, WriteStreamType.COMMITTED)
+    w.write(batch)
+    assert spark.read.parquet(target).count() == 2  # visible immediately
+    w.write(batch)
+    assert spark.read.parquet(target).count() == 4
+    w.finalize()
+
+
+def test_offsets_exactly_once(spark, batch, tmp_path):
+    """bigquery_write.go:448-460: replayed offset is a no-op; gap is an
+    error."""
+    target = str(tmp_path / "t3")
+    w = AtomicWriter(target, WriteStreamType.PENDING)
+    assert w.write(batch, offset=0) == 0
+    assert w.write(batch, offset=0) == 0  # replay: acked, not re-written
+    assert w.write(batch, offset=1) == 1
+    with pytest.raises(ValueError, match="offset gap"):
+        w.write(batch, offset=5)
+    assert w.finalize() == 4  # replay did not duplicate
+    assert spark.read.parquet(target).count() == 4
+
+
+def test_schema_gate(spark, batch, tmp_path):
+    """bigquery_write.go:422-424 on every appended record."""
+    w = AtomicWriter(str(tmp_path / "t4"), WriteStreamType.PENDING)
+    w.write(batch)
+    other = spark.createDataFrame([(1.0, "a")], "id double, v string")
+    with pytest.raises(ValueError, match="schema"):
+        w.write(other)
+    w.close()
+
+
+def test_abort_discards_pending(spark, batch, tmp_path):
+    """bigquery_write.go:488-503: closing an unfinalized pending stream
+    drops its data."""
+    target = str(tmp_path / "t5")
+    w = AtomicWriter(target, WriteStreamType.PENDING)
+    w.write(batch)
+    w.close()
+    assert not os.path.exists(target)
+    assert not os.path.exists(w._dest)
+
+
+def test_finalize_into_existing_target(spark, batch, tmp_path):
+    target = str(tmp_path / "t6")
+    with AtomicWriter(target, WriteStreamType.PENDING) as w1:
+        w1.write(batch)
+    with AtomicWriter(target, WriteStreamType.PENDING) as w2:
+        w2.write(batch)
+    assert spark.read.parquet(target).count() == 4
