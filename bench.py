@@ -49,6 +49,8 @@ HEADLINE = [
     "q41_ann_lsh_topk",
     "q50_token_stats",
     "q51_quality_signals",
+    "q52_lang_id",
+    "q53_fingerprint",
 ]
 
 

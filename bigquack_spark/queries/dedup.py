@@ -98,7 +98,7 @@ def q32_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash signatures (long form): min over distinct
     tokens of md5(seed || '|' || token), per (doc, seed)."""
     return D.minhash_signatures(
-        t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES
+        t(spark, sf_dir, "documents", rebalance=True), "doc_id", "text", NUM_HASHES
     ).select("doc_id", "seed", "minhash")
 
 
@@ -125,7 +125,8 @@ def q33_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket groupBy is the plan's only exchange.  Bucket stats are the
     scale-safe observable — output is bounded by docs x bands, never pairs."""
     bands = D.minhash_bands_portable(
-        t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES, ROWS_PER_BAND
+        t(spark, sf_dir, "documents", rebalance=True),
+        "doc_id", "text", NUM_HASHES, ROWS_PER_BAND,
     )
     return bands.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -138,7 +139,9 @@ def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints — xxhash64 is Spark-specific, so this is a
     rows-only check; semantics covered by tests/test_dedup.py (hamming
     locality property)."""
-    return D.simhash64(t(spark, sf_dir, "documents"), "doc_id", "text", shingle_len=3)
+    return D.simhash64(
+        t(spark, sf_dir, "documents", rebalance=True), "doc_id", "text", shingle_len=3
+    )
 
 
 @query(
@@ -201,7 +204,7 @@ def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are bit-identical across engines, the banding false-negative
     set is identical too — the oracle replays signatures -> bands ->
     candidates -> exact unigram Jaccard >= 0.9 and must match exactly."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", rebalance=True)
     bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
     cands = D.lsh_candidate_pairs(bands, "doc_id")
     return D.jaccard_verify(

@@ -40,7 +40,7 @@ _TOKS = "string_split_regex(lower(text), '\\s+')"
 def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokenization, counts + distinct counts +
     mean token length, all as codegen'd array expressions (zero shuffle)."""
-    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
     return X.token_stats(d).select(
         "doc_id", "n_tokens", "n_distinct_tokens", "total_token_chars", "avg_token_len"
     )
@@ -69,7 +69,7 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: alpha/space/stopword ratios + composite
     keep/drop flag — the filtering front door of a training-data pipeline."""
-    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
     return X.quality_signals(d).select(
         "doc_id", "n_chars_obs", "n_tokens", "alpha_ratio", "space_ratio",
         "stopword_ratio", "quality_pass",
@@ -115,7 +115,7 @@ def q52_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-vocabulary hit counts, argmax with
     alphabetical tiebreak.  (The synthetic corpus is English word soup, so
     accuracy is meaningless — the operator shape is what's exercised.)"""
-    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"], rebalance=True)
     return X.lang_id(d).select(
         "doc_id",
         "lang",

@@ -42,6 +42,7 @@ def load_table(
     name: str,
     columns: list[str] | None = None,
     predicate: str | None = None,
+    rebalance: bool = False,
 ) -> DataFrame:
     """Scan one table with source-level pushdown.
 
@@ -49,6 +50,14 @@ def load_table(
     (bigquery.go:78-94).  Expressed declaratively so Catalyst pushes both
     into the parquet reader (visible as PushedFilters / ReadSchema in
     ``df.explain("formatted")``).
+
+    ``rebalance=True`` repartitions to the cluster's default parallelism
+    after the (pushed-down) scan.  Use it ONLY in front of CPU-bound
+    projections over narrow inputs: a parquet row group is the minimum scan
+    split, so a few-row-group table pins downstream per-row compute (hash
+    folds, regex) to a few tasks; one cheap exchange spreads it across the
+    cluster.  Wide/fact tables at scale arrive with natural parallelism and
+    must not pay the shuffle.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     df = _normalize_nanos(df)
@@ -56,6 +65,8 @@ def load_table(
         df = df.filter(predicate)
     if columns:
         df = df.select(*columns)
+    if rebalance:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
