@@ -424,3 +424,117 @@ def q14_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT surface (duck_test.go:236): top-k by unique key —
     Spark plans TakeOrderedAndProject, never a full sort."""
     return t(spark, sf_dir, "orders").orderBy("o_orderkey").limit(5)
+
+
+@query(
+    "q15_full_outer_counts",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_customers, s.n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+               FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def q15_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: per-nation customer vs supplier counts, with
+    NULLs on both unmatched sides."""
+    c = (
+        t(spark, sf_dir, "customer", columns=["c_nationkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier", columns=["s_nationkey"])
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@query(
+    "q16_status_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending,
+           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS filled_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q16_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: one output column per order status.  Expressed with
+    the DataFrame ``pivot`` operator (explicit value list so no extra
+    distinct-values job); the oracle uses FILTER aggregates — identical
+    semantics."""
+    o = t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return wide.select(
+        "order_year",
+        F.col("O_cnt").alias("n_open"),
+        F.col("F_cnt").alias("n_filled"),
+        F.col("P_cnt").alias("n_pending"),
+        F.col("F_total").alias("filled_total"),
+    )
+
+
+@query(
+    "q17_above_nation_average",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q17_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery surface: customers above their nation's
+    average balance.  Spark plans the decorrelation as a window avg over the
+    nation partition — one shuffle, no per-row subquery execution."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "q18_cumulative_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_total
+    FROM orders
+    """,
+)
+def q18_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame surface: per-customer running revenue with an explicit
+    ROWS frame and a unique ordering tiebreaker (o_orderkey)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_total")
+    )

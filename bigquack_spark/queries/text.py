@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigquack_spark.operators import text as X
 from bigquack_spark.queries.registry import query
@@ -155,3 +156,125 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
     media = M.attach_binary_payload(d, "doc_id", "text", kind="image")
     return M.decode_media(media)
+
+
+@query(
+    "q54_top_tokens",
+    oracle=f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def q54_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by occurrence (deterministic
+    tiebreak on the token).  Explode -> one narrow shuffle on the token;
+    partial aggregation collapses each partition's counts first, so shuffle
+    volume is bounded by vocabulary x partitions, not corpus size."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    return (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "q55_tf_idf_top_term",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_term, tf_idf
+    FROM (
+      SELECT doc_id, tok, tf_idf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf_idf DESC, tok
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk = 1
+    """,
+)
+def q55_tf_idf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc x inverse document frequency, top
+    term per document.  The document-frequency table is tiny (bounded by
+    vocabulary) and broadcast back onto the tf rows — the corpus never
+    shuffles twice."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; driver-side by design (single long)
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tf_idf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tf_idf")
+    )
+
+
+@query(
+    "q56_top_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+      FROM toks
+    )
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 15
+    """,
+)
+def q56_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram extraction (bigrams): per-row sliding window over the
+    token array (pure projection), then the count aggregate.  DuckDB builds
+    the same bigrams via list slicing — both sides join consecutive token
+    pairs with a single space."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    tk = X.tokens("text")
+    # guard: sequence(0, -1) would DESCEND for 1-token docs — emit no bigrams
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(15)
+    )
