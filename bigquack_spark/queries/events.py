@@ -118,3 +118,54 @@ def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q23_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+      SELECT user_id, t_us, value,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM o
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(t_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(t_us) + {SESSION_GAP_US}), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def q23_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window): dynamic-gap grouping in a
+    single groupBy — Spark merges adjacent events within the 30-min gap
+    without an explicit gaps-and-islands window.  The oracle rebuilds the
+    identical sessions via islands over microsecond epochs.  Session end is
+    last-event + gap (Spark's session_window semantics)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -278,3 +278,41 @@ def q56_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(15)
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q57_chunking",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+           CAST(len(toks[start : start + {CHUNK_TOKENS} - 1]) AS BIGINT) AS n_chunk_tokens
+    FROM (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
+      FROM tk
+    )
+    """,
+)
+def q57_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: overlapping {CHUNK_TOKENS}-token
+    windows at stride {CHUNK_STRIDE}.  Pure per-row projection (sequence of start
+    offsets -> slice -> join) then one explode — no shuffle at all; chunk
+    fan-out is proportional to document length, the scale-correct shape."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    tk = X.tokens("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk)), F.lit(CHUNK_STRIDE))
+    chunks = d.select(
+        "doc_id", tk.alias("toks"), F.explode(starts).alias("start")
+    )
+    sliced = F.slice(F.col("toks"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
+    )

@@ -4,3 +4,4 @@ from bigquack_spark.streaming.events import (  # noqa: F401
     run_available_now,
     sessionize_stateful,
 )
+from bigquack_spark.streaming.sink import ExactlyOnceBatchSink  # noqa: F401

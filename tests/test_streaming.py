@@ -48,3 +48,38 @@ def test_stateful_sessionize_matches_batch(spark):
     batch = QUERIES["q22_sessionize"].fn(spark, SF_SMOKE)
     want = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
     assert got == want
+
+
+def test_exactly_once_sink(spark, tmp_path):
+    """bigquery_write.go:448-460 offset semantics in streaming: replayed
+    batch ids are no-ops, committed offset survives 'restart'."""
+    import os
+
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    target = str(tmp_path / "sink_out")
+    os.makedirs(target)
+    ckpt = str(tmp_path / "ckpt")
+    sink = ExactlyOnceBatchSink(target)
+    stream = read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "value")
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    n = spark.read.parquet(target).count()
+    assert n == 1000  # all events landed exactly once
+    committed = sink.next_batch_id
+    assert committed >= 1
+
+    # simulate a restart replaying the same batches: fresh sink instance
+    # reloads the durable offset and must skip them all
+    replay = ExactlyOnceBatchSink(target)
+    assert replay.next_batch_id == committed
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(10)
+    replay(batch, batch_id=0)  # replayed offset -> no-op
+    assert spark.read.parquet(target).count() == n
+    replay(batch, batch_id=committed)  # next offset -> appends
+    assert spark.read.parquet(target).count() == n + 10
