@@ -1,0 +1,113 @@
+"""Join-shaped operators Spark lacks as single primitives: as-of join and
+skew-tolerant (salted) aggregation.
+
+Both are built from one-shuffle compositions of DataFrame ops — no custom
+physical operators, no Python in the row path — so Catalyst/AQE still own
+the physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    latest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' is
+    earliest >=), matching on the equi-key ``on``.
+
+    Implementation is the union-and-carry construction: tag both sides,
+    union them, sort within each key by (ts, side-priority), and carry the
+    most recent right payload forward with a running ``last(...,
+    ignorenulls)`` window.  ONE shuffle on the key — no range-explosion
+    cross join, no per-row subquery — and the window state is O(1) per row,
+    so the plan holds at any scale.  (A sort-merge range join would shuffle
+    the same data but risks quadratic range expansion on hot keys.)
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = [c for c in left.columns]
+    tie = right_tiebreak or right_cols[0]
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[tie].dataType).alias("__tie"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(tie).alias("__tie"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*right_cols).alias("__r"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows sort before left rows at equal ts => ties match; among
+    # equal-ts right rows the greatest tiebreak is carried (deterministic)
+    if direction == "backward":
+        order = [F.asc("__ts"), F.asc("__is_left"), F.asc_nulls_last("__tie")]
+    else:
+        order = [F.desc("__ts"), F.asc("__is_left"), F.asc_nulls_last("__tie")]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1).select("__l.*", "__match")
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__match").getField(c))
+    return out.drop("__match")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: first aggregate on
+    (keys + random salt) so a hot key's rows spread over ``salt_buckets``
+    reducers, then combine the partials on the true keys.
+
+    Only algebraic aggregates compose this way; ``aggs`` maps output name ->
+    partial-phase expression, and the final phase re-combines with the
+    matching combiner (sum->sum, count->sum, min->min, max->max), given by
+    the expression's name prefix.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+    )
+    finals = []
+    for name, expr in aggs.items():
+        fn = expr._jc.toString().split("(")[0].lower()
+        partial_col = F.col(f"__p_{name}")
+        if fn.startswith(("count", "sum")):
+            combined = F.sum(partial_col)
+        elif fn.startswith("min"):
+            combined = F.min(partial_col)
+        elif fn.startswith("max"):
+            combined = F.max(partial_col)
+        else:
+            raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
+        finals.append(combined.alias(name))
+    return partial.groupBy(*keys).agg(*finals)

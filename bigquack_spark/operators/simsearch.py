@@ -167,3 +167,71 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_probes: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer splits the corpus
+    into ``n_lists`` cells; each query scans only its ``n_probes`` nearest
+    cells.
+
+    The quantizer is MLlib KMeans (seeded, deterministic).  Centroids are
+    tiny by construction (n_lists x dim) — they travel as a broadcast
+    DataFrame, never a collected corpus.  Candidate cost per query =
+    corpus/n_lists x n_probes, tunable independently of corpus size; cells
+    are the shuffle/blocking key, exactly like the LSH bucket path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    vec = F.col(vec_col).cast("array<double>")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("cv"))
+    featurized = c.withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(featurized)
+    assigned = model.transform(featurized).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("qid"), vec.alias("qv"))
+    # nearest n_probes cells per query: broadcast the centroid table both ways
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("qid", "qv", "cell", dist2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .select("qid", "qv", "cell")
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -169,3 +169,74 @@ def q23_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q24_asof_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, m.o_orderkey, m.o_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = e.user_id
+        AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      LIMIT 1
+    ) m ON true
+    """,
+)
+def q24_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each event, the
+    user's most recent order at or before the event time.  Implemented as
+    the union-and-carry construction (operators.joins.asof_join): ONE
+    shuffle on the key, O(1) window state per row — no range cross join.
+    The oracle is the per-row LATERAL lookup, semantically identical."""
+    from bigquack_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        e, o, on="user_id", left_ts="t_us", right_ts="od_us",
+        right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q28_salted_user_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q28_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant aggregation: two-phase salted groupBy
+    (operators.joins.salted_aggregate) — a hot user's rows spread over 16
+    salt buckets before the true-key combine.  The result is identical to a
+    plain GROUP BY (the oracle), which is exactly the point: salting changes
+    the shuffle shape, never the answer."""
+    from bigquack_spark.operators.joins import salted_aggregate
+
+    e = t(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        keys=["user_id"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+            "max_event_id": F.max("event_id"),
+        },
+        salt_buckets=16,
+    )

@@ -538,3 +538,89 @@ def q18_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_total")
     )
+
+
+@query(
+    "q25_brand_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           sum(l.l_quantity) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q25_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension rollup on the part axis: broadcast the part table so
+    lineitem never shuffles for the join; one exchange on the brand key."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q26_promo_share",
+    oracle="""
+    SELECT 100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q26_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast join —
+    a single-row answer computed without any row ever leaving its scan
+    partition until the final reduce."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0)))
+                / F.sum(disc)
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q27_supplier_part_breadth",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q27_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate surface on a fact table: Spark plans this as a
+    two-stage expand/aggregate (partial distinct per partition first), so
+    the shuffle carries (suppkey, partkey) pairs, not raw rows."""
+    l = t(spark, sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    return l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_distinct_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

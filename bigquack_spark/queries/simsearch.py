@@ -71,3 +71,20 @@ def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
         num_planes=4, seed=42, dim=64, multiprobe_bits=2,
     )
+
+
+@query(
+    "q42_ann_ivf_topk",
+    doc="IVF (KMeans coarse-quantizer) approximate top-k (Spark-only; recall vs q40 in tests)",
+)
+def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded MLlib KMeans partitions the corpus into inverted
+    lists; queries probe their 2 nearest cells.  Iterative training has no
+    DuckDB equivalent -> rows-only driver check; recall@10 vs brute force
+    asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(
+        e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        n_lists=8, n_probes=2, seed=42,
+    )

@@ -150,3 +150,59 @@ def test_bq_type_mapping():
     assert isinstance(inner, T.StructType) and inner["x"].dataType == T.DoubleType()
     with pytest.raises(ValueError, match="unsupported"):
         bq_field_to_spark(BQField("u", "UNION"))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF recall@10 vs brute force; also determinism across invocations
+    (seeded KMeans)."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = e.filter("vec_id < 5")
+    exact = {(r.qid, r.neighbor_id) for r in S.cosine_topk(e, queries, k=10).collect()}
+    a1 = S.ivf_topk(e, queries, k=10, n_lists=8, n_probes=2).collect()
+    a2 = S.ivf_topk(e, queries, k=10, n_lists=8, n_probes=2).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # deterministic
+    approx = {(r.qid, r.neighbor_id) for r in a1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_asof_join_semantics(spark):
+    """Planted as-of cases: match-at-equal-ts, latest-before, no-match."""
+    from bigquack_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 205, "e2"), (2, 50, "e3"), (3, 10, "e4")],
+        "k bigint, lts bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7, 1.0), (1, 200, 8, 2.0), (1, 200, 9, 3.0), (2, 60, 10, 4.0)],
+        "k bigint, rts bigint, rid bigint, rv double",
+    )
+    out = {
+        r.ev: (r.rid, r.rv)
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "rv"], right_tiebreak="rid",
+        ).collect()
+    }
+    assert out["e1"] == (7, 1.0)      # equal ts matches
+    assert out["e2"] == (9, 3.0)      # latest <=, max tiebreak among ties
+    assert out["e3"] == (None, None)  # right is after left -> no match
+    assert out["e4"] == (None, None)  # key has no right rows
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from bigquack_spark.operators.joins import salted_aggregate
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    import pyspark.sql.functions as F2
+
+    salted = salted_aggregate(
+        e, ["event_type"],
+        {"n": F2.count(F2.lit(1)), "mx": F2.max("event_id")},
+        salt_buckets=8,
+    )
+    plain = e.groupBy("event_type").agg(
+        F2.count(F2.lit(1)).alias("n"), F2.max("event_id").alias("mx")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
