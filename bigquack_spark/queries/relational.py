@@ -624,3 +624,45 @@ def q27_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_distinct_parts"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q19_cube_volumes",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS total_price,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q19_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE surface: all four grouping combinations in ONE shuffle (Spark
+    expands the grouping sets before the exchange, it does not rescan)."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+
+
+@query(
+    "q29_multiset_ops",
+    oracle="""
+    SELECT cust_key FROM (
+      SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q29_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: EXCEPT ALL keeps duplicate cardinality —
+    a customer with three open and one filled order survives twice.
+    DataFrame ``exceptAll`` == SQL EXCEPT ALL."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    opened = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("cust_key"))
+    filled = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("cust_key"))
+    return opened.exceptAll(filled)

@@ -84,3 +84,28 @@ def test_ingest_schema_mismatch_rejected(spark):
     with pytest.raises(ValueError, match="does not match"):
         eng.ingest_create_append(table, bad)
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_facade_mirrors_reference_api(spark, tmp_path):
+    """A reference user's program, renamed: handle -> reader w/ pushdown ->
+    bq2duck -> query -> query_proto -> managed writer."""
+    from bigquack_spark.bigquack import BigQuackSpark
+    from bigquack_spark.sinks.atomic import WriteStreamType
+
+    bq = BigQuackSpark(spark)
+    sf = "/root/testdata/sf0.001"
+
+    r = bq.new_reader(sf, "supplier", columns=["s_suppkey", "s_name"], predicate="s_suppkey > 0")
+    assert [f.name for f in r.schema().fields] == ["s_suppkey", "s_name"]
+
+    spark.sql("DROP TABLE IF EXISTS facade_supplier")
+    n = bq.bq2duck(sf, "supplier", "facade_supplier", predicate="s_suppkey > 0")
+    assert n == bq.query("SELECT count(*) AS c FROM facade_supplier").collect()[0].c
+
+    encoded = bq.query_proto("SELECT s_suppkey FROM facade_supplier ORDER BY s_suppkey LIMIT 2")
+    assert encoded.count() == 2
+
+    w = bq.new_managed_writer(str(tmp_path / "facade_out"), WriteStreamType.PENDING)
+    w.write(spark.table("facade_supplier"))
+    assert w.finalize() == n
+    spark.sql("DROP TABLE facade_supplier")

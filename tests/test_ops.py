@@ -206,3 +206,37 @@ def test_salted_aggregate_equals_plain(spark):
         F2.count(F2.lit(1)).alias("n"), F2.max("event_id").alias("mx")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_asof_join_property(spark):
+    """Property check: asof_join equals a brute-force per-row lookup on
+    randomized (seeded) key/timestamp data, including tie and no-match
+    cases."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (rng.randint(0, 4), rng.randint(0, 50), i) for i in range(60)
+    ]
+    right_rows = [
+        (rng.randint(0, 4), rng.randint(0, 50), i, float(i)) for i in range(40)
+    ]
+    left = spark.createDataFrame(left_rows, "k bigint, lts bigint, lid bigint")
+    right = spark.createDataFrame(right_rows, "k bigint, rts bigint, rid bigint, rv double")
+
+    from bigquack_spark.operators.joins import asof_join
+
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "rv"], right_tiebreak="rid",
+        ).collect()
+    }
+
+    def brute(k, lts):
+        cands = [(rts, rid) for (rk, rts, rid, _) in right_rows if rk == k and rts <= lts]
+        return max(cands)[1] if cands else None
+
+    want = {lid: brute(k, lts) for (k, lts, lid) in left_rows}
+    assert got == want
