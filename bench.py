@@ -28,7 +28,7 @@ from bigquack_spark.queries import QUERIES  # noqa: E402
 from bigquack_spark.session import default_parallelism, get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARM_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+WARM_RUNS = int(os.environ.get("BENCH_RUNS", "5"))  # median of 5: robust to ambient noise
 
 #: Headline set: the queries that exercise every engine axis — scan+agg
 #: (q01, q06), joins (q03, q05), window (q07, q22), JSON (q20), dedup hash
@@ -43,6 +43,7 @@ HEADLINE = [
     "q20_events_json_extract",
     "q21_events_hourly",
     "q22_sessionize",
+    "q24_asof_last_order",
     "q30_dedup_exact",
     "q33_lsh_bucket_stats",
     "q40_ann_cosine_topk",

@@ -1,0 +1,92 @@
+"""Plan contracts: the physical-plan properties the 100 TB design depends
+on, asserted so a refactor cannot silently regress them (SURVEY §4).
+
+These inspect the executed-plan string the same way `.explain("formatted")`
+renders it: PushedFilters/ReadSchema for scan pushdown, join strategy
+names, Exchange counts for shuffle budgets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquack_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_and_pruned(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "l_orderkey" not in plan  # unused column pruned from ReadSchema
+
+
+def test_q02_pushdown_contract(spark):
+    plan = plan_of(spark, "q02_supplier_pushdown")
+    assert "GreaterThan(s_suppkey,0)" in plan
+    assert "s_comment" not in plan
+
+
+def test_q05_star_join_all_broadcast(spark):
+    """Every dimension join must be broadcast — the fact tables are the only
+    shuffled inputs in the star-join plan."""
+    plan = plan_of(spark, "q05_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_semi_join_not_inner(spark):
+    plan = plan_of(spark, "q04_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q11_anti_join(spark):
+    plan = plan_of(spark, "q11_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_q14_top_k_not_full_sort(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, never a global
+    sort of the whole table."""
+    plan = plan_of(spark, "q14_limit_scan")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q33_minhash_single_exchange(spark):
+    """Signature + banding are per-row projections; the only exchanges are
+    the rebalance repartition and the final bucket groupBy."""
+    plan = plan_of(spark, "q33_lsh_bucket_stats")
+    assert plan.count("Exchange") <= 2
+    assert "SortAggregate" not in plan  # hash aggregate on the bucket key
+
+
+def test_q40_corpus_never_shuffles_for_join(spark):
+    """Brute-force ANN: query side broadcast; the only exchange is the
+    final per-query window rank."""
+    plan = plan_of(spark, "q40_ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udf_in_sql_inventory(spark):
+    """Every oracle-paired query must stay JVM-side end to end: no
+    BatchEvalPython / ArrowEvalPython / PythonUDF nodes anywhere."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue  # q60-style mapInPandas plumbing is exempt by design
+        plan = plan_of(spark, name)
+        if any(tok in plan for tok in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF")):
+            offenders.append(name)
+    assert not offenders, f"Python in the row path of: {offenders}"
+
+
+def test_entry_flagship_runs(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"n_name", "revenue", "n_items"}
