@@ -1,2 +1,3 @@
 from bigquack_spark.sinks.table import ingest_create_append, table_exists  # noqa: F401
 from bigquack_spark.sinks.atomic import AtomicWriter, WriteStreamType  # noqa: F401
+from bigquack_spark.sinks.partitioned import overwrite_partitions, save_bucketed  # noqa: F401
