@@ -316,3 +316,83 @@ def q57_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sliced, " ").alias("chunk_text"),
         F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+#: Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "url": r"https?://[^ ]+",
+}
+
+
+@query(
+    "q58_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS["url"]}', '<URL>', 'g'),
+             '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS scrubbed_text,
+           (length(text) - length(regexp_replace(text, '{PII_PATTERNS["email"]}', '', 'g'))
+             > 0) AS had_email
+    FROM documents
+    """,
+)
+def q58_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL/phone redaction as chained regexp_replace —
+    pure JVM per-row projection, the standard pre-training hygiene pass.
+    Patterns restricted to the Java-regex ∩ RE2 dialect so the oracle
+    replays them verbatim."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_PATTERNS["email"], "<EMAIL>"),
+            PII_PATTERNS["url"], "<URL>",
+        ),
+        PII_PATTERNS["phone"], "<PHONE>",
+    )
+    had_email = (
+        F.length("text") - F.length(F.regexp_replace("text", PII_PATTERNS["email"], ""))
+    ) > 0
+    return d.select("doc_id", scrubbed.alias("scrubbed_text"), had_email.alias("had_email"))
+
+
+SHARD_TOKENS = 2000
+
+
+@query(
+    "q59_token_sharding",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_tokens - 1) // {SHARD_TOKENS} AS INTEGER) AS shard_id
+    FROM packed
+    """,
+)
+def q59_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: pack documents (in stable doc_id order)
+    into ~{SHARD_TOKENS}-token shards via a running token count.  The
+    running sum is a single global-order window — acceptable because its
+    input is one row per DOCUMENT with two ints, not the corpus text; at
+    larger scale the same op runs per (source) partition key."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sized = d.select("doc_id", F.size(X.tokens("text")).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        (((F.sum("n_tokens").over(w)) - 1) / SHARD_TOKENS).cast("int").alias("shard_id"),
+    )
