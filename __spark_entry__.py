@@ -11,11 +11,16 @@ thin adapter the driver imports.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigquack_spark import queries as Q
+# the driver may import this file from any CWD; make the package resolvable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigquack_spark import queries as Q  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

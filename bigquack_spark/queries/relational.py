@@ -666,3 +666,98 @@ def q29_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     opened = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("cust_key"))
     filled = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("cust_key"))
     return opened.exceptAll(filled)
+
+
+@query(
+    "q43_left_join_coverage",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           CAST(coalesce(count(s.s_suppkey), 0) AS BIGINT) AS n_suppliers,
+           sum(s.s_acctbal) AS total_acctbal
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def q43_left_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join surface: every nation appears, zero-supplier nations
+    carry count 0 and NULL sum (count(col) skips the unmatched NULLs)."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.coalesce(F.count("s_suppkey"), F.lit(0)).alias("n_suppliers"),
+            F.sum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q44_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_old,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+)
+def q44_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: datediff / date_add / day-of-week /
+    quarter.  Dialects differ in argument order, naming, AND numbering
+    (DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday) — pinned to the
+    ISO day-of-week (1=Monday..7=Sunday) on both sides."""
+    o = t(spark, sf_dir, "orders", predicate="o_orderkey <= 100")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("int").alias("days_old"),
+        F.date_add(od, 30).alias("due_date"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
+
+
+@query(
+    "q45_string_agg",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: DuckDB string_agg(... ORDER BY) ==
+    Spark sort-then-join over collect_list.  Sorting inside the aggregate
+    makes the concatenation deterministic on both engines."""
+    s = t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q46_SQL = """
+    SELECT r.r_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey) AS n_nations
+    FROM region r
+"""
+
+
+@query("q46_scalar_subquery_select", oracle=_Q46_SQL)
+def q46_scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — run through the
+    literal SQL-passthrough path (spark.sql on registered views), i.e. the
+    reference's actual contract: the IDENTICAL string executes on both
+    engines (duck.go:195 SetSqlQuery ≅ spark.sql)."""
+    from bigquack_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("region", "nation"))
+    return spark.sql(_Q46_SQL)

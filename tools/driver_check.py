@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Driver-shaped verification (the real correctness gate, per
+.claude/skills/verify/SKILL.md): simulate the grading driver end to end.
+
+Builds a HOSTILE SparkSession (non-UTC timezone, default confs) to prove
+session.tune() repairs whatever the driver constructs, imports the public
+contract (__spark_entry__), smoke-runs entry(), then executes every
+queries() entry at the given SF and diffs oracle-paired ones against DuckDB
+under the FIXTURES.md §C canonicalization.
+
+Usage: python tools/driver_check.py [sf_dir] [query_prefix ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        return "0" if v == 0 else f"{v:.9e}"
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.floor("us").isoformat()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat() + "T00:00:00"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    return sorted(tuple(canon(v) for v in r) for r in pdf[cols].itertuples(index=False))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")  # hostile
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    n_entry = len(entry_mod.entry(spark).collect())
+    assert n_entry > 0, "entry() returned no rows"
+    print(f"entry(): {n_entry} rows")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    fails, rows_only = [], 0
+    for name in sorted(qs):
+        if prefixes and not name.startswith(prefixes):
+            continue
+        pdf = qs[name](spark, sf_dir).toPandas()
+        if name not in osql:
+            rows_only += 1
+            print(f"{name}: rows-only ({len(pdf)} rows)")
+            continue
+        o = con.execute(osql[name]).fetchdf()
+        ok = sorted(pdf.columns) == sorted(o.columns) and rows_of(pdf) == rows_of(o)
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(pdf)} rows)")
+        if not ok:
+            fails.append(name)
+    print(
+        f"RESULT: {'ALL MATCH' if not fails else 'FAILS: ' + str(fails)} "
+        f"({len(qs) - rows_only} oracle-paired, {rows_only} rows-only)"
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
