@@ -240,3 +240,63 @@ def q28_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     )
+
+
+SKETCH_K = 16
+_POW52 = float(1 << 52)
+
+
+def _kmv_min_sql(seed: int) -> str:
+    """DuckDB: md5 -> 13 hex chars -> uniform double in [0,1)."""
+    return (
+        f"min(CAST(('0x' || substr(md5(concat('{seed}|', CAST(user_id AS VARCHAR)))"
+        f", 1, 13)) AS BIGINT) / {_POW52})"
+    )
+
+
+@query(
+    "q48_distinct_sketch",
+    oracle=f"""
+    SELECT event_type,
+           round({SKETCH_K} / ({' + '.join(_kmv_min_sql(s) for s in range(SKETCH_K))}) - 1, 4)
+             AS est_distinct_users,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q48_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch (minimum-value estimator): K
+    seeded md5 hashes map each user to uniform [0,1); per group, keep the
+    per-seed MINIMUM (a pure partial aggregate — the sketch state is K
+    doubles regardless of group size, the 100 TB property); estimate
+    n ≈ K / Σ(min_s) − 1.
+
+    Unlike HLL/approx_count_distinct (engine-specific sketches that can
+    never hash-match), this estimator is bit-identical across engines —
+    Spark conv(hex,16,10) and DuckDB ('0x'||hex)::BIGINT parse the same 13
+    hex chars to the same 52-bit integer, division by 2^52 is exact, and
+    the K-term sum is written in one fixed order on both sides.  The exact
+    count rides along to show estimator quality."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("user_id").cast("string"))), 1, 13),
+                16, 10,
+            ).cast("bigint") / F.lit(_POW52)
+        ).alias(f"m{s}")
+        for s in range(SKETCH_K)
+    ]
+    grouped = e.groupBy("event_type").agg(
+        *mins, F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    total = None
+    for s in range(SKETCH_K):
+        col = F.col(f"m{s}")
+        total = col if total is None else total + col
+    return grouped.select(
+        "event_type",
+        F.round(F.lit(float(SKETCH_K)) / total - 1, 4).alias("est_distinct_users"),
+        "exact_distinct_users",
+    )

@@ -761,3 +761,31 @@ def q46_scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("region", "nation"))
     return spark.sql(_Q46_SQL)
+
+
+@query(
+    "q47_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.50) AS qty_p50,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_extendedprice, 0.90) AS price_p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile surface (linear interpolation — Spark `percentile`
+    == DuckDB `quantile_cont`).  Exact, not approx_percentile: the sketch-
+    based variant is engine-specific and can't oracle-match; the exact one
+    is the correctness anchor the approximate path is judged against."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("price_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
