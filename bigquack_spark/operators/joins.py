@@ -111,3 +111,63 @@ def salted_aggregate(
             raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
         finals.append(combined.alias(name))
     return partial.groupBy(*keys).agg(*finals)
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_val: str,
+    right_val: str,
+    max_distance: int,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Bounded-distance (range) join: pairs with the same ``on`` key and
+    |left_val - right_val| <= max_distance.
+
+    A naive non-equi join degenerates to a per-key cross product.  This
+    implementation buckets both sides by floor(val / width) and joins each
+    left bucket to right buckets {b-1, b, b+1} (width >= max_distance makes
+    any qualifying pair land in adjacent buckets), then applies the exact
+    distance filter as a residual.  The join is a pure equi-join on
+    (key, bucket) — shuffle-partitionable, AQE-skew-splittable — and the
+    candidate set is bounded by bucket occupancy, never the key cross
+    product.
+    """
+    width = bucket_width or max_distance
+    if width < max_distance:
+        raise ValueError("bucket_width must be >= max_distance")
+    lb = left.withColumn("__b", F.floor(F.col(left_val) / width))
+    rb = right.withColumn(
+        "__b", F.explode(
+            F.array(
+                F.floor(F.col(right_val) / width) - 1,
+                F.floor(F.col(right_val) / width),
+                F.floor(F.col(right_val) / width) + 1,
+            )
+        )
+    )
+    joined = lb.join(rb, [on, "__b"])
+    return joined.filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= max_distance
+    ).drop("__b")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-tolerant equi-join: salt the skewed side's key with a random
+    bucket and replicate the small side across all buckets, so one hot key
+    spreads over ``salt_buckets`` reducers.  AQE's skew-join splitting does
+    this adaptively; the explicit form is for engines/paths where AQE can't
+    see the skew (e.g. a first-stage join right after a custom source).
+    Results are identical to a plain join — only the shuffle shape changes.
+    """
+    salted_left = skewed.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    replicated_right = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_left.join(replicated_right, [on, "__salt"]).drop("__salt")

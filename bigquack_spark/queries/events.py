@@ -300,3 +300,43 @@ def q48_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(SKETCH_K)) / total - 1, 4).alias("est_distinct_users"),
         "exact_distinct_users",
     )
+
+
+RANGE_JOIN_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@query(
+    "q49_range_join",
+    oracle=f"""
+    SELECT a.event_id AS a, b.event_id AS b,
+           CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_US}
+    """,
+)
+def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of same-user events within 5 minutes.  The naive
+    non-equi join is a per-user cross product; the bucketed implementation
+    (operators.joins.range_join_buckets) joins on (user, time-bucket) with
+    adjacent-bucket replication — a pure equi-join with a residual filter,
+    shuffle-bounded by bucket occupancy.  Oracle: the plain non-equi join
+    (identical result set, different plan shape)."""
+    from bigquack_spark.operators.joins import range_join_buckets
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    left = e.select("user_id", F.col("event_id").alias("a"), F.col("t_us").alias("ta"))
+    right = e.select("user_id", F.col("event_id").alias("b"), F.col("t_us").alias("tb"))
+    pairs = range_join_buckets(
+        left, right, on="user_id", left_val="ta", right_val="tb",
+        max_distance=RANGE_JOIN_WINDOW_US,
+    )
+    return (
+        pairs.filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.abs(F.col("ta") - F.col("tb")).cast("bigint").alias("gap_us"))
+        .distinct()
+    )

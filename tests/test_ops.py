@@ -240,3 +240,18 @@ def test_asof_join_property(spark):
 
     want = {lid: brute(k, lts) for (k, lts, lid) in left_rows}
     assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from bigquack_spark.operators.joins import salted_join
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "user_id")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    salted = salted_join(e, c, on="user_id", salt_buckets=8)
+    plain = e.join(c, "user_id")
+    assert salted.count() == plain.count()
+    assert sorted(map(tuple, salted.select("event_id", "c_name").collect())) == sorted(
+        map(tuple, plain.select("event_id", "c_name").collect())
+    )
