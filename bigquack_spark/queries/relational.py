@@ -789,3 +789,43 @@ def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.90)").alias("price_p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_Q61_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+
+
+@query("q61_grouping_sets", oracle=_Q61_SQL)
+def q61_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize),
+    run through literal SQL passthrough — the identical string executes on
+    both engines.  One Expand + one shuffle, not one scan per set."""
+    from bigquack_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_Q61_SQL)
+
+
+@query(
+    "q62_approx_aggregates",
+    doc="engine-specific sketches (HLL distinct, approx quantile) — rows-only; "
+        "tolerance vs the exact anchors asserted in tests",
+)
+def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregate surface: approx_count_distinct (HyperLogLog++)
+    and approx_percentile (KLL-style).  Sketch internals are engine-specific
+    so no hash-match is possible; the exact anchors are q27/q47/q48, and
+    tests/test_ops.py asserts both approximations land within tolerance of
+    the exact answers."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )

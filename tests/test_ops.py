@@ -255,3 +255,14 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, salted.select("event_id", "c_name").collect())) == sorted(
         map(tuple, plain.select("event_id", "c_name").collect())
     )
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """HLL distinct within 5% of exact; approx median within 1% of exact."""
+    from bigquack_spark.queries import QUERIES
+
+    rows = QUERIES["q62_approx_aggregates"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 1
+        assert abs(r.approx_median_price - r.exact_median_price) <= 0.01 * r.exact_median_price
