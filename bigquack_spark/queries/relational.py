@@ -829,3 +829,114 @@ def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
     )
+
+
+def _money_cents_units():
+    """Exact discounted-revenue summand in integer (cent x percent) units:
+    price_cents * (100 - discount_pct).  Money columns are exact 2-decimal
+    values, so per-row integerization is bit-identical across engines and
+    the BIGINT sum has NO float accumulation error — immune to the
+    rounding-boundary coin flips that plague float sums of decimal-lattice
+    data (two engines' float sums differ by ~1e-9, which flips any digit
+    rounding exactly on the lattice).  Divide by 10000.0 once per GROUP for
+    the decimal value (totals < 2^53, so the conversion is exact too)."""
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return price_cents * (F.lit(100) - disc_pct)
+
+
+@query(
+    "q63_bilateral_trade",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS volume,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+    """,
+)
+def q63_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between supplier and
+    customer nations — the nation table joins TWICE under different roles
+    (self-join aliasing surface).  Every dimension broadcast; the single
+    shuffle is the final three-key aggregate."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(_money_cents_units()).cast("long") / F.lit(10000.0)).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q64_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q64_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue — selective
+    fact filter pushed to the scan, broadcast dims, top-k with a unique
+    tiebreaker."""
+    l = t(spark, sf_dir, "lineitem", predicate="l_returnflag = 'R'")
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(_money_cents_units()).cast("long") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
