@@ -340,3 +340,95 @@ def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.abs(F.col("ta") - F.col("tb")).cast("bigint").alias("gap_us"))
         .distinct()
     )
+
+
+@query(
+    "q65_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE regexp_matches(path, 'view.*click.*purchase'))
+                AS BIGINT) AS n_converted,
+           CAST(count(*) FILTER (WHERE regexp_matches(path, 'view.*click'))
+                AS BIGINT) AS n_engaged
+    FROM seq
+    """,
+)
+def q65_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose event sequence contains
+    view -> click -> purchase in order.  Per-user paths are built with an
+    ORDER-pinned aggregate (ties broken by event_id) and the in-order
+    subsequence is a regex over the joined path — one shuffle on user_id,
+    the funnel logic is a per-row JVM expression."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t_us", "event_id", "event_type"))),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("path").rlike("view.*click.*purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.sum(F.col("path").rlike("view.*click").cast("int")).cast("bigint").alias("n_engaged"),
+    )
+
+
+@query(
+    "q66_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, CAST(date_trunc('day', e.ts) AS DATE) AS active_day
+      FROM events e
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT CASE WHEN a.active_day > f.cohort_day
+                                    THEN a.user_id END) AS BIGINT) AS n_retained
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def q66_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: group users by first-seen day, count how many come
+    back on a later day.  Two aggregates over one user_id shuffle (the
+    cohort min and the distinct activity days), then a broadcast-sized join
+    of per-user summaries.  Day keys emitted as strings (engine-invariant
+    vs ns/us timestamp types)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("active_day")
+    )
+    activity = e.distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(F.col("active_day") > F.col("cohort_day"), F.col("user_id"))
+            ).alias("n_retained"),
+        )
+    )
