@@ -266,3 +266,27 @@ def test_approx_aggregates_within_tolerance(spark):
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 1
         assert abs(r.approx_median_price - r.exact_median_price) <= 0.01 * r.exact_median_price
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': earliest right row with rts >= lts."""
+    from bigquack_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 250, "e2"), (2, 90, "e3")],
+        "k bigint, lts bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7, 1.0), (1, 200, 8, 2.0), (2, 50, 10, 4.0)],
+        "k bigint, rts bigint, rid bigint, rv double",
+    )
+    out = {
+        r.ev: r.rid
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "rv"], direction="forward", right_tiebreak="rid",
+        ).collect()
+    }
+    assert out["e1"] == 7      # rts == lts matches
+    assert out["e2"] is None   # nothing at or after 250
+    assert out["e3"] is None   # right row is before left -> no forward match
