@@ -322,3 +322,49 @@ def embedding_near_dup(
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
+
+
+def simhash_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Engine-portable SimHash: per-shingle hash = first 15 hex chars of
+    md5 parsed as a 60-bit integer (Spark conv(hex,16,10) == DuckDB
+    ('0x'||hex)::BIGINT), signed bit-vote per position, packed to BIGINT.
+
+    Same shape as :func:`simhash64` (bounded bits-per-doc fan-out, one
+    groupBy) but oracle-diffable; simhash64's xxhash64 stays the production
+    fast path (one hash call vs md5 + hex parse).
+    """
+    if bits > 60:
+        raise ValueError("portable simhash caps at 60 bits (15 hex chars)")
+    sh = _shingles(text_col, shingle_len)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("hashes"),
+    )
+    bit_rows = hashed.select(
+        F.col(id_col), "hashes", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    )
+    vote = F.expr(
+        "aggregate(hashes, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        "(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return (
+        bit_rows.select(F.col(id_col), F.col("b"), vote.alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )

@@ -134,13 +134,50 @@ def q33_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q34_simhash", doc="64-bit SimHash per document (Spark-only: xxhash64 bit votes)")
+_SIMHASH_BITS = 60
+
+_Q34_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(tk[i:i+2], ' '))) AS sh
+        FROM toks
+      )
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      FROM shingles
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed
+      CROSS JOIN (SELECT CAST(unnest(range({_SIMHASH_BITS})) AS INTEGER) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+"""
+
+
+@query("q34_simhash", oracle=_Q34_ORACLE)
 def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints — xxhash64 is Spark-specific, so this is a
-    rows-only check; semantics covered by tests/test_dedup.py (hamming
-    locality property)."""
-    return D.simhash64(
-        t(spark, sf_dir, "documents", rebalance=True), "doc_id", "text", shingle_len=3
+    """Portable 60-bit SimHash over word 3-gram shingles, oracle-diffed
+    bit for bit: both engines parse the same 15 md5 hex chars to the same
+    60-bit integer and tally identical signed bit votes.  The xxhash64
+    fast path (operators.dedup.simhash64) is the production variant,
+    property-tested in tests/test_ops.py."""
+    return D.simhash_portable(
+        t(spark, sf_dir, "documents", rebalance=True),
+        "doc_id", "text", bits=_SIMHASH_BITS, shingle_len=3,
     )
 
 

@@ -143,14 +143,28 @@ def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q60_multimodal_features",
-    doc="binary-column decode plumbing via mapInPandas (rows-only: fake codec)",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) % 240
+                AS INTEGER) AS width,
+           CAST(16 + CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 240
+                AS INTEGER) AS height,
+           CASE CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 3
+             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+           substr(sha256(text), 1, 16) AS phash
+    FROM documents
+    """,
 )
 def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: wrap document text bytes as an opaque binary
     payload, decode via an Arrow-batched mapInPandas kernel (deterministic
-    fake codec — the container ships no image libs), emit typed metadata.
-    Non-SQL-expressible -> rows-only driver check; determinism asserted in
-    tests/test_multimodal.py."""
+    sha256-based fake codec — the container ships no image libs), emit
+    typed metadata.  Because the fake decode is a pure digest function,
+    even the PYTHON KERNEL is oracle-diffable: DuckDB recomputes the same
+    metadata from sha256 of the same utf-8 bytes — the oracle checks the
+    Arrow batch plumbing end to end, not just the plan shape."""
     from bigquack_spark.operators import multimodal as M
 
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
