@@ -432,3 +432,53 @@ def q66_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_retained"),
         )
     )
+
+
+def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First rollup tier: hourly partial aggregates (the materialized
+    'continuous aggregate' a hypertable would maintain)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "q67_hierarchical_rollup",
+    oracle="""
+    SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day_key,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q67_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAILY tier is re-aggregated
+    FROM THE HOURLY TIER (sum of sums, min of mins, max of maxes), never
+    from raw — the continuous-aggregate maintenance pattern where each tier
+    reads the one below (24x less data than raw).  The oracle computes daily
+    straight from raw rows: matching proves the algebraic re-aggregation is
+    lossless."""
+    hourly = _hourly_rollup(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            F.date_format(F.to_timestamp("hour_key"), "yyyy-MM-dd").alias("day_key"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
