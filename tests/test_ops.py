@@ -290,3 +290,23 @@ def test_asof_join_forward_direction(spark):
     assert out["e1"] == 7      # rts == lts matches
     assert out["e2"] is None   # nothing at or after 250
     assert out["e3"] is None   # right row is before left -> no forward match
+
+
+def test_embedding_near_dup_blocked_path(spark):
+    """The 100 TB path: blocking key bounds the pairwise work.  Blocked by
+    label, the result must equal the unblocked result restricted to
+    same-label pairs."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    blocked = D.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.3, block_col="label"
+    )
+    full = D.embedding_near_dup(e, "vec_id", "embedding", threshold=0.3, block_col=None)
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    full_same_label = {
+        (r.a, r.b, r.cosine_sim)
+        for r in full.collect()
+        if labels[r.a] == labels[r.b]
+    }
+    blocked_set = {(r.a, r.b, r.cosine_sim) for r in blocked.collect()}
+    assert blocked_set == full_same_label
+    assert blocked_set  # non-trivial at threshold 0.3

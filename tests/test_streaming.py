@@ -83,3 +83,21 @@ def test_exactly_once_sink(spark, tmp_path):
     assert spark.read.parquet(target).count() == n
     replay(batch, batch_id=committed)  # next offset -> appends
     assert spark.read.parquet(target).count() == n + 10
+
+
+def test_exactly_once_sink_corrupt_offset_file(spark, tmp_path):
+    """A damaged offset file must degrade to offset 0 (reprocess), never
+    crash the stream."""
+    import os
+
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    target = str(tmp_path / "corrupt_sink")
+    os.makedirs(target)
+    with open(os.path.join(target, "_COMMITTED_BATCH"), "w") as fh:
+        fh.write("{not json")
+    sink = ExactlyOnceBatchSink(target)
+    assert sink.next_batch_id == 0
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(5)
+    sink(batch, batch_id=0)
+    assert spark.read.parquet(target).count() == 5
