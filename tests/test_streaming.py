@@ -101,3 +101,78 @@ def test_exactly_once_sink_corrupt_offset_file(spark, tmp_path):
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(5)
     sink(batch, batch_id=0)
     assert spark.read.parquet(target).count() == 5
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real watermark semantics: after the watermark passes a window's end
+    (append mode), a late-arriving event for that window is dropped, not
+    re-emitted.  Driven as two availableNow passes over a growing directory
+    with one checkpoint."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(str(tmp_path / name)) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(str(tmp_path / name), part), os.path.join(src, f"{name}.parquet"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: events in hour 0 and hour 3 -> watermark advances to 3:00-10min
+    write_batch("b1", [(1, t0, 1.0), (2, t0.replace(hour=3), 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    agg = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("wstart"), "n")
+    )
+
+    out_dir = str(tmp_path / "wm_out")
+
+    def drain(_qname):
+        # durable sink (memory sink cannot resume from a checkpoint): each
+        # pass appends only newly-finalized windows
+        def write_batch_out(batch_df, _bid):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        before = (
+            {r.wstart: r.n for r in spark.read.parquet(out_dir).collect()}
+            if os.path.exists(out_dir) and os.listdir(out_dir)
+            else {}
+        )
+        q = (
+            agg.writeStream.foreachBatch(write_batch_out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        after = {r.wstart: r.n for r in spark.read.parquet(out_dir).collect()}
+        return {k: v for k, v in after.items() if k not in before}
+
+    first = drain("wm_pass1")
+    # hour-0 window finalized (watermark = 02:50 > 01:00 end); hour-3 still open
+    assert first.get("2024-01-01 00:00") == 1
+    assert "2024-01-01 03:00" not in first
+
+    # batch 2: one LATE event for hour 0 (behind the watermark) and one new
+    # event far ahead (hour 6) to advance the watermark past hour 3
+    write_batch("b2", [(3, t0.replace(minute=30), 9.0), (4, t0.replace(hour=6), 1.0)])
+    second = drain("wm_pass2")
+    # late hour-0 event DROPPED: the finalized window is never re-emitted
+    assert "2024-01-01 00:00" not in second
+    # hour-3 window finalized now, count excludes nothing (it had 1 event)
+    assert second.get("2024-01-01 03:00") == 1
