@@ -940,3 +940,224 @@ def q64_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q68_nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+             - CAST(round(p.p_retailprice * 100) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 50
+           ) AS BIGINT) / 10000.0 AS profit,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+)
+def q68_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year.  This dataset has no partsupp, so cost is modeled as half the
+    part's retail price per unit; the summand stays on the exact integer
+    cent lattice (see _money_cents_units) so the BIGINT sum is bit-identical
+    across engines.  part/supplier/nation broadcast; lineitem joins orders
+    on the shared l_orderkey/o_orderkey key; one final shuffle on the
+    (nation, year) aggregate."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part", predicate="p_type = 'PROMO'",
+          columns=["p_partkey", "p_retailprice"])
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    retail_cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    cost_units = retail_cents * F.col("l_quantity").cast("long") * F.lit(50)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum(_money_cents_units() - cost_units).cast("long") / F.lit(10000.0)).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q69_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q69_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE-sum pivot of order priority per
+    line class (this dataset has no l_shipmode; l_returnflag plays the
+    grouping role).  The CASE folds into the map-side partial aggregate, so
+    the single shuffle carries 3 groups x 2 longs."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q70_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q70_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs multi-branch predicate over a join.
+    Catalyst extracts the common subexpression (p_brand IN (...)) for scan
+    pushdown and evaluates the residual disjunction post-join; part is
+    broadcast so the fact side never shuffles."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#7") & size.between(1, 35) & qty.between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(
+            (F.sum(_money_cents_units()).cast("long") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q71_dormant_rich_customers",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
+    FROM customer c, stats
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * stats.n > stats.total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q71_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the positive-balance average with no
+    recent orders (every synthetic customer has SOME order, so "dormant"
+    means none since 1998-06-01), aggregated by nation.  The threshold
+    compare is done in exact integer arithmetic (acctbal_cents * n >
+    total_cents avoids a float average that two engines round differently at
+    the boundary).  The 1-row aggregate broadcasts into the filter; the
+    anti-join's right side is a date-filtered, column-pruned orders scan."""
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-06-01"))
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("total_cents"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents).cast("long") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q72_cheapest_supplier",
+    oracle="""
+    SELECT p_partkey, p_brand, s_name, l_extendedprice AS best_price
+    FROM (
+      SELECT l.l_partkey AS p_partkey, p.p_brand, s.s_name, l.l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY l.l_extendedprice, l.l_suppkey, l.l_orderkey, l.l_linenumber
+             ) AS rk
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_size <= 10
+    )
+    WHERE rk = 1
+    """,
+)
+def q72_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (no partsupp table, so
+    the observed lineitem price plays supplycost).  The correlated
+    MIN subquery is expressed as a window row_number with a fully unique
+    tiebreaker chain, which both engines order identically; dims broadcast,
+    one shuffle on l_partkey for the window."""
+    l = t(spark, sf_dir, "lineitem",
+          columns=["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"])
+    p = t(spark, sf_dir, "part", predicate="p_size <= 10", columns=["p_partkey", "p_brand"])
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("l_extendedprice").alias("best_price"),
+        )
+    )

@@ -90,3 +90,26 @@ def test_entry_flagship_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
+
+
+def test_q68_profit_dims_broadcast(spark):
+    """Q9 shape: part/supplier/nation broadcast; the only sort-merge-eligible
+    join is lineitem-orders on the orderkey, and the final agg is the single
+    key shuffle."""
+    plan = plan_of(spark, "q68_nation_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,PROMO)" in plan  # dim filter pushed to scan
+
+
+def test_q71_anti_join_after_threshold(spark):
+    plan = plan_of(spark, "q71_dormant_rich_customers")
+    assert "LeftAnti" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q72_single_window_shuffle(spark):
+    """Q2 shape: both dims broadcast; the window over l_partkey is the only
+    wide exchange."""
+    plan = plan_of(spark, "q72_cheapest_supplier")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
