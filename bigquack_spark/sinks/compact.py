@@ -1,0 +1,123 @@
+"""Small-file compaction — table maintenance for long-lived parquet layouts.
+
+Why it exists: every incremental writer in this repo (AtomicWriter appends,
+``overwrite_partitions`` backfills, the streaming exactly-once sink) adds
+files per batch.  At 100 TB a table touched by thousands of micro-batches
+degrades into millions of KB-sized files; scan parallelism then wastes a
+task per file and the NameNode/object-store listing dominates query time.
+The reference never hits this (its sink is a single DuckDB table,
+duck.go:214-252), but any Spark deployment of the same pipeline does —
+compaction is the OPTIMIZE half of the Delta/Iceberg maintenance loop,
+re-expressed over plain parquet directories.
+
+Design constraints for scale:
+- **Per-partition work units.** The plan walks leaf directories and selects
+  only partitions whose files are mostly undersized; each is rewritten
+  independently (bounded memory, parallelizable across maintenance jobs,
+  untouched partitions keep their files bit-identical).
+- **Rewrite through Spark, not the driver.** Each selected partition is
+  read and re-written as a DataFrame job with an explicit output-file
+  budget (``ceil(bytes / target_file_bytes)``) — no row ever passes
+  through driver memory.
+- **Stage-then-swap.** New files land in a staging directory first; the
+  swap window (delete olds, move news) is the FileOutputCommitter-style
+  compromise plain parquet allows.  On a production object store the same
+  operator targets a Delta/Iceberg table where the txn log makes the swap
+  atomic (SURVEY §2.2 K4 analogue).
+- **Idempotent.** A partition already at its file budget is skipped, so
+  re-running compaction converges (second run plans zero work).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _leaf_dirs(path: str) -> list[str]:
+    """Leaf data directories of a (possibly partitioned) parquet layout."""
+    leaves = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        if any(_is_data_file(f) for f in filenames):
+            leaves.append(dirpath)
+    return sorted(leaves)
+
+
+def _is_data_file(name: str) -> bool:
+    return name.endswith(".parquet") and not name.startswith((".", "_"))
+
+
+@dataclass
+class PartitionPlan:
+    directory: str
+    files: list[str]
+    bytes: int
+    n_out: int
+
+
+def plan_compaction(
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> list[PartitionPlan]:
+    """Select partitions worth rewriting.
+
+    A partition qualifies when it has at least ``min_files`` data files AND
+    fewer bytes-per-file than half the target — i.e. compaction would
+    actually reduce the file count.  Uses driver-side listing (the local
+    parquet harness); at cluster scale the identical walk runs through the
+    Hadoop FileSystem API against the object store.
+    """
+    plans = []
+    for leaf in _leaf_dirs(path):
+        files = sorted(f for f in os.listdir(leaf) if _is_data_file(f))
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out < len(files) and total / len(files) < target_file_bytes / 2:
+            plans.append(PartitionPlan(leaf, files, total, n_out))
+    return plans
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite undersized partitions of ``path`` into ~target-sized files.
+
+    Returns a report ``{partitions_compacted, files_before, files_after,
+    bytes_rewritten}``.  Row content is preserved exactly (same rows, same
+    schema); only the physical file layout changes.
+    """
+    report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0, "bytes_rewritten": 0}
+    for plan in plan_compaction(path, target_file_bytes, min_files):
+        staging = f"{plan.directory}/.compact-{uuid.uuid4().hex[:12]}"
+        (
+            spark.read.parquet(*(os.path.join(plan.directory, f) for f in plan.files))
+            .coalesce(plan.n_out)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        new_files = [f for f in os.listdir(staging) if _is_data_file(f)]
+        # swap: olds out, news in (txn-log-atomic on Delta/Iceberg; see module doc)
+        for f in plan.files:
+            os.remove(os.path.join(plan.directory, f))
+        for f in new_files:
+            shutil.move(os.path.join(staging, f), os.path.join(plan.directory, f"compacted-{f}"))
+        shutil.rmtree(staging, ignore_errors=True)
+        report["partitions_compacted"] += 1
+        report["files_before"] += len(plan.files)
+        report["files_after"] += len(new_files)
+        report["bytes_rewritten"] += plan.bytes
+    return report

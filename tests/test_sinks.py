@@ -78,3 +78,52 @@ def test_finalize_into_existing_target(spark, batch, tmp_path):
     with AtomicWriter(target, WriteStreamType.PENDING) as w2:
         w2.write(batch)
     assert spark.read.parquet(target).count() == 4
+
+
+# -- small-file compaction (sinks/compact.py) --------------------------------
+
+
+def _data_files(path):
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        out += [
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    from bigquack_spark.sinks.compact import compact
+
+    path = str(tmp_path / "frag")
+    df = spark.range(2000).selectExpr("id", "id % 3 AS k", "repeat('x', 50) AS pad")
+    df.repartition(40).write.partitionBy("k").parquet(path)
+    before_files = _data_files(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    report = compact(spark, path, target_file_bytes=1 << 30)
+    assert report["partitions_compacted"] == 3
+    assert report["files_before"] == len(before_files)
+    assert report["files_after"] == 3  # one full-size file per partition
+
+    after_files = _data_files(path)
+    assert len(after_files) == 3
+    after_df = spark.read.parquet(path)
+    assert sorted(r.id for r in after_df.collect()) == before
+    assert set(after_df.columns) == {"id", "k", "pad"}
+
+
+def test_compact_is_idempotent_and_skips_healthy(spark, tmp_path):
+    from bigquack_spark.sinks.compact import compact, plan_compaction
+
+    path = str(tmp_path / "frag2")
+    spark.range(500).repartition(20).write.parquet(path)
+    compact(spark, path, target_file_bytes=1 << 30)
+    # second run plans no work: every partition already at its file budget
+    assert plan_compaction(path, target_file_bytes=1 << 30) == []
+    report = compact(spark, path, target_file_bytes=1 << 30)
+    assert report["partitions_compacted"] == 0
+    assert spark.read.parquet(path).count() == 500
