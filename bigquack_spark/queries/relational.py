@@ -1161,3 +1161,59 @@ def q72_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("best_price"),
         )
     )
+
+
+@query(
+    "q73_gap_filled_months",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+      SELECT DATE '1992-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE m < DATE '1998-12-01'
+    ),
+    monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           coalesce(mo.n_orders, 0) AS n_orders,
+           coalesce(mo.cents, 0) / 100.0 AS total_price
+    FROM spine s LEFT JOIN monthly mo ON strftime(s.m, '%Y-%m') = mo.month
+    """,
+)
+def q73_gap_filled_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly time series via a RECURSIVE CTE month spine
+    (Spark 4's WITH RECURSIVE / UnionLoop), left-joined against the monthly
+    aggregate so empty months surface as explicit zero rows — the classic
+    reporting shape a plain GROUP BY (q13) cannot produce.  The spine is a
+    fixed ~84-row driver-side-free recursion (UnionLoop, depth under the
+    default cteRecursionLevelLimit); the ~84-group monthly aggregate
+    broadcasts into the left join (BuildRight in PLANS.md), so the only
+    wide exchange is the aggregate's.  Money on the integer-cent lattice
+    as usual (see _money_cents_units).  SQL surface delegation per SURVEY
+    §2.5 (duck.go:180,195 — the engine executes whatever SQL it's handed)."""
+    from bigquack_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine WHERE m < DATE '1998-12-01'
+        ),
+        monthly AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               coalesce(mo.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(mo.cents, CAST(0 AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
+        FROM spine s LEFT JOIN monthly mo ON date_format(s.m, 'yyyy-MM') = mo.month
+    """)
