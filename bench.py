@@ -45,6 +45,7 @@ HEADLINE = [
     "q22_sessionize",
     "q24_asof_last_order",
     "q30_dedup_exact",
+    "q68_nation_profit",
     "q33_lsh_bucket_stats",
     "q40_ann_cosine_topk",
     "q41_ann_lsh_topk",
