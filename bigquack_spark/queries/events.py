@@ -482,3 +482,42 @@ def q67_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@query(
+    "q74_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's native VARIANT type: parse_json
+    once into a binary variant, then typed variant_get extraction — the
+    scale path for schema-on-read JSON (the variant encoding is decoded
+    columnar-side, no per-query string re-parsing, unlike q20's
+    get_json_object).  SURVEY §1.3 maps the reference's JSON type to
+    "StringType + get_json_object"; VARIANT is the modern upgrade of that
+    row.  One shuffle on the (event_type, bucket) aggregate; DuckDB oracle
+    reads the same fields with its JSON extension.  Bucketing uses explicit
+    floor() on both engines — DuckDB's double->int CAST rounds half-to-even
+    while Spark's truncates, so a bare CAST(k/10 AS INT) diverges."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "props"])
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.withColumn("k", k)
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
