@@ -127,3 +127,47 @@ def test_compact_is_idempotent_and_skips_healthy(spark, tmp_path):
     report = compact(spark, path, target_file_bytes=1 << 30)
     assert report["partitions_compacted"] == 0
     assert spark.read.parquet(path).count() == 500
+
+
+# -- range-clustered layout (sinks/clustered.py) -----------------------------
+
+
+def test_clustered_write_makes_disjoint_file_ranges(spark, tmp_path):
+    """Footer min/max of each file must form non-overlapping key ranges —
+    the property parquet data skipping depends on."""
+    import pyarrow.parquet as pq
+
+    from bigquack_spark.sinks.clustered import save_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(10_000).selectExpr("pmod(hash(id), 1000) AS k", "id AS v")
+    save_clustered(df, path, ["k"], num_files=8)
+
+    ranges = []
+    for f in _data_files(path):
+        md = pq.ParquetFile(f).metadata
+        kcol = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+        lo = min(md.row_group(g).column(kcol).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(kcol).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo  # disjoint up to boundary-equal keys
+    # content is untouched by the relayout
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_clustered_scan_prunes_files(spark, tmp_path):
+    """A selective filter on the clustering key should read a fraction of
+    the files (Spark's parquet source skips via footer stats)."""
+    from bigquack_spark.sinks.clustered import save_clustered
+
+    path = str(tmp_path / "clustered2")
+    save_clustered(
+        spark.range(10_000).selectExpr("pmod(hash(id), 1000) AS k", "id AS v"),
+        path, ["k"], num_files=8,
+    )
+    got = spark.read.parquet(path).filter("k = 7").collect()
+    want = [r for r in spark.read.parquet(path).collect() if r.k == 7]
+    assert sorted(r.v for r in got) == sorted(r.v for r in want)
