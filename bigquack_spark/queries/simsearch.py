@@ -20,10 +20,9 @@ from bigquack_spark.sources.parquet import load_table as t
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id < 5 is the query set
 
-
-@query(
-    "q40_ann_cosine_topk",
-    oracle=f"""
+# One oracle, two physical strategies: q40 (declarative codegen fold) and
+# q75 (Arrow-batched GEMM kernel) must both hash-match this exact SQL.
+ANN_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
     sims AS (
@@ -45,8 +44,10 @@ N_QUERY_VECS = 5  # vec_id < 5 is the query set
       FROM sims
     )
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("q40_ann_cosine_topk", oracle=ANN_ORACLE)
 def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query set x corpus scan, JVM fold
     for the dot product, window-ranked per query.  The corpus never
@@ -88,3 +89,15 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
         n_lists=8, n_probes=2, seed=42,
     )
+
+
+@query("q75_ann_gemm_topk", oracle=ANN_ORACLE)
+def q75_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, GEMM kernel: identical semantics and oracle
+    as q40, but the corpus is scored batch-at-a-time with one dense numpy
+    matrix multiply inside mapInPandas and each batch pre-reduces to its
+    local top-k, so the only shuffled rows are #batches x |Q| x k.  The
+    bench headline uses this variant; q40 remains the all-codegen twin."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.gemm_topk(e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding")

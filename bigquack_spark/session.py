@@ -41,6 +41,19 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Process-level overrides of RUNTIME_CONFS (see :func:`pin`).  Empty in
+#: normal operation — the correctness driver always gets RUNTIME_CONFS as-is.
+PINNED_CONFS: dict[str, str] = {}
+
+
+def pin(key: str, value: str) -> None:
+    """Pin a runtime conf for this process, winning over RUNTIME_CONFS in
+    every later :func:`tune` call.  Used by bench.py to hold the recorded
+    bench-tier settings (e.g. AQE off at sub-GB scale) against the
+    per-query re-tune that registry queries perform."""
+    PINNED_CONFS[key] = value
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 
@@ -84,7 +97,7 @@ def tune(spark: SparkSession) -> SparkSession:
     query routes through here so semantics (UTC, AQE, Arrow) hold regardless
     of who built the session.  Static confs are silently skipped.
     """
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **PINNED_CONFS}.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on a live session

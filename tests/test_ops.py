@@ -89,6 +89,21 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, f"recall@10 = {recall}"
 
 
+def test_gemm_topk_identical_to_codegen_fold(spark):
+    """The GEMM kernel (q75) and the declarative fold (q40) are two physical
+    strategies for the same operator: every (qid, neighbor, sim, rank) cell
+    must be identical, including rounded sims and tie order — and the result
+    must survive the corpus arriving in many partitions (partial top-k per
+    batch + global merge)."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = e.filter("vec_id < 5")
+    exact = sorted(map(tuple, S.cosine_topk(e, queries, k=10).collect()))
+    gemm = sorted(map(tuple, S.gemm_topk(e, queries, k=10).collect()))
+    assert gemm == exact
+    sharded = sorted(map(tuple, S.gemm_topk(e.repartition(7), queries, k=10).collect()))
+    assert sharded == exact
+
+
 def test_cosine_self_is_one(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
     val = df.select(S.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0].c
