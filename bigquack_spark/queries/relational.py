@@ -1217,3 +1217,339 @@ def q73_gap_filled_months(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(mo.cents, CAST(0 AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
         FROM spine s LEFT JOIN monthly mo ON date_format(s.m, 'yyyy-MM') = mo.month
     """)
+
+
+@query(
+    "q76_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q76_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side residual predicate, then
+    a double aggregation (orders per customer, customers per order-count).
+    count(col) skips the NULLs the outer join manufactures, so no-order
+    customers land in the c_count=0 bucket on both engines.  At scale the
+    first shuffle (custkey) carries the weight; the second groups ~100
+    distinct counts and collapses map-side.  The filter rides ON the join
+    clause, not WHERE — pushing it to WHERE would silently drop the
+    no-order customers the query exists to count."""
+    c = t(spark, sf_dir, "customer", columns=["c_custkey"])
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+    o = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+@query(
+    "q77_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT)
+             / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q77_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (CASE inside sum) over
+    a month of lineitem joined to part.  part broadcasts; the shipdate
+    window is pushed to the scan; the whole query is one scan + one
+    zero-key aggregate.  Numerator and denominator are summed on the exact
+    integer cent-x-percent lattice, so both engines divide the SAME two
+    BIGINTs — the only float op is one final division, which is
+    deterministic given identical operands."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    units = _money_cents_units()
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01")))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))).cast("long")
+                / F.sum(units).cast("long"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q78_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.units / 10000.0 AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.units = (SELECT max(units) FROM revenue)
+    """,
+)
+def q78_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate, then keep the group(s) equal to the MAX
+    over the aggregate (the reference view + scalar-subquery pattern).  The
+    scalar max travels as a broadcast cross join against the per-supplier
+    aggregate — no second scan of lineitem, no window over a single
+    partition.  The equality test runs on exact BIGINT revenue units;
+    floats only appear in the final display division."""
+    l = t(spark, sf_dir, "lineitem")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_money_cents_units()).cast("bigint").alias("units"))
+    )
+    top = rev.agg(F.max("units").alias("max_units"))
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("units") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q79_small_order_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 700.0, 4) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+      AND CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.n_lines < pa.sum_qty
+    """,
+)
+def q79_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery (quantity below
+    20% of the part's average) decorrelated into an aggregate-then-join.
+    The threshold test qty < 0.2 * avg is algebraically rewritten to
+    qty * 5 * count < sum — all BIGINT, so the boundary can't flip on a
+    1-ulp float difference between engines.  part filter broadcasts; the
+    per-part aggregate joins on partkey (the natural co-location key: with
+    both sides bucketed by partkey this is exchange-free)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(
+        spark, sf_dir, "part",
+        predicate="p_type = 'ECONOMY' AND p_size < 15",
+        columns=["p_partkey"],
+    )
+    pa = (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .withColumnRenamed("l_partkey", "pa_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == pa.pa_partkey)
+        .filter(
+            F.round(F.col("l_quantity")).cast("bigint") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("bigint")
+                / F.lit(700.0),
+                4,
+            ).alias("avg_yearly_cents")
+        )
+    )
+
+
+@query(
+    "q80_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice, big.sum_qty
+    FROM (
+      SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q80_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a big aggregate feeding joins (the
+    original's IN-subquery, decorrelated to aggregate->filter->join).  The
+    orderkey aggregate is the one wide shuffle; the surviving ~1% of orders
+    then join orders (same key — co-located after the agg) and broadcast
+    customer.  Top-k by price with the orderkey as the unique tiebreaker,
+    TakeOrderedAndProject physically."""
+    l = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q81_sole_late_shipper",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN per_order po ON po.l_orderkey = lo.l_orderkey
+    JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+    WHERE lo.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q81_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after order
+    since this dataset has no commitdate): suppliers who were the ONLY late
+    shipper on a multi-supplier finished order.  The original's
+    EXISTS / NOT EXISTS self-joins are decorrelated into one per-order
+    aggregate (distinct suppliers, distinct late suppliers) joined back on
+    the orderkey — lineitem is scanned once, not three times, and both the
+    aggregate and the join share the orderkey shuffle (one exchange, AQE
+    co-locates the rest).  supplier broadcasts into the final count."""
+    l = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    o = t(
+        spark, sf_dir, "orders",
+        predicate="o_orderstatus = 'F'",
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    lo = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q82_nation_value_share",
+    oracle="""
+    WITH nv AS (
+      SELECT n.n_name AS nation,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, units / 10000.0 AS value
+    FROM nv
+    WHERE units * 20 > (SELECT CAST(sum(units) AS BIGINT) FROM nv)
+    """,
+)
+def q82_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to supplier nations — this dataset has no
+    partsupp): per-group value filtered by a HAVING against a scalar
+    aggregate of the SAME aggregate (groups holding >5% of global value).
+    The share test is integer cross-multiplication (units * 20 > total), so
+    no float threshold can flip between engines.  The global total is a
+    second aggregation OVER THE GROUPS (25 rows), not a rescan — it rides
+    back in as a broadcast cross join."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_money_cents_units()).cast("bigint").alias("units"))
+    )
+    total = nv.agg(F.sum("units").cast("bigint").alias("total_units"))
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .filter(F.col("units") * 20 > F.col("total_units"))
+        .select("nation", (F.col("units") / F.lit(10000.0)).alias("value"))
+    )
