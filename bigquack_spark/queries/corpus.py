@@ -1,0 +1,127 @@
+"""Corpus-assembly query inventory (SURVEY §2.9 extension surface).
+
+The ops a pretraining pipeline runs between raw documents and tokenized
+shards: deterministic splitting, domain-mixture resampling, benchmark
+contamination.  All thresholds are exact integers on md5-derived buckets
+(Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT), so every query here
+oracle-diffs bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.operators import corpus as C
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+_MIX_RATES = {"src0": 10, "src1": 25, "src2": 50}
+_BENCH_MOD = 97  # doc_id % 97 == 0 stands in for the benchmark set
+_MAX_DF = 50
+_SHINGLE_LEN = 3
+
+
+@query(
+    "q83_train_val_split",
+    oracle="""
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT source,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               CAST('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    )
+    GROUP BY source, split
+    """,
+)
+def q83_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split, summarized per (source, split).  The
+    assignment is a pure md5-bucket projection (operators/corpus.hash_split)
+    — stable under reordering, repartitioning, and engine choice, which is
+    what makes a split reproducible at 100 TB where rand()-sampling isn't.
+    The only shuffle is the summary groupBy; the split itself is
+    shuffle-free."""
+    d = C.hash_split(t(spark, sf_dir, "documents"), id_col="doc_id", salt="split-v1")
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@query(
+    "q84_benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(tk[i:i+2], ' '))) AS s
+        FROM toks
+      )
+    ),
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) <= {_MAX_DF}
+    ),
+    train AS (SELECT doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    bench_sizes AS (
+      SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_total FROM bench GROUP BY bench_id
+    ),
+    overlap AS (
+      SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id, b.bench_id
+    )
+    SELECT o.doc_id, o.bench_id, o.n_overlap, bs.bench_total,
+           round(o.n_overlap / bs.bench_total, 6) AS score
+    FROM overlap o JOIN bench_sizes bs ON bs.bench_id = o.bench_id
+    WHERE o.doc_id <> o.bench_id
+    """,
+)
+def q84_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination via distinct word-trigram overlap: training
+    docs and the benchmark subset meet in ONE equi-join on the shingle (the
+    shuffle key), never a doc cross product; a document-frequency cap drops
+    boilerplate trigrams — the join-skew hazard AND the false-positive
+    source — before the join (operators/corpus.contamination_pairs)."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    pairs = C.contamination_pairs(
+        docs, bench, shingle_len=_SHINGLE_LEN, max_df=_MAX_DF
+    )
+    return pairs.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+@query(
+    "q85_domain_mixture",
+    oracle=f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE CAST('0x' || substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) % 100
+          < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25
+                        WHEN 'src2' THEN 50 ELSE 100 END
+    GROUP BY source
+    """,
+)
+def q85_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep-rates as exact integer
+    thresholds on the md5 bucket (operators/corpus.mixture_sample).  The
+    filter is a pure projection — Catalyst pushes it to the scan, so at
+    100 TB the dropped rows never leave the input stage; downstream sees
+    the already-mixed corpus."""
+    mixed = C.mixture_sample(
+        t(spark, sf_dir, "documents"), _MIX_RATES, salt="mix-v1"
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

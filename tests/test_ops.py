@@ -325,3 +325,61 @@ def test_embedding_near_dup_blocked_path(spark):
     blocked_set = {(r.a, r.b, r.cosine_sim) for r in blocked.collect()}
     assert blocked_set == full_same_label
     assert blocked_set  # non-trivial at threshold 0.3
+
+
+# -- corpus assembly (operators/corpus.py) -----------------------------------
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Split labels are a pure function of (salt, id): invariant under
+    repartitioning, exhaustive, and re-dealt by a salt change."""
+    from bigquack_spark.operators import corpus as C
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = {(r.doc_id, r.split) for r in C.hash_split(d).select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in C.hash_split(d.repartition(13)).select("doc_id", "split").collect()
+    }
+    assert a == b
+    assert {s for _, s in a} <= {"train", "val", "test"}
+    assert len(a) == d.count()
+    redealt = {
+        (r.doc_id, r.split)
+        for r in C.hash_split(d, salt="v2").select("doc_id", "split").collect()
+    }
+    assert redealt != a  # salt is the only knob
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    """Kept sets respect per-source rates approximately and nest: a lower
+    rate for the same salt keeps a subset of a higher rate's picks."""
+    from bigquack_spark.operators import corpus as C
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    lo = {r.doc_id for r in C.mixture_sample(d, {"src0": 10}, default_pct=10).collect()}
+    hi = {r.doc_id for r in C.mixture_sample(d, {"src0": 60}, default_pct=60).collect()}
+    assert lo <= hi  # bucket < 10 implies bucket < 60: monotone thresholds
+    n = d.count()
+    assert 0 < len(lo) < len(hi) < n
+
+
+def test_contamination_finds_planted_copy(spark):
+    """A benchmark doc planted verbatim into the training side must surface
+    with score 1.0; disjoint-vocab docs must not pair with it."""
+    from bigquack_spark.operators import corpus as C
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim copy
+            (2, "one two three four five six seven eight nine"),  # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in C.contamination_pairs(train, bench).collect()}
+    assert 1 in got and got[1].score == 1.0
+    assert 2 not in got
