@@ -105,10 +105,16 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
     """Drain all currently-available input through the streaming plan into a
     memory sink (test/drive harness; production sinks are parquet/Delta via
-    ``writeStream.toTable``).  Returns the result as a DataFrame."""
+    ``writeStream.toTable``).  Returns the result as a DataFrame.
+    ``output_mode``: update for stateful aggs; append is mandatory for
+    stream-stream joins (watermark-expired results only)."""
     name = query_name or f"bq_stream_{uuid.uuid4().hex[:8]}"
     # fresh checkpoint per invocation: this helper is a drain-once harness,
     # not a resumable production query (those pass their own checkpoint)
@@ -116,10 +122,94 @@ def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> Da
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-event dedup via
+    ``dropDuplicatesWithinWatermark``: state is bounded by the watermark
+    horizon (old keys are evicted), so unlike plain dropDuplicates the
+    operator survives an unbounded stream — the at-least-once -> effectively-
+    once repair stage every event pipeline needs in front of its sink."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping buckets) with watermarked late-data handling — the
+    trend-detection twin of the tumbling :func:`hourly_counts`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def click_to_purchase(
+    events: DataFrame,
+    max_lag_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair by the same
+    user where the purchase follows the click within ``max_lag_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict expired rows —
+    the requirements for an unbounded stream-stream join to run at all.
+    Per-side filters cut state to the two event types involved."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_value"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

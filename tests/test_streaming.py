@@ -176,3 +176,91 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "2024-01-01 00:00" not in second
     # hour-3 window finalized now, count excludes nothing (it had 1 event)
     assert second.get("2024-01-01 03:00") == 1
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Planted duplicate event_ids collapse to one survivor per key; the
+    dedup state is watermark-bounded (the operator accepts an unbounded
+    stream where plain dropDuplicates would not)."""
+    from bigquack_spark.streaming.events import dedup_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    # the events table has unique event_ids: dedup on a coarser synthetic
+    # key (user_id, minute bucket) so real collapses happen
+    keyed = stream.withColumn("minute_key", F.date_trunc("minute", "ts"))
+    result = run_available_now(
+        dedup_stream(keyed, keys=["user_id", "minute_key"]), "dedup_test"
+    )
+    got = result.groupBy("user_id", "minute_key").count().collect()
+    assert got and all(r["count"] == 1 for r in got)
+
+    from bigquack_spark.sources.parquet import load_table
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("minute_key", F.date_trunc("minute", "ts"))
+        .dropDuplicates(["user_id", "minute_key"])
+    )
+    assert result.count() == batch.count()
+
+
+def test_stream_sliding_matches_batch(spark):
+    """Sliding windows: each event lands in exactly window/slide buckets;
+    stream result equals the batch explode-to-buckets equivalent."""
+    from bigquack_spark.streaming.events import sliding_counts
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    result = run_available_now(sliding_counts(stream), "sliding_test")
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in result.collect()
+    }
+
+    from bigquack_spark.sources.parquet import load_table
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+    # every event contributes to 4 buckets (1h window / 15m slide)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(got.values()) == 4 * n_events
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Interval join parity: the watermarked stream-stream join yields the
+    same (click, purchase) pairs as the batch non-equi join."""
+    from bigquack_spark.streaming.events import click_to_purchase
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    result = run_available_now(
+        click_to_purchase(stream), "ssjoin_test", output_mode="append"
+    )
+    got = {(r.click_id, r.purchase_id) for r in result.collect()}
+
+    from bigquack_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id cu", "event_id click_id", "ts cts"
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id pu", "event_id purchase_id", "ts pts"
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert got == want and got
