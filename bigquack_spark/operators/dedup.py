@@ -368,3 +368,66 @@ def simhash_portable(
             ).alias("simhash")
         )
     )
+
+
+# ------------------------------------------------ dedup clustering ----------
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> the transitive
+    dedup closure: near-dup PAIRS become dedup GROUPS (if a~b and b~c then
+    a,b,c collapse together even though a~c was never tested).
+
+    Iterative min-label propagation, fully distributed: each round is one
+    shuffle join (labels to neighbors) + one min-aggregate, and labels only
+    ever decrease, so the fixpoint is the per-component minimum id.  Rounds
+    = graph diameter — for dedup graphs (small dense clusters) a handful.
+    The driver loop holds one scalar (the changed-count) per round, never
+    data; ``localCheckpoint`` truncates the lineage so the plan stays flat
+    across iterations.  For adversarial long-chain graphs at web scale,
+    swap the propagation body for large-star/small-star (same loop shape,
+    O(log n) rounds).
+
+    Returns (node, cluster_id) for every node that appears in an edge;
+    cluster_id is the smallest node id in the component.  Isolated docs
+    (no edges) are their own cluster by definition and are not emitted.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(cur, sym.dst == cur.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            cur.join(nbr_min, cur.node == nbr_min.src, "left")
+            .select(
+                F.col("node"),
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = prop.filter(F.col("new_comp") < F.col("old_comp")).count()
+        cur = prop.select("node", F.col("new_comp").alias("comp"))
+        if n_changed == 0:
+            break
+    return cur.select("node", F.col("comp").alias("cluster_id"))

@@ -247,3 +247,54 @@ def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(
         cands, docs, "doc_id", "text", shingle_len=1, threshold=JACCARD_THRESHOLD
     )
+
+
+@query(
+    "q86_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    pairs AS (
+      SELECT cand.a, cand.b
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, node) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN sym e ON r.node = e.s
+    )
+    SELECT src AS node, CAST(min(node) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: the q36 near-dup PAIRS become dedup GROUPS
+    via distributed connected components (min-label propagation; see
+    operators/dedup.connected_components for the scale analysis).  The
+    oracle replays the identical pair pipeline, then closes it with a
+    recursive CTE — component membership, including everything transitivity
+    adds beyond the tested pairs, must match exactly."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    return D.connected_components(pairs)

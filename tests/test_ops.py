@@ -383,3 +383,16 @@ def test_contamination_finds_planted_copy(spark):
     got = {r.doc_id: r for r in C.contamination_pairs(train, bench).collect()}
     assert 1 in got and got[1].score == 1.0
     assert 2 not in got
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 10-node path (worst-case diameter for the propagation loop), a
+    2-node island, and a self-contained pair must resolve to exactly three
+    components labeled by their minimum node ids."""
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101), (200, 201)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.node: r.cluster_id for r in D.connected_components(df).collect()}
+    assert {got[i] for i in range(10)} == {0}
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == 200
+    assert len(got) == 14
