@@ -1,0 +1,75 @@
+"""Table reconciliation — the verification operator a data-movement bridge
+needs (the reference IS such a bridge: BQ -> DuckDB, bigquack.go:64-141,
+with only a row-count check at the end, bigquack.go:127-137.  Row counts
+prove nothing about content; this operator proves content).
+
+``table_diff`` compares two tables keyed the same way and emits ONE row per
+discrepancy: keys only in the left, only in the right, or present in both
+with differing values.  Equal rows are filtered out as early as possible —
+at 100 TB the join must shuffle both sides once (or ride bucketed layouts
+exchange-free, sinks/partitioned.py), but the output and everything after
+it is bounded by the diff size, which for a healthy pipeline is ~0.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-outer key join + column-wise IS DISTINCT FROM compare.
+
+    Returns (key_cols..., status, n_cols_differ) where status is
+    'left_only' | 'right_only' | 'differs'.  NULL-safe throughout: a NULL
+    vs non-NULL cell counts as a difference, NULL vs NULL does not (IS
+    DISTINCT FROM semantics — no string formatting, so float columns
+    compare bit-exactly and portably)."""
+    compare_cols = compare_cols or [c for c in left.columns if c not in key_cols]
+    lt = left.select(
+        *[F.col(k).alias(f"lk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"l_{c}") for c in compare_cols],
+        F.lit(1).alias("l_present"),
+    )
+    rt = right.select(
+        *[F.col(k).alias(f"rk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"r_{c}") for c in compare_cols],
+        F.lit(1).alias("r_present"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"lk_{k}").eqNullSafe(F.col(f"rk_{k}")) for k in key_cols],
+    )
+    joined = lt.join(rt, cond, "full_outer")
+    diff_flags = [
+        (~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))).cast("int")
+        for c in compare_cols
+    ]
+    n_differ = reduce(lambda a, b: a + b, diff_flags)
+    status = (
+        F.when(F.col("r_present").isNull(), "left_only")
+        .when(F.col("l_present").isNull(), "right_only")
+        .when(n_differ > 0, "differs")
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"lk_{k}"), F.col(f"rk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "status",
+            F.when(F.col("status") == "differs", n_differ)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_cols_differ"),
+        )
+    )

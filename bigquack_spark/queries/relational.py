@@ -1553,3 +1553,136 @@ def q82_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("units") * 20 > F.col("total_units"))
         .select("nation", (F.col("units") / F.lit(10000.0)).alias("value"))
     )
+
+
+@query(
+    "q87_statistical_profile",
+    oracle="""
+    SELECT l_returnflag, n, sd_qty, var_price, qty_price_corr, qty_price_covar,
+           (CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+            + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)
+             AS skew_qty
+    FROM (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             stddev_samp(l_quantity) AS sd_qty,
+             var_samp(l_extendedprice) AS var_price,
+             corr(l_quantity, l_extendedprice) AS qty_price_corr,
+             covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2,
+             CAST(sum(q * q * q) AS BIGINT) AS s3
+      FROM (SELECT l_returnflag, l_quantity, l_extendedprice,
+                   CAST(round(l_quantity) AS BIGINT) AS q
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    """,
+)
+def q87_statistical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile per return flag: second-moment built-ins
+    (stddev/variance/correlation/covariance agree across engines within the
+    9-significant-digit canon — verified empirically, rel diff ~1e-15) plus
+    POPULATION skewness computed from exact integer power sums, because the
+    built-in skewness/kurtosis differ across engines by their sample-
+    correction factors (rel ~1e-4).  The power sums are BIGINTs (quantity is
+    integral and bounded, so s3 < 2^53 even at 100 TB partitions), making
+    the final float formula deterministic: identical integer operands,
+    identical IEEE expression shape on both sides."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+    )
+    skew = F.expr(
+        "(CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)"
+        " + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+        " / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)"
+    )
+    return grouped.select(
+        "l_returnflag", "n", "sd_qty", "var_price", "qty_price_corr",
+        "qty_price_covar", skew.alias("skew_qty"),
+    )
+
+
+@query(
+    "q88_table_reconciliation",
+    oracle="""
+    WITH b AS (
+      SELECT *, CAST('0x' || substr(md5('recon|' || CAST(c_custkey AS VARCHAR)), 1, 6)
+                     AS BIGINT) % 100 AS bkt
+      FROM customer
+    ),
+    rt AS (
+      SELECT c_custkey,
+             c_name,
+             CASE WHEN bkt < 2 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM b WHERE bkt >= 2 OR bkt < 2
+    ),
+    rt2 AS (SELECT * FROM rt WHERE c_custkey NOT IN
+              (SELECT c_custkey FROM b WHERE bkt >= 2 AND bkt < 4)
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+            FROM b WHERE bkt = 4),
+    lt AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+    j AS (
+      SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+             CASE WHEN r.c_custkey IS NULL THEN 'left_only'
+                  WHEN l.c_custkey IS NULL THEN 'right_only'
+                  WHEN l.c_name IS DISTINCT FROM r.c_name
+                    OR l.c_acctbal IS DISTINCT FROM r.c_acctbal
+                    OR l.c_mktsegment IS DISTINCT FROM r.c_mktsegment THEN 'differs'
+             END AS status,
+             (CAST(l.c_name IS DISTINCT FROM r.c_name AS INTEGER)
+              + CAST(l.c_acctbal IS DISTINCT FROM r.c_acctbal AS INTEGER)
+              + CAST(l.c_mktsegment IS DISTINCT FROM r.c_mktsegment AS INTEGER)) AS nd
+      FROM lt l FULL OUTER JOIN rt2 r ON l.c_custkey = r.c_custkey
+    )
+    SELECT c_custkey, status,
+           CAST(CASE WHEN status = 'differs' THEN nd ELSE 0 END AS BIGINT) AS n_cols_differ
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def q88_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level reconciliation of a transfer (the check the reference's
+    row-count log line, bigquack.go:127-137, cannot do): diff the customer
+    table against a deterministically mutated copy — 2% value-bumped
+    (differs), 2% dropped (left_only), 1% re-keyed (right_only) — and emit
+    one row per discrepancy via operators/reconcile.table_diff.  The
+    mutation rule is an md5 bucket, so both engines manufacture the
+    identical 'corrupted replica' and must report the identical diff."""
+    from bigquack_spark.operators.reconcile import table_diff
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    left = t(spark, sf_dir, "customer").select(*cols)
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("recon|"), F.col("c_custkey").cast("string"))), 1, 6),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    b = left.withColumn("bkt", bkt)
+    mutated = b.withColumn(
+        "c_acctbal",
+        F.when(F.col("bkt") < 2, F.col("c_acctbal") + 1.0).otherwise(F.col("c_acctbal")),
+    )
+    right = (
+        mutated.filter(~((F.col("bkt") >= 2) & (F.col("bkt") < 4)))
+        .select(*cols)
+        .unionAll(
+            b.filter(F.col("bkt") == 4).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name", "c_acctbal", "c_mktsegment",
+            )
+        )
+    )
+    return table_diff(left, right, ["c_custkey"])

@@ -396,3 +396,25 @@ def test_connected_components_chain_and_islands(spark):
     assert got[100] == got[101] == 100
     assert got[200] == got[201] == 200
     assert len(got) == 14
+
+
+def test_table_diff_null_safe_and_statuses(spark):
+    """NULL vs non-NULL differs, NULL vs NULL equal; statuses cover
+    left_only/right_only/differs; equal rows are dropped."""
+    from bigquack_spark.operators.reconcile import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 2.0), (3, "c", 3.0), (5, None, 5.0)],
+        "k bigint, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 9.0), (4, "d", 4.0), (5, "x", 5.0)],
+        "k bigint, s string, v double",
+    )
+    got = {r.k: (r.status, r.n_cols_differ) for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {
+        2: ("differs", 1),     # v changed
+        3: ("left_only", 0),
+        4: ("right_only", 0),
+        5: ("differs", 1),     # NULL vs 'x'
+    }  # k=1 equal (NULL==NULL null-safe) and absent
