@@ -1,0 +1,84 @@
+"""Text-format sources (CSV / JSON Lines) with pinned schemas.
+
+The reference reads exactly one source (BigQuery, bigquery.go:85-129) and
+its schema system is explicit-and-fixed, never value-inferred (SURVEY §1.2:
+the session's serialized Arrow schema is the contract).  These loaders
+extend the source surface to the interchange formats every pipeline meets
+at its edges while KEEPING that schema discipline: production reads pin a
+``StructType`` (or a BQ field list mapped through types.py, the reference's
+own schema vocabulary, bigquery_write.go:135-213); inference is an explicit
+opt-in for exploration only.
+
+Scale notes: CSV/JSON scans split by byte ranges (better parallelism than
+single-row-group parquet, worse everything else); neither format carries
+column statistics, so predicate pushdown cannot skip I/O — filters still
+prune rows scan-side, but the bytes are read.  The loaders exist to INGEST
+edge data; the first pipeline step after them should land parquet
+(sinks/) so every later scan gets pruning, stats, and types for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bigquack_spark.types import BQField, bq_schema_to_struct
+
+
+def _resolve_schema(
+    schema: T.StructType | list[BQField] | None,
+) -> T.StructType | None:
+    if schema is None:
+        return None
+    if isinstance(schema, T.StructType):
+        return schema
+    return bq_schema_to_struct(schema)
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | list[BQField] | None = None,
+    header: bool = True,
+    infer: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a pinned schema (or explicit opt-in inference).
+
+    PERMISSIVE mode with a ``_corrupt_record`` column when a schema is
+    pinned: malformed rows surface as data instead of killing a 100 TB job
+    mid-flight (select/filter on it to quarantine)."""
+    if schema is None and not infer:
+        raise ValueError("pass a schema, or infer=True to opt into inference")
+    st = _resolve_schema(schema)
+    reader = spark.read.options(**options).option("header", str(header).lower())
+    if st is not None:
+        st = T.StructType(list(st.fields) + [T.StructField("_corrupt_record", T.StringType())])
+        reader = reader.schema(st).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | list[BQField] | None = None,
+    infer: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-Lines scan with a pinned schema (or explicit opt-in inference).
+    Same PERMISSIVE + ``_corrupt_record`` quarantine contract as
+    :func:`load_csv`."""
+    if schema is None and not infer:
+        raise ValueError("pass a schema, or infer=True to opt into inference")
+    st = _resolve_schema(schema)
+    reader = spark.read.options(**options)
+    if st is not None:
+        st = T.StructType(list(st.fields) + [T.StructField("_corrupt_record", T.StringType())])
+        reader = reader.schema(st).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.json(path)

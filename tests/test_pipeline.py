@@ -72,3 +72,56 @@ def test_reader_schema_and_batches(spark):
     assert [f.name for f in r.schema().fields] == ["r_regionkey", "r_name"]
     total = sum(b.num_rows for b in r.to_batches())
     assert total == 5
+
+
+# -- text-format sources (sources/formats.py) --------------------------------
+
+
+def test_csv_roundtrip_with_pinned_schema(spark, tmp_path):
+    """CSV written from a table reads back value-identical under the pinned
+    schema; no inference in the production path."""
+    from bigquack_spark.sources.formats import load_csv
+    from bigquack_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "customer_csv")
+    src.write.option("header", True).csv(path)
+    back = load_csv(spark, path, schema=src.schema).cache()
+    # (cache: Spark disallows querying ONLY _corrupt_record straight off a scan)
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    got = sorted(map(tuple, back.drop("_corrupt_record").collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+
+def test_csv_requires_schema_or_optin(spark):
+    import pytest as _pytest
+
+    from bigquack_spark.sources.formats import load_csv
+
+    with _pytest.raises(ValueError, match="schema"):
+        load_csv(spark, "/nonexistent")
+
+
+def test_json_corrupt_rows_quarantined_not_fatal(spark, tmp_path):
+    """A malformed JSON line lands in _corrupt_record; well-formed rows
+    parse; the job does not die."""
+    import json as _json
+
+    from bigquack_spark.sources.formats import load_json
+    from bigquack_spark.types import BQField
+
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        _json.dumps({"id": 1, "name": "ok"})
+        + "\n{broken json\n"
+        + _json.dumps({"id": 2, "name": "fine"})
+        + "\n"
+    )
+    df = load_json(spark, str(p), schema=[BQField("id", "INT64"), BQField("name", "STRING")])
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 1 and "{broken json" in bad[0]._corrupt_record
