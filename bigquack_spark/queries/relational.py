@@ -1686,3 +1686,97 @@ def q88_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(left, right, ["c_custkey"])
+
+
+@query(
+    "q89_supplier_diversity",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (5, 10, 15, 20)
+      AND p.p_brand NOT IN (SELECT DISTINCT p_brand FROM part WHERE p_size = 50)
+    GROUP BY p.p_type, p.p_size
+    """,
+)
+def q89_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group with an IN filter and a
+    NOT IN (subquery) exclusion.  The exclusion list is a tiny distinct
+    set -> broadcast anti join (NOT IN with no NULLs degenerates to anti
+    semantics); part broadcasts into lineitem so the fact side's only
+    shuffle is the distinct-count aggregate, which Spark runs as a two-level
+    expand+agg (partial per (group, suppkey), then final count)."""
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_type", "p_size", "p_brand"])
+    p = p.filter(F.col("p_size").isin(5, 10, 15, 20))
+    excluded = (
+        t(spark, sf_dir, "part", predicate="p_size = 50", columns=["p_brand"])
+        .select(F.col("p_brand").alias("x_brand"))
+        .distinct()
+    )
+    p = p.join(
+        F.broadcast(excluded), p.p_brand == F.col("x_brand"), "left_anti"
+    )
+    l = t(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"))
+    )
+
+
+@query(
+    "q90_event_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, day, n,
+             avg(CAST(n AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sigma
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, round(mu, 6) AS mu,
+           round((CAST(n AS DOUBLE) - mu) / sigma, 4) AS z
+    FROM scored
+    WHERE sigma > 0 AND abs((CAST(n AS DOUBLE) - mu) / sigma) > 2.0
+    """,
+)
+def q90_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: each (event_type, day) volume scored
+    against the trailing 6-day window's mean/stddev (the window EXCLUDES the
+    current row — a self-inclusive baseline masks the very spikes it should
+    flag).  One shuffle on event_type; the frame is a bounded ROWS window,
+    so state per group is 6 rows regardless of history length.  The z
+    threshold compares doubles derived from identical integer day-counts on
+    both engines."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, -1)
+    )
+    nd = F.col("n").cast("double")
+    scored = daily.select(
+        "event_type", "day", "n",
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sigma"),
+    )
+    z = (nd - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_type", "day", "n",
+            F.round("mu", 6).alias("mu"),
+            F.round(z, 4).alias("z"),
+        )
+    )
