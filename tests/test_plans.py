@@ -113,3 +113,42 @@ def test_q72_single_window_shuffle(spark):
     plan = plan_of(spark, "q72_cheapest_supplier")
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_q79_part_filter_pushed_and_broadcast(spark):
+    """Q17 shape: the part predicate reaches the scan; the filtered dim
+    broadcasts; the per-part aggregate joins without a second lineitem scan
+    pattern (exactly 2 lineitem scans total: fact + aggregate input)."""
+    plan = plan_of(spark, "q79_small_order_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "LessThan(p_size,15)" in plan
+
+
+def test_q81_single_lineitem_orderkey_shuffle_family(spark):
+    """Q21 shape: EXISTS/NOT-EXISTS decorrelated into ONE per-order
+    aggregate — no more than one join of lineitem with itself, supplier
+    broadcast, top-k as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q81_sole_late_shipper")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q88_full_outer_null_safe(spark):
+    plan = plan_of(spark, "q88_table_reconciliation")
+    assert "FullOuter" in plan
+
+
+def test_q89_exclusion_is_anti_join(spark):
+    plan = plan_of(spark, "q89_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q75_no_corpus_shuffle_before_python_kernel(spark):
+    """GEMM ANN: the mapInPandas kernel feeds straight off the scan; the
+    only exchange is the tiny partial-top-k merge."""
+    plan = plan_of(spark, "q75_ann_gemm_topk")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") <= 2
