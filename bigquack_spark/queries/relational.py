@@ -1780,3 +1780,109 @@ def q90_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "q91_excess_shippers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+      HAVING 6 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                           AND l_shipdate < TIMESTAMP '1998-01-01'
+                          THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+             > sum(CAST(round(l_quantity) AS BIGINT))
+    )
+    """,
+)
+def q91_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly-nested IN subqueries (suppliers -> part-supp
+    activity -> part filter) decorrelated Spark-first.  The inner part
+    filter is a broadcast semi join on the fact scan; the (supp, part)
+    aggregate computes BOTH the windowed and all-time quantity in one pass
+    (conditional sum — no second scan, no self-join); the outer IN is a
+    left-semi join of the tiny supplier dim against the distinct qualifying
+    suppkeys.  The 2x threshold is integer cross-multiplication: no float
+    boundary."""
+    part_promo = t(spark, sf_dir, "part", predicate="p_type = 'PROMO'",
+                   columns=["p_partkey"])
+    l = t(spark, sf_dir, "lineitem",
+          columns=["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    in97 = (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01"))) & (
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    qualifying = (
+        l.join(F.broadcast(part_promo), l.l_partkey == part_promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in97, q).otherwise(F.lit(0))).alias("qty97"),
+            F.sum(q).alias("qty_all"),
+        )
+        .filter(F.lit(6) * F.col("qty97") > F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+
+
+@query(
+    "q92_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(target_units AS BIGINT) AS target_units,
+           CAST(total_units AS BIGINT) AS total_units,
+           round(CAST(target_units AS DOUBLE) / total_units, 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             sum(CASE WHEN n.n_name = 'NATION_7'
+                      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                      ELSE 0 END) AS target_units,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_units
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY year(o.o_orderdate)
+    )
+    """,
+)
+def q92_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share within its region per
+    year.  The share is a conditional-sum ratio computed in ONE aggregate
+    over one join tree (the textbook plan unions two scans); supplier,
+    nation, region broadcast; the orders join is the only wide exchange.
+    Numerator and denominator ride the exact integer cent lattice; the
+    final division divides identical BIGINTs on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    r = t(spark, sf_dir, "region", predicate="r_name = 'ASIA'",
+          columns=["r_regionkey"])
+    units = _money_cents_units()
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_7", units).otherwise(F.lit(0)))
+            .cast("bigint").alias("target_units"),
+            F.sum(units).cast("bigint").alias("total_units"),
+        )
+        .select(
+            "o_year", "target_units", "total_units",
+            F.round(F.col("target_units").cast("double") / F.col("total_units"), 6)
+            .alias("mkt_share"),
+        )
+    )
