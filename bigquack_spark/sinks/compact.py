@@ -93,22 +93,28 @@ def compact(
     path: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     min_files: int = 2,
+    cluster_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite undersized partitions of ``path`` into ~target-sized files.
 
     Returns a report ``{partitions_compacted, files_before, files_after,
     bytes_rewritten}``.  Row content is preserved exactly (same rows, same
-    schema); only the physical file layout changes.
+    schema); only the physical file layout changes.  With ``cluster_cols``
+    the rewrite also range-clusters each partition (sinks/clustered.py
+    semantics): one maintenance pass fixes file count AND file order, so
+    footer min/max prune scans afterwards.
     """
     report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0, "bytes_rewritten": 0}
     for plan in plan_compaction(path, target_file_bytes, min_files):
         staging = f"{plan.directory}/.compact-{uuid.uuid4().hex[:12]}"
-        (
-            spark.read.parquet(*(os.path.join(plan.directory, f) for f in plan.files))
-            .coalesce(plan.n_out)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        df = spark.read.parquet(*(os.path.join(plan.directory, f) for f in plan.files))
+        if cluster_cols:
+            df = df.repartitionByRange(plan.n_out, *cluster_cols).sortWithinPartitions(
+                *cluster_cols
+            )
+        else:
+            df = df.coalesce(plan.n_out)
+        df.write.mode("overwrite").parquet(staging)
         new_files = [f for f in os.listdir(staging) if _is_data_file(f)]
         # swap: olds out, news in (txn-log-atomic on Delta/Iceberg; see module doc)
         for f in plan.files:

@@ -171,3 +171,31 @@ def test_clustered_scan_prunes_files(spark, tmp_path):
     got = spark.read.parquet(path).filter("k = 7").collect()
     want = [r for r in spark.read.parquet(path).collect() if r.k == 7]
     assert sorted(r.v for r in got) == sorted(r.v for r in want)
+
+
+def test_compact_with_cluster_cols_fixes_count_and_order(spark, tmp_path):
+    """One maintenance pass: many small files -> n_out range-clustered files
+    whose footer key ranges are disjoint, content preserved."""
+    import pyarrow.parquet as pq
+
+    from bigquack_spark.sinks.compact import compact
+
+    path = str(tmp_path / "t")
+    # 20 small unsorted files, interleaved key ranges
+    spark.range(20_000).selectExpr("pmod(hash(id), 1000) AS k", "id AS v") \
+        .repartition(20).write.parquet(path)
+    report = compact(spark, path, target_file_bytes=1 << 30, cluster_cols=["k"])
+    assert report["partitions_compacted"] == 1
+    files = _data_files(path)
+    assert len(files) == 1 or len(files) < 20
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        kcol = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+        lo = min(md.row_group(g).column(kcol).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(kcol).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo
+    assert spark.read.parquet(path).count() == 20_000
