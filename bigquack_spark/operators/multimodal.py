@@ -135,3 +135,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def pseudo_embed(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic payload -> embedding kernel (Arrow-batched mapInPandas).
+
+    A real build would run a vision/audio encoder here; the container ships
+    none, so the embedding derives each dimension from one sha256 digest
+    byte, centered to [-1, 1].  Same contract as the real thing: bytes in,
+    fixed-dim float vector out, whole Arrow batches at a time — and because
+    the derivation is a pure digest function, the kernel is oracle-diffable
+    (DuckDB recomputes the identical vector from sha256 hex of the same
+    utf-8 bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    embs.append(None)
+                    continue
+                d = hashlib.sha256(bytes(payload)).digest()
+                embs.append([(d[i] - 127.5) / 127.5 for i in range(dim)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return media.mapInPandas(kernel, schema=EMBED_SCHEMA)

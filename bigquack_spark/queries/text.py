@@ -410,3 +410,53 @@ def q59_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (((F.sum("n_tokens").over(w)) - 1) / SHARD_TOKENS).cast("int").alias("shard_id"),
     )
+
+
+_EMB_DIM = 8
+_EMB_SQL = " , ".join(
+    f"((CAST('0x' || substr(sha256(text), {2*i+1}, 2) AS BIGINT)) - 127.5) / 127.5"
+    for i in range(_EMB_DIM)
+)
+
+
+@query(
+    "q93_multimodal_retrieval",
+    oracle=f"""
+    WITH emb AS (
+      SELECT doc_id, [{_EMB_SQL}] AS e FROM documents
+    ),
+    q AS (SELECT doc_id AS qid, e AS qe FROM emb WHERE doc_id < 5),
+    sims AS (
+      SELECT q.qid, emb.doc_id AS neighbor_id,
+             round(
+               list_dot_product(emb.e, q.qe)
+               / (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+               6
+             ) AS cosine_sim
+      FROM emb CROSS JOIN q
+      WHERE emb.doc_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM sims
+    )
+    WHERE rk <= 5
+    """,
+)
+def q93_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal retrieval end to end: opaque binary payloads -> Arrow-
+    batched embedding kernel (mapInPandas, digest-based stand-in for a real
+    encoder) -> brute-force cosine top-5 over the resulting vector column.
+    The full chain — binary plumbing, Python kernel batch shape, vector
+    search — is oracle-diffed: DuckDB rebuilds the identical embeddings
+    from sha256 hex and must produce the identical neighbor ranking."""
+    from bigquack_spark.operators import multimodal as M
+    from bigquack_spark.operators import simsearch as S
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    media = M.attach_binary_payload(d, "doc_id", "text", kind="image")
+    emb = M.pseudo_embed(media, dim=_EMB_DIM)
+    queries = emb.filter(F.col("media_id") < 5)
+    return S.cosine_topk(emb, queries, k=5, id_col="media_id", vec_col="embedding")
