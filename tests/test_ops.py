@@ -418,3 +418,49 @@ def test_table_diff_null_safe_and_statuses(spark):
         4: ("right_only", 0),
         5: ("differs", 1),     # NULL vs 'x'
     }  # k=1 equal (NULL==NULL null-safe) and absent
+
+
+def test_hash_split_matches_reference_impl(spark):
+    """Property check: the Spark md5-bucket expression equals a pure-Python
+    reimplementation on randomized ids, including negatives and 2^62-scale
+    extremes (the cross-engine portability contract of q83/q85/q88)."""
+    import hashlib
+    import random
+
+    from bigquack_spark.operators import corpus as C
+
+    rng = random.Random(11)
+    ids = list({rng.randint(-(2**62), 2**62) for _ in range(300)})
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    def brute(i, salt="split-v1"):
+        h = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+        b = int(h[:6], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    got = {r.doc_id: r.split for r in C.hash_split(df).collect()}
+    assert got == {i: brute(i) for i in ids}
+
+
+def test_money_cents_units_exact_on_lattice(spark):
+    """Property check: the integer cent-x-percent summand equals exact
+    Fraction arithmetic for randomized 2-decimal prices and discounts —
+    the no-float-accumulation guarantee every money query leans on."""
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(13)
+    rows = [
+        (round(rng.uniform(0.01, 99999.99), 2), round(rng.uniform(0.0, 0.10), 2))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+
+    from bigquack_spark.queries.relational import _money_cents_units
+
+    got = df.agg(F.sum(_money_cents_units()).cast("long").alias("u")).collect()[0].u
+    want = sum(
+        int(Fraction(str(p)) * 100) * (100 - int(Fraction(str(d)) * 100))
+        for p, d in rows
+    )
+    assert got == want
