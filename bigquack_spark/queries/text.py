@@ -458,5 +458,10 @@ def q93_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
     media = M.attach_binary_payload(d, "doc_id", "text", kind="image")
     emb = M.pseudo_embed(media, dim=_EMB_DIM)
-    queries = emb.filter(F.col("media_id") < 5)
+    # query side filters BEFORE the kernel: the broadcast subtree embeds 5
+    # rows, not the whole corpus (the filter pushes into the scan)
+    dq = t(spark, sf_dir, "documents", columns=["doc_id", "text"],
+           predicate="doc_id < 5")
+    queries = M.pseudo_embed(M.attach_binary_payload(dq, "doc_id", "text", kind="image"),
+                             dim=_EMB_DIM)
     return S.cosine_topk(emb, queries, k=5, id_col="media_id", vec_col="embedding")
