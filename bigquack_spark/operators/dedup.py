@@ -397,10 +397,23 @@ def connected_components(
     cluster_id is the smallest node id in the component.  Isolated docs
     (no edges) are their own cluster by definition and are not emitted.
     """
+    # Materialize the edge list ONCE before anything else: `edges` is
+    # usually the tip of an expensive pipeline (LSH -> candidates -> verify)
+    # and appears twice in the symmetrization union — without this
+    # checkpoint the whole upstream computes twice, and again per loop
+    # round.  After it, every iteration touches only the bounded edge list.
+    edges = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    # Size loop parallelism to the graph, not the session: the rounds
+    # reshuffle the SAME (small vs corpus) edge list, and per-task overhead
+    # times iterations dominates under a corpus-tuned partition count.
+    # ~1M edges/partition; the count is a driver scalar off the checkpoint.
+    n_parts = max(4, min(2048, (edges.count() // 1_000_000) + 1))
     sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        edges.union(edges.select(F.col("dst"), F.col("src")))
         .distinct()
+        .repartition(n_parts, "dst")
         .localCheckpoint()
     )
     cur = (
