@@ -521,3 +521,68 @@ def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "q94_scd2_user_state",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+             event_id
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM changes
+      WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    versioned AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS valid_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS version
+      FROM starts
+    )
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           CAST(version AS INTEGER) AS version
+    FROM versioned
+    """,
+)
+def q94_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an event log: collapse each user's
+    event stream into contiguous state intervals (valid_from, valid_to,
+    version) — the change-data-capture -> warehouse-dimension shape.  Two
+    windows over ONE user_id shuffle (lag to detect changes, lead+row_number
+    to close intervals); ties broken by event_id so versioning is
+    deterministic.  Time keys emitted as formatted strings per the
+    FIXTURES §C nanos rules."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    starts = changes.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        starts.select(
+            "user_id", "state",
+            F.lead("valid_from").over(wv).alias("valid_to_ts"),
+            F.row_number().over(wv).cast("int").alias("version"),
+            "valid_from",
+        )
+        .select(
+            "user_id", "state",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+            ).alias("valid_to"),
+            "version",
+        )
+    )

@@ -1,0 +1,73 @@
+"""Keyed MERGE (upsert/delete) for plain-parquet tables — the write
+primitive the reference's create-or-append sink lacks (duck.go:214-252 can
+only CREATE or APPEND; correcting a row means rewriting the table by hand).
+
+``merge_upsert`` applies a change set to a target directory with MERGE
+semantics: match on key -> update, no match -> insert, and (optionally) a
+delete flag column -> drop.  Plain-parquet constraints shape the design:
+
+- **Read-combine-rewrite, staged.** The target is re-written through one
+  full-outer combine (no in-place file surgery exists for parquet); new
+  files land in a staging dir and swap in at the end — same
+  stage-then-swap window as sinks/compact.py, txn-log-atomic when the
+  target is Delta/Iceberg instead.
+- **Change set wins.** On a key match the update row replaces the target
+  row wholesale (the reference's writer has per-record replace semantics
+  nowhere; this mirrors Delta's ``whenMatchedUpdateAll``).
+- **Scale shape.** One shuffle on the key for the anti/union combine; at
+  100 TB the rewrite cost is the table scan + write, which is what MERGE
+  costs on any copy-on-write format.  Partitioned targets should route
+  through ``overwrite_partitions`` (sinks/partitioned.py) so only touched
+  partitions rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE ``changes`` into the parquet table at ``target_path``.
+
+    Semantics per change row: key match -> replace target row; no match ->
+    insert; ``delete_col`` true -> drop the key from the target (whether or
+    not it matched).  Returns ``{rows_before, rows_after, upserts,
+    deletes}``.  Idempotent: re-merging the same change set converges."""
+    target = spark.read.parquet(target_path)
+    data_cols = target.columns
+    if delete_col:
+        deletes = changes.filter(F.col(delete_col)).select(*key_cols)
+        upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
+    else:
+        deletes = changes.limit(0).select(*key_cols)
+        upserts = changes.select(*data_cols)
+    removed_keys = upserts.select(*key_cols).union(deletes).distinct()
+    kept = target.join(removed_keys, key_cols, "left_anti")
+    merged = kept.unionByName(upserts)
+
+    staging = f"{target_path}.merge-{uuid.uuid4().hex[:12]}"
+    merged.write.mode("overwrite").parquet(staging)
+    rows_before = target.count()
+    rows_after = spark.read.parquet(staging).count()
+    # swap: stage-then-swap window, txn-log-atomic on Delta/Iceberg
+    backup = f"{target_path}.old-{uuid.uuid4().hex[:12]}"
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "upserts": upserts.count(),
+        "deletes": deletes.count(),
+    }

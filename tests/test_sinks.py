@@ -199,3 +199,32 @@ def test_compact_with_cluster_cols_fixes_count_and_order(spark, tmp_path):
     for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi <= next_lo
     assert spark.read.parquet(path).count() == 20_000
+
+
+# -- keyed MERGE (sinks/merge.py) --------------------------------------------
+
+
+def test_merge_upsert_update_insert_delete_and_idempotent(spark, tmp_path):
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k bigint, s string, v double"
+    ).write.parquet(path)
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 99.0, False),   # update
+            (4, "d", 40.0, False),    # insert
+            (3, None, None, True),    # delete
+        ],
+        "k bigint, s string, v double, is_delete boolean",
+    )
+    report = merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
+    assert report == {"rows_before": 3, "rows_after": 3, "upserts": 2, "deletes": 1}
+
+    # idempotent: replaying the same change set converges to the same state
+    merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
+    again = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
