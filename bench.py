@@ -65,6 +65,35 @@ UNPAIRED = [
 ]
 
 
+def _multifile_copy(src_dir: str) -> str | None:
+    """Rewrite the bench tables into a multi-row-group layout under /tmp.
+
+    The driver's parquet is one row group per table, which caps a Spark scan
+    at ONE task while DuckDB parallelizes inside the row group — the
+    documented structural caveat of the primary metric.  This secondary
+    layout (~20k rows per row group, same rows, same schema) is what any
+    real ingest produces; both engines are re-timed on it so the comparison
+    stays apples-to-apples.  Cached across runs; returns None on any
+    failure so the primary metric never depends on it."""
+    try:
+        import pyarrow.parquet as pq
+
+        dst = os.path.join(
+            "/tmp", "spark_graft_rg", os.path.basename(src_dir.rstrip("/"))
+        )
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if not name.endswith(".parquet"):
+                continue
+            s, d = os.path.join(src_dir, name), os.path.join(dst, name)
+            if os.path.exists(d) and pq.read_metadata(d).num_rows == pq.read_metadata(s).num_rows:
+                continue
+            pq.write_table(pq.read_table(s), d, row_group_size=20_000)
+        return dst
+    except Exception:
+        return None
+
+
 def _sf_label(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -73,14 +102,14 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def run_spark(spark, names: list[str]) -> dict[str, float]:
+def run_spark(spark, names: list[str], sf_dir: str = SF_DIR) -> dict[str, float]:
     """Per-query median of WARM_RUNS re-executions of a once-built DataFrame
     (prepared-statement protocol: the logical plan IS the query; analysis
     happens once, execution is what's timed — mirrors timing DuckDB's
     execute on an already-open connection)."""
     timings: dict[str, float] = {}
     for name in names:
-        df = QUERIES[name].fn(spark, SF_DIR)
+        df = QUERIES[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # warm-up: codegen + JIT
         samples = []
         for _ in range(WARM_RUNS):
@@ -91,7 +120,7 @@ def run_spark(spark, names: list[str]) -> dict[str, float]:
     return timings
 
 
-def run_duckdb() -> dict[str, float]:
+def run_duckdb(sf_dir: str = SF_DIR) -> dict[str, float]:
     """Time the DuckDB oracle for every headline query that has one — the
     2x envelope denominator (BASELINE.md §3), same host, single process."""
     import duckdb
@@ -101,7 +130,7 @@ def run_duckdb() -> dict[str, float]:
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -136,12 +165,15 @@ def main() -> None:
     # so task-launch overhead dominates above ~16 partitions once AQE's
     # runtime coalescing is off.  Recorded in the config echo.
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    multifile_dir = _multifile_copy(SF_DIR)
     try:
         spark_t = run_spark(spark, HEADLINE)
         extra_t = run_spark(spark, UNPAIRED)
+        mf_spark = run_spark(spark, HEADLINE, multifile_dir) if multifile_dir else {}
     finally:
         spark.stop()
     duck_t = run_duckdb()
+    mf_duck = run_duckdb(multifile_dir) if multifile_dir else {}
     total = round(sum(spark_t.values()), 4)
     print(
         json.dumps(
@@ -154,6 +186,13 @@ def main() -> None:
                 "duckdb_queries": duck_t,
                 "duckdb_total": round(sum(duck_t.values()), 4),
                 "unpaired_queries": extra_t,
+                "multifile": {
+                    "note": "same rows re-written at 20k rows/row-group (realistic ingest layout; the primary metric's parquet is one row group per table, capping Spark scans at one task)",
+                    "total": round(sum(mf_spark.values()), 4),
+                    "duckdb_total": round(sum(mf_duck.values()), 4),
+                    "queries": mf_spark,
+                    "duckdb_queries": mf_duck,
+                } if multifile_dir else None,
                 "config": {
                     "master": f"local[{cpus}]",
                     "shuffle_partitions": 16,

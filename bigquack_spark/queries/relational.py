@@ -1886,3 +1886,36 @@ def q92_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mkt_share"),
         )
     )
+
+
+@query(
+    "q95_unpivot_quality_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, val
+    FROM (
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY l_returnflag
+    )
+    UNPIVOT (val FOR metric IN (total_qty, n_lines, n_parts))
+    """,
+)
+def q95_unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface: wide per-group metrics melted to (group, metric,
+    value) long form — the shape metric stores and quality dashboards
+    ingest.  Spark side is the native ``DataFrame.unpivot`` (melt); the
+    aggregate's one shuffle dominates, the melt is a projection."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("total_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "n_lines", "n_parts"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
