@@ -444,3 +444,90 @@ def connected_components(
         if n_changed == 0:
             break
     return cur.select("node", F.col("comp").alias("cluster_id"))
+
+
+def two_star_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the web-scale alternative to plain min-label
+    propagation (:func:`connected_components`).
+
+    Label propagation needs ~diameter rounds: a 10M-link chain (adversarial
+    crawl graph) needs 10M shuffles.  The two-star rewrites contract paths
+    aggressively — O(log n) rounds on ANY topology:
+
+    - **large-star**: per node u, attach every strictly-larger neighbor to
+      u's smallest neighbor-or-self m(u);
+    - **small-star**: orient edges downward (u>=v), attach u and all its
+      smaller neighbors to the minimum.
+
+    Both passes are one groupBy(min) + one join on the same key — two
+    shuffles per round, partitioned identically, no driver state beyond a
+    three-scalar convergence signature.  The edge set only shrinks toward
+    the star form (node -> component min), so the (count, sum-of-ends)
+    signature is monotone and stalls exactly at the fixed point.
+
+    Same contract as :func:`connected_components`: returns (node,
+    cluster_id) for every node incident to an edge; cluster_id is the
+    component minimum.  Self-loops ignored; isolated nodes not emitted.
+    """
+    e = (
+        edges.select(F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_parts = max(4, min(2048, (e.count() // 1_000_000) + 1))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins.select(F.col("u"), F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).repartition(n_parts, "u").localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).first()
+        sig = (sig["n"], sig["su"], sig["sv"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Converged edges form stars; each node's component is the min over its
+    # partners and itself — one final bounded aggregate.
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("mn")).alias("cluster_id"),
+        )
+    )

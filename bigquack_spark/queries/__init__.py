@@ -16,3 +16,4 @@ from bigquack_spark.queries import dedup  # noqa: E402,F401
 from bigquack_spark.queries import simsearch  # noqa: E402,F401
 from bigquack_spark.queries import text  # noqa: E402,F401
 from bigquack_spark.queries import corpus  # noqa: E402,F401
+from bigquack_spark.queries import sampling  # noqa: E402,F401

@@ -125,3 +125,56 @@ def q85_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+_DUP_SHINGLE_LEN = 5
+
+
+@query(
+    "q101_dup_ngram_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {_DUP_SHINGLE_LEN - 2}),
+                                     i -> array_to_string(tk[i:i+{_DUP_SHINGLE_LEN - 1}], ' '))) AS s
+        FROM toks
+      )
+    ),
+    df_ AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df_.df >= 2) AS BIGINT) AS n_dup,
+           round(CAST(count(*) FILTER (WHERE df_.df >= 2) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM sh JOIN df_ ON sh.s = df_.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q101_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-5-gram ratio per document: the fraction of a
+    doc's distinct word 5-grams that occur in at least one OTHER doc (df>=2
+    over distinct doc-shingle pairs) — the repetition/boilerplate signal
+    quality filters threshold on.  Two shuffles total: document-frequency
+    groupBy on the shingle (map-side combinable) and the shingle-keyed join
+    back; no doc x doc pair ever materializes, so it scales with corpus
+    size, not corpus^2."""
+    from bigquack_spark.operators.dedup import _shingles
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles("text", _DUP_SHINGLE_LEN)).alias("s")
+    )
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    joined = sh.join(df_, "s")
+    is_dup = (F.col("df") >= 2).cast("bigint")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(is_dup).cast("bigint").alias("n_dup"),
+        F.round(F.sum(is_dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )

@@ -298,3 +298,39 @@ def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_len=1, threshold=JACCARD_THRESHOLD,
     ).select("a", "b")
     return D.connected_components(pairs)
+
+
+from bigquack_spark.queries.registry import QUERIES as _REGISTRY  # noqa: E402
+
+
+@query(
+    "q99_dedup_clusters_twostar",
+    # Same contract as q86 — component membership is algorithm-independent,
+    # so both implementations are diffed against the identical recursive-CTE
+    # closure oracle.
+    oracle=None,
+    doc="",
+)
+def q99_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure computed by the large-star/small-star
+    contraction (operators/dedup.two_star_components) instead of min-label
+    propagation (q86).  Propagation runs diameter rounds; two-star runs
+    O(log n) rounds on any topology — the variant you want when the dup
+    graph has long chains (boilerplate crawls).  Oracle: the same
+    recursive-CTE closure as q86; both algorithms must land on identical
+    cluster assignments."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    return D.two_star_components(pairs)
+
+
+# reuse q86's oracle text verbatim (defined inline above) for the two-star twin
+import dataclasses as _dc  # noqa: E402
+
+_REGISTRY["q99_dedup_clusters_twostar"] = _dc.replace(
+    _REGISTRY["q99_dedup_clusters_twostar"],
+    oracle=_REGISTRY["q86_dedup_clusters"].oracle,
+)

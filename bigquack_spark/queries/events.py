@@ -586,3 +586,37 @@ def q94_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version",
         )
     )
+
+
+@query(
+    "q100_touch_attribution",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, printf('%020d%010d', epoch_us(ts), event_id))
+             AS first_touch,
+           arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id))
+             AS last_touch,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q100_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style touch attribution: per user, the FIRST and LAST
+    event type on the timeline (min_by/max_by — the argmin/argmax aggregate
+    surface) plus purchase conversions.  The order key is a zero-padded
+    (epoch_us, event_id) string, so lexicographic == chronological and the
+    pick is deterministic cross-engine even for same-microsecond events.
+    One hash aggregate, map-side combinable — no window, no sort of the
+    full event log."""
+    e = t(spark, sf_dir, "events")
+    key = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    is_purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_touch"),
+        F.max_by("event_type", key).alias("last_touch"),
+        F.sum(is_purchase.cast("bigint")).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(is_purchase, F.col("value"))).alias("purchase_value"),
+    )

@@ -1,0 +1,154 @@
+"""Sampling & binning query inventory (SURVEY §2.9 extension surface).
+
+Reproducible sampling is the third leg of corpus assembly (next to
+splitting and mixture, queries/corpus.py): a 100 TB pipeline cannot use
+``rand()`` — re-runs must select the same rows on any engine and any
+cluster size.  Everything here is deterministic by construction:
+
+- fixed-size per-stratum sampling orders by an md5 hash (a seeded shuffle
+  that is pure projection) and cuts with row_number;
+- quantile binning uses NTILE with a unique tiebreak column;
+- histograms bin on integer cents, never on float boundaries.
+
+No reference analogue (the reference moves tables, duck.go:214-252); the
+SQL surface is delegated per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+_SAMPLE_N = 40  # docs kept per source stratum
+_SAMPLE_SALT = "sample-v1"
+_NTILES = 10
+_BIN_CENTS = 500_00  # $500-wide histogram bins, in cents
+
+
+@query(
+    "q96_stratified_topn_sample",
+    oracle=f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_SAMPLE_N}
+    """,
+)
+def q96_stratified_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sample: exactly N docs per source, chosen by
+    ordering each stratum on an md5 hash of the id (a deterministic,
+    engine-portable "random" order) and cutting at N.  Unlike rate-based
+    sampling (q85) this guarantees the sample size per stratum.  One
+    shuffle on the stratum key; the per-stratum sort is bounded by the
+    stratum, and at 100 TB a rank-cut like this is what replaces driver-
+    side reservoir state.  md5 hex ordering is identical across engines,
+    with doc_id as the unique tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_SAMPLE_SALT + "|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_N)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "q97_balance_deciles",
+    oracle=f"""
+    SELECT c_mktsegment, tile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_bal,
+           CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS min_bal,
+           CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS max_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             CAST(ntile({_NTILES}) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+             ) AS INTEGER) AS tile
+      FROM customer
+    )
+    GROUP BY c_mktsegment, tile
+    """,
+)
+def q97_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via NTILE: customers per market segment split into
+    10 equal-frequency balance tiles, with per-tile count and exact money
+    bounds (integer-cents, per the money-lattice rule).  c_custkey breaks
+    balance ties so tile assignment is deterministic cross-engine.  This is
+    the equal-FREQUENCY binning a feature pipeline uses for bucketized
+    features; equal-WIDTH is q98."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.withColumn("tile", F.ntile(_NTILES).over(w).cast("int"))
+        .withColumn("bal_cents", cents)
+        .groupBy("c_mktsegment", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("bal_cents").cast("long") / F.lit(100.0)).alias("total_bal"),
+            (F.min("bal_cents").cast("long") / F.lit(100.0)).alias("min_bal"),
+            (F.max("bal_cents").cast("long") / F.lit(100.0)).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "q98_price_histogram",
+    oracle=f"""
+    SELECT bin,
+           bin * {_BIN_CENTS} / 100.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM (
+      SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  // {_BIN_CENTS} AS BIGINT) AS bin,
+             l_quantity
+      FROM lineitem
+    )
+    GROUP BY bin
+    """,
+)
+def q98_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-WIDTH histogram of extended price in $500 bins.  The bin edge
+    is computed on integer cents (round(price*100) // 50000) — a float
+    `floor(price/500)` would coin-flip rows sitting exactly on a bin edge,
+    and 2-decimal money sits on edges all the time.  Pure projection +
+    one groupBy: the histogram of a 100 TB table is one map-side-combined
+    shuffle of ~thousands of bins."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(
+            F.floor(cents / F.lit(_BIN_CENTS)).cast("bigint").alias("bin"),
+            F.col("l_quantity"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("total_qty"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _BIN_CENTS / F.lit(100.0)).alias("bin_lo"),
+            "n_items",
+            "total_qty",
+        )
+    )

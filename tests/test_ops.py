@@ -464,3 +464,38 @@ def test_money_cents_units_exact_on_lattice(spark):
         for p, d in rows
     )
     assert got == want
+
+
+def test_two_star_components_chain_and_islands(spark):
+    """Same contract as connected_components: path + islands resolve to the
+    per-component minimum, in O(log n) rounds instead of diameter rounds."""
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101), (200, 201)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.node: r.cluster_id for r in D.two_star_components(df).collect()}
+    assert {got[i] for i in range(10)} == {0}
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == 200
+    assert len(got) == 14
+
+
+def test_two_star_equals_propagation_random_graph(spark):
+    """Algorithm-independence property: on a seeded random graph (dense
+    clusters + a long chain + self-loops + duplicate edges), two-star and
+    min-label propagation must produce identical cluster assignments."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40, 70)]  # 31-node chain
+    for _ in range(60):  # dense small clusters
+        base = rng.randrange(0, 4) * 10
+        edges.append((base + rng.randrange(10), base + rng.randrange(10)))
+    edges += [(5, 5), (0, 1), (0, 1)]  # self-loop + dup edges
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    two = {r.node: r.cluster_id for r in D.two_star_components(df).collect()}
+    prop = {r.node: r.cluster_id for r in D.connected_components(df).collect()}
+    # propagation emits self-loop-only nodes; two-star drops self-loops —
+    # compare on the common contract (nodes with at least one real edge)
+    real = {n for a, b in edges if a != b for n in (a, b)}
+    assert {n: c for n, c in two.items() if n in real} == {
+        n: c for n, c in prop.items() if n in real
+    }

@@ -152,3 +152,43 @@ def test_q75_no_corpus_shuffle_before_python_kernel(spark):
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_q96_single_stratum_shuffle(spark):
+    """Stratified rank-cut sample: ONE exchange (hash by source for the
+    window), no global sort — the per-stratum sort lives inside the window
+    operator."""
+    plan = plan_of(spark, "q96_stratified_topn_sample")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_q98_histogram_pruned_and_partial(spark):
+    """Histogram: only price+quantity leave the scan, and the groupBy is a
+    partial (map-side) then final hash aggregate — one exchange of ~200
+    bins, never of rows."""
+    plan = plan_of(spark, "q98_price_histogram")
+    assert "l_extendedprice" in plan and "l_quantity" in plan
+    assert "l_comment" not in plan and "l_partkey" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_q100_one_aggregate_no_window(spark):
+    """Touch attribution via min_by/max_by: ONE exchange, with a partial
+    (map-side) aggregate before it so the shuffle carries one row per
+    (partition, user) — not the event log.  min_by/max_by are imperative
+    aggregates, so Spark plans SortAggregate with per-partition sorts on
+    the group key; the contract is no Window and no second exchange."""
+    plan = plan_of(spark, "q100_touch_attribution")
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+
+
+def test_q101_no_pairwise_join(spark):
+    """Duplicate-ngram ratio: shingle-keyed equi-joins only — a doc x doc
+    product must never plan."""
+    plan = plan_of(spark, "q101_dup_ngram_ratio")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
