@@ -620,3 +620,88 @@ def q100_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_purchase.cast("bigint")).cast("bigint").alias("n_purchases"),
         F.sum(F.when(is_purchase, F.col("value"))).alias("purchase_value"),
     )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@query(
+    "q102_login_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q102_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE active
+    days.  The island key is day - row_number() — constant within a
+    consecutive run, shifts at every gap — the classic streak idiom that
+    needs no self-join and no iteration.  Day ids are integer epoch-day
+    divisions of the microsecond epoch (engine-invariant); one shuffle on
+    user_id serves the distinct, the window, and both aggregates."""
+    e = t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / _DAY_US).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        days.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("streak_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+    )
+
+
+@query(
+    "q104_rolling_24h_rate",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_DAY_US} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_24h
+    FROM events
+    """,
+)
+def q104_rolling_24h_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding RANGE-frame window: for every event, how many events the
+    same user fired in the trailing 24 hours — the per-entity rate signal
+    behind abuse throttles and bot heuristics.  RANGE (value-based) frames
+    differ from ROWS frames exactly when events bunch: the frame is bounded
+    by the microsecond clock, not a row count.  Frame arithmetic on BIGINT
+    epochs is engine-exact; same-timestamp peers count together in both
+    engines (RANGE includes peers), so no tiebreak is needed."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_DAY_US, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
+    )

@@ -152,3 +152,88 @@ def q98_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+_RICH_CENTS = 9000_00  # customers above $9000 balance
+
+
+@query(
+    "q103_nation_rich_roster",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_rich,
+           list_sort(list(c.c_name)) AS roster
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > {_RICH_CENTS}
+    GROUP BY n.n_name
+    """,
+)
+def q103_nation_rich_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: per nation, the SORTED roster of
+    high-balance customer names as an array column.  collect_list order is
+    nondeterministic under parallelism, so the result is array_sort-ed —
+    the only way an array agg can be reproducible on a cluster.  The money
+    threshold is integer cents (lattice rule); nation broadcasts."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.filter(cents > _RICH_CENTS)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rich"),
+            F.array_sort(F.collect_list("c_name")).alias("roster"),
+        )
+    )
+
+
+_TIES_K = 3
+
+
+@query(
+    "q105_top_brands_with_ties",
+    oracle=f"""
+    SELECT p_brand, revenue, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT p_brand, revenue,
+             rank() OVER (ORDER BY qty_units DESC, p_brand) AS rnk,
+             qty_units
+      FROM (
+        SELECT p.p_brand,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                 / 10000.0 AS revenue,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty_units
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+      )
+    )
+    WHERE rnk <= {_TIES_K}
+    """,
+)
+def q105_top_brands_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank()-with-ties top-k: the brands in the top {K} by total quantity,
+    KEEPING ties (rank, not row_number, so equal quantities share a rank
+    and the cut can return more than K rows).  The rank key is an exact
+    BIGINT unit sum with p_brand as the deterministic tiebreak; revenue is
+    reported on the integer-cents lattice.  part broadcasts; the rank's
+    global window runs over ~25 brand rows, not lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    from bigquack_spark.queries.relational import _money_cents_units
+
+    per_brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(_money_cents_units()).cast("long") / F.lit(10000.0)).alias("revenue"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("qty_units"),
+        )
+    )
+    w = Window.orderBy(F.desc("qty_units"), "p_brand")
+    return (
+        per_brand.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TIES_K)
+        .select("p_brand", "revenue", "rnk")
+    )

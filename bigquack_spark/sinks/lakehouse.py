@@ -1,0 +1,81 @@
+"""Lakehouse-format sink adapter: Delta / Iceberg when available, parquet
+job-commit otherwise.
+
+The reference's write path promises atomic visibility + exactly-once
+appends (bigquery_write.go:466-485 finalize/batch-commit; :448-460 offset
+acks).  On a real cluster the production-grade carrier of that contract is
+a table format with a transaction log — Delta Lake or Apache Iceberg —
+whose commit protocol gives atomic multi-file visibility, snapshot
+isolation, and idempotent re-runs (the same guarantees sinks/atomic.py
+builds by hand over bare parquet).
+
+Neither format's JVM package ships in this container, so this module is a
+**gated integration**: format detection is real, the write plumbing is
+real, and when no lakehouse format is importable it degrades to the
+parquet job-commit path (still atomic per job via the FileOutputCommitter
+_SUCCESS protocol — SURVEY §2.2 K4).  On a cluster with
+``io.delta:delta-spark`` or ``org.apache.iceberg:iceberg-spark-runtime``
+on the classpath, the same call lands in the real thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def available_formats(spark: SparkSession) -> list[str]:
+    """Probe which lakehouse table formats this session can actually write.
+
+    Delta: the ``delta`` Python package plus its SQL extension jar.
+    Iceberg: a configured Spark catalog whose implementation class is
+    Iceberg's ``SparkCatalog``.  Parquet job-commit is always available.
+    """
+    fmts = []
+    try:
+        import delta  # noqa: F401
+
+        fmts.append("delta")
+    except ImportError:
+        pass
+    conf = spark.sparkContext.getConf()
+    if any(
+        "org.apache.iceberg" in v
+        for _, v in conf.getAll()
+        if _.startswith("spark.sql.catalog")
+    ):
+        fmts.append("iceberg")
+    fmts.append("parquet")
+    return fmts
+
+
+def lakehouse_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    table_format: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write ``df`` to ``path`` in the best available table format.
+
+    Returns the format actually used.  ``table_format=None`` auto-selects
+    (delta > iceberg > parquet); naming one that isn't available raises —
+    silently downgrading an exactly-once sink to a weaker one is how
+    pipelines double-write.
+
+    All three paths are driver-light: the data never routes through the
+    driver, and the commit is the format's own protocol (Delta txn log /
+    Iceberg snapshot / _SUCCESS marker).
+    """
+    spark = df.sparkSession
+    fmts = available_formats(spark)
+    chosen = table_format or fmts[0]
+    if chosen not in fmts:
+        raise ValueError(
+            f"table format {chosen!r} not available in this session "
+            f"(available: {fmts}); add its package to spark.jars.packages"
+        )
+    writer = df.write.format(chosen).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return chosen

@@ -228,3 +228,26 @@ def test_merge_upsert_update_insert_delete_and_idempotent(spark, tmp_path):
     merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
     again = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_lakehouse_auto_selects_and_writes(spark, batch, tmp_path):
+    """Gated lakehouse sink: in this container neither Delta nor Iceberg
+    jars exist, so detection must report parquet as the floor and the
+    write must land there atomically (with _SUCCESS job-commit marker)."""
+    from bigquack_spark.sinks.lakehouse import available_formats, lakehouse_write
+
+    fmts = available_formats(spark)
+    assert fmts[-1] == "parquet"  # always-available floor
+    target = str(tmp_path / "lake")
+    used = lakehouse_write(batch, target, mode="overwrite")
+    assert used == fmts[0]
+    if used == "parquet":
+        assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert spark.read.format(used).load(target).count() == batch.count()
+
+
+def test_lakehouse_rejects_unavailable_format(spark, batch, tmp_path):
+    from bigquack_spark.sinks.lakehouse import lakehouse_write
+
+    with pytest.raises(ValueError, match="not available"):
+        lakehouse_write(batch, str(tmp_path / "x"), table_format="hudi")
