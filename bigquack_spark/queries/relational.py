@@ -1919,3 +1919,28 @@ def q95_unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "q106_footer_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+           min(l_extendedprice) AS min_l_extendedprice,
+           max(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+    """,
+)
+def q106_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table statistics: COUNT/MIN/MAX served from parquet
+    footer stats via DSv2 aggregate pushdown (sources/stats.table_stats;
+    `PushedAggregation` in the plan).  At 100 TB this reads file footers,
+    not data pages — the profiling query that costs a full scan on the
+    v1 path costs a metadata sweep here.  DuckDB answers from the same
+    footer stats, so the oracle doubles as a cross-check that neither
+    engine's stats shortcut drifts from the true values."""
+    from bigquack_spark.sources.stats import table_stats
+
+    return table_stats(
+        spark, f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_extendedprice"]
+    )

@@ -1,0 +1,78 @@
+"""Footer-stats table statistics: COUNT/MIN/MAX answered from parquet
+metadata, no row data read.
+
+The reference exposes schema introspection over its sources (duck.go:210-212
+GetTableSchema; bigquery.go:243-248 session schema) but computes no
+statistics.  At 100 TB, "how many rows, what's the value range" is the
+first query every pipeline runs — and it is answerable from parquet
+footers alone.  Spark's DSv2 parquet reader pushes COUNT(*)/MIN/MAX into
+the scan (``PushedAggregation`` in the plan) when
+``spark.sql.parquet.aggregatePushdown`` is on; the scan then reads ONLY
+file footers: a metadata operation over any number of files, distributed
+across executors, never touching a data page.
+
+The v1 parquet path ignores aggregate pushdown, so :func:`table_stats`
+flips the session to the DSv2 reader just long enough to *plan* the query
+(source resolution happens at ``read.load`` time), then restores the prior
+confs — the returned DataFrame keeps its pushed plan either way.
+
+Limits (inherited from Spark's pushdown rules): no pushdown under a row
+filter, for nested/timestamp-ntz edge types, or for aggregates other than
+COUNT/MIN/MAX — Spark silently falls back to a real scan, which is the
+correct-if-slower behavior; the plan contract test pins the fast path for
+the supported shape.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_V1_LIST_KEY = "spark.sql.sources.useV1SourceList"
+_AGG_PUSH_KEY = "spark.sql.parquet.aggregatePushdown"
+
+
+@contextmanager
+def _v2_parquet(spark: SparkSession):
+    # NB: conf.get(key, None) returns None for a conf the session never set
+    # (the engine-side default is not surfaced), so restore must UNSET in
+    # that case — setting nothing would leave the whole session on the v2
+    # reader, which silently changes every later scan (and trips a v2
+    # columnar-cache NPE under MLlib's .cache()).
+    prev_v1 = spark.conf.get(_V1_LIST_KEY, None)
+    prev_push = spark.conf.get(_AGG_PUSH_KEY, None)
+    spark.conf.set(_V1_LIST_KEY, "")
+    spark.conf.set(_AGG_PUSH_KEY, "true")
+    try:
+        yield
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset(_V1_LIST_KEY)
+        else:
+            spark.conf.set(_V1_LIST_KEY, prev_v1)
+        if prev_push is None:
+            spark.conf.unset(_AGG_PUSH_KEY)
+        else:
+            spark.conf.set(_AGG_PUSH_KEY, prev_push)
+
+
+def table_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """One-row DataFrame of (n_rows, min_<c>, max_<c> per requested col),
+    computed from parquet footer statistics — a metadata-only query."""
+    with _v2_parquet(spark):
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        out = df.agg(*aggs)
+        # Materialize the physical plan while the v2/pushdown confs are
+        # live: QueryExecution phases are lazy, and V2ScanRelationPushDown
+        # consults the conf at optimization time — planned after restore,
+        # the aggregate would silently fall back to a full scan.
+        out._jdf.queryExecution().executedPlan()
+        return out

@@ -109,3 +109,19 @@ def test_facade_mirrors_reference_api(spark, tmp_path):
     w.write(spark.table("facade_supplier"))
     assert w.finalize() == n
     spark.sql("DROP TABLE facade_supplier")
+
+
+def test_arrow_ipc_roundtrip(spark):
+    """F4 parity (bigquery_write.go:429-445): batch -> IPC bytes -> batch
+    must be lossless across a mixed flat schema, with the decode schema
+    re-derived from the source frame."""
+    from bigquack_spark.codec import decode_arrow_ipc, encode_arrow_ipc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -2.25, False), (3, None, None, None)],
+        "id bigint, name string, score double, flag boolean",
+    ).repartition(2)
+    blobs = encode_arrow_ipc(df)
+    assert blobs.columns == ["ipc"]
+    back = decode_arrow_ipc(blobs, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -192,3 +192,21 @@ def test_q101_no_pairwise_join(spark):
     plan = plan_of(spark, "q101_dup_ngram_ratio")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q106_aggregates_pushed_to_footers(spark):
+    """The stats query must plan as PushedAggregation on the DSv2 scan —
+    a metadata-only read — and must restore the session's v1 reader
+    BEHAVIORALLY: a plain aggregate read planned right after q106 must NOT
+    carry PushedAggregation (the conf.get(key, None)-returns-None restore
+    trap left the session on v2 and broke later cached scans)."""
+    from pyspark.sql import functions as F
+
+    plan = plan_of(spark, "q106_footer_stats")
+    assert "PushedAggregation: [COUNT(*)" in plan
+    after = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .agg(F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedAggregation" not in after
