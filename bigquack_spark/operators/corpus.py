@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigquack_spark.operators.dedup import _shingles
 
@@ -129,3 +130,33 @@ def contamination_pairs(
             F.round(F.col("n_overlap") / F.col("bench_total"), 6).alias("score"),
         )
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Assign docs to token-budgeted shards by cutting the exclusive
+    running token total at ``budget`` (next-fit packing in id order).
+
+    ``slice_col=None`` is the single-ordering form (one global window —
+    fine to a few hundred million rows, and what the q107 oracle pins).
+    With ``slice_col`` (e.g. the q83 split bucket), each slice packs
+    independently inside its own window partition: no global sort, cumsum
+    bounded per slice — the 100 TB shape.  Shard ids are then
+    (slice, local_shard) pairs encoded as strings so they stay unique
+    without cross-slice coordination."""
+    w = (
+        Window.partitionBy(slice_col) if slice_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    excl = F.sum(token_col).over(w) - F.col(token_col)
+    local = F.floor(excl / budget).cast("bigint")
+    shard = (
+        F.concat_ws("-", F.col(slice_col).cast("string"), local.cast("string"))
+        if slice_col
+        else local
+    )
+    return df.withColumn("shard", shard)

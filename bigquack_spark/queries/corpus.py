@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigquack_spark.operators import corpus as C
 from bigquack_spark.queries.registry import query
@@ -177,4 +178,100 @@ def q101_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.sum(is_dup).cast("bigint").alias("n_dup"),
         F.round(F.sum(is_dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+_SHARD_TOKEN_BUDGET = 2000
+
+
+@query(
+    "q107_token_budget_shards",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST((sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+      FROM sized
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard
+    """,
+)
+def q107_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED shard packing: docs stream into shards of ~2000
+    tokens each (the unit a tokenizer/packer consumes), assigned by the
+    exclusive running token total divided by the budget — deterministic,
+    order-stable, and computable with one window pass (vs q59's
+    count-budgeted sharding).  The global cumulative sum is the scale
+    caveat: a single ordered window.  At 100 TB you run this per
+    hash-partition (salt the ORDER BY with the q83 split bucket) so each
+    partition packs independently — the oracle pins the single-ordering
+    semantics the per-partition variant applies within each slice."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    packed = C.pack_shards(sized, "n_tok", budget=_SHARD_TOKEN_BUDGET)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "q108_intra_doc_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_total - n_distinct AS BIGINT) AS n_repeated,
+           round(CAST(n_total - n_distinct AS DOUBLE) / n_total, 6) AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             len(grams) AS n_total,
+             len(list_distinct(grams)) AS n_distinct
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(tk) - {_DUP_SHINGLE_LEN - 2}),
+                              i -> array_to_string(tk[i:i+{_DUP_SHINGLE_LEN - 1}], ' ')) AS grams
+        FROM (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+          FROM documents
+        )
+      )
+    )
+    WHERE n_total > 0
+    """,
+)
+def q108_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition (the Gopher-style quality gate): the
+    fraction of a doc's word 5-grams that are repeats of an earlier 5-gram
+    in the SAME doc.  Pure per-row projection — total minus distinct gram
+    counts — zero shuffle, pushed to the scan stage; the cross-document
+    twin is q101."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - _DUP_SHINGLE_LEN)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, _DUP_SHINGLE_LEN), " ")
+    )
+    out = d.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_total"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    ).filter(F.col("n_total") > 0)
+    return out.select(
+        "doc_id",
+        "n_total",
+        (F.col("n_total") - F.col("n_distinct")).cast("bigint").alias("n_repeated"),
+        F.round(
+            (F.col("n_total") - F.col("n_distinct")) / F.col("n_total"), 6
+        ).alias("rep_ratio"),
     )

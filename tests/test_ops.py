@@ -499,3 +499,37 @@ def test_two_star_equals_propagation_random_graph(spark):
     assert {n: c for n, c in two.items() if n in real} == {
         n: c for n, c in prop.items() if n in real
     }
+
+
+def test_pack_shards_budget_and_sliced_equivalence(spark):
+    """Packing invariants: (1) single-ordering form — every shard except
+    possibly the last stays under budget + its last doc's size, shard ids
+    are contiguous from 0, doc order within shards follows id order;
+    (2) sliced form — within each slice, local packing is identical to
+    running the single form on that slice alone."""
+    from bigquack_spark.operators.corpus import pack_shards
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]  # sizes 10..99
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    packed = pack_shards(df, "n_tok", budget=300).collect()
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard, []).append(r.n_tok)
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    for shard, sizes in by_shard.items():
+        # exclusive-prefix cut: all but the final doc fit under the budget
+        assert sum(sizes) - sizes[-1] < 300
+
+    sliced = pack_shards(
+        df.withColumn("slice", (df.doc_id % 4).cast("int")),
+        "n_tok", budget=300, slice_col="slice",
+    ).collect()
+    for s in range(4):
+        sub = spark.createDataFrame(rows_f(rows, s), "doc_id bigint, n_tok bigint")
+        solo = {r.doc_id: r.shard for r in pack_shards(sub, "n_tok", budget=300).collect()}
+        got = {r.doc_id: int(r.shard.split("-")[1]) for r in sliced if r.slice == s}
+        assert got == solo
+
+
+def rows_f(rows, s):
+    return [(i, n) for i, n in rows if i % 4 == s]
