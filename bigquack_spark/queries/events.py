@@ -705,3 +705,84 @@ def q104_rolling_24h_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
     )
+
+
+@query(
+    "q109_time_weighted_value",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(held_us) AS BIGINT) AS total_us,
+           sum(value * held_us) AS weighted_sum
+    FROM (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) - epoch_us(ts) AS held_us
+      FROM events
+    )
+    WHERE held_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q109_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted aggregation (the TWAP shape): each event's value is
+    weighted by how long it was the user's CURRENT value — lead(ts) - ts
+    on integer microsecond epochs, with event_id as tiebreak.  The last
+    (open-ended) interval is excluded, matching the bounded-interval
+    definition.  One user-keyed shuffle serves the window and the
+    aggregate; weights are exact BIGINTs, so only the final float product
+    rides the 9-digit canonicalization."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    held = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("held_us")
+    return (
+        e.select("user_id", "value", held)
+        .filter(F.col("held_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum("held_us").cast("bigint").alias("total_us"),
+            F.sum(F.col("value") * F.col("held_us")).alias("weighted_sum"),
+        )
+    )
+
+
+@query(
+    "q110_rolling_7d_distinct_users",
+    oracle=f"""
+    WITH activity AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM activity)
+    SELECT s.day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS dau7
+    FROM spine s JOIN activity a
+      ON a.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def q110_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per active day (the WAU/DAU shape).
+    Spark has no COUNT(DISTINCT) over windows, so this is the idiomatic
+    rewrite: dedupe to (day, user) activity pairs first, then a BOUNDED
+    range join (each activity row lands in <= 7 spine days) + count
+    distinct.  The explosion factor is the window length, not the event
+    volume — at 100 TB the join input is already the per-day distinct
+    set, orders of magnitude smaller than the log."""
+    e = t(spark, sf_dir, "events")
+    activity = (
+        e.select(
+            F.floor(F.unix_micros("ts") / _DAY_US).cast("bigint").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    spine = activity.select("day").distinct().select(F.col("day").alias("sday"))
+    return (
+        spine.join(
+            activity,
+            (F.col("day") >= F.col("sday") - 6) & (F.col("day") <= F.col("sday")),
+        )
+        .groupBy(F.col("sday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("dau7"))
+    )
