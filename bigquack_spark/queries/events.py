@@ -786,3 +786,46 @@ def q110_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("sday").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("dau7"))
     )
+
+
+_EWMA_FRAME = 16  # trailing events per EWMA, alpha = 1/2
+
+
+@query(
+    "q111_ewma_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+           list_reduce(l, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+    FROM (
+      SELECT event_id, user_id,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {_EWMA_FRAME - 1} PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events
+    )
+    """,
+)
+def q111_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA (alpha = 1/2) of the user's value over the trailing
+    {N} events: the windowed-list + higher-order-fold surface.  The frame's
+    ordered values fold left with acc/2 + x/2 — alpha a power of two keeps
+    every multiplication exact, and both engines fold in identical frame
+    order (init = oldest element, matching DuckDB's list_reduce), so the
+    result is bit-reproducible, not just tolerance-close.  The recurrence
+    never leaves the row: one user-keyed shuffle, no iteration, state
+    bounded by the frame length at any scale."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-(_EWMA_FRAME - 1), 0)
+    )
+    lst = F.collect_list(F.col("value").cast("double")).over(w)
+    framed = e.select("event_id", "user_id", lst.alias("l"))
+    ewma = F.aggregate(
+        F.slice("l", 2, F.size("l") - 1),
+        F.element_at("l", 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return framed.select("event_id", "user_id", ewma.alias("ewma"))

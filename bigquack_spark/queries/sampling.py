@@ -237,3 +237,33 @@ def q105_top_brands_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TIES_K)
         .select("p_brand", "revenue", "rnk")
     )
+
+
+@query(
+    "q112_balance_percentile_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal
+           ) AS pct_rank,
+           cume_dist() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal
+           ) AS cum_dist
+    FROM customer
+    """,
+)
+def q112_balance_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank and cume_dist of every
+    customer's balance within their market segment.  Both are pure
+    functions of the ORDER BY key (ties share a value), so no tiebreak
+    column is needed and the int/int divisions are bit-identical across
+    engines.  Same one-shuffle window shape as q97's NTILE — together they
+    cover the ranked-window analytic family."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
