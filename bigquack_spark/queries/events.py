@@ -829,3 +829,48 @@ def q111_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
     )
     return framed.select("event_id", "user_id", ewma.alias("ewma"))
+
+
+_MEDIAN_FRAME = 15
+
+
+@query(
+    "q113_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN {_MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS med
+    FROM events
+    """,
+)
+def q113_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the user's trailing {N} values.  Spark has no
+    percentile-over-window, so the idiom is: collect the frame into an
+    array, sort it, index the middle (averaging the two middles for even
+    frames) — exact, not approximate, and state is frame-bounded.  DuckDB's
+    native windowed median interpolates the same way, so results agree
+    bit-for-bit under canonicalization.  Same single user-keyed shuffle as
+    every other event window here."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-(_MEDIAN_FRAME - 1), 0)
+    )
+    framed = e.select(
+        "event_id", "user_id",
+        F.array_sort(F.collect_list(F.col("value").cast("double")).over(w)).alias("l"),
+    )
+    n = F.size("l")
+    med = F.when(
+        n % 2 == 1, F.element_at("l", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("l", (n / 2).cast("int"))
+            + F.element_at("l", (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return framed.select("event_id", "user_id", med.alias("med"))
