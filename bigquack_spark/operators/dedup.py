@@ -46,14 +46,22 @@ def exact_dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -
 # -------------------------------------------------------------- minhash ----
 def _shingles(text_col: str, shingle_len: int) -> Column:
     """Distinct word n-gram shingles as an array column.  shingle_len=1
-    degrades to the distinct-token set (what the oracle SQL mirrors)."""
+    degrades to the distinct-token set (what the oracle SQL mirrors).
+
+    Docs shorter than ``shingle_len`` tokens yield an EMPTY array: without
+    the guard, F.sequence(0, size-n) would produce a DESCENDING index list
+    for size<n and F.slice would throw on start=0 at runtime (the oracle's
+    range(1, ...) is simply empty for short docs)."""
     toks = F.split(F.lower(text_col), r"\s+")
     if shingle_len == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.size(toks) - shingle_len)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_len), " "))
-    )
+    return F.when(
+        F.size(toks) >= shingle_len,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_len), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature_wide(
@@ -510,16 +518,30 @@ def two_star_components(
             .distinct()
         )
 
-    prev_sig = None
+    prev_sig, converged = None, False
     for _ in range(max_iterations):
         e = small_star(large_star(e)).repartition(n_parts, "u").localCheckpoint()
+        # Order-independent edge-set signature: count, end sums, and a sum
+        # of per-edge xxhash64 — the hash term kills the {(3,1),(4,2)} vs
+        # {(4,1),(3,2)} class of sum collisions that count+sums alone admit.
         sig = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+            F.sum(F.xxhash64("u", "v")).alias("sh"),
         ).first()
-        sig = (sig["n"], sig["su"], sig["sv"])
+        sig = (sig["n"], sig["su"], sig["sv"], sig["sh"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # The final min-aggregate assumes a star-form edge set; on a
+        # non-converged set it would silently split components.
+        raise RuntimeError(
+            f"two_star_components did not converge in {max_iterations} "
+            "rounds (O(log n) expected); raise max_iterations"
+        )
     # Converged edges form stars; each node's component is the min over its
     # partners and itself — one final bounded aggregate.
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

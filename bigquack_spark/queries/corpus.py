@@ -259,9 +259,14 @@ def q108_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), r"\s+")
     idx = F.sequence(F.lit(0), F.size(toks) - _DUP_SHINGLE_LEN)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, _DUP_SHINGLE_LEN), " ")
-    )
+    # short-doc guard: sequence() descends for size<n and slice(start=0)
+    # throws — short docs must yield an empty gram list, as the oracle does
+    grams = F.when(
+        F.size(toks) >= _DUP_SHINGLE_LEN,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, _DUP_SHINGLE_LEN), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     out = d.select(
         "doc_id",
         F.size(grams).cast("bigint").alias("n_total"),

@@ -249,9 +249,7 @@ def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q86_dedup_clusters",
-    oracle=f"""
+_CLOSURE_ORACLE = f"""
     WITH RECURSIVE {_SIG_SQL},
     bands AS (
       SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
@@ -283,7 +281,12 @@ def q36_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS node, CAST(min(node) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
-    """,
+    """
+
+
+@query(
+    "q86_dedup_clusters",
+    oracle=_CLOSURE_ORACLE,
 )
 def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure: the q36 near-dup PAIRS become dedup GROUPS
@@ -300,16 +303,12 @@ def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
-from bigquack_spark.queries.registry import QUERIES as _REGISTRY  # noqa: E402
-
-
 @query(
     "q99_dedup_clusters_twostar",
     # Same contract as q86 — component membership is algorithm-independent,
     # so both implementations are diffed against the identical recursive-CTE
     # closure oracle.
-    oracle=None,
-    doc="",
+    oracle=_CLOSURE_ORACLE,
 )
 def q99_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure computed by the large-star/small-star
@@ -326,11 +325,3 @@ def q99_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
     return D.two_star_components(pairs)
 
-
-# reuse q86's oracle text verbatim (defined inline above) for the two-star twin
-import dataclasses as _dc  # noqa: E402
-
-_REGISTRY["q99_dedup_clusters_twostar"] = _dc.replace(
-    _REGISTRY["q99_dedup_clusters_twostar"],
-    oracle=_REGISTRY["q86_dedup_clusters"].oracle,
-)

@@ -592,9 +592,9 @@ def q94_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q100_touch_attribution",
     oracle="""
     SELECT user_id,
-           arg_min(event_type, printf('%020d%010d', epoch_us(ts), event_id))
+           arg_min(event_type, printf('%020d%019d', epoch_us(ts), event_id))
              AS first_touch,
-           arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id))
+           arg_max(event_type, printf('%020d%019d', epoch_us(ts), event_id))
              AS last_touch,
            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
              AS n_purchases,
@@ -612,7 +612,9 @@ def q100_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash aggregate, map-side combinable — no window, no sort of the
     full event log."""
     e = t(spark, sf_dir, "events")
-    key = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    # %019d covers the full non-negative BIGINT id range — a narrower pad
+    # silently breaks lexicographic==numeric once ids outgrow it
+    key = F.format_string("%020d%019d", F.unix_micros("ts"), F.col("event_id"))
     is_purchase = F.col("event_type") == "purchase"
     return e.groupBy("user_id").agg(
         F.min_by("event_type", key).alias("first_touch"),
@@ -764,11 +766,12 @@ def q109_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q110_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per active day (the WAU/DAU shape).
     Spark has no COUNT(DISTINCT) over windows, so this is the idiomatic
-    rewrite: dedupe to (day, user) activity pairs first, then a BOUNDED
-    range join (each activity row lands in <= 7 spine days) + count
-    distinct.  The explosion factor is the window length, not the event
-    volume — at 100 TB the join input is already the per-day distinct
-    set, orders of magnitude smaller than the log."""
+    rewrite: dedupe to (day, user) activity pairs, explode each pair into
+    the <= 7 trailing windows it contributes to, and EQUI-join the day
+    spine before counting distinct users.  The explosion factor is the
+    window length applied to the per-day distinct set (already orders of
+    magnitude smaller than the log), and the join hashes on the day key —
+    no nested-loop comparison of spine x activity ever plans."""
     e = t(spark, sf_dir, "events")
     activity = (
         e.select(
@@ -777,13 +780,18 @@ def q110_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .distinct()
     )
-    spine = activity.select("day").distinct().select(F.col("day").alias("sday"))
+    # Explode each activity day into the <=7 trailing windows it belongs
+    # to, then EQUI-join the spine: hash shuffle on the day key.  A BETWEEN
+    # join would plan BroadcastNestedLoopJoin — days x activity predicate
+    # evaluations — exactly the non-equi trap this rewrite avoids.
+    contrib = activity.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+        "user_id",
+    )
+    spine = activity.select(F.col("day").alias("wday")).distinct()
     return (
-        spine.join(
-            activity,
-            (F.col("day") >= F.col("sday") - 6) & (F.col("day") <= F.col("sday")),
-        )
-        .groupBy(F.col("sday").alias("day"))
+        contrib.join(spine, "wday")
+        .groupBy(F.col("wday").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("dau7"))
     )
 

@@ -197,7 +197,7 @@ _TIES_K = 3
     SELECT p_brand, revenue, CAST(rnk AS INTEGER) AS rnk
     FROM (
       SELECT p_brand, revenue,
-             rank() OVER (ORDER BY qty_units DESC, p_brand) AS rnk,
+             rank() OVER (ORDER BY qty_units DESC) AS rnk,
              qty_units
       FROM (
         SELECT p.p_brand,
@@ -215,10 +215,12 @@ _TIES_K = 3
 def q105_top_brands_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank()-with-ties top-k: the brands in the top {K} by total quantity,
     KEEPING ties (rank, not row_number, so equal quantities share a rank
-    and the cut can return more than K rows).  The rank key is an exact
-    BIGINT unit sum with p_brand as the deterministic tiebreak; revenue is
-    reported on the integer-cents lattice.  part broadcasts; the rank's
-    global window runs over ~25 brand rows, not lineitem."""
+    and the cut can return more than K rows).  The rank key is the exact
+    BIGINT unit sum ALONE — adding a tiebreak would make every rank unique
+    and silently turn rank into row_number; rank is a pure function of the
+    key, so ties need no tiebreak for determinism.  Revenue is reported on
+    the integer-cents lattice.  part broadcasts; the rank's global window
+    runs over ~25 brand rows, not lineitem."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     from bigquack_spark.queries.relational import _money_cents_units
@@ -231,7 +233,7 @@ def q105_top_brands_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("qty_units"),
         )
     )
-    w = Window.orderBy(F.desc("qty_units"), "p_brand")
+    w = Window.orderBy(F.desc("qty_units"))
     return (
         per_brand.withColumn("rnk", F.rank().over(w).cast("int"))
         .filter(F.col("rnk") <= _TIES_K)

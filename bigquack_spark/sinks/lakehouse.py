@@ -34,16 +34,27 @@ def available_formats(spark: SparkSession) -> list[str]:
     try:
         import delta  # noqa: F401
 
-        fmts.append("delta")
-    except ImportError:
+        # The pip package alone is not enough — the session needs the
+        # Delta jar on the JVM classpath, or format("delta") throws
+        # DATA_SOURCE_NOT_FOUND at write time instead of degrading here.
+        jvm = spark._jvm
+        if jvm is not None and jvm.org.apache.spark.util.Utils.classIsLoadable(
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        ):
+            fmts.append("delta")
+    except Exception:
         pass
-    conf = spark.sparkContext.getConf()
-    if any(
-        "org.apache.iceberg" in v
-        for _, v in conf.getAll()
-        if _.startswith("spark.sql.catalog")
-    ):
-        fmts.append("iceberg")
+    # Catalogs may be configured at runtime (spark.conf.set), which the
+    # frozen SparkContext conf never sees — read the live SQL conf.
+    try:
+        catalog_rows = spark.sql("SET").collect()
+        if any(
+            r.key.startswith("spark.sql.catalog") and "org.apache.iceberg" in (r.value or "")
+            for r in catalog_rows
+        ):
+            fmts.append("iceberg")
+    except Exception:
+        pass
     fmts.append("parquet")
     return fmts
 

@@ -533,3 +533,19 @@ def test_pack_shards_budget_and_sliced_equivalence(spark):
 
 def rows_f(rows, s):
     return [(i, n) for i, n in rows if i % 4 == s]
+
+
+def test_shingles_short_doc_yields_empty(spark):
+    """Regression (review finding): docs with fewer tokens than the shingle
+    length must produce an EMPTY shingle array, not a descending-sequence
+    slice crash (F.sequence(0, size-n) descends when size<n)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "one two three four five six")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", D._shingles("text", 5).alias("sh")).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert len(rows[3]) == 2  # 6 tokens -> two distinct 5-grams

@@ -210,3 +210,12 @@ def test_q106_aggregates_pushed_to_footers(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedAggregation" not in after
+
+
+def test_q110_no_nested_loop_join(spark):
+    """Regression (review finding): the rolling-distinct rewrite must plan
+    hash equi-joins only — a BETWEEN range join here becomes
+    BroadcastNestedLoopJoin (spine x activity predicate evaluations)."""
+    plan = plan_of(spark, "q110_rolling_7d_distinct_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
