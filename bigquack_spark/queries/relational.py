@@ -1944,3 +1944,55 @@ def q106_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_stats(
         spark, f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_extendedprice"]
     )
+
+
+@query(
+    "q114_brand_momentum",
+    oracle="""
+    WITH monthly AS (
+      SELECT p.p_brand,
+             strftime(CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP),
+                      '%Y-%m') AS month_key,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_units
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, month_key
+    )
+    SELECT p_brand, month_key,
+           rev_units / 10000.0 AS revenue,
+           (rev_units - lag(rev_units) OVER w) / 10000.0 AS mom_delta,
+           CAST(rev_units - lag(rev_units) OVER w AS DOUBLE)
+             / lag(rev_units) OVER w AS mom_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY p_brand ORDER BY month_key)
+    """,
+)
+def q114_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth (the MoM momentum shape): monthly revenue
+    per brand with lag()-based absolute and relative deltas.  The series is
+    aggregated BEFORE the window, so the lag runs over brand-months, not
+    lineitem; revenue rides the integer-cents lattice and the pct change is
+    an exact BIGINT/BIGINT division.  First month per brand yields NULLs —
+    preserved, not zero-filled (q73 covers gap-filling)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "month_key"
+            ),
+        )
+        .agg(F.sum(_money_cents_units()).cast("long").alias("rev_units"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("month_key")
+    prev = F.lag("rev_units").over(w)
+    return monthly.select(
+        "p_brand",
+        "month_key",
+        (F.col("rev_units") / F.lit(10000.0)).alias("revenue"),
+        ((F.col("rev_units") - prev) / F.lit(10000.0)).alias("mom_delta"),
+        ((F.col("rev_units") - prev).cast("double") / prev).alias("mom_pct"),
+    )
