@@ -280,3 +280,60 @@ def q108_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_total") - F.col("n_distinct")) / F.col("n_total"), 6
         ).alias("rep_ratio"),
     )
+
+
+_PACK_SLICES = 4
+_PACK_SALT = "pack-v1"
+
+
+@query(
+    "q115_sliced_shard_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok,
+             CAST('0x' || substr(md5('{_PACK_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % {_PACK_SLICES} AS slc
+      FROM documents
+    ),
+    packed AS (
+      SELECT slc, n_tok,
+             CAST((sum(n_tok) OVER (PARTITION BY slc ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS local_shard
+      FROM sized
+    )
+    SELECT CAST(slc AS VARCHAR) || '-' || CAST(local_shard AS VARCHAR) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1
+    """,
+)
+def q115_sliced_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q107: documents hash into {S} independent slices
+    (md5 bucket — the same engine-portable assignment as q83), and each
+    slice packs its own token-budget shards inside its own window
+    partition.  No global ordering anywhere: the window partitions by
+    slice, so the sort is per-slice and the running total never crosses
+    slices.  Shard ids are (slice, local) strings — unique without
+    cross-slice coordination (operators/corpus.pack_shards slice_col
+    path, here oracle-verified rather than only property-tested)."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    ).withColumn(
+        "slc", _hash_bucket_pack(F.col("doc_id"))
+    )
+    packed = C.pack_shards(
+        sized, "n_tok", budget=_SHARD_TOKEN_BUDGET, slice_col="slc"
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+def _hash_bucket_pack(key):
+    h = F.md5(F.concat(F.lit(_PACK_SALT + "|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % _PACK_SLICES

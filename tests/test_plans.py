@@ -219,3 +219,12 @@ def test_q110_no_nested_loop_join(spark):
     plan = plan_of(spark, "q110_rolling_7d_distinct_users")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q115_no_global_ordering(spark):
+    """Sliced packing must never serialize: the window partitions by the
+    hash slice, so no SinglePartition exchange (the global-sort signature
+    q107 deliberately pays) may appear anywhere in the plan."""
+    plan = plan_of(spark, "q115_sliced_shard_packing")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
