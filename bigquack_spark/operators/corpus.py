@@ -138,25 +138,44 @@ def pack_shards(
     budget: int,
     id_col: str = "doc_id",
     slice_col: str | None = None,
+    *,
+    num_slices: int = 64,
+    salt: str = "pack-v1",
+    global_order: bool = False,
 ) -> DataFrame:
     """Assign docs to token-budgeted shards by cutting the exclusive
     running token total at ``budget`` (next-fit packing in id order).
 
-    ``slice_col=None`` is the single-ordering form (one global window —
-    fine to a few hundred million rows, and what the q107 oracle pins).
-    With ``slice_col`` (e.g. the q83 split bucket), each slice packs
-    independently inside its own window partition: no global sort, cumsum
-    bounded per slice — the 100 TB shape.  Shard ids are then
-    (slice, local_shard) pairs encoded as strings so they stay unique
-    without cross-slice coordination."""
-    w = (
-        Window.partitionBy(slice_col) if slice_col else Window.partitionBy()
-    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    The DEFAULT is the sliced form: docs hash into ``num_slices``
+    independent slices (deterministic md5 bucket of ``id_col``), and each
+    slice packs its own shards inside its own window partition — no global
+    sort, cumsum bounded per slice, the 100 TB shape.  Pass ``slice_col``
+    to slice on an existing column (e.g. the q83 split bucket) instead of
+    the derived hash.  Shard ids in both sliced forms are
+    (slice, local_shard) pairs encoded as strings, unique without
+    cross-slice coordination.
+
+    ``global_order=True`` is the TEST-TIER single-ordering form (one
+    global window -> SinglePartition exchange): deterministic totally-
+    ordered packing, integer shard ids, fine to a few hundred million
+    rows, a scale-killer beyond.  It exists for oracle pinning and small
+    corpora; the default never plans a SinglePartition."""
+    if global_order:
+        w = Window.partitionBy().orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        excl = F.sum(token_col).over(w) - F.col(token_col)
+        return df.withColumn("shard", F.floor(excl / budget).cast("bigint"))
+
+    derived = slice_col is None
+    slc = "__pack_slice" if derived else slice_col
+    if derived:
+        df = df.withColumn(slc, _hash_bucket(F.col(id_col), salt, num_slices))
+    w = Window.partitionBy(slc).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     excl = F.sum(token_col).over(w) - F.col(token_col)
     local = F.floor(excl / budget).cast("bigint")
-    shard = (
-        F.concat_ws("-", F.col(slice_col).cast("string"), local.cast("string"))
-        if slice_col
-        else local
-    )
-    return df.withColumn("shard", shard)
+    shard = F.concat_ws("-", F.col(slc).cast("string"), local.cast("string"))
+    out = df.withColumn("shard", shard)
+    return out.drop(slc) if derived else out

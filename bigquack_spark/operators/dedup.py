@@ -178,18 +178,48 @@ def lsh_bands(
     return exploded.select(F.col(id_col), "band_id", band_key.alias("band_key"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
     """Bucket self-join -> distinct candidate pairs (a < b).  The join key is
     (band_id, band_key), so work is bounded by bucket sizes, never the corpus
-    cross product."""
-    left = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
-    right = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
-    return (
+    cross product.
+
+    Degenerate-corpus guard (round-1 verdict item #7, SCALING.md): a bucket
+    of identical boilerplate text makes the self-join quadratic in that one
+    bucket — 1M copies of the same page is 5x10^11 pairs.  Buckets larger
+    than ``max_bucket_size`` are diverted to a STAR expansion instead: each
+    member pairs with the bucket's minimum id only, O(size) edges.  Under
+    the downstream jaccard verify + connected-components closure this is
+    lossless for the oversized bucket itself (every true duplicate still
+    reaches the min through one verified edge and the closure merges them);
+    what it forgoes is the quadratic edge redundancy nobody needs.  The
+    bucket census rides one window count over the SAME (band_id, band_key)
+    hash partitioning the join needs anyway, so upstream signatures compute
+    once and the guard adds no extra scan of the corpus."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_key")
+    sized = bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+
+    small = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    left = small.select(F.col(id_col).alias("a"), "band_id", "band_key")
+    right = small.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    pairs = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+
+    big_star = (
+        sized.filter(F.col("__bsz") > max_bucket_size)
+        .withColumn("__mn", F.min(id_col).over(wb))
+        .filter(F.col(id_col) > F.col("__mn"))
+        .select(F.col("__mn").alias("a"), F.col(id_col).alias("b"))
+    )
+    return pairs.unionAll(big_star).distinct()
 
 
 def jaccard_verify(
@@ -314,12 +344,36 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    *,
+    num_planes: int = 16,
+    lsh_seed: int = 42,
+    dim: int = 64,
+    unblocked: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: pairwise cosine over an optional blocking
-    key (e.g. an LSH bucket from simsearch.random_hyperplane_lsh — REQUIRED
-    at scale; None means full pairwise and is test-scale only)."""
-    from bigquack_spark.operators.simsearch import cosine
+    """Embedding-cosine near-dup pairs over a blocking key.
 
+    The DEFAULT derives a sign-LSH bucket internally
+    (simsearch.random_hyperplane_lsh: ``num_planes`` seeded hyperplanes,
+    sign bits packed into one BIGINT) and equi-joins on it — candidate
+    work is bounded by bucket populations, never the corpus cross product.
+    Round-1 verdict item #6: the old default was a crossJoin, and defaults
+    are what users run at 3 a.m.  Pass ``block_col`` to block on an
+    existing column instead (e.g. a coarse cluster id), or
+    ``unblocked=True`` to opt into exact full-pairwise semantics —
+    test-scale only, it plans a cartesian product.
+
+    Blocking trades recall for scale the standard sign-LSH way: a pair at
+    angle theta survives all k planes with probability (1-theta/pi)^k, so
+    pick ``num_planes`` against your threshold (high thresholds tolerate
+    many planes; loose ones need few or multiprobe)."""
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    if block_col is None and not unblocked:
+        df = random_hyperplane_lsh(
+            df, vec_col, num_planes=num_planes, seed=lsh_seed, dim=dim,
+            bucket_col="__emb_block",
+        )
+        block_col = "__emb_block"
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *( [block_col] if block_col else []))
     left = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"), *( [block_col] if block_col else []))
     right = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), *( [block_col] if block_col else []))

@@ -9,11 +9,28 @@ name before hashing.
 
 from bigquack_spark.queries.registry import QUERIES, QuerySpec, oracle_sql, queries, query  # noqa: F401
 
-# Importing the modules populates the registry.
-from bigquack_spark.queries import relational  # noqa: E402,F401
-from bigquack_spark.queries import events  # noqa: E402,F401
+# Importing the modules populates the registry.  Registration order matters:
+# the driver's per-round correctness run walks the dict in insertion order and
+# may cap how many queries it checks, so the families that still need
+# driver-verified rows go FIRST.  Round 1 verified the 50 relational.py
+# queries; round 2 front-loads the LLM-pipeline extensions (dedup / ANN /
+# text / corpus / events / sampling) plus the two relational fixes.
 from bigquack_spark.queries import dedup  # noqa: E402,F401
 from bigquack_spark.queries import simsearch  # noqa: E402,F401
 from bigquack_spark.queries import text  # noqa: E402,F401
 from bigquack_spark.queries import corpus  # noqa: E402,F401
+from bigquack_spark.queries import events  # noqa: E402,F401
 from bigquack_spark.queries import sampling  # noqa: E402,F401
+from bigquack_spark.queries import relational  # noqa: E402,F401
+
+# Hoist the round-2 relational fixes (q87 exact-lattice stats, q62 tolerance
+# booleans) into the driver's check window, ahead of the already-proven
+# relational block.
+_PRIORITY = [n for n in ("q87_statistical_profile", "q62_approx_aggregates") if n in QUERIES]
+for _n in reversed(_PRIORITY):
+    _spec = QUERIES.pop(_n)
+    _rest = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES[_n] = _spec
+    QUERIES.update(_rest)
+del _PRIORITY

@@ -181,17 +181,40 @@ def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q35_plane_sql(num_planes: int, dim: int, seed: int) -> str:
+    """DuckDB expression for the sign-LSH bucket, replicating
+    simsearch._plane_literals bit-exactly: the same seeded-numpy doubles are
+    interpolated as literals (repr round-trips IEEE doubles), and
+    list_dot_product's left-to-right fold matches Spark's aggregate fold, so
+    the sign bits — hence the buckets — are identical across engines."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    bits = [
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in row)}]) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, row in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+_Q35_PLANES = 2
+
+
 @query(
     "q35_embedding_near_dup",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, e, {_q35_plane_sql(_Q35_PLANES, 64, 42)} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    )
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(
              list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
              6
            ) AS cosine_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
     WHERE round(
             list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
@@ -200,12 +223,20 @@ def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q35_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4, calibrated: the
-    synthetic embeddings max out at ~0.51).  Full pairwise here because the
-    corpus is small+fixed; the scale path is the same operator with an LSH
-    block_col (operators.dedup.embedding_near_dup)."""
+    """Embedding-cosine near-dup pairs through the operator's DEFAULT
+    sign-LSH-blocked path (round-1 verdict item #6: the crossJoin default
+    is gone — the plan contract asserts no cartesian product here).  Two
+    hyperplanes -> 4 buckets, sized to the loose 0.4 threshold (the
+    synthetic embeddings max out at ~0.51): a qualifying pair survives both
+    planes with p = (1-theta/pi)^2 ~ 0.4, and the oracle replays the SAME
+    seeded hyperplanes as double literals, so the recall loss is
+    bit-identical on both engines.  At a production 0.95 threshold the
+    default 16 planes apply.  tests/test_ops.py pins blocked-vs-unblocked
+    recall on a planted cluster."""
     e = t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup(e, "vec_id", "embedding", threshold=0.4, block_col=None)
+    return D.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4, num_planes=_Q35_PLANES
+    )
 
 
 @query(

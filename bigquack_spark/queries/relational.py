@@ -813,21 +813,47 @@ def q61_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q62_approx_aggregates",
-    doc="engine-specific sketches (HLL distinct, approx quantile) — rows-only; "
-        "tolerance vs the exact anchors asserted in tests",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+               - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+             <= 0.05 * CAST(count(DISTINCT l_partkey) AS DOUBLE) AS parts_within_5pct,
+           abs(CAST(approx_quantile(l_extendedprice, 0.5) AS DOUBLE)
+               - CAST(median(l_extendedprice) AS DOUBLE))
+             <= 0.05 * CAST(median(l_extendedprice) AS DOUBLE) AS median_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
 )
 def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate surface: approx_count_distinct (HyperLogLog++)
-    and approx_percentile (KLL-style).  Sketch internals are engine-specific
-    so no hash-match is possible; the exact anchors are q27/q47/q48, and
-    tests/test_ops.py asserts both approximations land within tolerance of
-    the exact answers."""
+    and approx_percentile (engine-specific sketch).  Raw sketch estimates
+    can never hash-match across engines, so the driver-checkable contract is
+    the TOLERANCE: each engine asserts ITS OWN sketch lands within 5% of ITS
+    OWN exact answer, and the boolean verdicts (plus the exact distinct
+    counts, which ARE deterministic) are what get diffed.  Both engines'
+    sketches are far inside 5% at every SF (Spark rsd=0.02; DuckDB
+    approx_quantile is T-Digest), so the booleans are stably true — a
+    regression in either sketch flips a row red.  tests/test_ops.py keeps
+    the tighter numeric tolerance assertions."""
     l = t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            <= 0.05 * F.countDistinct("l_partkey").cast("double")
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double")
+                - F.expr("percentile(l_extendedprice, 0.5)").cast("double")
+            )
+            <= 0.05 * F.expr("percentile(l_extendedprice, 0.5)").cast("double")
+        ).alias("median_within_5pct"),
     )
 
 
@@ -1555,61 +1581,90 @@ def q82_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q87_SD_QTY = (
+    "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))"
+)
+_Q87_VAR_PRICE = (
+    "(CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n) / (n - 1) / 10000.0"
+)
+_Q87_CORR = (
+    "(CAST(u AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n)"
+    " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)"
+    " * (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n))"
+)
+_Q87_COVAR = (
+    "(CAST(u AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n) / (n - 1) / 100.0"
+)
+_Q87_SKEW = (
+    "(CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)"
+    " + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+    " / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)"
+)
+
+
 @query(
     "q87_statistical_profile",
-    oracle="""
-    SELECT l_returnflag, n, sd_qty, var_price, qty_price_corr, qty_price_covar,
-           (CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-            + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-           / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)
-             AS skew_qty
+    oracle=f"""
+    SELECT l_returnflag, n,
+           {_Q87_SD_QTY} AS sd_qty,
+           {_Q87_VAR_PRICE} AS var_price,
+           {_Q87_CORR} AS qty_price_corr,
+           {_Q87_COVAR} AS qty_price_covar,
+           {_Q87_SKEW} AS skew_qty
     FROM (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
-             stddev_samp(l_quantity) AS sd_qty,
-             var_samp(l_extendedprice) AS var_price,
-             corr(l_quantity, l_extendedprice) AS qty_price_corr,
-             covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-             CAST(sum(q) AS BIGINT) AS s1,
-             CAST(sum(q * q) AS BIGINT) AS s2,
-             CAST(sum(q * q * q) AS BIGINT) AS s3
-      FROM (SELECT l_returnflag, l_quantity, l_extendedprice,
-                   CAST(round(l_quantity) AS BIGINT) AS q
+             sum(q) AS s1,
+             sum(q * q) AS s2,
+             sum(q * q * q) AS s3,
+             sum(p) AS t1,
+             sum(p * p) AS t2,
+             sum(q * p) AS u
+      FROM (SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p
             FROM lineitem)
       GROUP BY l_returnflag
     )
     """,
 )
 def q87_statistical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical profile per return flag: second-moment built-ins
-    (stddev/variance/correlation/covariance agree across engines within the
-    9-significant-digit canon — verified empirically, rel diff ~1e-15) plus
-    POPULATION skewness computed from exact integer power sums, because the
-    built-in skewness/kurtosis differ across engines by their sample-
-    correction factors (rel ~1e-4).  The power sums are BIGINTs (quantity is
-    integral and bounded, so s3 < 2^53 even at 100 TB partitions), making
-    the final float formula deterministic: identical integer operands,
-    identical IEEE expression shape on both sides."""
+    """Statistical profile per return flag — stddev / variance / correlation
+    / covariance / skewness, ALL rebuilt from exact integer power sums
+    rather than the float built-in aggregates.  The built-ins accumulate in
+    engine-specific orders, so their ~1e-15 relative drift crosses the
+    9-sig-digit canon boundary on decimal-lattice money data (the round-1
+    driver red).  Here every aggregate is an exact integer sum over
+    integerized operands (quantity units q, price cents p); the final
+    statistics are then IDENTICAL IEEE expressions over identical integer
+    operands on both engines (the expression strings are shared constants,
+    interpolated into the oracle SQL verbatim), so the doubles are
+    bit-identical.  Sums accumulate in DECIMAL(38,0) on the Spark side /
+    HUGEINT in DuckDB — sum(p*p) ~ 1e14 x rows overflows BIGINT past
+    ~100k rows/group, so the 128-bit accumulator is what makes this shape
+    survive a 100 TB group.  var/covar divide by 1e4 / 1e2 once at the end
+    to undo the cents scaling (corr and skew are scale-invariant)."""
     li = t(spark, sf_dir, "lineitem")
     q = F.round(F.col("l_quantity")).cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(38,0)"
     grouped = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_extendedprice").alias("var_price"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-        F.sum(q).alias("s1"),
-        F.sum(q * q).alias("s2"),
-        F.sum(q * q * q).alias("s3"),
-    )
-    skew = F.expr(
-        "(CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)"
-        " + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
-        " / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)"
+        F.sum(q.cast(dec)).alias("s1"),
+        F.sum((q * q).cast(dec)).alias("s2"),
+        F.sum((q * q * q).cast(dec)).alias("s3"),
+        F.sum(p.cast(dec)).alias("t1"),
+        F.sum((p * p).cast(dec)).alias("t2"),
+        F.sum((q * p).cast(dec)).alias("u"),
     )
     return grouped.select(
-        "l_returnflag", "n", "sd_qty", "var_price", "qty_price_corr",
-        "qty_price_covar", skew.alias("skew_qty"),
+        "l_returnflag",
+        "n",
+        F.expr(_Q87_SD_QTY).alias("sd_qty"),
+        F.expr(_Q87_VAR_PRICE).alias("var_price"),
+        F.expr(_Q87_CORR).alias("qty_price_corr"),
+        F.expr(_Q87_COVAR).alias("qty_price_covar"),
+        F.expr(_Q87_SKEW).alias("skew_qty"),
     )
 
 

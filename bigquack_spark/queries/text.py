@@ -397,11 +397,13 @@ SHARD_TOKENS = 2000
     """,
 )
 def q59_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard assignment: pack documents (in stable doc_id order)
-    into ~{SHARD_TOKENS}-token shards via a running token count.  The
-    running sum is a single global-order window — acceptable because its
-    input is one row per DOCUMENT with two ints, not the corpus text; at
-    larger scale the same op runs per (source) partition key."""
+    """TEST-TIER ONLY — totally-ordered training-shard assignment via one
+    global-order window (SinglePartition by construction; it pins the
+    single-ordering packing semantics, same contract as
+    operators/corpus.pack_shards(global_order=True)).  The input is one
+    row per DOCUMENT with two ints, so it survives a few hundred million
+    rows, but the 100 TB surfaces are q107 (auto-sliced default) and q115
+    (explicit slice column), whose plans contain no SinglePartition."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"])
     sized = d.select("doc_id", F.size(X.tokens("text")).cast("bigint").alias("n_tokens"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -223,8 +223,27 @@ def test_q110_no_nested_loop_join(spark):
 
 def test_q115_no_global_ordering(spark):
     """Sliced packing must never serialize: the window partitions by the
-    hash slice, so no SinglePartition exchange (the global-sort signature
-    q107 deliberately pays) may appear anywhere in the plan."""
+    hash slice, so no SinglePartition exchange may appear anywhere in the
+    plan."""
     plan = plan_of(spark, "q115_sliced_shard_packing")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q35_no_cartesian_product(spark):
+    """embedding_near_dup's default path must equi-join on the derived
+    sign-LSH bucket — never a corpus x corpus cartesian (round-1 verdict
+    item #6; unblocked=True is the explicit test-scale opt-out)."""
+    plan = plan_of(spark, "q35_embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q107_default_packing_no_global_ordering(spark):
+    """pack_shards' DEFAULT surface (q107) must plan like q115: windows
+    partitioned by the derived md5 slice, zero SinglePartition exchanges.
+    Round-1 verdict item #5 — the global window is opt-in
+    (global_order=True) now, not the default."""
+    plan = plan_of(spark, "q107_token_budget_shards")
     assert "Window" in plan
     assert "SinglePartition" not in plan
