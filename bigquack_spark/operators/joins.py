@@ -81,7 +81,7 @@ def asof_join(
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, "object"]],
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys: first aggregate on
@@ -89,27 +89,26 @@ def salted_aggregate(
     reducers, then combine the partials on the true keys.
 
     Only algebraic aggregates compose this way; ``aggs`` maps output name ->
-    partial-phase expression, and the final phase re-combines with the
-    matching combiner (sum->sum, count->sum, min->min, max->max), given by
-    the expression's name prefix.
+    ``(partial_expr, combiner)`` where ``combiner`` is a Column -> Column
+    aggregate re-combining the per-salt partials (``F.sum`` for sum AND
+    count, ``F.min``/``F.max`` for min/max).  The pair is explicit — no
+    introspection of the partial expression — so non-algebraic mistakes
+    (avg, distinct) fail at the author's keyboard, not in the plan.
     """
+    for name, pair in aggs.items():
+        if not (isinstance(pair, tuple) and len(pair) == 2 and callable(pair[1])):
+            raise TypeError(
+                f"aggs[{name!r}] must be (partial_expr, combiner) — e.g. "
+                f"(F.count(F.lit(1)), F.sum); got {type(pair).__name__}"
+            )
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
-    finals = []
-    for name, expr in aggs.items():
-        fn = expr._jc.toString().split("(")[0].lower()
-        partial_col = F.col(f"__p_{name}")
-        if fn.startswith(("count", "sum")):
-            combined = F.sum(partial_col)
-        elif fn.startswith("min"):
-            combined = F.min(partial_col)
-        elif fn.startswith("max"):
-            combined = F.max(partial_col)
-        else:
-            raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
-        finals.append(combined.alias(name))
+    finals = [
+        combiner(F.col(f"__p_{name}")).alias(name)
+        for name, (_, combiner) in aggs.items()
+    ]
     return partial.groupBy(*keys).agg(*finals)
 
 

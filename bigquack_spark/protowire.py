@@ -1,0 +1,247 @@
+"""Protobuf wire-format row codec — the actual-proto-bytes half of the
+``QueryProto`` analogue (see codec.py for the JSON / Arrow-IPC halves).
+
+Reference parity: ``QueryProto`` (duck.go:274-317) derives a protobuf
+descriptor from the result schema and serializes every row as one dynamic
+proto message; the descriptor builder (bigquery_write.go:219-294) maps
+flat BigQuery types to proto2 fields and rejects nested schemas
+(bigquery_write.go:279-282).  The container ships neither ``protoc`` nor
+the ``google.protobuf`` runtime nor the spark-protobuf jar, so this module
+implements the (public, stable) protobuf wire format directly:
+
+- varint / fixed64 / fixed32 / length-delimited per
+  https://protobuf.dev/programming-guides/encoding/
+- proto2 presence semantics: NULL -> field absent, present values always
+  written (including zero), matching the BigQuery Storage Write API's
+  proto2 message encoding.
+
+Field numbers are schema position + 1, exactly like the reference's
+generated descriptor.  The bytes this produces are readable by any real
+protobuf runtime given the equivalent ``.proto`` (render_proto_schema);
+the golden test pins the spec's own worked example (`field1=150` ->
+``08 96 01``).
+
+Scale shape: encode/decode run as Arrow-batched ``mapInPandas`` — per-row
+byte assembly is inherently rowwise, but batches move columnar and no byte
+ever visits the driver.  With the spark-protobuf jar deployed, swap
+``to_protobuf``/``from_protobuf`` into the same call sites.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# proto wire types (public spec)
+_VARINT, _FIXED64, _LEN, _FIXED32 = 0, 1, 2, 5
+
+#: Spark type -> (proto type name, wire type).  Flat scalars only — the
+#: reference's descriptor has the same surface (bigquery_write.go:240-278).
+_SCALAR_MAP: dict[type, tuple[str, int]] = {
+    T.LongType: ("int64", _VARINT),
+    T.IntegerType: ("int64", _VARINT),
+    T.ShortType: ("int64", _VARINT),
+    T.ByteType: ("int64", _VARINT),
+    T.BooleanType: ("bool", _VARINT),
+    T.DoubleType: ("double", _FIXED64),
+    T.FloatType: ("float", _FIXED32),
+    T.StringType: ("string", _LEN),
+    T.BinaryType: ("bytes", _LEN),
+    # BQ TIMESTAMP on the Storage Write wire is int64 epoch-micros;
+    # DATE is int32 days-since-epoch (bigquery_write.go:252-259 mapping).
+    T.TimestampType: ("int64", _VARINT),
+    T.DateType: ("int32", _VARINT),
+}
+
+
+def proto_descriptor(schema: T.StructType) -> list[dict]:
+    """Schema -> field descriptor list (name, number, proto_type, wire_type).
+
+    The self-describing analogue of the reference's DescriptorProto
+    (bigquery_write.go:219-294): field numbers are position+1; nested /
+    repeated fields are rejected exactly like bigquery_write.go:279-282."""
+    fields = []
+    for i, f in enumerate(schema.fields):
+        dt = f.dataType
+        if isinstance(dt, T.DecimalType):
+            # NUMERIC travels as its decimal string (lossless, orderable by
+            # the reader after parse) — the json-mode BQ encoding.
+            entry = ("string", _LEN)
+        else:
+            entry = _SCALAR_MAP.get(type(dt))
+        if entry is None:
+            raise ValueError(
+                f"nested/unsupported field not supported in flat proto "
+                f"encoding: {f.name}: {dt.simpleString()}"
+            )
+        fields.append(
+            {"name": f.name, "number": i + 1, "proto_type": entry[0], "wire_type": entry[1]}
+        )
+    return fields
+
+
+def render_proto_schema(schema: T.StructType, message: str = "Row") -> str:
+    """The equivalent ``.proto`` source for :func:`proto_descriptor` — what
+    you'd feed protoc to read these bytes with a real runtime."""
+    lines = [f'syntax = "proto2";', f"message {message} {{"]
+    for f in proto_descriptor(schema):
+        lines.append(f"  optional {f['proto_type']} {f['name']} = {f['number']};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def _varint(value: int) -> bytes:
+    """Unsigned LEB128; negative int64 is two's-complement 64-bit first
+    (the spec's 10-byte negative encoding)."""
+    if value < 0:
+        value &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed varint")
+
+
+def encode_row(values: dict, descriptor: list[dict]) -> bytes:
+    """One row -> proto message bytes.  NULL fields are omitted (proto2
+    not-set); present values always written, including zeros."""
+    out = bytearray()
+    for f in descriptor:
+        v = values.get(f["name"])
+        if v is None:
+            continue
+        wt = f["wire_type"]
+        out += _varint((f["number"] << 3) | wt)
+        if wt == _VARINT:
+            out += _varint(int(v))
+        elif wt == _FIXED64:
+            out += struct.pack("<d", float(v))
+        elif wt == _FIXED32:
+            out += struct.pack("<f", float(v))
+        else:  # _LEN
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out += _varint(len(raw)) + raw
+    return bytes(out)
+
+
+def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
+    """Proto message bytes -> {name: value}; absent fields -> None; unknown
+    field numbers are skipped (standard wire-compat behavior)."""
+    by_number = {f["number"]: f for f in descriptor}
+    values: dict = {f["name"]: None for f in descriptor}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        number, wt = tag >> 3, tag & 0x07
+        if wt == _VARINT:
+            raw, pos = _read_varint(buf, pos)
+        elif wt == _FIXED64:
+            raw, pos = struct.unpack_from("<d", buf, pos)[0], pos + 8
+        elif wt == _FIXED32:
+            raw, pos = struct.unpack_from("<f", buf, pos)[0], pos + 4
+        elif wt == _LEN:
+            n, pos = _read_varint(buf, pos)
+            raw, pos = buf[pos : pos + n], pos + n
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        f = by_number.get(number)
+        if f is None:
+            continue  # unknown field: skip
+        if f["wire_type"] != wt:
+            raise ValueError(f"wire type mismatch for field {number}")
+        if f["proto_type"] == "string":
+            raw = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw
+        elif f["proto_type"] in ("int64", "int32") and isinstance(raw, int) and raw >= 1 << 63:
+            raw -= 1 << 64  # two's-complement negative
+        elif f["proto_type"] == "bool":
+            raw = bool(raw)
+        values[f["name"]] = raw
+    return values
+
+
+def encode_protobuf(df: DataFrame) -> DataFrame:
+    """DataFrame -> single ``proto binary`` column, one wire message per row
+    (the distributed QueryProto pump, duck.go:290-316).  Timestamps encode
+    as epoch-micros int64, dates as epoch-days int32, decimals as strings —
+    the Storage Write mapping."""
+    desc = proto_descriptor(df.schema)
+    epoch_cols = {
+        f.name: type(f.dataType)
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.DateType, T.DecimalType))
+    }
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                vals = {}
+                for k, v in rec.items():
+                    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                        vals[k] = None
+                    elif epoch_cols.get(k) is T.TimestampType:
+                        vals[k] = pd.Timestamp(v).value // 1000  # ns -> µs
+                    elif epoch_cols.get(k) is T.DateType:
+                        vals[k] = (pd.Timestamp(v) - pd.Timestamp(1970, 1, 1)).days
+                    elif epoch_cols.get(k) is T.DecimalType:
+                        vals[k] = str(v)
+                    else:
+                        vals[k] = v
+                rows.append(encode_row(vals, desc))
+            yield pd.DataFrame({"proto": rows})
+
+    return df.mapInPandas(encode, "proto binary")
+
+
+def decode_protobuf(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Inverse of :func:`encode_protobuf`: parse each ``proto`` blob against
+    the descriptor derived from ``schema`` — the round-trip the reference's
+    proto tests exercise (duck_test.go:192-295)."""
+    desc = proto_descriptor(schema)
+    ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+    date_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.DateType)]
+    dec_cols = {
+        f.name: (f.dataType.precision, f.dataType.scale)
+        for f in schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+    }
+
+    def decode(batches: Iterator) -> Iterator:
+        import decimal
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [decode_row(b, desc) for b in pdf["proto"]]
+            out = pd.DataFrame(rows, columns=[f["name"] for f in desc])
+            for c in ts_cols:
+                out[c] = pd.to_datetime(out[c], unit="us")
+            for c in date_cols:
+                out[c] = pd.to_datetime(out[c], unit="D").dt.date
+            for c in dec_cols:
+                out[c] = out[c].map(lambda s: decimal.Decimal(s) if s is not None else None)
+            yield out
+
+    return df.mapInPandas(decode, schema)

@@ -234,9 +234,9 @@ def q28_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         keys=["user_id"],
         aggs={
-            "n_events": F.count(F.lit(1)),
-            "total_value": F.sum("value"),
-            "max_event_id": F.max("event_id"),
+            "n_events": (F.count(F.lit(1)), F.sum),
+            "total_value": (F.sum("value"), F.sum),
+            "max_event_id": (F.max("event_id"), F.max),
         },
         salt_buckets=16,
     )
@@ -872,7 +872,12 @@ def q113_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.col("value").cast("double")).over(w)).alias("l"),
     )
     n = F.size("l")
+    # collect_list drops NULLs: an all-NULL frame is an empty array, whose
+    # median is NULL (DuckDB agrees) — guard it or the even branch would
+    # evaluate element_at(l, 0) and raise INVALID_INDEX_OF_ZERO.
     med = F.when(
+        n == 0, F.lit(None).cast("double")
+    ).when(
         n % 2 == 1, F.element_at("l", ((n + 1) / 2).cast("int"))
     ).otherwise(
         (

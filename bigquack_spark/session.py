@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # read as int64 nanos and convert with exact integer math (sources.parquet
     # normalizes back to a microsecond TimestampType column).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-less parquet timestamps (isAdjustedToUTC=false) read as plain
+    # TIMESTAMP, not TIMESTAMP_NTZ — with the UTC session tz the values are
+    # identical, and epoch functions (unix_micros) stay applicable.  DuckDB's
+    # TIMESTAMP is tz-naive too, so the oracle sees the same instants.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -52,6 +57,24 @@ def pin(key: str, value: str) -> None:
     bench-tier settings (e.g. AQE off at sub-GB scale) against the
     per-query re-tune that registry queries perform."""
     PINNED_CONFS[key] = value
+
+
+#: Explicit retry posture, mirroring the reference's read/write retry policy
+#: (bigquery.go:35-62: initial 100 ms, max 60 s, multiplier 1.30, retry on
+#: transient RPC errors).  Spark's unit of retry is the task, not the RPC:
+#: a failed scan/write task re-runs on another executor up to maxFailures
+#: times, with excluded (blacklisted) executors avoided.  Static confs —
+#: applied at session build, not per-query.
+RETRY_CONFS: dict[str, str] = {
+    "spark.task.maxFailures": "4",
+    "spark.stage.maxConsecutiveAttempts": "4",
+    # Transient-executor exclusion: the analogue of backing off a bad channel.
+    "spark.excludeOnFailure.enabled": "true",
+    # Retry the shuffle-fetch RPC itself with backoff (fetch-side transient
+    # failures are the Spark equivalent of the reference's retryable reads).
+    "spark.shuffle.io.maxRetries": "6",
+    "spark.shuffle.io.retryWait": "5s",
+}
 
 
 def default_parallelism() -> int:
@@ -74,7 +97,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    conf = dict(RUNTIME_CONFS)
+    conf = {**RUNTIME_CONFS, **RETRY_CONFS}
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     # Keep scan partitions sized so a partition fits comfortably in executor
     # memory at large SF (128 MiB is the scale-friendly default).

@@ -31,6 +31,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _recover_orphaned_swap(target_path: str) -> None:
+    """Self-heal a crash inside the stage-then-swap window: if a previous
+    merge died between its two renames, the table data sits in a
+    ``.old-<id>`` backup dir and ``target_path`` is missing — restore the
+    backup.  If the swap completed but cleanup didn't, drop the stale
+    backup.  Orphaned ``.merge-`` staging dirs are always safe to drop
+    (they were never visible)."""
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(target_path)
+    if not os.path.isdir(parent):
+        return
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if entry.startswith(base + ".old-"):
+            if not os.path.exists(target_path):
+                os.rename(full, target_path)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(base + ".merge-"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -43,7 +65,9 @@ def merge_upsert(
     Semantics per change row: key match -> replace target row; no match ->
     insert; ``delete_col`` true -> drop the key from the target (whether or
     not it matched).  Returns ``{rows_before, rows_after, upserts,
-    deletes}``.  Idempotent: re-merging the same change set converges."""
+    deletes}``.  Idempotent: re-merging the same change set converges, and
+    a crash mid-swap self-heals on the next call (backup restore above)."""
+    _recover_orphaned_swap(target_path)
     target = spark.read.parquet(target_path)
     data_cols = target.columns
     if delete_col:

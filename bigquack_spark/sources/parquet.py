@@ -71,18 +71,22 @@ def load_table(
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as int64 nanos.
-    Convert to Spark's native microsecond TimestampType with exact integer
-    division (``div 1000`` — float division would lose precision above
-    2^53).  DuckDB applies the same ns->µs truncation, keeping the oracle
-    aligned (FIXTURES.md §C4)."""
+    """events.ts has shipped as TIMESTAMP(NANOS) (surfacing as int64 nanos
+    under ``spark.sql.legacy.parquet.nanosAsLong``) and as tz-less
+    TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ when NTZ inference is on).
+    Normalize both to Spark's native microsecond TimestampType: exact integer
+    ``div 1000`` for nanos (float division would lose precision above 2^53),
+    a value-preserving cast for NTZ (session tz is pinned UTC).  DuckDB
+    applies the same ns->µs truncation and is tz-naive throughout, keeping
+    the oracle aligned (FIXTURES.md §C4)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -214,7 +214,7 @@ def test_salted_aggregate_equals_plain(spark):
 
     salted = salted_aggregate(
         e, ["event_type"],
-        {"n": F2.count(F2.lit(1)), "mx": F2.max("event_id")},
+        {"n": (F2.count(F2.lit(1)), F2.sum), "mx": (F2.max("event_id"), F2.max)},
         salt_buckets=8,
     )
     plain = e.groupBy("event_type").agg(
@@ -611,3 +611,25 @@ def test_shingles_short_doc_yields_empty(spark):
     }
     assert rows[1] == [] and rows[2] == []
     assert len(rows[3]) == 2  # 6 tokens -> two distinct 5-grams
+
+
+def test_rolling_median_all_null_frame(spark, tmp_path):
+    """collect_list drops NULLs, so a frame whose values are all NULL is an
+    empty array — the median must be NULL (DuckDB semantics), not an
+    element_at(l, 0) crash."""
+    import datetime
+
+    from bigquack_spark.queries.events import q113_rolling_median
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 7, "view", None, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 1), 7, "view", None, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 2), 7, "view", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_id: r.med for r in q113_rolling_median(spark, str(tmp_path)).collect()}
+    assert out[1] is None and out[2] is None and out[3] == 4.0

@@ -1,0 +1,114 @@
+"""Protobuf wire codec: golden bytes pinned to the public spec's worked
+examples, negative-varint encoding, flat-only gate, and a distributed
+round-trip over a real table with NULLs / timestamps / dates — the port of
+the reference's proto round-trip test (duck_test.go:192-295)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquack_spark import protowire as P
+from tests.conftest import SF_SMOKE
+
+
+def _desc(spark_schema: str):
+    return P.proto_descriptor(T._parse_datatype_string(spark_schema))
+
+
+def test_golden_bytes_spec_examples(spark):
+    """protobuf.dev/programming-guides/encoding worked examples:
+    int64 field1=150 -> 08 96 01; string field2="testing" -> 12 07 ..."""
+    desc = _desc("a bigint, b string")
+    assert P.encode_row({"a": 150, "b": None}, desc) == bytes.fromhex("089601")
+    assert P.encode_row({"a": None, "b": "testing"}, desc) == b"\x12\x07testing"
+    both = P.encode_row({"a": 150, "b": "testing"}, desc)
+    assert both == bytes.fromhex("089601") + b"\x12\x07testing"
+    assert P.decode_row(both, desc) == {"a": 150, "b": "testing"}
+
+
+def test_negative_int64_is_ten_byte_varint(spark):
+    desc = _desc("a bigint")
+    enc = P.encode_row({"a": -2}, desc)
+    assert len(enc) == 11  # 1 tag byte + 10 varint bytes (spec: negatives max out)
+    assert P.decode_row(enc, desc) == {"a": -2}
+
+
+def test_zero_is_written_null_is_absent(spark):
+    """proto2 presence: explicit 0 goes on the wire; NULL does not."""
+    desc = _desc("a bigint")
+    assert P.encode_row({"a": 0}, desc) == b"\x08\x00"
+    assert P.encode_row({"a": None}, desc) == b""
+    assert P.decode_row(b"", desc) == {"a": None}
+
+
+def test_double_fixed64_and_bool(spark):
+    desc = _desc("d double, b boolean")
+    enc = P.encode_row({"d": 1.0, "b": True}, desc)
+    # field 1 fixed64 tag = 09, IEEE754 1.0 LE; field 2 varint tag = 10, 01
+    assert enc == bytes.fromhex("09000000000000f03f") + b"\x10\x01"
+    assert P.decode_row(enc, desc) == {"d": 1.0, "b": True}
+
+
+def test_unknown_field_skipped(spark):
+    """Wire-compat: bytes containing a field number outside the descriptor
+    decode cleanly with the unknown field ignored."""
+    desc = _desc("a bigint")
+    alien = b"\x08\x96\x01" + b"\x1a\x03xyz"  # field 3 (unknown) length-delim
+    assert P.decode_row(alien, desc) == {"a": 150}
+
+
+def test_flat_only_gate_rejects_nested(spark):
+    """bigquery_write.go:279-282 parity: nested/repeated fields refuse."""
+    with pytest.raises(ValueError, match="flat proto"):
+        _desc("v array<double>")
+    with pytest.raises(ValueError, match="flat proto"):
+        _desc("s struct<x: bigint>")
+
+
+def test_render_proto_schema(spark):
+    src = P.render_proto_schema(T._parse_datatype_string("a bigint, b string"))
+    assert 'syntax = "proto2"' in src
+    assert "optional int64 a = 1;" in src
+    assert "optional string b = 2;" in src
+
+
+def test_distributed_round_trip_orders(spark):
+    """encode_protobuf |> decode_protobuf is identity on a real table slice
+    (ints, strings, dates, decimal-free), including planted NULLs."""
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .limit(500)
+        # plant NULLs in two columns to exercise presence semantics
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_totalprice")),
+        )
+    )
+    encoded = P.encode_protobuf(o)
+    assert encoded.schema.simpleString() == "struct<proto:binary>"
+    back = P.decode_protobuf(encoded, o.schema)
+    assert back.schema == o.schema
+    orig = sorted(map(tuple, o.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == orig
+
+
+def test_round_trip_timestamps_and_decimals(spark):
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 12, 30, 15, 123456), "9123.45"),
+        (2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, amt string").select(
+        "k", "ts", F.col("amt").cast("decimal(12,2)").alias("amt")
+    )
+    back = P.decode_protobuf(P.encode_protobuf(df), df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

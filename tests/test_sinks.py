@@ -230,6 +230,32 @@ def test_merge_upsert_update_insert_delete_and_idempotent(spark, tmp_path):
     assert again == got
 
 
+def test_merge_upsert_self_heals_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table stranded in a
+    .old- backup with target_path missing; the next merge_upsert call must
+    restore the backup and proceed normally."""
+    import os
+
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
+    ).write.parquet(path)
+    # simulate the crash window: first rename done, second never happened,
+    # plus an orphaned staging dir from the dead merge
+    os.rename(path, path + ".old-deadbeef0000")
+    os.makedirs(path + ".merge-deadbeef0000")
+    changes = spark.createDataFrame(
+        [(2, "b2", 99.0, False)], "k bigint, s string, v double, is_delete boolean"
+    )
+    merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0)}
+    assert not os.path.exists(path + ".old-deadbeef0000")
+    assert not os.path.exists(path + ".merge-deadbeef0000")
+
+
 def test_lakehouse_auto_selects_and_writes(spark, batch, tmp_path):
     """Gated lakehouse sink: in this container neither Delta nor Iceberg
     jars exist, so detection must report parquet as the floor and the
