@@ -432,6 +432,56 @@ def simhash_portable(
     )
 
 
+def simhash_jaccard_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash-blocked exact n-gram Jaccard: the pipeline brief's n-gram
+    Jaccard dedup family, composed from portable parts so the whole chain is
+    oracle-diffable (unlike simhash_near_dup's xxhash64 fast path).
+
+    Stages: portable simhash (bounded bits-per-doc fan-out) -> pigeonhole
+    blocking on 15-bit chunks (any pair within Hamming distance
+    <= bits/15 - 1 shares at least one chunk) -> exact Hamming filter via
+    bit_count(xor) -> exact word-``shingle_len``-gram Jaccard on the
+    surviving candidates only.  Pairwise work is bounded by chunk-bucket
+    occupancy; the Jaccard join touches candidates, never the corpus cross
+    product."""
+    n_chunks = bits // 15
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole blocking over {n_chunks} chunks only guarantees "
+            f"hamming <= {n_chunks - 1}"
+        )
+    sh = simhash_portable(df, id_col, text_col, bits=bits, shingle_len=shingle_len)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("chunk_id"),
+    ).withColumn("chunk", F.expr("shiftrightunsigned(simhash, chunk_id * 15) & 32767"))
+    left = chunks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    cands = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    verified = jaccard_verify(cands, df, id_col, text_col, shingle_len, threshold)
+    return verified.join(cands, ["a", "b"]).select("a", "b", "hamming", "jaccard")
+
+
 # ------------------------------------------------ dedup clustering ----------
 
 

@@ -136,8 +136,9 @@ def q33_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 60
 
-_Q34_ORACLE = f"""
-    WITH toks AS (
+#: Shared CTE chain: engine-portable word-3-gram simhash (see q34 docstring).
+_SIMHASH_CTE = f"""
+    toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
     ),
     shingles AS (
@@ -159,13 +160,17 @@ _Q34_ORACLE = f"""
       FROM hashed
       CROSS JOIN (SELECT CAST(unnest(range({_SIMHASH_BITS})) AS INTEGER) AS b) b
       GROUP BY doc_id, b.b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM votes
-    GROUP BY doc_id
 """
+
+_Q34_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"
 
 
 @query("q34_simhash", oracle=_Q34_ORACLE)
@@ -356,3 +361,58 @@ def q99_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
     return D.two_star_components(pairs)
 
+
+
+_Q117_MAX_HAMMING = 3
+_Q117_THRESHOLD = 0.5
+
+
+@query(
+    "q117_ngram_jaccard_near_dup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    chunks AS (
+      SELECT doc_id, simhash, c.c AS chunk_id,
+             (simhash >> (c.c * 15)) & 32767 AS chunk
+      FROM sh CROSS JOIN (SELECT CAST(unnest(range(4)) AS INTEGER) AS c) c
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+      FROM chunks l
+      JOIN chunks r ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+      WHERE l.doc_id < r.doc_id
+        AND bit_count(xor(l.simhash, r.simhash)) <= {_Q117_MAX_HAMMING}
+    ),
+    sets AS (SELECT doc_id, list(sh) AS s FROM shingles GROUP BY doc_id)
+    SELECT cand.a, cand.b, cand.hamming,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             AS jaccard
+    FROM cand
+    JOIN sets sa ON cand.a = sa.doc_id
+    JOIN sets sb ON cand.b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= {_Q117_THRESHOLD}
+    """,
+)
+def q117_ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (operators.dedup.simhash_jaccard_near_dup):
+    portable 60-bit simhash -> pigeonhole 15-bit-chunk blocking (any pair
+    within Hamming 3 shares a chunk) -> exact Hamming filter -> exact
+    word-trigram Jaccard on candidates only.  The fourth dedup family
+    (exact q30 / MinHash+LSH q36 / SimHash q34 / n-gram Jaccard here),
+    diffed end-to-end: DuckDB recomputes identical simhashes, identical
+    chunk buckets, and identical shingle-set intersections.  Both engines
+    divide the same integers, so the Jaccard doubles agree bitwise.
+    Pairwise work is bounded by chunk-bucket occupancy — never the corpus
+    cross product."""
+    return D.simhash_jaccard_near_dup(
+        t(spark, sf_dir, "documents", rebalance=True),
+        "doc_id", "text",
+        max_hamming=_Q117_MAX_HAMMING,
+        shingle_len=3,
+        threshold=_Q117_THRESHOLD,
+        bits=_SIMHASH_BITS,
+    )

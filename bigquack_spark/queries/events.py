@@ -887,3 +887,44 @@ def q113_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
     )
     return framed.select("event_id", "user_id", med.alias("med"))
+
+
+@query(
+    "q116_hypertable_rollup",
+    oracle="""
+    SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day_key,
+           strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:00:00') AS hour_key,
+           CAST(GROUPING(day_key, hour_key) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY ROLLUP(day_key, hour_key)
+    """,
+)
+def q116_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the continuous-aggregate
+    shape): hourly, daily, and grand-total tiers of the event stream in ONE
+    pass via ROLLUP(day, hour) — lvl 0 = hour rows, 1 = day rows, 3 = grand
+    total, same encoding in both engines.  Spark expands the grouping sets
+    map-side and aggregates partially before the single shuffle, so the
+    multi-tier rollup costs the same exchange as a flat hourly groupBy;
+    at 100 TB the day tier rides along for free instead of a second scan.
+    Bucket keys are formatted strings — engine-invariant vs timestamp
+    physical types."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key"),
+            "user_id", "value",
+        )
+        .rollup("day_key", "hour_key")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value").alias("total_value"),
+        )
+        .select("day_key", "hour_key", "lvl", "n_events", "n_users", "total_value")
+    )

@@ -633,3 +633,20 @@ def test_rolling_median_all_null_frame(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     out = {r.event_id: r.med for r in q113_rolling_median(spark, str(tmp_path)).collect()}
     assert out[1] is None and out[2] is None and out[3] == 4.0
+
+
+def test_simhash_jaccard_near_dup_planted(spark, planted):
+    """The oracle-portable n-gram Jaccard family: planted near-dups must
+    surface with high jaccard and small hamming; unrelated docs must not
+    pair; over-wide hamming vs the pigeonhole guarantee must refuse."""
+    got = {
+        (r.a, r.b): (r.hamming, r.jaccard)
+        for r in D.simhash_jaccard_near_dup(
+            planted, max_hamming=3, threshold=0.3
+        ).collect()
+    }
+    assert all(a < 10 and b < 10 for a, b in got)
+    if (0, 2) in got:  # suffix-variant: expect strong overlap when blocked
+        assert got[(0, 2)][1] > 0.5
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_jaccard_near_dup(planted, max_hamming=4)
