@@ -247,3 +247,22 @@ def test_q107_default_packing_no_global_ordering(spark):
     plan = plan_of(spark, "q107_token_budget_shards")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q116_rollup_single_exchange(spark):
+    """Multi-resolution ROLLUP: the grouping-set expand happens map-side and
+    all tiers share ONE shuffle — the second exchange is only the distinct
+    expand for countDistinct.  No SinglePartition anywhere."""
+    plan = plan_of(spark, "q116_hypertable_rollup")
+    assert plan.count("Exchange") <= 2
+    assert "Expand" in plan  # grouping sets expanded, not re-scanned per tier
+    assert "SinglePartition" not in plan
+
+
+def test_q117_ngram_jaccard_no_cross_product(spark):
+    """n-gram Jaccard rides simhash chunk blocking: candidate generation is
+    an equi-join on (chunk_id, chunk) — never a cartesian/nested-loop pass
+    over the corpus."""
+    plan = plan_of(spark, "q117_ngram_jaccard_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
