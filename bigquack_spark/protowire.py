@@ -183,7 +183,13 @@ def encode_protobuf(df: DataFrame) -> DataFrame:
     """DataFrame -> single ``proto binary`` column, one wire message per row
     (the distributed QueryProto pump, duck.go:290-316).  Timestamps encode
     as epoch-micros int64, dates as epoch-days int32, decimals as strings —
-    the Storage Write mapping."""
+    the Storage Write mapping.
+
+    Caveat: the Arrow->pandas boundary represents a NULL double as NaN, so
+    a genuine NaN value in a nullable double column encodes as
+    field-absent (NULL).  The wire format itself round-trips NaN exactly
+    (see the encode_row/decode_row property test); only the pandas batch
+    representation conflates the two."""
     desc = proto_descriptor(df.schema)
     epoch_cols = {
         f.name: type(f.dataType)

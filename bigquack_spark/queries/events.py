@@ -3,7 +3,8 @@
 The reference stores JSON as STRING (bigquery_write.go:189-190 maps BQ JSON
 -> string; SURVEY §1.3) and queries it with engine functions; the `events`
 table's ``props`` column exercises that surface.  Time semantics: events.ts
-is ns in parquet — Spark truncates to µs, DuckDB keeps ns — so all time math
+has shipped as ns and as tz-less µs parquet across driver generations
+(sources/parquet normalizes both to µs TimestampType), so all time math
 here is done on explicit microsecond epochs (unix_micros / epoch_us) and all
 emitted time keys are formatted strings, keeping the two engines bit-identical.
 """

@@ -46,3 +46,62 @@ def save_clustered(
         else df.repartitionByRange(*cluster_cols)
     )
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int | None = None,
+    bits_per_dim: int = 6,
+    mode: str = "overwrite",
+    rel_err: float = 0.01,
+) -> None:
+    """Write ``df`` Z-order-clustered on several columns at once — the
+    multi-key counterpart of :func:`save_clustered` (Delta OPTIMIZE
+    ZORDER's layout, plain-parquet edition).
+
+    Single-key range clustering makes footer stats selective on ONE
+    column; a Z-order curve interleaves the bits of each column's rank so
+    file ranges stay simultaneously narrow on EVERY listed column —
+    predicates on any of them prune files.
+
+    Mechanics (all distributed; the only driver data is the quantile
+    boundary list, ``2^bits_per_dim`` doubles per column):
+
+    1. one ``approxQuantile`` pass computes per-column bucket boundaries
+       (rank-based, so skewed distributions still spread over all buckets
+       — linear min/max scaling would collapse them);
+    2. each row's per-column bucket is a boundary count (an O(B) codegen
+       fold, B = 2^bits_per_dim), its bits interleaved into one z-value;
+    3. range-repartition + in-partition sort on z, exactly like
+       :func:`save_clustered`.
+
+    Numeric columns only (cast dates/timestamps to epoch first); NULLs
+    land in bucket 0.
+    """
+    from pyspark.sql import functions as F
+
+    ncols = len(zorder_cols)
+    if ncols < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use save_clustered for one")
+    n_buckets = 1 << bits_per_dim
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = df.stat.approxQuantile(zorder_cols, qs, rel_err)
+    z = F.lit(0)
+    for ci, (c, bs) in enumerate(zip(zorder_cols, boundaries)):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        v = F.col(c).cast("double")
+        bucket = F.aggregate(
+            F.filter(arr, lambda b: b <= v), F.lit(0), lambda acc, _: acc + 1
+        )
+        for i in range(bits_per_dim):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + ci)
+    staged = df.withColumn("__z", z)
+    parted = (
+        staged.repartitionByRange(num_files, "__z")
+        if num_files
+        else staged.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -82,3 +82,39 @@ def load_json(
             "columnNameOfCorruptRecord", "_corrupt_record"
         )
     return reader.json(path)
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | list[BQField] | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan — the other columnar interchange format.  ORC carries its
+    own types and stripe-level min/max statistics, so (unlike CSV/JSON)
+    predicate pushdown and column pruning work scan-side; a pinned schema
+    is therefore optional and, when given, enforced by selection: missing
+    columns fail loudly instead of silently NULL-filling."""
+    df = spark.read.options(**options).orc(path)
+    st = _resolve_schema(schema)
+    if st is not None:
+        missing = [f.name for f in st.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"ORC file lacks pinned columns: {missing}")
+        df = df.select(*[df[f.name].cast(f.dataType).alias(f.name) for f in st.fields])
+    return df
+
+
+def load_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    **options: str,
+) -> DataFrame:
+    """Parquet scan across files with EVOLVED schemas (columns added over
+    time): ``mergeSchema`` unions the footers so late files' new columns
+    surface as NULL for early files — the read-side half of schema
+    evolution a long-lived 100 TB table accretes.  Merge cost is one
+    footer read per file at planning (distributed); data pages are
+    untouched.  Kept separate from the default loader because footer
+    merging on a million-file table is planning overhead you opt into."""
+    return spark.read.options(**options).option("mergeSchema", "true").parquet(path)

@@ -125,3 +125,35 @@ def test_json_corrupt_rows_quarantined_not_fatal(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.id for r in good} == {1, 2}
     assert len(bad) == 1 and "{broken json" in bad[0]._corrupt_record
+
+
+def test_load_orc_roundtrip_and_pinned_schema(spark, tmp_path):
+    from pyspark.sql import types as T2
+
+    from bigquack_spark.sources.formats import load_orc
+
+    src = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "k bigint, s string, v double")
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    back = load_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    pinned = T2.StructType([T2.StructField("k", T2.LongType()), T2.StructField("v", T2.DoubleType())])
+    narrowed = load_orc(spark, p, schema=pinned)
+    assert narrowed.columns == ["k", "v"]
+    import pytest as pt
+    with pt.raises(ValueError, match="lacks pinned columns"):
+        load_orc(spark, p, schema=T2.StructType([T2.StructField("missing", T2.LongType())]))
+
+
+def test_load_parquet_evolving_merges_added_column(spark, tmp_path):
+    from bigquack_spark.sources.formats import load_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k bigint, s string").write.parquet(p)
+    spark.createDataFrame([(2, "b", 9.0)], "k bigint, s string, extra double").write.mode(
+        "append"
+    ).parquet(p)
+    df = load_parquet_evolving(spark, p)
+    assert set(df.columns) == {"k", "s", "extra"}
+    rows = {r.k: r.extra for r in df.collect()}
+    assert rows == {1: None, 2: 9.0}

@@ -112,3 +112,35 @@ def test_round_trip_timestamps_and_decimals(spark):
     )
     back = P.decode_protobuf(P.encode_protobuf(df), df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_wire_roundtrip_property(spark):
+    """Property: encode_row |> decode_row is identity for arbitrary values
+    of every scalar wire type, including int64 boundaries, NaN/inf doubles,
+    unicode strings, and arbitrary bytes."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    desc = _desc("i bigint, d double, s string, o boolean, y binary")
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        i=st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        d=st.none() | st.floats(allow_nan=True, allow_infinity=True),
+        s=st.none() | st.text(max_size=64),
+        o=st.none() | st.booleans(),
+        y=st.none() | st.binary(max_size=64),
+    )
+    def check(i, d, s, o, y):
+        vals = {"i": i, "d": d, "s": s, "o": o, "y": y}
+        back = P.decode_row(P.encode_row(vals, desc), desc)
+        assert back["i"] == i and back["s"] == s and back["o"] == o
+        assert back["y"] == (bytes(y) if y is not None else None)
+        if d is None or math.isnan(d):
+            assert back["d"] is None if d is None else math.isnan(back["d"])
+        else:
+            assert back["d"] == d  # fixed64 is exact, inf included
+
+    check()

@@ -277,3 +277,47 @@ def test_lakehouse_rejects_unavailable_format(spark, batch, tmp_path):
 
     with pytest.raises(ValueError, match="not available"):
         lakehouse_write(batch, str(tmp_path / "x"), table_format="hudi")
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: per-file min/max ranges must be narrow on BOTH
+    z-ordered columns (footer-stat pruning works for predicates on either),
+    where single-key clustering leaves the second column's ranges at full
+    width."""
+    import pyarrow.parquet as pq
+    import os
+
+    from bigquack_spark.sinks.clustered import save_clustered, save_zordered
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "CAST(id % 141 AS DOUBLE) AS x", "CAST((id * 7919) % 149 AS DOUBLE) AS y"
+    )
+
+    def avg_range_frac(path, col, domain):
+        fracs = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            fracs.append((hi - lo) / domain)
+        return sum(fracs) / len(fracs)
+
+    zp, cp = str(tmp_path / "z"), str(tmp_path / "c")
+    save_zordered(df, zp, ["x", "y"], num_files=16)
+    save_clustered(df, cp, ["x"], num_files=16)
+    # single-key layout: x narrow, y full-width
+    assert avg_range_frac(cp, "x", 140.0) < 0.2
+    assert avg_range_frac(cp, "y", 148.0) > 0.8
+    # z-order: BOTH columns substantially narrower than full width
+    zx, zy = avg_range_frac(zp, "x", 140.0), avg_range_frac(zp, "y", 148.0)
+    assert zx < 0.6 and zy < 0.6, (zx, zy)
+    # rows preserved
+    assert spark.read.parquet(zp).count() == n
