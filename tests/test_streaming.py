@@ -264,3 +264,57 @@ def test_stream_stream_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_continuous_rollup_cascade_matches_batch_and_replays(spark, tmp_path):
+    """Streaming twin of q116: hourly tier maintained from the stream, daily
+    tier derived from hourly state.  The drained daily table must equal the
+    batch day-rollup of the same events, and a full re-run of the stream
+    into the same sink must converge (idempotent merges, no double count)."""
+    import pyspark.sql.functions as F2
+
+    from bigquack_spark.sources.parquet import load_table
+    from bigquack_spark.streaming.sink import ContinuousRollupSink
+
+    base = str(tmp_path / "rollup")
+    sink = ContinuousRollupSink(base)
+
+    def drain():
+        import tempfile
+
+        stream = hourly_counts(read_events_stream(spark, SF_SMOKE))
+        (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="rollup_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    batch_daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F2.date_format(F2.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
+            "event_type",
+        )
+        .agg(F2.count(F2.lit(1)).alias("n_events"), F2.sum("value").alias("total_value"))
+    )
+    want = {
+        (r.day_key, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch_daily.collect()
+    }
+    got = {
+        (r.day_key, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(sink.daily).collect()
+    }
+    assert got == want
+
+    # replay the whole stream (fresh checkpoint, same tables): must converge
+    drain()
+    again = {
+        (r.day_key, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(sink.daily).collect()
+    }
+    assert again == want
