@@ -1,0 +1,118 @@
+"""Data-quality / operational observability queries.
+
+A 100 TB pipeline's first production incident is almost never an operator
+bug — it's silent input drift (a column gone null, cardinality collapse, a
+hot key).  These queries are the observability surface: a one-pass column
+profile and a key-skew report, both oracle-paired.
+
+The reference has no quality surface at all (SURVEY §2.6: zero relational
+operators of its own); this is extension surface in the spirit of its
+structured logging (bigquack.go:72-75) — know what the pipeline did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+#: (column, numeric-projection SQL or None) — numeric min/max are emitted as
+#: DOUBLE (string min/max would hit engine float-formatting differences).
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "CAST(o_totalprice AS DOUBLE)"),
+    ("o_orderstatus", None),
+    ("o_orderpriority", None),
+]
+
+
+def _q118_oracle() -> str:
+    parts = []
+    for c, num in _PROFILE_COLS:
+        min_expr = f"min({num})" if num else "CAST(NULL AS DOUBLE)"
+        max_expr = f"max({num})" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {min_expr} AS min_num, {max_expr} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q118_column_profile", oracle=_q118_oracle())
+def q118_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (completeness, cardinality, numeric range) in
+    long form — the pre-flight check before any expensive pipeline stage.
+    Spark computes every column's metrics in a single aggregate (one scan,
+    one reduce; multiple DISTINCTs expand map-side) and unpivots to rows;
+    min/max are DOUBLE so both engines emit identical IEEE values instead
+    of engine-specific float strings."""
+    o = t(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+_SKEW_TOP_K = 20
+
+
+@query(
+    "q119_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM events)
+    SELECT per_key.user_id, per_key.n,
+           CAST(per_key.n AS DOUBLE) / tot.total AS share,
+           CAST(per_key.n AS DOUBLE) * tot.n_keys / tot.total AS hotness
+    FROM per_key, tot
+    ORDER BY per_key.n DESC, per_key.user_id
+    LIMIT {_SKEW_TOP_K}
+    """,
+)
+def q119_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report: the top-{K} hottest join/agg keys with their share
+    of rows and hotness (ratio vs a perfectly uniform key) — the number you
+    read before choosing salt_buckets for salted_aggregate or trusting AQE
+    skew-join to cope.  One groupBy(key) shuffle; the totals ride in via a
+    broadcast of a 1-row aggregate, and the top-k is TakeOrderedAndProject,
+    never a global sort."""
+    e = t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias("hotness"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(_SKEW_TOP_K)
+    )

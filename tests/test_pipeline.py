@@ -157,3 +157,24 @@ def test_load_parquet_evolving_merges_added_column(spark, tmp_path):
     assert set(df.columns) == {"k", "s", "extra"}
     rows = {r.k: r.extra for r in df.collect()}
     assert rows == {1: None, 2: 9.0}
+
+
+def test_transfer_incremental_appends_only_new_rows(spark, tmp_path):
+    from bigquack_spark.pipeline import transfer_incremental
+
+    src = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, wm bigint"
+    ).write.parquet(f"{src}/inc.parquet")
+    t = "inc_target_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert transfer_incremental(spark, src, "inc", t, watermark_col="wm") == 3
+    # second run, no new data: nothing transfers
+    assert transfer_incremental(spark, src, "inc", t, watermark_col="wm") == 0
+    # new rows past the mark (and one stale duplicate below it)
+    spark.createDataFrame([(3, 30), (4, 40)], "k bigint, wm bigint").write.mode(
+        "append"
+    ).parquet(f"{src}/inc.parquet")
+    assert transfer_incremental(spark, src, "inc", t, watermark_col="wm") == 1
+    assert sorted(r.k for r in spark.table(t).collect()) == [1, 2, 3, 4]
+    spark.sql(f"DROP TABLE {t}")
