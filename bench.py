@@ -54,6 +54,9 @@ HEADLINE = [
     "q51_quality_signals",
     "q52_lang_id",
     "q53_fingerprint",
+    "q116_hypertable_rollup",
+    "q118_column_profile",
+    "q119_key_skew",
 ]
 
 #: Spark-only scale-path variants (no DuckDB oracle exists): timed and

@@ -11,6 +11,9 @@ re-expresses that surface Spark-first:
                   (duck.go:214-252, bigquery_write.go:384-485 analogues)
 - ``pipeline``  — the BQ2Duck end-to-end pump (bigquack.go:64-141 analogue)
 - ``codec``     — row encoding of query results (duck.go:274-317 analogue)
+- ``protowire`` — protobuf wire-format row codec (duck.go:274-317 +
+                  bigquery_write.go:219-294 analogues, real proto bytes)
+- ``streaming`` — Structured Streaming twins + exactly-once / cascade sinks
 - ``operators`` — 100 TB-scale extension ops: dedup, similarity search,
                   text analysis, multimodal plumbing
 - ``queries``   — the declared query inventory w/ DuckDB oracle SQL

@@ -5,4 +5,12 @@ built-ins (no row-at-a-time Python in any hot path) so it composes, pushes
 down, and scales by shuffle — the 100 TB design mandate.
 """
 
-from bigquack_spark.operators import dedup, joins, multimodal, simsearch, text  # noqa: F401
+from bigquack_spark.operators import (  # noqa: F401
+    corpus,
+    dedup,
+    joins,
+    multimodal,
+    reconcile,
+    simsearch,
+    text,
+)

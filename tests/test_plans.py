@@ -266,3 +266,28 @@ def test_q117_ngram_jaccard_no_cross_product(spark):
     plan = plan_of(spark, "q117_ngram_jaccard_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Registry-wide lint: no query may plan a CartesianProduct, and only
+    the whitelisted broadcast-corpus ANN shapes may use
+    BroadcastNestedLoopJoin (there it IS the plan: corpus stays in place,
+    the bounded query set broadcasts).  Catches the classic regression of
+    a join key typo silently degrading to a cross product."""
+    BNLJ_OK = {
+        # each of these broadcasts a BOUNDED side on purpose:
+        "q40_ann_cosine_topk",  # bounded query set vs in-place corpus
+        "q42_ann_ivf_topk",  # broadcast centroids/probed queries
+        "q93_multimodal_retrieval",  # broadcast query embedding
+        "q119_key_skew",  # broadcast 1-row totals aggregate
+        "q71_dormant_rich_customers",  # broadcast scalar-subquery threshold
+        "q82_nation_value_share",  # broadcast scalar total
+    }
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders

@@ -83,10 +83,11 @@ def main() -> int:
         )
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    fails, rows_only = [], 0
+    fails, rows_only, checked = [], 0, 0
     for name in sorted(qs):
         if prefixes and not name.startswith(prefixes):
             continue
+        checked += 1
         pdf = qs[name](spark, sf_dir).toPandas()
         if name not in osql:
             rows_only += 1
@@ -99,7 +100,8 @@ def main() -> int:
             fails.append(name)
     print(
         f"RESULT: {'ALL MATCH' if not fails else 'FAILS: ' + str(fails)} "
-        f"({len(qs) - rows_only} oracle-paired, {rows_only} rows-only)"
+        f"({checked - rows_only} oracle-paired checked, {rows_only} rows-only, "
+        f"{len(qs)} registered)"
     )
     return 1 if fails else 0
 
