@@ -260,11 +260,12 @@ def main() -> None:
         extra_t = run_spark(spark, UNPAIRED)
         mf_spark = run_spark(spark, HEADLINE, multifile_dir) if multifile_dir else {}
         if scaled_dir:
-            # data is factor-x larger: give the shuffles real parallelism and
-            # split the (single-file) scans fine enough to feed every core —
-            # at deployment scale file count provides this for free; here a
-            # 2 MB split turns a 35 MB single-file scan into 18 tasks instead
-            # of pinning JSON/regex work to 2 cores (measured 2x on q20).
+            # crossover runs in the SAME (JIT-hot) session — a fresh JVM
+            # pays cold-compile on all 11 queries and reads ~2x slower
+            # (measured).  Scan splits sized 2 MB so single mid-size files
+            # feed every core — at deployment scale file count provides
+            # that for free (measured 2x on q20); shuffle partitions at
+            # core count for the larger exchanges.
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
             xo_spark = run_spark(spark, CROSSOVER, scaled_dir)

@@ -467,3 +467,62 @@ def q93_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = M.pseudo_embed(M.attach_binary_payload(dq, "doc_id", "text", kind="image"),
                              dim=_EMB_DIM)
     return S.cosine_topk(emb, queries, k=5, id_col="media_id", vec_col="embedding")
+
+
+@query(
+    "q120_c4_quality_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / len(tk) AS mean_word_len,
+             CAST(len(list_filter(tk, x -> x IN ('a', 'the'))) AS DOUBLE)
+               / len(tk) AS stop_ratio,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_ratio, distinct_ratio,
+           (n_words BETWEEN 20 AND 200
+            AND mean_word_len BETWEEN 2.0 AND 8.0
+            AND stop_ratio <= 0.3
+            AND distinct_ratio >= 0.25) AS keep
+    FROM m
+    """,
+)
+def q120_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality gate: word count band, mean word length
+    band, stopword-ratio cap, distinct-word-ratio floor — the cheap
+    rule cascade a corpus pass runs BEFORE any model-based scoring, with
+    every signal emitted so the keep decision is auditable.  Pure per-row
+    projection (array ops over the token split, zero shuffle, rides the
+    scan); every ratio divides the same integers in both engines, so the
+    doubles — and the keep booleans at the thresholds — agree bitwise."""
+    d = t(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower("text"), r"\s+")
+    n = F.size(toks)
+    mean_wl = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / n
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    keep = (
+        F.col("n_words").between(20, 200)
+        & F.col("mean_word_len").between(2.0, 8.0)
+        & (F.col("stop_ratio") <= 0.3)
+        & (F.col("distinct_ratio") >= 0.25)
+    )
+    return m.withColumn("keep", keep)

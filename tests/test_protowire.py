@@ -92,6 +92,10 @@ def test_distributed_round_trip_orders(spark):
             "o_totalprice",
             F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_totalprice")),
         )
+        .withColumn(
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 13 == 0, None).otherwise(F.col("o_orderdate")),
+        )
     )
     encoded = P.encode_protobuf(o)
     assert encoded.schema.simpleString() == "struct<proto:binary>"
