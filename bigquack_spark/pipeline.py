@@ -88,7 +88,15 @@ def transfer_incremental(
             f"max({watermark_col}) AS hi"
         ).collect()[0]
         if row.hi is not None:
-            lit = f"'{row.hi}'" if not isinstance(row.hi, (int, float)) else repr(row.hi)
+            hi = row.hi
+            if isinstance(hi, bool):
+                lit = "true" if hi else "false"
+            elif isinstance(hi, (int, float)):
+                lit = repr(hi)
+            else:
+                # strings / timestamps / dates / decimals: quoted with
+                # SQL-standard '' escaping (Spark casts vs the column type)
+                lit = "'" + str(hi).replace("'", "''") + "'"
             predicate = f"{watermark_col} > {lit}"
     return transfer(
         spark, source_location, source_table, target_table,

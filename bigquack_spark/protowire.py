@@ -161,6 +161,8 @@ def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
             raw, pos = struct.unpack_from("<f", buf, pos)[0], pos + 4
         elif wt == _LEN:
             n, pos = _read_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("truncated length-delimited field")
             raw, pos = buf[pos : pos + n], pos + n
         else:
             raise ValueError(f"unsupported wire type {wt}")
@@ -185,40 +187,56 @@ def encode_protobuf(df: DataFrame) -> DataFrame:
     as epoch-micros int64, dates as epoch-days int32, decimals as strings —
     the Storage Write mapping.
 
-    Caveat: the Arrow->pandas boundary represents a NULL double as NaN, so
-    a genuine NaN value in a nullable double column encodes as
-    field-absent (NULL).  The wire format itself round-trips NaN exactly
-    (see the encode_row/decode_row property test); only the pandas batch
-    representation conflates the two."""
+    The batch boundary is ``mapInArrow`` + ``to_pylist`` — NOT pandas —
+    because the Arrow->pandas conversion turns a nullable int64 column
+    into float64, silently corrupting IDs above 2^53 (exactly the
+    xxhash64-derived keys this codebase mints).  ``to_pylist`` yields
+    exact Python ints/Decimals/datetimes.  One residual caveat: a NaN in
+    a double column still encodes as field-absent if Spark's upstream
+    plan has already null-coalesced it; the wire format itself
+    round-trips NaN exactly (see the encode_row/decode_row property
+    test)."""
+    import datetime as _dt
+
     desc = proto_descriptor(df.schema)
     epoch_cols = {
         f.name: type(f.dataType)
         for f in df.schema.fields
         if isinstance(f.dataType, (T.TimestampType, T.DateType, T.DecimalType))
     }
+    _EPOCH = _dt.datetime(1970, 1, 1)
+    _EPOCH_D = _dt.date(1970, 1, 1)
+    _US = _dt.timedelta(microseconds=1)
 
     def encode(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for b in batches:
             rows = []
-            for rec in pdf.to_dict("records"):
+            for rec in b.to_pylist():
                 vals = {}
                 for k, v in rec.items():
-                    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                    if v is None or (isinstance(v, float) and v != v):
                         vals[k] = None
                     elif epoch_cols.get(k) is T.TimestampType:
-                        vals[k] = pd.Timestamp(v).value // 1000  # ns -> µs
+                        # arrow carries session-tz-aware datetimes; normalize
+                        # to UTC before differencing (exact integer µs)
+                        naive = (
+                            v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                            if v.tzinfo
+                            else v
+                        )
+                        vals[k] = (naive - _EPOCH) // _US
                     elif epoch_cols.get(k) is T.DateType:
-                        vals[k] = (pd.Timestamp(v) - pd.Timestamp(1970, 1, 1)).days
+                        vals[k] = (v - _EPOCH_D).days
                     elif epoch_cols.get(k) is T.DecimalType:
                         vals[k] = str(v)
                     else:
                         vals[k] = v
                 rows.append(encode_row(vals, desc))
-            yield pd.DataFrame({"proto": rows})
+            yield pa.RecordBatch.from_arrays([pa.array(rows, pa.binary())], ["proto"])
 
-    return df.mapInPandas(encode, "proto binary")
+    return df.mapInArrow(encode, "proto binary")
 
 
 def decode_protobuf(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -234,6 +252,13 @@ def decode_protobuf(df: DataFrame, schema: T.StructType) -> DataFrame:
         if isinstance(f.dataType, T.DecimalType)
     }
 
+    int_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+    ]
+    bool_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.BooleanType)]
+
     def decode(batches: Iterator) -> Iterator:
         import decimal
 
@@ -242,6 +267,12 @@ def decode_protobuf(df: DataFrame, schema: T.StructType) -> DataFrame:
         for pdf in batches:
             rows = [decode_row(b, desc) for b in pdf["proto"]]
             out = pd.DataFrame(rows, columns=[f["name"] for f in desc])
+            for c in int_cols:
+                # nullable Int64, never float64 — values above 2^53 must
+                # survive exactly (the decode_row ints are already exact)
+                out[c] = out[c].astype("Int64")
+            for c in bool_cols:
+                out[c] = out[c].astype("boolean")
             for c in ts_cols:
                 out[c] = pd.to_datetime(out[c], unit="us")
             for c in date_cols:

@@ -374,7 +374,9 @@ _Q117_THRESHOLD = 0.5
     chunks AS (
       SELECT doc_id, simhash, c.c AS chunk_id,
              (simhash >> (c.c * 15)) & 32767 AS chunk
-      FROM sh CROSS JOIN (SELECT CAST(unnest(range(4)) AS INTEGER) AS c) c
+      FROM sh CROSS JOIN (
+        SELECT CAST(unnest(range({_SIMHASH_BITS // 15})) AS INTEGER) AS c
+      ) c
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,

@@ -101,9 +101,13 @@ def q119_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort."""
     e = t(spark, sf_dir, "events")
     per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    tot = e.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("user_id").alias("n_keys"),
+    # totals derive from the already-shuffled per-key frame (a tiny
+    # second-stage agg) — never a second scan of the fact table.
+    # count("user_id") over groups = number of non-NULL keys, matching the
+    # oracle's count(DISTINCT user_id); sum(n) spans all rows like count(*).
+    tot = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count("user_id").alias("n_keys"),
     )
     return (
         per_key.crossJoin(F.broadcast(tot))

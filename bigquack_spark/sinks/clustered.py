@@ -85,15 +85,23 @@ def save_zordered(
     ncols = len(zorder_cols)
     if ncols < 2:
         raise ValueError("z-ordering needs >= 2 columns; use save_clustered for one")
+    if bits_per_dim * ncols > 62:
+        # the interleaved value must fit a signed 64-bit long; 32-bit int
+        # shifts would silently wrap (Java shift-&-31 semantics)
+        raise ValueError(
+            f"bits_per_dim * len(zorder_cols) = {bits_per_dim * ncols} exceeds 62"
+        )
     n_buckets = 1 << bits_per_dim
     qs = [i / n_buckets for i in range(1, n_buckets)]
     boundaries = df.stat.approxQuantile(zorder_cols, qs, rel_err)
-    z = F.lit(0)
+    z = F.lit(0).cast("bigint")
     for ci, (c, bs) in enumerate(zip(zorder_cols, boundaries)):
         arr = F.array(*[F.lit(float(b)) for b in bs])
         v = F.col(c).cast("double")
         bucket = F.aggregate(
-            F.filter(arr, lambda b: b <= v), F.lit(0), lambda acc, _: acc + 1
+            F.filter(arr, lambda b: b <= v),
+            F.lit(0).cast("bigint"),
+            lambda acc, _: acc + 1,
         )
         for i in range(bits_per_dim):
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))

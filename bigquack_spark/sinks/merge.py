@@ -31,13 +31,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Staging dirs younger than this are presumed owned by a live concurrent
+#: merge and left alone; only genuinely abandoned staging is reclaimed.
+_STAGING_REAP_SECONDS = 24 * 3600
+
+
 def _recover_orphaned_swap(target_path: str) -> None:
     """Self-heal a crash inside the stage-then-swap window: if a previous
     merge died between its two renames, the table data sits in a
     ``.old-<id>`` backup dir and ``target_path`` is missing — restore the
     backup.  If the swap completed but cleanup didn't, drop the stale
-    backup.  Orphaned ``.merge-`` staging dirs are always safe to drop
-    (they were never visible)."""
+    backup.  ``.merge-`` staging dirs are reclaimed only after
+    ``_STAGING_REAP_SECONDS`` — a younger one may belong to a merge that
+    is RUNNING right now, and deleting it would destroy in-flight work
+    (concurrent merges still race at the swap itself; this keeps recovery
+    from making that strictly worse)."""
+    import time
+
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):
@@ -46,11 +56,19 @@ def _recover_orphaned_swap(target_path: str) -> None:
         full = os.path.join(parent, entry)
         if entry.startswith(base + ".old-"):
             if not os.path.exists(target_path):
-                os.rename(full, target_path)
+                try:
+                    os.rename(full, target_path)
+                except OSError:
+                    pass  # concurrent owner completed its swap first
             else:
                 shutil.rmtree(full, ignore_errors=True)
         elif entry.startswith(base + ".merge-"):
-            shutil.rmtree(full, ignore_errors=True)
+            try:
+                abandoned = time.time() - os.path.getmtime(full) > _STAGING_REAP_SECONDS
+            except OSError:
+                abandoned = False
+            if abandoned:
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def merge_upsert(

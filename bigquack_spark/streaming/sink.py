@@ -80,8 +80,12 @@ class ContinuousRollupSink:
         self.daily = os.path.join(base_dir, "daily")
 
     def _upsert(self, target: str, rows: DataFrame, keys: list[str]) -> None:
-        from bigquack_spark.sinks.merge import merge_upsert
+        from bigquack_spark.sinks.merge import _recover_orphaned_swap, merge_upsert
 
+        # a crash between merge_upsert's two swap renames leaves the table
+        # in a .old- backup with target missing; recover BEFORE the exists
+        # check or the fresh-write branch would silently truncate history
+        _recover_orphaned_swap(target)
         if not os.path.exists(target):
             rows.write.parquet(target)
         else:

@@ -148,3 +148,14 @@ def test_wire_roundtrip_property(spark):
             assert back["d"] == d  # fixed64 is exact, inf included
 
     check()
+
+
+def test_distributed_round_trip_large_int64_with_nulls(spark):
+    """Regression: a nullable int64 column with values above 2^53 must
+    survive the distributed round-trip exactly — the Arrow->pandas float64
+    coercion would corrupt them, so the encode path must stay Arrow-native."""
+    big = (1 << 62) + 12345  # far past float53 precision
+    rows = [(1, big), (2, None), (3, -big), (4, (1 << 53) + 3)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    back = P.decode_protobuf(P.encode_protobuf(df), df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

@@ -243,9 +243,12 @@ def test_merge_upsert_self_heals_crashed_swap(spark, tmp_path):
         [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
     ).write.parquet(path)
     # simulate the crash window: first rename done, second never happened,
-    # plus an orphaned staging dir from the dead merge
+    # plus an ABANDONED staging dir from the dead merge (aged past the reap
+    # window — young staging dirs belong to live merges and must survive)
     os.rename(path, path + ".old-deadbeef0000")
     os.makedirs(path + ".merge-deadbeef0000")
+    old = 1_000_000.0
+    os.utime(path + ".merge-deadbeef0000", (old, old))
     changes = spark.createDataFrame(
         [(2, "b2", 99.0, False)], "k bigint, s string, v double, is_delete boolean"
     )
