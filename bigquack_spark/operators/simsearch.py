@@ -301,3 +301,43 @@ def gemm_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "q_vec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` (round-half-up via floor — chosen
+    over round() because floor over identical IEEE doubles is
+    engine-portable, banker's-vs-half-away round is not).
+
+    The scale posture: a 100 TB float32 embedding corpus becomes ~25 TB,
+    scan bandwidth and ANN cache footprint drop 4x, and the dequantized
+    cosine error is bounded by scale/2 per component (recall impact
+    measured in tests, not asserted blindly).  Pure per-row projection —
+    zero shuffle, rides the scan."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("double")
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize(
+    df: DataFrame,
+    scale_col: str = "q_scale",
+    q_col: str = "q_vec",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``x ~= q * scale`` (error bounded
+    by scale/2 per component)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

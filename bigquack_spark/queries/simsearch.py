@@ -101,3 +101,50 @@ def q75_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.gemm_topk(e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding")
+
+
+@query(
+    "q121_int8_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS q_scale
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    )
+    SELECT vec_id, q_scale,
+           CASE WHEN q_scale > 0
+                THEN list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INTEGER))
+                ELSE list_transform(e, x -> 0) END AS q_vec,
+           CASE WHEN q_scale > 0
+                THEN list_max(list_transform(e,
+                       x -> abs(CAST(floor(x / q_scale + 0.5) AS INTEGER) * q_scale - x)))
+                     <= q_scale * 0.5
+                ELSE true END AS err_ok
+    FROM q
+    """,
+)
+def q121_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.simsearch
+    quantize_int8): per-vector scale = max|x|/127, components rounded
+    half-up via floor (floor over identical doubles is engine-portable
+    where round()'s tie rule is not), plus a per-vector bound check that
+    the reconstruction error stays within scale/2.  Zero-shuffle
+    projection; at 100 TB this is the 4x scan-bandwidth/cache cut the ANN
+    family rides.  Both engines evaluate the identical IEEE expressions,
+    so the int arrays, scales, AND boundary booleans agree bitwise."""
+    e = t(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = S.quantize_int8(e, vec_col="e", scale_col="q_scale", out_col="q_vec")
+    scale = F.col("q_scale")
+    err = F.array_max(
+        F.zip_with(
+            "q_vec", "e", lambda qi, xi: F.abs(qi.cast("double") * scale - xi)
+        )
+    )
+    return q.select(
+        "vec_id",
+        "q_scale",
+        "q_vec",
+        F.when(scale > 0, err <= scale * 0.5).otherwise(F.lit(True)).alias("err_ok"),
+    )

@@ -650,3 +650,37 @@ def test_simhash_jaccard_near_dup_planted(spark, planted):
         assert got[(0, 2)][1] > 0.5
     with pytest.raises(ValueError, match="pigeonhole"):
         D.simhash_jaccard_near_dup(planted, max_hamming=4)
+
+
+def test_int8_quantization_preserves_ann_recall(spark):
+    """Quantize -> dequantize -> brute-force top-k must keep high recall vs
+    the float baseline on the real embeddings table (the 4x-memory ANN
+    path), and every reconstruction error must respect the scale/2 bound."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = S.quantize_int8(e, vec_col="embedding")
+    deq = S.dequantize(q, out_col="embedding_dq").select(
+        "vec_id", F.col("embedding_dq").alias("embedding")
+    )
+    queries = e.filter("vec_id < 5")
+    exact = {(r.qid, r.neighbor_id) for r in S.cosine_topk(e, queries, k=10).collect()}
+    approx = {
+        (r.qid, r.neighbor_id)
+        for r in S.cosine_topk(deq, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@10 after int8 = {recall}"
+    # error bound: |q*scale - x| <= scale/2 for every component
+    bad = (
+        S.dequantize(q, out_col="dq")
+        .select(
+            F.array_max(
+                F.zip_with("dq", "embedding", lambda a, b: F.abs(a - b))
+            ).alias("err"),
+            (F.col("q_scale") * 0.5).alias("bound"),
+        )
+        .filter(F.col("err") > F.col("bound"))
+        .count()
+    )
+    assert bad == 0
