@@ -134,3 +134,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "prefix_fingerprint": F.md5(F.array_join(F.slice(toks, 1, 4), " ")),
         }
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Gopher-style compressibility signal: ``len(zlib(text)) / len(text)``
+    — highly repetitive boilerplate compresses far below natural prose, so
+    a low ratio flags template/spam documents that n-gram ratios can miss.
+
+    This is the one text signal that genuinely needs Python (no zlib in
+    SQL), so it runs as an Arrow-batched ``mapInPandas`` kernel — whole
+    column batches cross the boundary, zlib is C-speed per document, and
+    the result is deterministic (fixed level, no dictionary), covered by
+    pytest rather than a SQL oracle.  Empty documents get ratio NULL."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} double"
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col]
+            pdf[out_col] = [
+                (len(zlib.compress(t.encode("utf-8"), level)) / len(t.encode("utf-8")))
+                if isinstance(t, str) and len(t) > 0
+                else None
+                for t in raw
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -684,3 +684,19 @@ def test_int8_quantization_preserves_ann_recall(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    """Deterministic across invocations; repetitive boilerplate compresses
+    far below varied prose; empty text -> NULL."""
+    rows = [
+        (1, "spam spam spam spam " * 50),
+        (2, "the quick brown fox jumps over a lazy dog while rain falls on tin roofs"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r.doc_id: r.compression_ratio for r in X.compression_ratio(df).collect()}
+    b = {r.doc_id: r.compression_ratio for r in X.compression_ratio(df).collect()}
+    assert a == b
+    assert a[3] is None
+    assert a[1] < 0.1 < a[2]
