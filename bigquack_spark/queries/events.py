@@ -929,3 +929,38 @@ def q116_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_key", "hour_key", "lvl", "n_events", "n_users", "total_value")
     )
+
+
+@query(
+    "q122_hourly_percentile_bands",
+    oracle="""
+    SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:00:00') AS hour_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q122_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-report shape: exact P50/P95/P99 of the value distribution
+    per hour bucket.  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the same linear-interpolation definition over the sorted group,
+    so the doubles agree exactly (cf. q47's global version).  One shuffle
+    on the hour key; exact percentiles hold whole groups — at 100 TB the
+    approx_percentile sketch (q62 family) is the bounded-memory variant,
+    this is the exact reporting tier."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.95D)").alias("p95"),
+            F.expr("percentile(value, 0.99D)").alias("p99"),
+        )
+    )

@@ -3,3 +3,4 @@ from bigquack_spark.sinks.atomic import AtomicWriter, WriteStreamType  # noqa: F
 from bigquack_spark.sinks.partitioned import overwrite_partitions, save_bucketed  # noqa: F401
 from bigquack_spark.sinks.clustered import save_clustered, save_zordered  # noqa: F401
 from bigquack_spark.sinks.merge import merge_upsert  # noqa: F401
+from bigquack_spark.sinks.wap import write_audit_publish  # noqa: F401

@@ -213,3 +213,20 @@ def click_to_purchase(
         F.col("purchase_value"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a batch
+    dimension.  Spark plans the static side as a broadcast re-read per
+    micro-batch (no state, no watermark needed — the canonical dimension
+    lookup at 100 TB stream scale; the dim re-resolves each batch, so a
+    slowly-changing dim picks up updates without restarts).  Stateless:
+    inner/left only — the stream side never buffers."""
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static joins are stateless: inner/left only")
+    return events.join(F.broadcast(dim), on, how)

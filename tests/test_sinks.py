@@ -324,3 +324,40 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     assert zx < 0.6 and zy < 0.6, (zx, zy)
     # rows preserved
     assert spark.read.parquet(zp).count() == n
+
+
+# -- write-audit-publish (sinks/wap.py) --------------------------------------
+
+
+def test_wap_publishes_only_clean_data(spark, tmp_path):
+    from bigquack_spark.sinks.wap import (
+        in_range,
+        not_null,
+        row_count_min,
+        unique,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "t")
+    clean = spark.createDataFrame([(1, "a", 5.0), (2, "b", 7.0)], "k bigint, s string, v double")
+    checks = [not_null("k", "s"), unique("k"), in_range("v", 0, 10), row_count_min(2)]
+    rep = write_audit_publish(clean, path, checks)
+    assert rep["published"] and rep["rows"] == 2
+    assert all(v == 0 for v in rep["violations"].values())
+    assert spark.read.parquet(path).count() == 2
+
+    # dirty update: null key, dup key, out-of-range value -> audit refuses,
+    # live table untouched, staging cleaned up
+    dirty = spark.createDataFrame(
+        [(None, "x", 5.0), (2, "b", 7.0), (2, "c", 99.0)], "k bigint, s string, v double"
+    )
+    rep2 = write_audit_publish(dirty, path, checks)
+    assert not rep2["published"]
+    assert rep2["violations"]["not_null(k,s)"] == 1
+    assert rep2["violations"]["unique(k)"] == 1
+    assert rep2["violations"]["in_range(v,0,10)"] == 1
+    got = {r.k for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2}  # previous publish still live
+    import os as _os
+    leftovers = [p for p in _os.listdir(str(tmp_path)) if ".merge-" in p or ".old-" in p]
+    assert leftovers == []

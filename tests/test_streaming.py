@@ -318,3 +318,25 @@ def test_continuous_rollup_cascade_matches_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(sink.daily).collect()
     }
     assert again == want
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join: drained stream output must equal the
+    batch join of the same inputs."""
+    from bigquack_spark.sources.parquet import load_table
+    from bigquack_spark.streaming.events import enrich_stream
+
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .selectExpr("c_custkey AS user_id", "c_mktsegment")
+    )
+    stream = read_events_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    got = run_available_now(
+        enrich_stream(stream, dim), "enrich_test", output_mode="append"
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
