@@ -73,3 +73,63 @@ def table_diff(
             .alias("n_cols_differ"),
         )
     )
+
+
+def changelog(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC extract between two table snapshots: one row per changed key
+    with ``op`` in insert/update/delete and the after-image values (the
+    before-image for deletes) — what you feed a MERGE (sinks/merge.py) or
+    ship downstream as a change stream.
+
+    Same one-shuffle full-outer + IS DISTINCT FROM core as
+    :func:`table_diff` (NULL-safe, float-bit-exact), but emitting the
+    payload instead of just the discrepancy count.  Output is bounded by
+    the change volume, not the table size."""
+    compare_cols = compare_cols or [c for c in old.columns if c not in key_cols]
+    lt = old.select(
+        *[F.col(k).alias(f"lk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"l_{c}") for c in compare_cols],
+        F.lit(1).alias("l_present"),
+    )
+    rt = new.select(
+        *[F.col(k).alias(f"rk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"r_{c}") for c in compare_cols],
+        F.lit(1).alias("r_present"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"lk_{k}").eqNullSafe(F.col(f"rk_{k}")) for k in key_cols],
+    )
+    joined = lt.join(rt, cond, "full_outer")
+    any_differ = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}")) for c in compare_cols],
+    )
+    op = (
+        F.when(F.col("l_present").isNull(), "insert")
+        .when(F.col("r_present").isNull(), "delete")
+        .when(any_differ, "update")
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"lk_{k}"), F.col(f"rk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "op",
+            # after-image for insert/update, before-image for delete
+            *[
+                F.when(F.col("op") == "delete", F.col(f"l_{c}"))
+                .otherwise(F.col(f"r_{c}"))
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+    )

@@ -964,3 +964,43 @@ def q122_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.99D)").alias("p99"),
         )
     )
+
+
+@query(
+    "q123_asof_next_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, m.o_orderkey, m.o_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = e.user_id
+        AND epoch_us(o.o_orderdate) >= epoch_us(e.ts)
+      ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+      LIMIT 1
+    ) m ON true
+    """,
+)
+def q123_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each event, the user's EARLIEST order at or
+    after the event time — the look-ahead twin of q24 (label assignment,
+    outcome attribution).  Same union-and-carry construction, scanned in
+    descending time so the carry window holds the nearest FUTURE order;
+    identical one-shuffle O(1)-state plan.  Oracle: per-row LATERAL with
+    ascending order and the operator's greatest-key tiebreak at equal
+    timestamps."""
+    from bigquack_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        "o_orderkey", "o_totalprice",
+    )
+    return asof_join(
+        e, o, on="user_id", left_ts="t_us", right_ts="od_us",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward", right_tiebreak="o_orderkey",
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")

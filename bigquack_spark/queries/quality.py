@@ -120,3 +120,60 @@ def q119_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(_SKEW_TOP_K)
     )
+
+
+@query(
+    "q124_snapshot_changelog",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS s FROM orders
+    ),
+    new AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN v * 2 ELSE v END AS v, s
+      FROM old WHERE k % 10 != 0
+      UNION ALL
+      SELECT k + 100000000 AS k, v, s FROM old WHERE k % 1000 = 0
+    ),
+    d AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN (o.v IS DISTINCT FROM n.v) OR (o.s IS DISTINCT FROM n.s)
+                    THEN 'update' END AS op,
+             CASE WHEN n.k IS NULL THEN o.v ELSE n.v END AS v,
+             CASE WHEN n.k IS NULL THEN o.s ELSE n.s END AS s
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT k, op, v, s FROM d WHERE op IS NOT NULL
+    """,
+)
+def q124_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extract (operators.reconcile.changelog): diff two snapshots into
+    insert/update/delete rows carrying the after-image (before-image for
+    deletes) — the feed for a keyed MERGE or a downstream change stream.
+    The 'new' snapshot is derived deterministically from orders (drop
+    k%10==0, double price on k%7==0, insert shifted copies of k%1000==0)
+    identically in both engines, so the changelog itself is what's diffed.
+    One full-outer shuffle, NULL-safe IS DISTINCT FROM compares, output
+    bounded by change volume — never table size."""
+    from bigquack_spark.operators.reconcile import changelog
+
+    old = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    new = (
+        old.filter(F.col("k") % 10 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("v") * 2).otherwise(F.col("v")).alias("v"),
+            "s",
+        )
+        .unionByName(
+            old.filter(F.col("k") % 1000 == 0).select(
+                (F.col("k") + 100000000).alias("k"), "v", "s"
+            )
+        )
+    )
+    return changelog(old, new, key_cols=["k"])
