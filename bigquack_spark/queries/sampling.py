@@ -269,3 +269,62 @@ def q112_balance_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+_PPS_TARGET = 200  # expected sample size
+_PPS_SALT = "pps_v1"
+_PPS_POW52 = float(1 << 52)
+
+
+@query(
+    "q125_pps_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS wgt,
+             CAST(('0x' || substr(md5('{_PPS_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                  AS DOUBLE) / {_PPS_POW52} AS u
+      FROM documents
+    ),
+    tot AS (SELECT sum(wgt) AS total_w FROM w)
+    SELECT doc_id, lang, wgt, u,
+           CASE WHEN {_PPS_TARGET} * wgt / tot.total_w < 1.0
+                THEN {_PPS_TARGET} * wgt / tot.total_w ELSE 1.0 END AS p
+    FROM w, tot
+    WHERE u < CASE WHEN {_PPS_TARGET} * wgt / tot.total_w < 1.0
+                   THEN {_PPS_TARGET} * wgt / tot.total_w ELSE 1.0 END
+    """,
+)
+def q125_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (Poisson/PPS) weighted sampling:
+    include each document with p_i = min(1, k * w_i / W) where w_i is its
+    byte length — longer documents proportionally more likely, expected
+    sample size k, and every inclusion decision independent (so the
+    operator is a zero-shuffle projection past one broadcast total; a
+    fixed-size variant would need order statistics over transcendental
+    keys, which are NOT portable across libm implementations — PPS needs
+    only *,/,< over identical doubles, so both engines make bit-identical
+    inclusion decisions).  The uniform u is md5-derived from the id:
+    deterministic, replayable, engine-portable (13 hex chars = 52 bits,
+    exact in a double).  Emits (p, u) so the sample is auditable and
+    Horvitz-Thompson reweighting (1/p) is one expression away."""
+    d = t(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "lang", F.length("text").cast("double").alias("wgt")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_PPS_SALT + "|"), F.col("doc_id").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("bigint").cast("double")
+        / F.lit(_PPS_POW52)
+    )
+    tot = d.agg(F.sum("wgt").alias("total_w"))
+    p_raw = F.lit(float(_PPS_TARGET)) * F.col("wgt") / F.col("total_w")
+    p = F.when(p_raw < 1.0, p_raw).otherwise(F.lit(1.0))
+    return (
+        d.withColumn("u", u)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p", p)
+        .filter(F.col("u") < F.col("p"))
+        .select("doc_id", "lang", "wgt", "u", "p")
+    )
