@@ -196,6 +196,10 @@ def ivf_topk(
     vec = F.col(vec_col).cast("array<double>")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("cv"))
     featurized = c.withColumn("features", array_to_vector("cv"))
+    # KMeans cannot fit fewer points than clusters; a corpus smaller than
+    # n_lists doesn't need an index at all — brute force IS exact there.
+    if len(featurized.take(n_lists)) < n_lists:
+        return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(featurized)
     assigned = model.transform(featurized).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
@@ -262,7 +266,10 @@ def gemm_topk(
     """
     import pandas as pd
 
+    out_schema = f"{query_id_col} bigint, neighbor_id bigint, cosine_sim double, rank int"
     qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -58,18 +58,52 @@ def _v2_parquet(spark: SparkSession):
             spark.conf.set(_AGG_PUSH_KEY, prev_push)
 
 
+def _footer_stats_usable(path: str, cols: list[str]) -> bool:
+    """Pushdown pre-flight: Spark's footer-stats scan RAISES mid-query
+    ("No min/max found") on a file whose row groups lack statistics — or
+    has none at all (an empty table).  One pyarrow footer sweep decides
+    whether the fast path is safe; on any doubt the caller takes the
+    plain-scan fallback, which is correct at any input."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        saw_group = False
+        for f in files:
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for g in range(md.num_row_groups):
+                saw_group = True
+                for c in cols:
+                    st = md.row_group(g).column(names.index(c)).statistics
+                    if st is None or not st.has_min_max:
+                        return False
+        return saw_group
+    except Exception:
+        return False
+
+
 def table_stats(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
     """One-row DataFrame of (n_rows, min_<c>, max_<c> per requested col),
-    computed from parquet footer statistics — a metadata-only query."""
+    computed from parquet footer statistics — a metadata-only query.
+    Falls back to a plain scan when footers carry no usable stats (empty
+    table, statless writer) — correct-if-slower, same contract."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    if not _footer_stats_usable(path, cols):
+        return spark.read.parquet(path).agg(*aggs)
     with _v2_parquet(spark):
-        df = spark.read.parquet(path)
-        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-        for c in cols:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        out = df.agg(*aggs)
+        out = spark.read.parquet(path).agg(*aggs)
         # Materialize the physical plan while the v2/pushdown confs are
         # live: QueryExecution phases are lazy, and V2ScanRelationPushDown
         # consults the conf at optimization time — planned after restore,
