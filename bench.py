@@ -177,6 +177,60 @@ def _scaled_copy(src_dir: str, factor: int) -> str | None:
         return None
 
 
+def _bucket_block(spark, scaled_dir: str) -> dict | None:
+    """Quantify the pay-the-shuffle-once layout: the orders x lineitem join
+    timed against plain parquet (both sides shuffle) vs pre-bucketed tables
+    (zero join-input exchanges, plan-asserted).  The bucketed write cost is
+    reported too — that's the amortized price, paid once per layout, not
+    per query."""
+    try:
+        from pyspark.sql import functions as F
+
+        from bigquack_spark.sinks.partitioned import save_bucketed
+
+        for tbl in ("bench_b_orders", "bench_b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        orders = spark.read.parquet(os.path.join(scaled_dir, "orders.parquet"))
+        lineitem = spark.read.parquet(os.path.join(scaled_dir, "lineitem.parquet"))
+        t0 = time.monotonic()
+        save_bucketed(orders, "bench_b_orders", ["o_orderkey"], num_buckets=16)
+        save_bucketed(lineitem, "bench_b_lineitem", ["l_orderkey"], num_buckets=16)
+        write_s = round(time.monotonic() - t0, 4)
+
+        def join_agg(l, o):
+            return (
+                l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.sum("l_extendedprice").alias("rev"))
+            )
+
+        def timed(df):
+            df.write.mode("overwrite").format("noop").save()
+            samples = []
+            for _ in range(WARM_RUNS):
+                s = time.monotonic()
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.monotonic() - s)
+            return round(statistics.median(samples), 4)
+
+        plain = join_agg(lineitem, orders)
+        bucketed = join_agg(spark.table("bench_b_lineitem"), spark.table("bench_b_orders"))
+        bplan = bucketed._jdf.queryExecution().executedPlan().toString()
+        join_input_exchange_free = "Exchange hashpartitioning(l_orderkey" not in bplan
+        result = {
+            "note": "orders x lineitem join+agg at the crossover scale: plain parquet (both sides shuffle) vs pre-bucketed tables (join-input exchanges eliminated); bucketed_write_sec is the once-per-layout amortized cost",
+            "plain_sec": timed(plain),
+            "bucketed_sec": timed(bucketed),
+            "bucketed_write_sec": write_s,
+            "join_input_exchange_free": bool(join_input_exchange_free),
+        }
+        for tbl in ("bench_b_orders", "bench_b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return result
+    except Exception:
+        return None
+
+
 def _sf_label(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -233,7 +287,12 @@ def run_duckdb(sf_dir: str = SF_DIR, names: list[str] = HEADLINE) -> dict[str, f
 
 def main() -> None:
     cpus = default_parallelism()
-    spark = get_spark(app_name="bigquack-spark-bench", master=f"local[{cpus}]")
+    spark = get_spark(
+        app_name="bigquack-spark-bench",
+        master=f"local[{cpus}]",
+        # managed (bucketed) bench tables land in /tmp, never the repo
+        warehouse_dir="/tmp/spark_graft_wh",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # AQE stays ON in session.tune() for real deployments (skew splitting,
     # runtime coalescing only pay off with real multi-file data); at the
@@ -269,8 +328,10 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
             xo_spark = run_spark(spark, CROSSOVER, scaled_dir)
+            buckets = _bucket_block(spark, scaled_dir)
         else:
             xo_spark = {}
+            buckets = None
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -309,6 +370,7 @@ def main() -> None:
                     },
                     # ratio at 1x (multifile tier) vs at factor-x: the
                     # amortization trend of Spark's fixed per-query floor.
+                    "bucketed_join": buckets,
                     "ratio_trend_1x_to_Nx": {
                         n: [
                             round(mf_spark[n] / mf_duck[n], 2)

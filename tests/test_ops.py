@@ -729,3 +729,23 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ):
         rows = QUERIES[name].fn(spark, empty).collect()
         assert rows is not None  # no crash; content checked by oracles elsewhere
+
+
+def test_text_family_survives_unicode(spark):
+    """CJK (no whitespace -> single giant token), emoji, RTL, combining
+    accents: the text operators must not crash and must stay deterministic;
+    short/unsegmented docs degrade to empty shingle sets by design."""
+    rows = [
+        (1, "大規模言語モデルの訓練データ"),
+        (2, "café naïve résumé — \U0001f680\U0001f60a שלום"),
+        (3, "a\u0301\u0302 combining marks everywhere ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, X.token_stats(df).collect()))
+    assert a == sorted(map(tuple, X.token_stats(df).collect()))
+    X.quality_signals(df).collect()
+    X.lang_id(df).collect()
+    sh1 = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    sh2 = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    assert sh1 == sh2
+    X.compression_ratio(df).collect()
