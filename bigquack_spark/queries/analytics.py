@@ -1,0 +1,116 @@
+"""Statistical analytics over the TPC-H-ish tables: regression and
+co-occurrence — the shapes a data team reaches for right after GROUP BY.
+
+Both follow the exact-integer-lattice discipline proved out by q87: any
+statistic that can be assembled from integer power sums is computed that
+way in BOTH engines, so IEEE results agree bitwise and the driver's hash
+compare holds (native regr_* aggregates would drift in the last ulp
+across engines — same trap as stddev was).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+
+@query(
+    "q126_brand_price_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(year(l.l_shipdate) * 12 + (month(l.l_shipdate) - 1) AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month,
+           (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    WHERE n * sxx - sx * sx != 0
+    """,
+)
+def q126_brand_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS price trend: slope/intercept of extended price (cents)
+    against ship month, assembled from exact BIGINT power sums
+    (n, Σx, Σy, Σx², Σxy) so both engines divide the same integers —
+    native regr_slope/regr_intercept would drift in the last ulp (the q87
+    stddev lesson).  One join (part side broadcast) + one aggregation
+    shuffle; the power sums are algebraic, so map-side partials carry the
+    whole reduction at any scale."""
+    l = t(spark, sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    x = (F.year("l_shipdate") * 12 + (F.month("l_shipdate") - 1)).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    pts = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    s = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = numer.cast("double") / denom.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.filter(denom != 0).select(
+        "p_brand",
+        "n",
+        slope.alias("slope_cents_per_month"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+_BASKET_TOP_K = 50
+
+
+@query(
+    "q127_part_cooccurrence",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_BASKET_TOP_K}
+    """,
+)
+def q127_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{K} part pairs appearing in the
+    same order.  The self-join is keyed on l_orderkey, so pairwise work is
+    bounded by lines-per-order squared (~7² in TPC-H — a per-group
+    constant), never the table cross product; one shuffle for the join,
+    one for the pair count, TakeOrderedAndProject for the top-k.  The
+    association-mining primitive (frequent itemsets at k=2)."""
+    l = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(_BASKET_TOP_K)
+    )
