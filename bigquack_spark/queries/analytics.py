@@ -114,3 +114,48 @@ def q127_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(_BASKET_TOP_K)
     )
+
+
+@query(
+    "q128_lang_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tk
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, tk, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY lang, tk
+    ),
+    tot AS (SELECT lang, sum(n) AS total FROM freq GROUP BY lang)
+    SELECT freq.lang,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(-sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)), 6)
+             AS token_entropy_nats
+    FROM freq JOIN tot ON freq.lang = tot.lang
+    GROUP BY freq.lang
+    """,
+)
+def q128_lang_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per language — the corpus
+    diversity metric curation pipelines track (low entropy = boilerplate /
+    template collapse; complements the per-doc repetition gates q101/q108
+    with a corpus-level view).  Two shuffles: token frequency, then the
+    per-lang reduction (totals ride the same frequency frame).  ln() is
+    libm-backed in both engines; the result is rounded to 6 digits inside
+    the query, well below any last-ulp divergence, so values — not
+    rankings — carry the comparison (cf. q125's rationale for avoiding
+    transcendentals where SELECTION depends on them)."""
+    d = t(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
+    freq = tok.groupBy("lang", "tk").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        freq.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy_nats"),
+        )
+    )
