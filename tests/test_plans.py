@@ -282,6 +282,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q119_key_skew",  # broadcast 1-row totals aggregate
         "q71_dormant_rich_customers",  # broadcast scalar-subquery threshold
         "q82_nation_value_share",  # broadcast scalar total
+        "q125_pps_weighted_sample",  # broadcast 1-row total-weight aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
