@@ -657,3 +657,113 @@ def two_star_components(
             F.least(F.col("node"), F.col("mn")).alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------- chunk-level dedup ----
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into non-overlapping
+    ``chunk_tokens``-token chunks, keep only the globally FIRST occurrence
+    of each distinct chunk (ordered by (id, chunk position)), and report the
+    per-document survival stats plus a fingerprint of the deduplicated
+    text.  This is the paragraph-dedup pass of a Dolma/RefinedWeb-style
+    pipeline (the corpus has no newline structure, so fixed token windows
+    stand in for paragraphs) and the scalable approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") at stride == window.
+
+    100 TB shape: the chunk explode is linear fan-out (~n_tokens/K rows per
+    doc); the keep-first decision is ``groupBy(chunk_hash).agg(min(...))``
+    — partial aggregation collapses each map partition's repeats BEFORE the
+    shuffle, so a boilerplate chunk repeated a billion times contributes
+    one row per partition, not a skewed reduce group (the window-function
+    formulation would hot-spot; the aggregate one cannot).  The join back
+    is on the 32-hex chunk hash, and reassembly is one shuffle on the doc
+    id.  No driver state, no cross product.
+
+    Returns one row per document: ``(id, n_chunks, n_kept, dedup_fingerprint)``
+    where the fingerprint is md5 of the kept chunks joined in position
+    order ('' when everything was dropped).
+    """
+    toks = F.split(F.lower(text_col), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks)), F.lit(chunk_tokens))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    hashed = ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("chunk"),
+        F.md5("chunk").alias("__h"),
+    )
+    # Skew-safe keep-first: min(struct(id, pos)) per chunk hash.
+    first = hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("chunk_idx").alias("p"))).alias("__m")
+    )
+    flagged = hashed.join(first, "__h").withColumn(
+        "__is_first",
+        (F.col(id_col) == F.col("__m.i")) & (F.col("chunk_idx") == F.col("__m.p")),
+    )
+    kept_struct = F.when(
+        F.col("__is_first"), F.struct(F.col("chunk_idx").alias("p"), F.col("chunk").alias("c"))
+    )  # otherwise NULL -> collect_list drops it
+    return (
+        flagged.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("__is_first").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda s: s.getField("c")
+                    ),
+                    " ",
+                )
+            ).alias("dedup_fingerprint"),
+        )
+    )
+
+
+# ------------------------------------------------------ incremental dedup ----
+def incremental_dedup(
+    incoming: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Continuous-ingestion dedup: classify each ``incoming`` row against a
+    historical corpus snapshot by content fingerprint.  Status per row:
+
+    - ``dup_of_history`` — fingerprint already present in ``history``;
+    - ``dup_in_batch``   — novel vs history, but another incoming row with
+      a smaller id carries the same fingerprint;
+    - ``novel``          — first sighting anywhere.
+
+    The ``novel`` subset is what gets appended to the corpus, so repeated
+    ingestion runs converge (idempotent pipeline).
+
+    100 TB shape: ``history`` is reduced to DISTINCT fingerprints before
+    the join (16-byte keys, not documents), the membership test is a LEFT
+    SEMI-shaped join on that key (Spark injects a runtime bloom/IN filter
+    under AQE so most history partitions never reach the probe), and the
+    in-batch keep-first is the same partial-aggregating min-per-group as
+    :func:`chunk_dedup` — no window hot-spot on a viral duplicate.
+    """
+    hist_keys = history.select(F.col(fingerprint_col)).distinct()
+    batch_min = incoming.groupBy(fingerprint_col).agg(F.min(id_col).alias("__batch_min"))
+    marked = (
+        incoming.join(
+            hist_keys.withColumn("__in_hist", F.lit(True)), fingerprint_col, "left"
+        )
+        .join(batch_min, fingerprint_col)
+        .withColumn(
+            "status",
+            F.when(F.col("__in_hist"), F.lit("dup_of_history"))
+            .when(F.col(id_col) == F.col("__batch_min"), F.lit("novel"))
+            .otherwise(F.lit("dup_in_batch")),
+        )
+    )
+    return marked.drop("__in_hist", "__batch_min")

@@ -170,3 +170,37 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def nfc_canonicalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "canon_text",
+) -> DataFrame:
+    """Unicode NFC canonicalization — the normalization pass that must run
+    BEFORE any hash-based dedup on real web text: composed ``é`` (U+00E9)
+    and decomposed ``e`` + U+0301 are byte-different but canonically equal,
+    so un-normalized fingerprints silently miss duplicates.
+
+    Spark has no built-in Unicode-normalize expression, so this is an
+    Arrow-batched ``mapInPandas`` kernel over ``unicodedata.normalize`` —
+    whole column batches cross the boundary once, the per-document work is
+    C-speed (CPython's unicodedata is a C module), and NFC is defined by
+    the Unicode standard, so the output is engine-portable: DuckDB's
+    ``nfc_normalize`` produces identical bytes (the q131 oracle relies on
+    exactly that).  Pure per-row projection — zero shuffle, scales with
+    the scan."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} string"
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize("NFC", t) if isinstance(t, str) else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

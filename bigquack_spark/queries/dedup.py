@@ -418,3 +418,102 @@ def q117_ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_Q117_THRESHOLD,
         bits=_SIMHASH_BITS,
     )
+
+
+CHUNK_DEDUP_TOKENS = 16
+
+
+@query(
+    "q129_chunk_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((start - 1) // {CHUNK_DEDUP_TOKENS} AS INTEGER) AS chunk_idx,
+             array_to_string(toks[start : start + {CHUNK_DEDUP_TOKENS} - 1], ' ') AS chunk
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_DEDUP_TOKENS})) AS start
+        FROM tk
+      )
+    ),
+    fl AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1
+               AS is_first
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CAST(is_first AS INTEGER)) AS BIGINT) AS n_kept,
+           md5(coalesce(
+             string_agg(CASE WHEN is_first THEN chunk END, ' ' ORDER BY chunk_idx), ''
+           )) AS dedup_fingerprint
+    FROM fl
+    GROUP BY doc_id
+    """,
+)
+def q129_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup with document reassembly —
+    the paragraph-dedup pass of a Dolma/RefinedWeb pipeline over a corpus
+    without newline structure: non-overlapping 16-token chunks, global
+    keep-first by (doc_id, position), per-doc survival stats + md5 of the
+    reassembled text.  The keep-first is an AGGREGATE (min(struct)) with
+    map-side partial collapse, not a window — a boilerplate chunk repeated
+    a billion times shuffles one row per map partition instead of
+    hot-spotting one reducer.  The oracle replays the identical chunking
+    and keep-first order, so even the reassembled-text fingerprints must
+    agree byte-for-byte."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    return D.chunk_dedup(d, chunk_tokens=CHUNK_DEDUP_TOKENS)
+
+
+INCR_SALT = "incr_v1"
+
+
+@query(
+    "q130_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+             CAST('0x' || substr(md5('{INCR_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 10 AS bkt
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE bkt < 8),
+    inc AS (SELECT doc_id, fingerprint FROM fp WHERE bkt >= 8),
+    bm AS (SELECT fingerprint, min(doc_id) AS batch_min FROM inc GROUP BY fingerprint)
+    SELECT i.doc_id, i.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                WHEN i.doc_id = bm.batch_min THEN 'novel'
+                ELSE 'dup_in_batch' END AS status
+    FROM inc i
+    LEFT JOIN hist h USING (fingerprint)
+    JOIN bm USING (fingerprint)
+    """,
+)
+def q130_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: classify an incoming batch (a
+    deterministic 20% md5-bucket slice standing in for today's crawl)
+    against the historical corpus snapshot (the other 80%) by normalized
+    content fingerprint — dup_of_history / dup_in_batch / novel.  The
+    history side shrinks to DISTINCT 32-hex fingerprints before the join
+    (keys, never documents, cross the wire) and the in-batch keep-first is
+    a partial-aggregating min per fingerprint; at 100 TB AQE's runtime
+    bloom filter prunes history partitions on the probe side.  The novel
+    subset is the idempotent append set, ported from the reference's
+    create-or-append ingest contract (duck.go:214-252) to content-level
+    identity."""
+    from bigquack_spark.operators import text as X
+    from bigquack_spark.operators.corpus import _hash_bucket
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    fp = X.fingerprint(d).select(
+        "doc_id", "fingerprint", _hash_bucket(F.col("doc_id"), INCR_SALT, 10).alias("bkt")
+    )
+    history = fp.filter(F.col("bkt") < 8).select("fingerprint")
+    incoming = fp.filter(F.col("bkt") >= 8).select("doc_id", "fingerprint")
+    return D.incremental_dedup(incoming, history).select("doc_id", "fingerprint", "status")

@@ -526,3 +526,36 @@ def q120_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("distinct_ratio") >= 0.25)
     )
     return m.withColumn("keep", keep)
+
+
+@query(
+    "q131_nfc_canonical_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))
+             AS canon_fingerprint,
+           (nfc_normalize(text) = text) AS was_canonical
+    FROM documents
+    """,
+)
+def q131_nfc_canonical_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical fingerprinting: NFC-normalize BEFORE hashing so
+    composed and decomposed forms of the same text dedup together (the q53
+    fingerprint misses them).  The NFC pass is an Arrow-batched mapInPandas
+    kernel (Spark has no normalize expression; unicodedata is C-speed);
+    the oracle recomputes with DuckDB's nfc_normalize — the Unicode
+    standard defines one NFC, so the kernel's bytes and DuckDB's bytes must
+    agree, which makes even this Python kernel oracle-diffable (same
+    pattern as q60's digest codec).  tests/test_ops.py exercises genuinely
+    non-ASCII composed/decomposed pairs; the synthetic corpus itself is
+    ASCII (was_canonical all true), so the driver check pins the plumbing
+    while the pytest pins the normalization semantics."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    canon = X.nfc_canonicalize(d, "text", "canon_text")
+    return canon.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("canon_text"), r"\s+", " "))
+        ).alias("canon_fingerprint"),
+        (F.col("canon_text") == F.col("text")).alias("was_canonical"),
+    )

@@ -749,3 +749,103 @@ def test_text_family_survives_unicode(spark):
     sh2 = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
     assert sh1 == sh2
     X.compression_ratio(df).collect()
+
+
+# ------------------------------------------------------- chunk-level dedup ----
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    """Two docs sharing an identical 16-token chunk: the earlier (doc_id,
+    position) occurrence survives, the later one is dropped; unique chunks
+    all survive."""
+    shared = " ".join(f"tok{i}" for i in range(16))  # exactly one chunk
+    uniq_a = " ".join(f"aaa{i}" for i in range(16))
+    uniq_b = " ".join(f"bbb{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, shared + " " + uniq_a), (2, uniq_b + " " + shared)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in D.chunk_dedup(df, chunk_tokens=16).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2  # doc 1 keeps both
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1  # shared chunk dropped
+    import hashlib
+
+    assert out[2]["dedup_fingerprint"] == hashlib.md5(uniq_b.encode()).hexdigest()
+
+
+def test_chunk_dedup_all_dropped_doc_gets_empty_fingerprint(spark):
+    """A doc that is entirely duplicate chunks reassembles to '' (md5 of
+    the empty string), not NULL — the oracle coalesces to match."""
+    shared = " ".join(f"tok{i}" for i in range(16))
+    df = spark.createDataFrame([(1, shared), (2, shared)], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.chunk_dedup(df, chunk_tokens=16).collect()}
+    import hashlib
+
+    assert out[2]["n_kept"] == 0
+    assert out[2]["dedup_fingerprint"] == hashlib.md5(b"").hexdigest()
+
+
+# ------------------------------------------------------ incremental dedup ----
+def test_incremental_dedup_statuses(spark):
+    history = spark.createDataFrame([("h1",), ("h2",)], "fingerprint string")
+    incoming = spark.createDataFrame(
+        [
+            (100, "h1"),  # dup of history
+            (101, "n1"),  # novel
+            (102, "n2"),  # novel, first of an in-batch pair
+            (103, "n2"),  # dup in batch
+        ],
+        "doc_id bigint, fingerprint string",
+    )
+    out = {r["doc_id"]: r["status"] for r in D.incremental_dedup(incoming, history).collect()}
+    assert out == {
+        100: "dup_of_history",
+        101: "novel",
+        102: "novel",
+        103: "dup_in_batch",
+    }
+
+
+def test_incremental_dedup_idempotent(spark):
+    """Appending the novel set to history and re-running the same batch
+    classifies every row dup_of_history — the convergence property that
+    makes repeated ingestion runs safe."""
+    history = spark.createDataFrame([("h1",)], "fingerprint string")
+    incoming = spark.createDataFrame(
+        [(1, "n1"), (2, "n1"), (3, "h1")], "doc_id bigint, fingerprint string"
+    )
+    first = D.incremental_dedup(incoming, history)
+    novel = first.filter(F.col("status") == "novel").select("fingerprint")
+    grown = history.union(novel)
+    second = D.incremental_dedup(incoming, grown)
+    assert second.filter(F.col("status") != "dup_of_history").count() == 0
+
+
+# ------------------------------------------------------ NFC normalization ----
+def test_nfc_kernel_matches_duckdb(spark, duck):
+    """The mapInPandas NFC kernel and DuckDB's nfc_normalize must emit
+    identical bytes on genuinely non-ASCII composed/decomposed pairs —
+    the property the q131 oracle relies on."""
+    samples = [
+        "cafe\u0301",        # e + combining acute (decomposed)
+        "\u00e9clair",        # precomposed e-acute
+        "A\u030angstro\u0308m",  # combining ring / diaeresis (decomposed)
+        "\u1e69",             # s with dot below + dot above (composed)
+        "s\u0323\u0307",     # same, fully decomposed
+        "plain ascii text",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, text string")
+    got = {r["i"]: r["canon_text"] for r in X.nfc_canonicalize(df).collect()}
+    for i, s in enumerate(samples):
+        (expected,) = duck.execute("SELECT nfc_normalize(?)", [s]).fetchone()
+        assert got[i] == expected, f"sample {i}: {got[i]!r} != {expected!r}"
+
+
+def test_nfc_composed_and_decomposed_fingerprint_together(spark):
+    """The end-to-end property: byte-different, canonically-equal docs get
+    the SAME canonical fingerprint (q53's raw fingerprint splits them)."""
+    df = spark.createDataFrame(
+        [(1, "caf\u00e9 menu"), (2, "cafe\u0301 menu")], "doc_id bigint, text string"
+    )
+    canon = X.nfc_canonicalize(df)
+    fps = canon.select(F.md5("canon_text").alias("fp")).distinct().count()
+    raw_fps = df.select(F.md5("text").alias("fp")).distinct().count()
+    assert fps == 1 and raw_fps == 2
