@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigquack_spark.operators import corpus as C
+from bigquack_spark.operators.corpus import _hash_bucket
 from bigquack_spark.queries.registry import query
 from bigquack_spark.sources.parquet import load_table as t
 
@@ -342,3 +343,84 @@ def q115_sliced_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hash_bucket_pack(key):
     h = F.md5(F.concat(F.lit(_PACK_SALT + "|"), key.cast("string")))
     return F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % _PACK_SLICES
+
+
+_BATCH_TOKEN_BUDGET = 512
+_LEN_BAND = 16          # tokens per length band
+_BATCH_SUBSLICES = 8    # hash sub-slices inside each band (bounds window partitions)
+_BATCH_SALT = "lenbatch_v1"
+
+
+@query(
+    "q132_length_bucketed_batching",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok,
+             CAST('0x' || substr(md5('{_BATCH_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % {_BATCH_SUBSLICES} AS sub
+      FROM documents
+    ),
+    sliced AS (
+      SELECT doc_id, n_tok,
+             n_tok // {_LEN_BAND} AS len_bucket,
+             (n_tok // {_LEN_BAND}) * {_BATCH_SUBSLICES} + sub AS slc
+      FROM sized
+    ),
+    packed AS (
+      SELECT len_bucket, slc, n_tok,
+             CAST((sum(n_tok) OVER (PARTITION BY slc ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  // {_BATCH_TOKEN_BUDGET} AS BIGINT) AS local_batch
+      FROM sliced
+    )
+    SELECT CAST(slc AS VARCHAR) || '-' || CAST(local_batch AS VARCHAR) AS batch_id,
+           CAST(min(len_bucket) AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS actual_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE), 6)
+             AS padding_waste
+    FROM packed GROUP BY 1
+    """,
+)
+def q132_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency op of a
+    training dataloader: documents band into {LEN_BAND}-token length
+    buckets so each batch packs near-homogeneous lengths, then next-fit
+    token-budget packing runs per (band x md5 sub-slice) via
+    operators/corpus.pack_shards.  Per batch: actual vs padded token counts
+    (n_docs x max_len) and the padding-waste ratio — the number a pipeline
+    owner watches to justify bucketing at all.  The sub-slice keeps every
+    window partition bounded (a band holds a constant fraction of a 100 TB
+    corpus; band x 8 hash slices is still unbounded in theory but each
+    slice packs independently, so num_slices scales with the cluster, not
+    the data — same contract as q115).  Waste ratio divides exact BIGINTs,
+    so the doubles agree bitwise cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    sliced = sized.withColumns(
+        {
+            "len_bucket": (F.col("n_tok") / _LEN_BAND).cast("bigint"),
+            "slc": (
+                (F.col("n_tok") / _LEN_BAND).cast("bigint") * _BATCH_SUBSLICES
+                + _hash_bucket(F.col("doc_id"), _BATCH_SALT, _BATCH_SUBSLICES)
+            ),
+        }
+    )
+    packed = C.pack_shards(sliced, "n_tok", budget=_BATCH_TOKEN_BUDGET, slice_col="slc")
+    return packed.groupBy(F.col("shard").alias("batch_id")).agg(
+        F.min("len_bucket").cast("bigint").alias("len_bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("actual_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            1.0 - F.sum("n_tok").cast("double") / (F.count(F.lit(1)) * F.max("n_tok")).cast("double"),
+            6,
+        ).alias("padding_waste"),
+    )

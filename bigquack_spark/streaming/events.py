@@ -230,3 +230,32 @@ def enrich_stream(
     if how not in ("inner", "left"):
         raise ValueError("stream-static joins are stateless: inner/left only")
     return events.join(F.broadcast(dim), on, how)
+
+
+def dedup_against_history(
+    stream: DataFrame,
+    history: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_dedup``: continuous
+    ingestion where documents arrive as a stream and must be dropped if
+    (a) their fingerprint already exists in the historical corpus snapshot,
+    or (b) another copy already arrived earlier in the stream.
+
+    (a) is a stream-static LEFT ANTI join — stateless, the static side
+    re-resolves per micro-batch, so a growing history is picked up without
+    restarts (the same broadcast-dim mechanics as :func:`enrich_stream`).
+    (b) is ``dropDuplicatesWithinWatermark`` on the fingerprint — state
+    bounded by the watermark horizon, the only sound bound for an unbounded
+    stream (an exact forever-dedup needs the batch pass: q130).  Output is
+    exactly the stream's ``novel`` rows, so
+    stream(dedup_against_history) == batch(incremental_dedup == 'novel'
+    within one watermark window) — asserted by the parity test."""
+    novel_vs_history = stream.join(
+        history.select(fingerprint_col).distinct(), fingerprint_col, "left_anti"
+    )
+    return novel_vs_history.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [fingerprint_col]
+    )

@@ -340,3 +340,42 @@ def test_stream_static_enrichment_matches_batch(spark):
         .join(dim, "user_id", "left")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_against_history_matches_batch(spark):
+    """Streaming continuous-ingestion dedup == the batch incremental_dedup
+    'novel' set: fingerprints already in the static history are anti-joined
+    away per micro-batch, in-stream repeats are dropped by watermark-bounded
+    state.  Watermark is set past the bounded fixture's span, so the stream
+    dedups globally and the parity is exact."""
+    from bigquack_spark.operators.dedup import incremental_dedup
+    from bigquack_spark.sources.parquet import load_table
+    from bigquack_spark.streaming.events import dedup_against_history, read_events_stream
+
+    fp = F.md5((F.col("user_id") % 50).cast("string")).alias("fingerprint")
+    history = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.md5((F.col("user_id") % 50).cast("string")).alias("fingerprint"))
+        .filter(F.col("user_id") % 50 < 10)
+        .distinct()
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "ts", fp)
+    got = run_available_now(
+        dedup_against_history(stream, history, watermark="30 days"),
+        "dedup_hist_test",
+        output_mode="append",
+    )
+    got_fps = {r.fingerprint for r in got.collect()}
+
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        F.col("event_id").alias("doc_id"), fp
+    )
+    novel = (
+        incremental_dedup(batch, history, id_col="doc_id")
+        .filter(F.col("status") == "novel")
+    )
+    want_fps = {r.fingerprint for r in novel.collect()}
+    assert got_fps == want_fps and len(got_fps) > 0
+    # exactly one surviving row per novel fingerprint
+    assert got.count() == len(got_fps)
