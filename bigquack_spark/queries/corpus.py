@@ -424,3 +424,77 @@ def q132_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("padding_waste"),
     )
+
+
+@query(
+    "q133_corpus_materialization",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+             CAST('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    ),
+    q AS (
+      SELECT *,
+             (n_tokens >= 5 AND alpha_ratio > 0.5 AND stopword_ratio < 0.9) AS quality_pass
+      FROM sig
+    ),
+    keeper AS (
+      SELECT fingerprint, min(doc_id) AS keeper_id
+      FROM q WHERE quality_pass
+      GROUP BY fingerprint
+    )
+    SELECT q.doc_id,
+           CASE WHEN NOT q.quality_pass THEN 'drop_quality'
+                WHEN q.doc_id <> k.keeper_id THEN 'drop_duplicate'
+                ELSE 'keep' END AS status,
+           CASE WHEN q.quality_pass AND q.doc_id = k.keeper_id THEN
+             CASE WHEN q.b < 80 THEN 'train' WHEN q.b < 90 THEN 'val' ELSE 'test' END
+           END AS split,
+           q.n_tokens
+    FROM q LEFT JOIN keeper k USING (fingerprint)
+    """,
+)
+def q133_corpus_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus front door in ONE declarative DAG —
+    quality gate (q51 signals) -> exact dedup keep-first among the
+    survivors (q30 shape, aggregate+join-back so no window hot-spot) ->
+    deterministic split assignment (q83 buckets) — emitting an auditable
+    per-document verdict: keep + split, drop_quality, or drop_duplicate.
+    This is the materialization pass a pipeline runs nightly; everything
+    before the single fingerprint shuffle is a projection riding the scan,
+    and the keeper table joins back on the 16-byte hash.  Dedup considers
+    only quality-passing docs (a spam doc must not shadow a clean
+    duplicate), which is why the gate runs first."""
+    from bigquack_spark.operators import text as X
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    sig = X.quality_signals(X.fingerprint(d)).withColumn(
+        "b", _hash_bucket(F.col("doc_id"), "split-v1", 100)
+    )
+    keeper = (
+        sig.filter(F.col("quality_pass"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    out = sig.join(keeper, "fingerprint", "left")
+    status = (
+        F.when(~F.col("quality_pass"), F.lit("drop_quality"))
+        .when(F.col("doc_id") != F.col("keeper_id"), F.lit("drop_duplicate"))
+        .otherwise(F.lit("keep"))
+    )
+    split = F.when(
+        F.col("quality_pass") & (F.col("doc_id") == F.col("keeper_id")),
+        F.when(F.col("b") < 80, "train").when(F.col("b") < 90, "val").otherwise("test"),
+    )
+    return out.select(
+        "doc_id", status.alias("status"), split.alias("split"), "n_tokens"
+    )
