@@ -292,3 +292,35 @@ def test_no_accidental_cartesian_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_q129_chunk_dedup_aggregate_not_window(spark):
+    """The keep-first decision must be the partial-aggregating min(struct)
+    — NO window operator anywhere (a window over the chunk hash would
+    hot-spot one reducer on a viral boilerplate chunk)."""
+    plan = plan_of(spark, "q129_chunk_dedup")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q130_incremental_dedup_no_window(spark):
+    """In-batch keep-first is an aggregate join-back, history membership a
+    key join: no window, no cross product, no SinglePartition."""
+    plan = plan_of(spark, "q130_incremental_dedup")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q131_nfc_zero_shuffle(spark):
+    """NFC canonicalization is a pure projection: the only exchange in the
+    plan is the explicit rebalance repartition — nothing keyed."""
+    plan = plan_of(spark, "q131_nfc_canonical_fingerprint")
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q132_batching_no_single_partition(spark):
+    """Length-bucketed packing windows partition by (band x sub-slice):
+    never a global-order SinglePartition exchange (q115 contract)."""
+    plan = plan_of(spark, "q132_length_bucketed_batching")
+    assert "SinglePartition" not in plan
