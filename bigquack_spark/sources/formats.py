@@ -20,6 +20,7 @@ edge data; the first pipeline step after them should land parquet
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigquack_spark.types import BQField, bq_schema_to_struct
@@ -118,3 +119,39 @@ def load_parquet_evolving(
     untouched.  Kept separate from the default loader because footer
     merging on a million-file table is planning overhead you opt into."""
     return spark.read.options(**options).option("mergeSchema", "true").parquet(path)
+
+
+def load_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    kind: str = "image",
+) -> DataFrame:
+    """Raw media ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content) — the on-ramp that
+    turns a directory of images/audio into the canonical media record shape
+    the multimodal operators consume (media_id, kind, payload, media_meta).
+
+    The media_id is xxhash64 of the file path: deterministic, stable across
+    re-listing, no driver-side enumeration.  At 100 TB the source
+    parallelizes by file (each file one task input); pair with
+    ``spark.sql.files.maxPartitionBytes`` for many-small-file dirs, or a
+    compaction pass (sinks/compact.py) first — the standard small-files
+    remedy.  ``glob`` filters server-side via pathGlobFilter (e.g.
+    ``*.jpg``), so non-matching files are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.to_json(
+            F.struct(
+                F.col("path"),
+                F.col("length"),
+                F.date_format("modificationTime", "yyyy-MM-dd HH:mm:ss").alias("mtime"),
+            )
+        ).alias("media_meta"),
+    )

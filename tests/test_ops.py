@@ -849,3 +849,43 @@ def test_nfc_composed_and_decomposed_fingerprint_together(spark):
     fps = canon.select(F.md5("canon_text").alias("fp")).distinct().count()
     raw_fps = df.select(F.md5("text").alias("fp")).distinct().count()
     assert fps == 1 and raw_fps == 2
+
+
+def test_nfc_kernel_fuzz_vs_duckdb(spark, duck):
+    """Seeded fuzz over arbitrary BMP code points (letters, combining
+    marks, symbols, CJK, hangul jamo): one batch through the kernel, every
+    row compared against DuckDB's nfc_normalize.  Catches Unicode-table
+    skew between CPython's unicodedata and DuckDB's utf8proc on the ranges
+    real corpora hit."""
+    import random
+
+    rng = random.Random(20260814)
+    pools = [
+        (0x0041, 0x024F),   # latin + extended
+        (0x0300, 0x036F),   # combining diacriticals
+        (0x0386, 0x03CE),   # greek
+        (0x0400, 0x045F),   # cyrillic
+        (0x1100, 0x1112),   # hangul jamo (compose to syllables)
+        (0x1161, 0x1175),
+        (0x4E00, 0x4E2F),   # CJK
+        (0x0020, 0x007E),   # ascii
+    ]
+    def rand_text():
+        n = rng.randint(1, 24)
+        cps = []
+        for _ in range(n):
+            lo, hi = pools[rng.randrange(len(pools))]
+            cps.append(chr(rng.randint(lo, hi)))
+        return "".join(cps)
+
+    samples = [rand_text() for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, text string"
+    )
+    got = {r["i"]: r["canon_text"] for r in X.nfc_canonicalize(df).collect()}
+    mism = []
+    for i, s in enumerate(samples):
+        (want,) = duck.execute("SELECT nfc_normalize(?)", [s]).fetchone()
+        if got[i] != want:
+            mism.append((i, s, got[i], want))
+    assert not mism, mism[:3]

@@ -178,3 +178,28 @@ def test_transfer_incremental_appends_only_new_rows(spark, tmp_path):
     assert transfer_incremental(spark, src, "inc", t, watermark_col="wm") == 1
     assert sorted(r.k for r in spark.table(t).collect()) == [1, 2, 3, 4]
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_binary_dir_source_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: a directory of raw media files becomes the
+    canonical media record shape, globbed server-side, content intact, and
+    the decode kernel runs straight off it."""
+    from bigquack_spark.operators.multimodal import decode_media
+    from bigquack_spark.sources.formats import load_binary_dir
+
+    payloads = {"a.img": b"\x89fakepng-bytes-1", "b.img": b"fakejpg-bytes-22", "skip.txt": b"nope"}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    media = load_binary_dir(spark, str(tmp_path), glob="*.img")
+    rows = media.collect()
+    assert len(rows) == 2  # .txt filtered server-side
+    assert {bytes(r.payload) for r in rows} == {payloads["a.img"], payloads["b.img"]}
+    assert len({r.media_id for r in rows}) == 2
+    import json as J
+
+    meta = J.loads(rows[0].media_meta)
+    assert set(meta) == {"path", "length", "mtime"}
+    decoded = decode_media(media)
+    assert decoded.count() == 2
+    assert {"width", "height", "format", "phash"} <= set(decoded.columns)

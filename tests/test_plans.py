@@ -324,3 +324,37 @@ def test_q132_batching_no_single_partition(spark):
     never a global-order SinglePartition exchange (q115 contract)."""
     plan = plan_of(spark, "q132_length_bucketed_batching")
     assert "SinglePartition" not in plan
+
+
+def test_planlint_flags_cartesian_and_single_partition(spark):
+    """Library plan lint: catches the cross join and the global-order
+    window; passes a clean keyed aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.planlint import assert_scales, lint_plan
+
+    a = spark.range(10).withColumnRenamed("id", "x")
+    b = spark.range(10).withColumnRenamed("id", "y")
+    codes = {c for _, c, _ in lint_plan(a.crossJoin(b))}
+    assert "cartesian" in codes or "nested_loop" in codes
+
+    w = Window.orderBy("x")
+    single = a.withColumn("rn", F.row_number().over(w))
+    assert "single_partition" in {c for _, c, _ in lint_plan(single)}
+    with pytest.raises(ValueError, match="scale lint"):
+        assert_scales(single)
+
+    clean = a.groupBy((F.col("x") % 3).alias("k")).count()
+    assert [f for f in lint_plan(clean) if f[0] == "error"] == []
+    assert_scales(clean)
+
+
+def test_planlint_flags_row_udf(spark):
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.planlint import lint_plan
+
+    slow = F.udf(lambda x: x + 1, "bigint")
+    df = spark.range(10).select(slow("id").alias("y"))
+    assert "python_row_udf" in {c for _, c, _ in lint_plan(df)}
