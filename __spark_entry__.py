@@ -38,6 +38,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query; keys
-    absent here (q34, q41, q60) are non-SQL-expressible ops the driver
-    checks rows-only."""
+    absent here (q41 seeded LSH, q42 KMeans IVF) are the two genuinely
+    non-portable ops the driver checks rows-only."""
     return Q.oracle_sql()

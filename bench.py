@@ -192,9 +192,17 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         orders = spark.read.parquet(os.path.join(scaled_dir, "orders.parquet"))
         lineitem = spark.read.parquet(os.path.join(scaled_dir, "lineitem.parquet"))
+        # the block models the 100 TB join where NEITHER side broadcasts —
+        # pin that so the plain path can't cheat with a 10x-tier broadcast
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         t0 = time.monotonic()
-        save_bucketed(orders, "bench_b_orders", ["o_orderkey"], num_buckets=16)
-        save_bucketed(lineitem, "bench_b_lineitem", ["l_orderkey"], num_buckets=16)
+        # bucket AND sort by the join key: the co-located SMJ then needs
+        # neither the exchange nor a full re-sort of either side
+        save_bucketed(orders, "bench_b_orders", ["o_orderkey"],
+                      num_buckets=32, sort_cols=["o_orderkey"])
+        save_bucketed(lineitem, "bench_b_lineitem", ["l_orderkey"],
+                      num_buckets=32, sort_cols=["l_orderkey"])
         write_s = round(time.monotonic() - t0, 4)
 
         def join_agg(l, o):
@@ -218,12 +226,13 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
         bplan = bucketed._jdf.queryExecution().executedPlan().toString()
         join_input_exchange_free = "Exchange hashpartitioning(l_orderkey" not in bplan
         result = {
-            "note": "orders x lineitem join+agg at the crossover scale: plain parquet (both sides shuffle) vs pre-bucketed tables (join-input exchanges eliminated); bucketed_write_sec is the once-per-layout amortized cost",
+            "note": "orders x lineitem join+agg at the crossover scale with broadcast disabled (the 100 TB posture: neither side fits an executor): plain parquet (both sides shuffle) vs bucketed+sorted tables (join-input exchanges eliminated); bucketed_write_sec is the once-per-layout amortized cost",
             "plain_sec": timed(plain),
             "bucketed_sec": timed(bucketed),
             "bucketed_write_sec": write_s,
             "join_input_exchange_free": bool(join_input_exchange_free),
         }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         for tbl in ("bench_b_orders", "bench_b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         return result

@@ -159,3 +159,67 @@ def q128_lang_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy_nats"),
         )
     )
+
+
+@query(
+    "q134_robust_stats",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    anchors AS (
+      SELECT l_returnflag,
+             quantile_cont(q, 0.5) AS med_qty,
+             quantile_cont(p, 0.25) AS p25,
+             quantile_cont(p, 0.75) AS p75
+      FROM base GROUP BY l_returnflag
+    )
+    SELECT b.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(a.med_qty) AS med_qty,
+           quantile_cont(abs(b.q - a.med_qty), 0.5) AS mad_qty,
+           round((any_value(a.p75) - any_value(a.p25)) / 100.0, 6) AS iqr_price,
+           CAST(count(*) FILTER (
+             WHERE b.p > a.p75 + 1.5 * (a.p75 - a.p25)
+           ) AS BIGINT) AS n_price_outliers
+    FROM base b JOIN anchors a USING (l_returnflag)
+    GROUP BY b.l_returnflag
+    """,
+)
+def q134_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per group — median, MAD (median absolute
+    deviation), IQR, and the Tukey-fence outlier count: the
+    outlier-tolerant profile that q87's moment statistics can't give (one
+    corrupt price wrecks a variance; it moves a median by at most one
+    rank).  Two aggregation passes composed declaratively: group anchors
+    (median/quartiles via exact interpolated percentile over INTEGERIZED
+    operands — the q47-proven portable kind), broadcast back (3 rows),
+    then the deviation pass.  Every comparison and interpolation runs on
+    identical integer-lattice doubles in both engines, so even the fence
+    boundary count is deterministic cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+    )
+    anchors = base.groupBy("l_returnflag").agg(
+        F.expr("percentile(q, 0.5)").alias("med_qty"),
+        F.expr("percentile(p, 0.25)").alias("p25"),
+        F.expr("percentile(p, 0.75)").alias("p75"),
+    )
+    joined = base.join(F.broadcast(anchors), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.any_value(F.col("med_qty")).alias("med_qty"),
+        F.expr("percentile(abs(q - med_qty), 0.5)").alias("mad_qty"),
+        F.round(
+            (F.any_value(F.col("p75")) - F.any_value(F.col("p25"))) / 100.0, 6
+        ).alias("iqr_price"),
+        F.sum(
+            (F.col("p") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).cast("bigint")
+        ).alias("n_price_outliers"),
+    )
