@@ -1004,3 +1004,55 @@ def q123_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_totalprice"],
         direction="forward", right_tiebreak="o_orderkey",
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q135_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+    FROM (
+      SELECT array_to_string(s[i:i+2], '>') AS path
+      FROM (SELECT s, unnest(range(1, len(s) - 1)) AS i FROM seq WHERE len(s) >= 3)
+    )
+    GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 15
+    """,
+)
+def q135_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: top 3-step event-type sequences within a
+    (user, day) session — the funnel-discovery complement to q65's fixed
+    funnel (there the steps are given; here they're mined).  One shuffle
+    builds the ordered per-session sequence (array_sort over collected
+    (ts, event_id, type) structs — a deterministic total order both
+    engines replay); the trigram expansion is a pure per-row projection;
+    the count is the second, map-side-combinable shuffle whose keys are
+    the bounded path vocabulary, not the event log.  Top-k via
+    TakeOrderedAndProject with the path string as tiebreak."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    seq = (
+        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 3)
+    )
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size("s") - 3),
+        lambda i: F.concat_ws(">", F.get(F.col("s"), i), F.get(F.col("s"), i + 1), F.get(F.col("s"), i + 2)),
+    )
+    return (
+        seq.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(15)
+    )
