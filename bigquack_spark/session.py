@@ -64,7 +64,11 @@ def pin(key: str, value: str) -> None:
 #: transient RPC errors).  Spark's unit of retry is the task, not the RPC:
 #: a failed scan/write task re-runs on another executor up to maxFailures
 #: times, with excluded (blacklisted) executors avoided.  Static confs —
-#: applied at session build, not per-query.
+#: applied at session build, not per-query.  NOTE: plain ``local[N]``
+#: masters hard-pin maxTaskFailures=1 (Spark treats local as a test rig);
+#: retries need a cluster master or ``local[N, F]`` — proven by
+#: tests/test_pipeline.py::test_task_retry_rereads_partition, which
+#: injects a first-attempt fault and observes the exactly-once replay.
 RETRY_CONFS: dict[str, str] = {
     "spark.task.maxFailures": "4",
     "spark.stage.maxConsecutiveAttempts": "4",

@@ -203,3 +203,52 @@ def test_binary_dir_source_roundtrip(spark, tmp_path):
     decoded = decode_media(media)
     assert decoded.count() == 2
     assert {"width", "height", "format", "phash"} <= set(decoded.columns)
+
+
+def test_task_retry_rereads_partition(tmp_path):
+    """SURVEY S7/S9 parity evidence: a task that fails mid-partition is
+    retried and the retry re-reads the partition from the source — results
+    are complete and exactly-once despite the injected fault (the same
+    observable contract as the reference's read-retry loop,
+    bigquery.go:35-62: transient failure, deterministic replay).
+
+    Plain ``local[N]`` pins maxTaskFailures=1 regardless of conf, so the
+    retry scheduler only exists under the ``local[N, F]`` master — this
+    test runs its own session in a subprocess to get one (documented
+    deployment note: the RETRY_CONFS block applies cluster-side)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    marker_dir = str(tmp_path / "attempts")
+    os.makedirs(marker_dir, exist_ok=True)
+    script = textwrap.dedent(f"""
+        import os
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2, 2]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .getOrCreate())
+        marker_dir = {marker_dir!r}
+        df = spark.range(0, 1000, numPartitions=4)
+        def flaky(batches):
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            marker = os.path.join(marker_dir, f"p{{ctx.partitionId()}}")
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected transient failure (first attempt)")
+            for pdf in batches:
+                yield pdf
+        rows = df.mapInPandas(flaky, "id bigint").collect()
+        assert sorted(r.id for r in rows) == list(range(1000)), "incomplete/dup rows"
+        spark.stop()
+        print("RETRY_OK")
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RETRY_OK" in proc.stdout
+    assert len(os.listdir(marker_dir)) == 4  # every partition failed once
