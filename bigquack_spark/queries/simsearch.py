@@ -148,3 +148,50 @@ def q121_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_vec",
         F.when(scale > 0, err <= scale * 0.5).otherwise(F.lit(True)).alias("err_ok"),
     )
+
+
+@query(
+    "q136_embedding_quality",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, label,
+             CAST(len(e) AS INTEGER) AS dim,
+             round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+             len(list_filter(e, x -> isnan(x))) > 0 AS has_nan
+      FROM v
+    )
+    SELECT vec_id, label, dim, l2_norm, has_nan,
+           (NOT has_nan AND dim = 64 AND l2_norm > 0.1 AND l2_norm < 10.0) AS vector_ok
+    FROM m
+    """,
+)
+def q136_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality gate — the hygiene pass that runs BEFORE any
+    ANN/near-dup consumer: per-vector dimension check, L2 norm (rounded to
+    the same 6 digits the ANN family ranks on), NaN detection, and a
+    composite vector_ok verdict (a zero or NaN vector silently poisons
+    cosine ranking; a wrong-dim vector crashes a GEMM batch mid-job at
+    3 a.m. instead of here).  Pure per-row projection over the scan — zero
+    shuffle, linear at any corpus size; the same left-to-right double fold
+    as cosine_topk, so the norms are bit-identical cross-engine before
+    rounding."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    m = e.select(
+        "vec_id",
+        "label",
+        F.size(v).cast("int").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.exists(v, lambda x: F.isnan(x)).alias("has_nan"),
+    )
+    ok = (
+        ~F.col("has_nan")
+        & (F.col("dim") == 64)
+        & (F.col("l2_norm") > 0.1)
+        & (F.col("l2_norm") < 10.0)
+    )
+    return m.withColumn("vector_ok", ok)
