@@ -179,3 +179,39 @@ def pack_shards(
     shard = F.concat_ws("-", F.col(slc).cast("string"), local.cast("string"))
     out = df.withColumn("shard", shard)
     return out.drop(slc) if derived else out
+
+
+def mixture_resample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_pct: int = 100,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-source RE-sampling supporting rates above 100%:
+    the upsampling half of the mixture knob (:func:`mixture_sample` only
+    downsamples).  ``rates_pct`` maps source -> percentage (250 = expect
+    2.5 copies of each doc).  Every doc gets ``rate // 100`` whole copies,
+    plus one more iff its md5 bucket < ``rate % 100`` — so expectation is
+    exact, assignment is per-doc deterministic (stable under reordering
+    and re-runs, the property rand() sampling lacks), and copies carry an
+    ``epoch`` index (0..n-1) so a training loader can interleave them
+    across passes instead of reading duplicates back to back.
+
+    Shape: the copy count is a projection; the fan-out is one
+    ``explode(sequence(...))`` — row growth equals the configured mixture
+    growth and nothing shuffles.  Rates <= 100 degrade to exactly
+    :func:`mixture_sample` semantics (0 or 1 copies)."""
+    pct = F.lit(default_pct)
+    for src, p in sorted(rates_pct.items()):
+        pct = F.when(F.col(source_col) == src, F.lit(p)).otherwise(pct)
+    b = _hash_bucket(F.col(id_col), salt)
+    n_copies = (pct / 100).cast("bigint") + (b < pct % 100).cast("bigint")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -498,3 +498,49 @@ def q133_corpus_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", status.alias("status"), split.alias("split"), "n_tokens"
     )
+
+
+_RESAMPLE_RATES = {"src0": 250, "src1": 100, "src2": 40}
+
+
+@query(
+    "q137_domain_upsampling",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 100
+                         WHEN 'src2' THEN 40 ELSE 100 END AS pct,
+             CAST('0x' || substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             pct // 100 + CASE WHEN b < pct % 100 THEN 1 ELSE 0 END AS n
+      FROM r
+    ),
+    expanded AS (
+      SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+      FROM c WHERE n > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(epoch) AS BIGINT) AS max_epoch
+    FROM expanded GROUP BY source
+    """,
+)
+def q137_domain_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLING half of the mixture knob (q85 only downsamples):
+    src0 at 250% (2-3 deterministic copies per doc, epoch-tagged so a
+    loader interleaves passes), src1 untouched, src2 at 40%.  Copy count
+    is a pure projection on the md5 bucket, fan-out one explode(sequence)
+    — row growth equals configured mixture growth, zero shuffle before
+    the summary.  operators/corpus.mixture_resample."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    resampled = C.mixture_resample(d, _RESAMPLE_RATES)
+    return resampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.max("epoch").cast("bigint").alias("max_epoch"),
+    )

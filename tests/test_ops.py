@@ -889,3 +889,28 @@ def test_nfc_kernel_fuzz_vs_duckdb(spark, duck):
         if got[i] != want:
             mism.append((i, s, got[i], want))
     assert not mism, mism[:3]
+
+
+def test_mixture_resample_expectation_and_determinism(spark):
+    """Upsampling semantics: every doc of a 250% source appears 2 or 3
+    times with epochs 0..n-1; the 100% source exactly once; assignment is
+    identical across repeated runs (md5, not rand)."""
+    from bigquack_spark.operators.corpus import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    out = mixture_resample(df, {"hot": 250, "cold": 100})
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for i in range(0, 200, 2):  # hot
+        assert sorted(per_doc[i]) in ([0, 1], [0, 1, 2])
+    for i in range(1, 200, 2):  # cold
+        assert per_doc[i] == [0]
+    hot_rows = sum(len(v) for k, v in per_doc.items() if k % 2 == 0)
+    assert 220 <= hot_rows <= 280  # expectation 250 of 100 docs
+    again = {(r.doc_id, r.epoch) for r in mixture_resample(df, {"hot": 250, "cold": 100}).collect()}
+    assert again == {(r.doc_id, r.epoch) for r in rows}
