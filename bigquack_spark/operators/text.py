@@ -204,3 +204,33 @@ def nfc_canonicalize(
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+#: dialect (the upstream pattern's \s+(?!\S) lookahead is dropped — RE2 has
+#: no lookahead — so runs of whitespace stay single tokens; contraction
+#: splits, leading-space word merging, and letter/number/punct runs match
+#: the upstream behavior).  Probed identical on both engines including
+#: contractions, unicode letters, and punctuation runs.
+BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-fidelity token counting: the BPE-ish pre-tokenizer regex
+    (SURVEY §2.9 'whitespace + a BPE-ish regex').  Whitespace counts
+    under-bill punctuation-heavy and contraction-heavy text against a real
+    BPE vocabulary; this pattern reproduces the GPT-2 pre-split, whose
+    token count tracks actual BPE counts far more closely — the number a
+    token-budget shard packer (pack_shards) should be fed.  Pure per-row
+    projection, zero shuffle."""
+    pieces = F.regexp_extract_all(text_col, F.lit(BPE_SPLIT), F.lit(0))
+    non_ws = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    return df.withColumns(
+        {
+            "n_bpe_tokens": F.size(non_ws).cast("bigint"),
+            "n_ws_tokens": F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint"),
+        }
+    ).withColumn(
+        "bpe_ws_ratio",
+        F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"), 6),
+    )

@@ -559,3 +559,36 @@ def q131_nfc_canonical_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("canon_fingerprint"),
         (F.col("canon_text") == F.col("text")).alias("was_canonical"),
     )
+
+
+@query(
+    "q138_bpe_token_count",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_extract_all(text, '{X.BPE_SPLIT.replace("'", "''")}'),
+               x -> regexp_matches(x, '\\S')
+             ) AS pieces,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(pieces) AS DOUBLE) / len(ws), 6) AS bpe_ws_ratio
+    FROM p
+    """,
+)
+def q138_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity token counting (SURVEY §2.9 'whitespace + a
+    BPE-ish regex'): the GPT-2-style pre-tokenizer split, counted per doc
+    alongside the whitespace count and their ratio — the correction factor
+    a token-budget packer needs on punctuation/contraction-heavy text.
+    The pattern lives in the Java-regex ∩ RE2 dialect, so the oracle
+    replays it verbatim (probed identical piece-by-piece on contractions,
+    accented letters, digit runs, punctuation runs)."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    return X.bpe_token_count(d).select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens", "bpe_ws_ratio"
+    )

@@ -914,3 +914,19 @@ def test_mixture_resample_expectation_and_determinism(spark):
     assert 220 <= hot_rows <= 280  # expectation 250 of 100 docs
     again = {(r.doc_id, r.epoch) for r in mixture_resample(df, {"hot": 250, "cold": 100}).collect()}
     assert again == {(r.doc_id, r.epoch) for r in rows}
+
+
+def test_bpe_token_count_semantics(spark):
+    """The BPE-ish pre-split bills contractions and punctuation that
+    whitespace counting misses, and never under-counts it."""
+    df = spark.createDataFrame(
+        [
+            (1, "I've got 2 cats, don't I?"),   # 10 pieces vs 6 ws tokens
+            (2, "plain words only here"),         # equal
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in X.bpe_token_count(df).collect()}
+    assert out[1].n_bpe_tokens == 10 and out[1].n_ws_tokens == 6
+    assert out[2].n_bpe_tokens == out[2].n_ws_tokens == 4
+    assert out[1].bpe_ws_ratio > 1.0
