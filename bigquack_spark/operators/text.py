@@ -234,3 +234,47 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         "bpe_ws_ratio",
         F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"), 6),
     )
+
+
+WINNOW_K = 4   # tokens per rolling k-gram
+WINNOW_W = 4   # winnowing window (guarantee: shared runs >= k+w-1 tokens share a fingerprint)
+WINNOW_BASE = 131
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin-Karp + winnowing,
+    Schleimer et al. 'Winnowing: Local Algorithms for Document
+    Fingerprinting' — the MOSS algorithm): per-token 24-bit md5 hashes,
+    polynomial rolling hash over ``WINNOW_K``-token windows (base 131,
+    exact BIGINT — 24-bit hashes x 131^3 stay under 2^46, so NO modulus
+    and both engines compute identical integers), then the minimum hash
+    of each ``WINNOW_W`` window, deduplicated.  Any shared token run of
+    length >= k+w-1 between two documents is GUARANTEED to share a
+    fingerprint (the winnowing property), while local edits only perturb
+    nearby fingerprints — the robust-to-edits triage key that whole-doc
+    hashing (q53) lacks.  Pure per-row array projection; adds columns
+    ``fps`` (array<bigint>), ``n_fps``."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("bigint")
+    )
+    k, w, b = WINNOW_K, WINNOW_W, WINNOW_BASE
+    n_roll = F.size(h) - (k - 1)  # rolling hashes available
+    roll = F.when(
+        F.size(h) >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_roll - 1),
+            lambda i: (
+                (F.get(h, i) * b + F.get(h, i + 1)) * b + F.get(h, i + 2)
+            ) * b + F.get(h, i + 3),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = F.when(
+        F.size(roll) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(roll) - w),
+            lambda i: F.array_min(F.slice(roll, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_distinct(wins)
+    return df.withColumns({"fps": fps, "n_fps": F.size(fps).cast("bigint")})

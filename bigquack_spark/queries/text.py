@@ -592,3 +592,59 @@ def q138_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_token_count(d).select(
         "doc_id", "n_bpe_tokens", "n_ws_tokens", "bpe_ws_ratio"
     )
+
+
+@query(
+    "q139_winnowing_fingerprint",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS hh
+      FROM tk
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
+               list_transform(range(1, len(hh) - 2),
+                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
+                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
+             ELSE [] END AS roll
+      FROM h
+    ),
+    wnd AS (
+      SELECT doc_id,
+             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
+               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
+             ELSE [] END AS wins
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
+    FROM wnd
+    """,
+)
+def q139_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting (SURVEY §2.9 'document fingerprinting
+    (rolling hash)'): Rabin-Karp polynomial hashes over 4-token windows,
+    winnowed to per-window minima (Schleimer et al. / MOSS) — shared runs
+    of >= 7 tokens between documents are guaranteed to share a
+    fingerprint, and local edits only perturb nearby fingerprints, unlike
+    the whole-doc hash q53.  All arithmetic is exact BIGINT (24-bit token
+    hashes, base 131, no modulus), so both engines produce identical
+    fingerprint sets and the md5 digest of the sorted set diffs
+    bit-exactly.  Zero shuffle — rides the scan."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    fp = X.winnow_fingerprints(d)
+    return fp.select(
+        "doc_id",
+        "n_fps",
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort("fps"), lambda x: x.cast("string")), ","
+            )
+        ).alias("fp_digest"),
+    )

@@ -930,3 +930,25 @@ def test_bpe_token_count_semantics(spark):
     assert out[1].n_bpe_tokens == 10 and out[1].n_ws_tokens == 6
     assert out[2].n_bpe_tokens == out[2].n_ws_tokens == 4
     assert out[1].bpe_ws_ratio > 1.0
+
+
+def test_winnowing_guarantee_and_edit_robustness(spark):
+    """The winnowing property: documents sharing a token run >= k+w-1 (=7)
+    share at least one fingerprint; a local edit elsewhere keeps the
+    shared-run fingerprint alive (whole-doc hashing q53 loses both)."""
+    shared_run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    a = "intro words here " + shared_run + " closing remarks now"
+    b = "totally different opening " + shared_run + " and another ending"
+    c = "no overlap with anything else whatsoever in this one document"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: set(r.fps) for r in X.winnow_fingerprints(df).collect()}
+    assert rows[1] & rows[2], "docs sharing a 7-token run must share a fingerprint"
+    assert not (rows[1] & rows[3]) and not (rows[2] & rows[3])
+
+
+def test_winnowing_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two three")], "doc_id bigint, text string")
+    r = X.winnow_fingerprints(df).collect()[0]
+    assert r.fps == [] and r.n_fps == 0
