@@ -517,3 +517,77 @@ def q130_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = fp.filter(F.col("bkt") < 8).select("fingerprint")
     incoming = fp.filter(F.col("bkt") >= 8).select("doc_id", "fingerprint")
     return D.incremental_dedup(incoming, history).select("doc_id", "fingerprint", "status")
+
+
+@query(
+    "q140_knn_graph",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    scored AS (
+      SELECT cand.a, cand.b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+    ),
+    sym AS (
+      SELECT a AS doc_id, b AS neighbor_id, jaccard FROM scored
+      UNION ALL
+      SELECT b, a, jaccard FROM scored
+    )
+    SELECT doc_id, neighbor_id, jaccard
+    FROM (
+      SELECT doc_id, neighbor_id, jaccard,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id
+             ) AS rk
+      FROM sym
+    )
+    WHERE rk = 1
+    """,
+)
+def q140_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor graph over the corpus (top-1 by exact unigram
+    Jaccard among LSH band-mates) — the SemDeDup-style triage primitive:
+    'for every document, its closest sibling and how close', feeding
+    curation decisions that threshold pair-lists (q36) can't express.
+    Candidate generation stays bucketed (the LSH equi-join, never
+    all-pairs); scoring touches candidates only; the per-doc argmax is one
+    window over the candidate set.  Fully md5-portable, so the oracle
+    replays signatures, banding, scores, and the tie-broken argmax
+    bit-exactly."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
+    scored = D.jaccard_verify(cands, docs, "doc_id", "text", shingle_len=1, threshold=0.0)
+    scored = scored.withColumn("jaccard", F.round("jaccard", 6))
+    sym = scored.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"), "jaccard"
+    ).unionAll(
+        scored.select(
+            F.col("b").alias("doc_id"), F.col("a").alias("neighbor_id"), "jaccard"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "neighbor_id")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "neighbor_id", "jaccard")
+    )
