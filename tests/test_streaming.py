@@ -379,3 +379,40 @@ def test_streaming_dedup_against_history_matches_batch(spark):
     assert got_fps == want_fps and len(got_fps) > 0
     # exactly one surviving row per novel fingerprint
     assert got.count() == len(got_fps)
+
+
+def test_progress_capture_records_batch_metrics(spark):
+    """The listener observes every completed micro-batch: row counts sum to
+    the source size, durations are positive, and the capture converts to a
+    writable DataFrame."""
+    import time
+
+    from bigquack_spark.sources.parquet import load_table
+    from bigquack_spark.streaming.events import hourly_counts, read_events_stream, run_available_now
+    from bigquack_spark.streaming.metrics import ProgressCapture
+
+    cap = ProgressCapture.attach(spark)
+    try:
+        stream = read_events_stream(spark, SF_SMOKE)
+        run_available_now(hourly_counts(stream), "metrics_probe")
+        # listener callbacks are async; wait until delivery is STABLE
+        # (two consecutive polls equal and non-empty) before snapshotting
+        deadline = time.monotonic() + 30
+        prev = None
+        while time.monotonic() < deadline:
+            cur = cap.metrics()
+            if cur and cur == prev and any(m["num_input_rows"] > 0 for m in cur):
+                break
+            prev = cur
+            time.sleep(0.5)
+    finally:
+        cap.detach()
+    rows = cap.metrics()
+    assert rows, "no progress events captured"
+    total_in = sum(m["num_input_rows"] for m in rows)
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert total_in == expected
+    assert all(m["duration_ms"] >= 0 for m in rows)
+    df = cap.to_df(spark)
+    assert df.count() >= len(rows)
+    assert "process_rate" in df.columns
