@@ -43,6 +43,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # identical, and epoch functions (unix_micros) stay applicable.  DuckDB's
     # TIMESTAMP is tz-naive too, so the oracle sees the same instants.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Python Data Source filter pushdown (sources/connector.py negotiates
+    # the RowRestriction-equivalent subset via pushFilters).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
