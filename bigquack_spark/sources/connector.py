@@ -201,3 +201,78 @@ class BigQueryStubDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the connector on the session."""
     spark.dataSource.register(BigQueryStubDataSource)
+
+
+class _StubStreamReader:
+    """Streaming half of the connector: a landing-zone micro-batch reader
+    with EXPLICIT offset bookkeeping — the reference's offset tracking /
+    resume contract (SURVEY S7; bigquery_write.go:448-460 offset
+    semantics) implemented at the source API level instead of delegated
+    to task retry.
+
+    The transport watches a directory where immutable parquet files land
+    (the offline analogue of new table partitions / committed write
+    streams).  The offset is ``{"files": [sorted consumed paths]}`` —
+    JSON-serializable, checkpointed by Spark, and replayed on restart:
+    a batch that was read but not committed re-reads IDENTICAL files, so
+    downstream exactly-once sinks (streaming/sink.py) see a deterministic
+    replay.  ``read(start)`` returns only files not yet in the offset, in
+    lexicographic order (landing-zone convention: names sort by arrival)."""
+
+    def __init__(self, options) -> None:
+        self._dir = options["path"]
+
+    def initialOffset(self):  # noqa: N802 (Spark API)
+        return {"files": []}
+
+    def _list(self) -> list[str]:
+        import os
+
+        return sorted(
+            os.path.join(self._dir, f)
+            for f in os.listdir(self._dir)
+            if f.endswith(".parquet")
+        )
+
+    def read(self, start):
+        seen = set(start.get("files", []))
+        new = [p for p in self._list() if p not in seen]
+        end = {"files": sorted(seen | set(new))}
+        # materialized list, not a generator: the simple stream reader
+        # prefetches on the driver and pickles the batch to executors
+        return list(self._read_files(new)), end
+
+    def readBetweenOffsets(self, start, end):  # noqa: N802
+        # deterministic replay of a checkpointed-but-uncommitted batch
+        seen = set(start.get("files", []))
+        files = [p for p in end.get("files", []) if p not in seen]
+        return list(self._read_files(sorted(files)))
+
+    def commit(self, end) -> None:
+        pass  # nothing to clean up: transport files are immutable
+
+    @staticmethod
+    def _read_files(files):
+        import pyarrow.parquet as pq
+
+        for path in files:
+            tbl = pq.ParquetFile(path).read()
+            for row in tbl.to_pylist():
+                yield tuple(row.values())
+
+
+class BigQueryStubStreamSource(DataSource):
+    """``spark.readStream.format("bigquery_stub_stream")`` over a landing
+    directory; requires an explicit ``.schema(...)`` (DDL) from the caller,
+    matching the files' column order."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bigquery_stub_stream"
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (Spark API)
+        return _StubStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(BigQueryStubStreamSource)

@@ -416,3 +416,54 @@ def test_progress_capture_records_batch_metrics(spark):
     df = cap.to_df(spark)
     assert df.count() >= len(rows)
     assert "process_rate" in df.columns
+
+
+def test_stub_stream_source_offsets_and_resume(spark, tmp_path):
+    """The connector's streaming half (SURVEY S7 at the source-API level):
+    files landing in the transport directory are consumed exactly once per
+    checkpoint — a restart with the same checkpoint resumes from the
+    committed offset and reads ONLY files that landed since."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigquack_spark.sources.connector import register_stream
+
+    register_stream(spark)
+    landing = tmp_path / "landing"
+    sink = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(name, lo, hi):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, hi), pa.int64())}),
+            str(landing / name),
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("bigquery_stub_stream")
+            .schema("k bigint")
+            .option("path", str(landing))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land("a.parquet", 0, 100)
+    land("b.parquet", 100, 200)
+    drain()
+    first = spark.read.parquet(str(sink))
+    assert first.count() == 200
+
+    land("c.parquet", 200, 250)
+    drain()  # same checkpoint: resume, read ONLY c
+    final = spark.read.parquet(str(sink))
+    assert final.count() == 250
+    assert sorted(r.k for r in final.collect()) == list(range(250))
