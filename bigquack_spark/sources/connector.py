@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -197,6 +199,9 @@ class BigQueryStubDataSource(DataSource):
     def reader(self, schema):
         return _StubReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _StubWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the connector on the session."""
@@ -276,3 +281,83 @@ class BigQueryStubStreamSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(BigQueryStubStreamSource)
+
+
+@dataclass
+class _PendingFile(WriterCommitMessage):
+    """One task's pending artifact: the write-stream handle analogue."""
+
+    pending_path: str
+    rows: int
+
+
+class _StubWriter(DataSourceArrowWriter):
+    """Write half of the connector: the reference's PENDING -> COMMITTED
+    write-stream protocol (bigquery_write.go:300-503; K2-K4) expressed in
+    the DataSourceWriter commit contract, which IS the same protocol:
+
+    - each task writes its batches to an invisible ``.pending-<job>`` dir
+      and returns a commit message (≅ one PENDING write stream per task);
+    - ``commit(messages)`` runs once on the driver after ALL tasks
+      succeed: every pending part is renamed into the table directory and
+      a ``_manifest-<job>`` records the batch (≅ BatchCommitWriteStreams —
+      atomic visibility, nothing readable before finalize);
+    - ``abort()`` removes the pending dir — a failed job leaves the table
+      exactly as it was (≅ stream never finalized).
+
+    A Spark task that retries overwrites its own deterministic pending
+    file, so speculative/retried tasks cannot double-commit (the offset
+    idempotence the reference enforces server-side)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._job = options.get("job_id") or uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pending_dir = os.path.join(self._path, f".pending-{self._job}")
+        os.makedirs(pending_dir, exist_ok=True)
+        # deterministic per-partition name: a retry overwrites, never adds
+        out = os.path.join(pending_dir, f"part-{ctx.partitionId():05d}.parquet")
+        batches = list(iterator)
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, out)
+        return _PendingFile(pending_path=out, rows=tbl.num_rows)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        os.makedirs(self._path, exist_ok=True)
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(self._path, f))
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            dst = os.path.join(self._path, os.path.basename(m.pending_path).replace(
+                "part-", f"part-{self._job}-"))
+            os.rename(m.pending_path, dst)
+            total += m.rows
+        manifest = os.path.join(self._path, f"_manifest-{self._job}")
+        with open(manifest, "w") as fh:
+            json.dump({"job": self._job, "rows": total, "parts": len(messages)}, fh)
+        shutil.rmtree(os.path.join(self._path, f".pending-{self._job}"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self._path, f".pending-{self._job}"), ignore_errors=True)

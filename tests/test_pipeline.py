@@ -323,3 +323,40 @@ def test_python_datasource_matches_parquet_on_real_table(spark):
     assert sorted(map(tuple, via_conn.collect())) == sorted(
         map(tuple, via_parquet.collect())
     )
+
+
+def test_python_datasource_writer_pending_committed(spark, tmp_path):
+    """The connector's write half: tasks stage into an invisible .pending
+    dir, the driver-side commit publishes atomically with a manifest
+    (PENDING -> COMMITTED, K2-K4); append jobs coexist, overwrite replaces."""
+    import json
+    import os
+
+    from bigquack_spark.sources.connector import register
+
+    register(spark)
+    target = str(tmp_path / "table")
+    df = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS v")
+    df.repartition(4).write.format("bigquery_stub").option("job_id", "job1").mode(
+        "append"
+    ).save(target)
+
+    files = os.listdir(target)
+    assert not [f for f in files if f.startswith(".pending")]  # staged dir gone
+    manifests = [f for f in files if f.startswith("_manifest-")]
+    assert len(manifests) == 1
+    meta = json.load(open(os.path.join(target, manifests[0])))
+    assert meta["rows"] == 500
+    back = spark.read.parquet(target)
+    assert back.count() == 500 and sorted(back.columns) == ["k", "v"]
+
+    # second append job lands alongside
+    df2 = spark.range(500, 600).selectExpr("id AS k", "id * 2 AS v")
+    df2.write.format("bigquery_stub").option("job_id", "job2").mode("append").save(target)
+    assert spark.read.parquet(target).count() == 600
+
+    # overwrite replaces all data parts
+    df2.write.format("bigquery_stub").option("job_id", "job3").mode("overwrite").save(target)
+    final = spark.read.parquet(target)
+    assert final.count() == 100
+    assert sorted(r.k for r in final.collect()) == list(range(500, 600))
