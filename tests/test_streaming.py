@@ -467,3 +467,75 @@ def test_stub_stream_source_offsets_and_resume(spark, tmp_path):
     final = spark.read.parquet(str(sink))
     assert final.count() == 250
     assert sorted(r.k for r in final.collect()) == list(range(250))
+
+
+def test_continuous_ingestion_pipeline_end_to_end(spark, tmp_path):
+    """Capstone integration: the full continuous-ingestion dedup pipeline —
+    connector stream source (explicit offsets) -> fingerprint projection ->
+    dedup vs static history + in-stream watermark dedup -> exactly-once
+    batch sink.  Files land, duplicates (vs history AND within/between
+    batches up to the watermark) are dropped, a second drain with the same
+    checkpoint ingests only new files, and the sink never double-writes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sources.connector import register_stream
+    from bigquack_spark.streaming.events import dedup_against_history
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    register_stream(spark)
+    landing = tmp_path / "landing"
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    os.makedirs(target)
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "text": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    history = spark.createDataFrame(
+        [("known-doc",)], "text string"
+    ).select(F.md5("text").alias("fingerprint"))
+
+    def drain():
+        stream = (
+            spark.readStream.format("bigquery_stub_stream")
+            .schema("doc_id bigint, ts timestamp, text string")
+            .option("path", str(landing))
+            .load()
+            .withColumn("fingerprint", F.md5("text"))
+        )
+        deduped = dedup_against_history(stream, history, watermark="30 days")
+        sink = ExactlyOnceBatchSink(target)
+        (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land("b0.parquet", [(1, t0, "fresh-one"), (2, t0, "known-doc"), (3, t0, "fresh-one")])
+    drain()
+    out1 = spark.read.parquet(target)
+    assert sorted(r.doc_id for r in out1.collect()) == [1]  # hist dup + in-batch dup dropped
+
+    land("b1.parquet", [(4, t0, "fresh-one"), (5, t0, "fresh-two")])
+    drain()  # same checkpoint: only b1 read; doc 4 is a cross-batch dup
+    out2 = spark.read.parquet(target)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 5]
