@@ -1,0 +1,376 @@
+"""Ranked-retrieval query inventory: BM25 search, inverted-index build,
+BPE vocabulary seeding, and Gopher-style repetition filters — the search
+half of the LLM-data-pipeline surface (SURVEY §2.9 extension).
+
+Float portability follows the module conventions: all counts are BIGINT,
+per-term scores are rounded to 6 digits BEFORE the cross-term sum, and the
+sum itself is a fixed-order chain of coalesced pivot columns so both
+engines add the same rounded doubles in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigquack_spark.operators import text as X
+from bigquack_spark.queries.registry import query
+from bigquack_spark.sources.parquet import load_table as t
+
+#: The standing query, alphabetically ordered — the pivot-sum order below
+#: depends on it, so keep it sorted.
+BM25_TERMS = ("hash", "join", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+
+# Per-term BM25 partial, shared by both engines as the same textual formula:
+#   idf  = ln(1 + (N - df + 0.5)/(df + 0.5))          (Lucene's BM25+ idf)
+#   tfn  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# rounded to 6 digits per term; summed in fixed alphabetical term order.
+
+
+def _bm25_oracle() -> str:
+    terms_sql = "[" + ", ".join(f"'{w}'" for w in BM25_TERMS) + "]"
+    # fixed-order sum of the per-term pivot columns
+    pivot_cols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN tok = '{w}' THEN s END), 0.0) AS s_{w}"
+        for w in BM25_TERMS
+    )
+    chain = " + ".join(f"s_{w}" for w in BM25_TERMS)
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      WHERE tok IN (SELECT unnest({terms_sql}))
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)),
+               6
+             ) AS s
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             {pivot_cols}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, round({chain}, 6) AS score,
+             row_number() OVER (ORDER BY round({chain}, 6) DESC, doc_id) AS rk
+      FROM per_doc
+    )
+    WHERE rk <= {BM25_TOP_K}
+    """
+
+
+@query("q141_bm25_search", oracle=_bm25_oracle())
+def q141_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a standing query over the documents table.
+
+    Plan shape: one explode->filter(query terms)->groupBy(doc, term) pass
+    over the corpus (the term filter prunes the exploded stream to the
+    query vocabulary immediately, so the shuffle carries only matching
+    postings); the per-term document frequencies and the global (N, avgdl)
+    statistics are tiny aggregates broadcast back onto the postings.  At
+    100 TB the corpus is read once, the shuffle is bounded by
+    |matching docs| x |query terms|, and the final top-k is a
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    dl = d.select("doc_id", F.size(X.tokens("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", F.round(idf * tfn, 6).alias("s"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == w, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{w}")
+            for w in BM25_TERMS
+        ]
+    )
+    # fixed-order chain: s_hash + s_join + s_spark (alphabetical, as the oracle)
+    chain = F.col(f"s_{BM25_TERMS[0]}")
+    for w in BM25_TERMS[1:]:
+        chain = chain + F.col(f"s_{w}")
+    ranked = per_doc.select("doc_id", F.round(chain, 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "score", "rank")
+    )
+
+
+@query(
+    "q142_inverted_index",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    postings AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             (list(doc_id ORDER BY doc_id))[1:5] AS sample_postings
+      FROM tf GROUP BY tok
+    ),
+    top_doc AS (
+      SELECT tok, doc_id AS top_doc_id
+      FROM (
+        SELECT tok, doc_id,
+               row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rk
+        FROM tf
+      ) WHERE rk = 1
+    )
+    SELECT p.tok, p.df, p.total_tf, p.sample_postings, t.top_doc_id
+    FROM postings p JOIN top_doc t ON p.tok = t.tok
+    ORDER BY p.df DESC, p.tok
+    LIMIT 50
+    """,
+)
+def q142_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per-token postings (document frequency,
+    total term frequency, the first 5 doc ids, and the argmax-tf document).
+
+    One explode + one shuffle on the token builds the whole index; the
+    postings-list sample is a bounded slice(sort_array(collect_list)), so
+    per-token state is O(df) during the aggregate but the output row is
+    O(5).  At 100 TB the index build is the canonical map-side-combine
+    pattern: shuffle volume is (vocabulary x partitions), not corpus size.
+    A production sink would write the full postings bucketed by token;
+    the 5-element sample keeps the oracle diff bounded.
+    """
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    tf = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), "doc_id")
+    top_doc = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("tok", F.col("doc_id").alias("top_doc_id"))
+    )
+    postings = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).alias("sample_postings"),
+    )
+    return (
+        postings.join(top_doc, "tok")
+        .orderBy(F.desc("df"), "tok")
+        .limit(50)
+        .select("tok", "df", "total_tf", "sample_postings", "top_doc_id")
+    )
+
+
+@query(
+    "q146_bpe_pair_counts",
+    oracle=f"""
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substr(tok, CAST(i AS INT), 2))) AS pair
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      WHERE length(tok) >= 2
+    )
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def q146_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary seeding: corpus-wide adjacent-symbol-pair counts (the
+    statistic the first byte-pair-encoding merge step maximises).
+
+    Two nested explodes (token, then character-pair positions) stay
+    per-row projections; the only shuffle is the pair-count aggregate,
+    map-side-combined to |alphabet|^2 partial rows per partition — at
+    100 TB shuffle volume is bounded by the pair vocabulary (~10k rows),
+    independent of corpus size.  Iterating merges re-runs this counting
+    kernel over the re-segmented corpus; each round is the same plan.
+    """
+    d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
+    toks = d.select(F.explode(X.tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q143_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(length(bg) AS BIGINT) AS bg_chars
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks
+      )
+      GROUP BY doc_id, bg
+    ),
+    top_bigram AS (
+      SELECT doc_id, cnt AS top_bg_count, bg_chars AS top_bg_chars
+      FROM (
+        SELECT doc_id, cnt, bg_chars,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk
+        FROM bigrams
+      ) WHERE rk = 1
+    ),
+    chars AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS n_chars
+      FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens AS dup_word_frac,
+           CAST(coalesce(b.top_bg_count, 0) * coalesce(b.top_bg_chars, 0) AS DOUBLE)
+             / c.n_chars AS top_bigram_char_frac,
+           (CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens <= 0.90
+            AND CAST(coalesce(b.top_bg_count, 0) * coalesce(b.top_bg_chars, 0) AS DOUBLE)
+                / c.n_chars <= 0.20) AS repetition_ok
+    FROM toks t
+    JOIN chars c ON t.doc_id = c.doc_id
+    LEFT JOIN top_bigram b ON t.doc_id = b.doc_id
+    WHERE t.n_tokens > 0 AND c.n_chars > 0
+    """,
+)
+def q143_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters: per-document duplicate
+    word fraction and the fraction of characters covered by the most
+    frequent word bigram, plus the composite keep/drop verdict (the
+    published thresholds flag docs whose top 2-gram covers >20% of
+    characters).
+
+    The bigram histogram is a per-document explode + groupBy(doc, bigram)
+    — one shuffle keyed by doc_id so each document's histogram reduces
+    locally; the argmax is a per-doc window over that bounded histogram.
+    All ratios are exact-integer divisions (deterministic IEEE), so the
+    verdict booleans agree bitwise across engines.  Linear at 100 TB:
+    state per doc is its own bigram vocabulary, never cross-document.
+    """
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    tk = d.select(
+        "doc_id",
+        X.tokens("text").alias("tk"),
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    chars = tk.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("tk", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
+    bigrams = (
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bg_chars", F.length("bg").cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "bg")
+    top_bigram = (
+        bigrams.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("cnt").alias("top_bg_count"),
+            F.col("bg_chars").alias("top_bg_chars"),
+        )
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
+        "n_tokens"
+    )
+    bg_frac = (
+        F.coalesce(F.col("top_bg_count"), F.lit(0))
+        * F.coalesce(F.col("top_bg_chars"), F.lit(0))
+    ).cast("double") / F.col("n_chars")
+    return (
+        tk.join(chars, "doc_id")
+        .join(top_bigram, "doc_id", "left")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_word_frac"),
+            bg_frac.alias("top_bigram_char_frac"),
+            ((dup_frac <= 0.90) & (bg_frac <= 0.20)).alias("repetition_ok"),
+        )
+    )
