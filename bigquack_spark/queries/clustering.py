@@ -11,13 +11,18 @@ Centroids are exact-integer-sum / exact-count doubles, distances are
 fixed-order sequential folds over identical doubles (the same
 left-to-right fold contract the ANN family's cosine oracle already relies
 on), and every emitted double is rounded to 6 digits.
+
+Scale shape: centroid tables are K x DIM — bounded, tiny — so they ride
+to the executors as literal arrays (the bounded-collect precedent of
+``simsearch.gemm_topk``'s query set) and the assignment step is a pure
+zero-shuffle projection over the corpus scan.  The only shuffles anywhere
+are the K x DIM-bounded centroid recomputes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bigquack_spark.queries.registry import query
 from bigquack_spark.sources.parquet import load_table as t
@@ -43,8 +48,9 @@ def _quantize(vec: Column) -> Column:
     )
 
 
-def _sq_dist(qd: Column, cvec: Column) -> Column:
-    """Sequential-fold squared L2 distance between two array<double>."""
+def _sq_dist_lit(qd: Column, centroid: list[float]) -> Column:
+    """Sequential-fold squared L2 distance to a literal centroid vector."""
+    cvec = F.array(*[F.lit(float(c)) for c in centroid])
     return F.aggregate(
         F.zip_with(qd, cvec, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -58,43 +64,41 @@ _DIST_SQL = (
 )
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd assignment step: broadcast the K centroids across the
-    corpus, argmin over exact-arithmetic distances (ties break on the
-    lower cluster id).  The corpus never shuffles — per-row work is
-    K x DIM multiply-adds."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "qd",
-        "cluster",
-        _sq_dist(F.col("qd"), F.col("cvec")).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+def _assign_literal(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """One Lloyd assignment step with the K centroids inlined as literals:
+    a pure projection — the corpus neither shuffles nor joins.  Ties break
+    toward the lower cluster id: ``array_position`` returns the FIRST
+    index holding the minimum and ``centroids`` is sorted by cluster id.
+    """
+    centroids = sorted(centroids)
+    dists = F.array(*[_sq_dist_lit(F.col("qd"), c) for _, c in centroids])
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    return vectors.select(
+        "*",
+        F.element_at(
+            ids, F.array_position(dists, F.array_min(dists)).cast("int")
+        ).alias("cluster"),
+        F.array_min(dists).alias("dist"),
     )
 
 
-def _recompute(assigned: DataFrame) -> DataFrame:
-    """New centroids: per-(cluster, dimension) exact BIGINT sums / counts.
-    posexplode -> groupBy(cluster, pos) is one narrow shuffle bounded by
-    K x DIM rows; the rebuilt array is ordered by position."""
+def _centroid_rows(assigned: DataFrame, key: str) -> list[tuple[int, list[float]]]:
+    """New centroids: per-(key, dimension) exact BIGINT sums / counts.
+    posexplode -> groupBy(key, dim) is one map-side-combined shuffle
+    bounded by K x DIM rows; the K-row result collects to the driver
+    (bounded state, the gemm_topk precedent) for literal re-broadcast."""
     per_dim = (
-        assigned.select("cluster", F.posexplode(F.col("qd").cast("array<long>")))
-        .groupBy("cluster", "pos")
-        .agg(
-            (F.sum("col").cast("double") / F.count(F.lit(1))).alias("c")
-        )
+        assigned.select(key, F.posexplode(F.col("qd").cast("array<long>")))
+        .groupBy(key, "pos")
+        .agg((F.sum("col").cast("double") / F.count(F.lit(1))).alias("c"))
     )
-    return per_dim.groupBy("cluster").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("pos"), F.col("c")))
-        ).alias("pc")
-    ).select(
-        "cluster", F.transform("pc", lambda s: s.getField("c")).alias("cvec")
+    rows = (
+        per_dim.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(key, F.transform("pc", lambda s: s.getField("c")).alias("cvec"))
+        .collect()
     )
+    return [(int(r[key]), list(r["cvec"])) for r in rows]
 
 
 def _kmeans_oracle() -> str:
@@ -145,33 +149,35 @@ def _kmeans_oracle() -> str:
 
 @query("q144_kmeans_lloyd", oracle=_kmeans_oracle())
 def q144_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embedding corpus ({K} clusters,
-    {ITERATIONS} unrolled iterations, deterministic init = the first K
+    """Distributed Lloyd k-means over the embedding corpus (K clusters,
+    ITERATIONS unrolled iterations, deterministic init = the first K
     vectors) — the clustering primitive behind corpus bucketing, IVF cell
     training, and diversity sampling.
 
-    Plan shape per iteration: assignment is a broadcast cross join
-    (corpus never shuffles; K x DIM multiply-adds per row), centroid
-    recomputation is posexplode -> groupBy(cluster, dim) — a map-side-
-    combined shuffle bounded by K x DIM x partitions, independent of
-    corpus size.  Iteration count is a fixed constant, so the whole plan
-    is a static DAG with no driver-side convergence loop; at 100 TB each
-    iteration is one scan + one tiny shuffle.  All arithmetic runs on the
-    exact integer lattice (module docstring), so assignments are
-    bit-deterministic cross-engine.
+    Plan shape per iteration: assignment is a literal-centroid projection
+    (the corpus NEVER shuffles or joins — K x DIM multiply-adds per row);
+    centroid recomputation is posexplode -> groupBy(cluster, dim), a
+    map-side-combined shuffle bounded by K x DIM x partitions that
+    collects K tiny rows to the driver for the next literal broadcast.
+    At 100 TB each iteration is one scan plus one negligible shuffle; the
+    driver holds only K x DIM doubles.  All arithmetic runs on the exact
+    integer lattice (module docstring), so assignments are
+    bit-deterministic cross-engine — the oracle replays the identical
+    unrolled iterations in SQL.
     """
     e = t(spark, sf_dir, "embeddings", rebalance=True)
     v = e.select(
         "vec_id", _quantize(F.col("embedding")).cast("array<double>").alias("qd")
     )
-    centroids = v.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("qd").alias("cvec")
-    )
+    centroids = [
+        (int(r["vec_id"]), list(r["qd"]))
+        for r in v.filter(F.col("vec_id") < K).collect()
+    ]
     assigned = None
     for it in range(1, ITERATIONS + 1):
-        assigned = _assign(v, centroids)
+        assigned = _assign_literal(v, centroids)
         if it < ITERATIONS:
-            centroids = _recompute(assigned)
+            centroids = _centroid_rows(assigned, "cluster")
     return assigned.select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
@@ -205,10 +211,11 @@ def q145_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization pass PCA, whitening, and scalar quantizers run first.
 
     posexplode fans each vector into (dim, value) pairs; the aggregate is
-    map-side-combined down to {DIM} groups, so the shuffle carries
-    {DIM} x partitions partial rows regardless of corpus size.  Sums and
+    map-side-combined down to DIM groups, so the shuffle carries
+    DIM x partitions partial rows regardless of corpus size.  Sums and
     sums-of-squares accumulate as exact BIGINTs on the quantization
-    lattice (order-free), then one deterministic double expression
+    lattice (order-free; the squared values stay < 2^63 for corpora up to
+    ~10^9 rows at |x| <= 1), then one deterministic double expression
     produces mean/variance — bit-identical cross-engine, no
     accumulation-order risk (the float trap VERDICT r1 flagged on q87).
     """
@@ -288,9 +295,10 @@ def q147_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the cheap taxonomy-assignment / embedding-drift audit a
     training pipeline runs over candidate corpora.
 
-    Centroid build is one K x DIM-bounded shuffle; assignment broadcasts
-    the prototype table across the corpus scan (zero corpus shuffle);
-    the confusion matrix is a ≤ K^2-group aggregate.  Linear at 100 TB.
+    Prototype build is one K x DIM-bounded shuffle whose K-row result
+    collects to the driver; assignment inlines the prototypes as literals
+    over the corpus scan (zero corpus shuffle, no join); the confusion
+    matrix is a <= K^2-group aggregate.  Linear at 100 TB.
     """
     e = t(spark, sf_dir, "embeddings", rebalance=True)
     v = e.select(
@@ -298,32 +306,8 @@ def q147_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         _quantize(F.col("embedding")).cast("array<double>").alias("qd"),
     )
-    per_dim = (
-        v.select("label", F.posexplode(F.col("qd").cast("array<long>")))
-        .groupBy("label", "pos")
-        .agg((F.sum("col").cast("double") / F.count(F.lit(1))).alias("c"))
-    )
-    centroids = (
-        per_dim.groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
-        )
-        .select(
-            F.col("label").alias("centroid_label"),
-            F.transform("pc", lambda s: s.getField("c")).alias("cvec"),
-        )
-    )
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "label",
-        "centroid_label",
-        _sq_dist(F.col("qd"), F.col("cvec")).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_label")
-    pred = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-    )
+    protos = _centroid_rows(v, "label")
+    pred = _assign_literal(v, protos).withColumnRenamed("cluster", "centroid_label")
     return (
         pred.groupBy(
             F.col("label").alias("true_label"),

@@ -283,6 +283,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q71_dormant_rich_customers",  # broadcast scalar-subquery threshold
         "q82_nation_value_share",  # broadcast scalar total
         "q125_pps_weighted_sample",  # broadcast 1-row total-weight aggregate
+        "q141_bm25_search",  # broadcast 1-row (n_docs, avgdl) stats aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
@@ -358,3 +359,41 @@ def test_planlint_flags_row_udf(spark):
     slow = F.udf(lambda x: x + 1, "bigint")
     df = spark.range(10).select(slow("id").alias("y"))
     assert "python_row_udf" in {c for _, c, _ in lint_plan(df)}
+
+
+def test_q141_bm25_pruned_and_top_k(spark):
+    """BM25: the documents scan reads only (doc_id, text); the final top-k
+    is a window-rank, never a global sort of all scored docs."""
+    plan = plan_of(spark, "q141_bm25_search")
+    assert "lang" not in plan and "source" not in plan  # column pruning
+    assert "CartesianProduct" not in plan
+
+
+def test_q144_kmeans_corpus_never_shuffles(spark):
+    """Lloyd assignment inlines the K centroids as literals: the corpus
+    path has NO join operator and NO keyed exchange — the only exchanges
+    are the explicit rebalance and the K x DIM centroid aggregate
+    (which ran eagerly during construction).  A regression to a
+    cross-join/window argmin would reintroduce a corpus-sized shuffle."""
+    plan = plan_of(spark, "q144_kmeans_lloyd")
+    assert "Join" not in plan  # no join of any kind in the final DAG
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q147_classify_corpus_never_shuffles(spark):
+    """Nearest-centroid classification: literal prototypes, corpus-side
+    plan is scan -> project -> bounded aggregate; no join, no window."""
+    plan = plan_of(spark, "q147_centroid_classify")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q145_dim_stats_single_bounded_shuffle(spark):
+    """Per-dim stats: exactly one keyed exchange (the DIM-group
+    aggregate) beyond the explicit rebalance; grouping key is the
+    position, so the shuffle is DIM x partitions partial rows."""
+    plan = plan_of(spark, "q145_embedding_dim_stats")
+    assert plan.count("hashpartitioning(pos") <= 2  # partial+final pair
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan or "rangepartitioning" in plan
