@@ -223,3 +223,83 @@ def q134_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).cast("bigint")
         ).alias("n_price_outliers"),
     )
+
+
+#: EWMA weights alpha*(1-alpha)^k for alpha=0.3, k=0..11, materialized as
+#: shortest-round-trip literals so BOTH engines parse the identical IEEE
+#: doubles (pow() itself can drift a ulp between libm implementations).
+EWMA_WEIGHTS = tuple(0.3 * (0.7**k) for k in range(12))
+_HOUR_US = 3_600_000_000
+
+
+def _ewma_weights_sql() -> str:
+    return "[" + ", ".join(repr(w) for w in EWMA_WEIGHTS) + "]"
+
+
+@query(
+    "q150_hourly_ewma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_HOUR_US}) AS BIGINT) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY event_type, hour_idx
+    ),
+    windowed AS (
+      SELECT event_type, hour_idx, n_events,
+             list(n_events) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+             ) AS xs
+      FROM hourly
+    )
+    SELECT event_type, hour_idx, n_events,
+           round(
+             list_sum(list_transform(range(1, len(xs) + 1),
+               p -> xs[p] * ({_ewma_weights_sql()})[len(xs) - p + 1])),
+             6
+           ) AS ewma
+    FROM windowed
+    ORDER BY event_type, hour_idx
+    """,
+)
+def q150_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    event type — the smoothing pass behind rate alerting and trend
+    dashboards.  The recursion is unrolled into a truncated 12-tap FIR
+    over the last 12 OBSERVED hourly buckets (weights alpha*(1-alpha)^k
+    inlined as identical literals in both engines; the tail beyond 12
+    taps is < 1% of mass at alpha=0.3 and is dropped by definition).
+
+    Plan: one event_type-keyed aggregate to hourly counts, then one
+    window on the same key (Catalyst reuses the exchange) with a bounded
+    12-row frame — state per group is 12 BIGINTs, shuffle carries hourly
+    buckets, not events.  The weighted sum is a fixed-order sequential
+    fold over literal weights, so results agree bitwise cross-engine."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "ts"])
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    wl = F.array(*[F.lit(x) for x in EWMA_WEIGHTS])
+    windowed = hourly.withColumn("xs", F.collect_list("n_events").over(w))
+    ewma = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("xs")),
+            lambda p: F.element_at(F.col("xs"), p.cast("int")).cast("double")
+            * F.element_at(wl, (F.size("xs") - p + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return windowed.select(
+        "event_type", "hour_idx", "n_events", F.round(ewma, 6).alias("ewma")
+    ).orderBy("event_type", "hour_idx")

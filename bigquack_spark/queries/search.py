@@ -140,11 +140,12 @@ def q141_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in BM25_TERMS[1:]:
         chain = chain + F.col(f"s_{w}")
     ranked = per_doc.select("doc_id", F.round(chain, 6).alias("score"))
+    # TakeOrderedAndProject bounds the result BEFORE the rank window runs,
+    # so the (inevitably single-partition) ranking sees <= k rows.
+    top = ranked.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
     w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= BM25_TOP_K)
-        .select("doc_id", "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "score", "rank"
     )
 
 
@@ -373,4 +374,77 @@ def q143_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             bg_frac.alias("top_bigram_char_frac"),
             ((dup_frac <= 0.90) & (bg_frac <= 0.20)).alias("repetition_ok"),
         )
+    )
+
+
+TYPO_KEY_CAP = 400  # bounded entity slice keeps the driver diff small
+
+
+@query(
+    "q149_entity_typo_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT c_name AS w FROM customer WHERE c_custkey <= {TYPO_KEY_CAP}
+    ),
+    keyed AS (
+      SELECT w, unnest(list_distinct(
+        [w] || list_transform(range(1, length(w) + 1),
+                              i -> substr(w, 1, CAST(i AS INT) - 1)
+                                   || substr(w, CAST(i AS INT) + 1, length(w)))
+      )) AS k
+      FROM vocab
+    )
+    SELECT DISTINCT a.w AS name_a, b.w AS name_b
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) = 1
+    ORDER BY name_a, name_b
+    """,
+)
+def q149_entity_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate mining via SymSpell deletion-
+    neighborhood blocking: entity names within Levenshtein distance 1 of
+    each other, found WITHOUT a pairwise product — each name expands to
+    its single-deletion keys, candidates meet on an equi-join over the
+    key, and only candidates pay the exact edit-distance verify (a
+    deletion key can collide at distance 2, so the verify is
+    load-bearing; single-char substitutions/insertions/deletions are all
+    guaranteed to share a key).
+
+    Scale shape: key fan-out is |name| keys per entity and the join is
+    hash-partitioned on the deletion key — the standard way to fuzzy-
+    match a 10^8-entity registry without 10^16 comparisons.  The same
+    call fuzzy-matches a token vocabulary (swap the input column); the
+    customer slice is used here because the synthetic corpus vocabulary
+    contains no distance-1 word pairs to demonstrate on."""
+    c = t(
+        spark,
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_name"],
+        predicate=f"c_custkey <= {TYPO_KEY_CAP}",
+        rebalance=True,
+    )
+    vocab = c.select(F.col("c_name").alias("w"))
+    keyed = vocab.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> concat(substring(w, 1, i - 1),"
+                    "             substring(w, i + 1, length(w))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    a = keyed.select(F.col("w").alias("name_a"), "k")
+    b = keyed.select(F.col("w").alias("name_b"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .select("name_a", "name_b")
+        .distinct()
+        .orderBy("name_a", "name_b")
     )
