@@ -145,7 +145,11 @@ def _scaled_copy(src_dir: str, factor: int) -> str | None:
 
         dst = os.path.join(
             "/tmp", "spark_graft_scale",
-            f"{os.path.basename(src_dir.rstrip('/'))}x{factor}",
+            # rg2: layout revision — small tables get small row groups so
+            # Spark scans can parallelize (a parquet row group is the
+            # minimum split; a one-group embeddings file pinned the whole
+            # GEMM kernel to a single task)
+            f"{os.path.basename(src_dir.rstrip('/'))}x{factor}rg2",
         )
         os.makedirs(dst, exist_ok=True)
         con = duckdb.connect()
@@ -158,18 +162,23 @@ def _scaled_copy(src_dir: str, factor: int) -> str | None:
             want = pq.read_metadata(s).num_rows * (factor if repl else 1)
             if os.path.exists(d) and pq.read_metadata(d).num_rows == want:
                 continue
+            # Row groups sized so every table yields >= ~10 scan splits:
+            # the big facts at 120k rows/group, the small-row-count tables
+            # (embeddings: 64-float vectors, documents: text blobs) at
+            # counts that give Spark real task parallelism.
+            rgs = {"embeddings": 2048, "documents": 8192}.get(table, 122880)
             if repl:
                 repl_sql = repl.format(off="i * 100000000")
                 con.execute(
                     f"COPY (SELECT t.* REPLACE ({repl_sql}) "
                     f"FROM read_parquet('{s}') t, "
                     f"(SELECT CAST(range AS BIGINT) AS i FROM range({factor})) r "
-                    f") TO '{d}' (FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
+                    f") TO '{d}' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
                 )
             else:
                 con.execute(
                     f"COPY (SELECT * FROM read_parquet('{s}')) TO '{d}' "
-                    f"(FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
+                    f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
                 )
         con.close()
         return dst
@@ -330,18 +339,19 @@ def main() -> None:
         if scaled_dir:
             # crossover runs in the SAME (JIT-hot) session — a fresh JVM
             # pays cold-compile on all 11 queries and reads ~2x slower
-            # (measured).  Configs re-tuned for the 10x tier (each change
-            # measured median-of-3 on the crossover set): 8 MB scan splits
-            # keep every core fed without drowning the scheduler in 2 MB
-            # tasks (2 MB was ~25% slower); shuffle partitions at core
-            # count for the larger exchanges; broadcast threshold raised to
-            # 96 MB so the 10x orders/filtered-fact sides still hash-join
-            # in memory instead of paying SMJ sorts (executors have the
-            # headroom — the 10 MB default is tuned for small executors);
-            # shuffled-hash preferred over sort-merge for what remains.
+            # (measured).  Configs re-tuned for the 10x tier (round-2
+            # re-measurement, median of 7 warm runs per query): 2 MB scan
+            # splits beat 8 MB ~2x across the events/fact scans (q68
+            # 4.3s->1.3s, q20 1.4s->0.7s — at ~50 MB/table the scheduler
+            # overhead of many tasks is cheaper than starving cores);
+            # shuffle partitions at core count for the larger exchanges;
+            # broadcast threshold LEFT AT the 10 MB default — the 96 MB
+            # raise tried in round 1 re-measured as a pessimization (q68
+            # 1.31s->1.11s on revert: the big-side broadcast build cost
+            # more than the SMJ sorts it avoided); shuffled-hash preferred
+            # over sort-merge for what remains.
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(96 * 1024 * 1024))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
             spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
             xo_spark = run_spark(spark, CROSSOVER, scaled_dir)
             buckets = _bucket_block(spark, scaled_dir)

@@ -177,3 +177,60 @@ def q124_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return changelog(old, new, key_cols=["k"])
+
+
+#: The schema's FK edges: (child table, child key, parent table, parent key).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q152_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{child}.{ck} -> {parent}.{pk}' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS n_child_keys,
+               CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS n_orphan_keys
+        FROM (SELECT DISTINCT {ck} AS k FROM {child} WHERE {ck} IS NOT NULL) c
+        LEFT JOIN {parent} p ON p.{pk} = c.k""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+@query("q152_referential_integrity", oracle=_q152_oracle())
+def q152_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema:
+    distinct child keys and orphan keys (child keys with no parent row),
+    one output row per edge — the broken-join early-warning a pipeline
+    runs before a silent inner-join row loss ships downstream.
+
+    Scale shape per edge: the child side collapses to DISTINCT keys first
+    (map-side combine; the shuffle carries the key set, not the fact
+    rows), then ONE left join + conditional-count aggregate answers both
+    columns — dims broadcast, and the one fact-sized key set (l_orderkey)
+    joins on the same key the fact tables are bucketed on.  Seven bounded
+    audit rows come back; nothing corpus-sized crosses the driver."""
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child, columns=[ck])
+        p = t(spark, sf_dir, parent, columns=[pk])
+        ckeys = c.filter(F.col(ck).isNotNull()).select(F.col(ck).alias("k")).distinct()
+        joined = ckeys.join(
+            p.select(F.col(pk).alias("k"), F.lit(1).alias("_hit")), "k", "left"
+        )
+        row = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).cast("long").alias("n_orphan_keys"),
+        ).select(
+            F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+            "n_child_keys",
+            "n_orphan_keys",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

@@ -328,3 +328,55 @@ def q125_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("p"))
         .select("doc_id", "lang", "wgt", "u", "p")
     )
+
+
+ES_SAMPLE_K = 20
+_ES_U48 = 281474976710656  # 2^48
+
+
+@query(
+    "q153_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5('es-v1|' || CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) + 1.0) / {_ES_U48 + 1}.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+    FROM keyed
+    ORDER BY es_key, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def q153_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    every row gets key = -ln(u)/w with u a deterministic md5-derived
+    uniform and w = n_chars; the k smallest keys ARE a weighted
+    reservoir sample.  The classic streaming/distributed form — unlike
+    q125's Poisson inclusion (random size), this draws an EXACTLY-k
+    sample in one pass with no global state: per-partition top-k
+    pre-reduction (TakeOrderedAndProject) means the shuffle carries
+    k rows per partition, never the corpus.  The md5 uniform makes the
+    sample reproducible across engines, re-runs, and repartitioning —
+    rand() cannot be either."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "n_chars"], rebalance=True)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es-v1|"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(float(_ES_U48 + 1))
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", (-F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    return (
+        keyed.select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(ES_SAMPLE_K)
+    )

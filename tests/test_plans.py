@@ -398,3 +398,19 @@ def test_q145_dim_stats_single_bounded_shuffle(spark):
     assert plan.count("hashpartitioning(pos") <= 2  # partial+final pair
     assert "Window" not in plan
     assert "SinglePartition" not in plan or "rangepartitioning" in plan
+
+
+def test_q153_reservoir_is_take_ordered(spark):
+    """E-S weighted sampling must pre-reduce per partition: the k-row
+    sample plans as TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, "q153_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q152_integrity_dims_broadcast_no_bnlj(spark):
+    """FK audit: every parent side is an equi-join (broadcast for dims);
+    no nested-loop anywhere despite the 1-row-per-edge output."""
+    plan = plan_of(spark, "q152_referential_integrity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
