@@ -544,3 +544,61 @@ def q137_domain_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.max("epoch").cast("bigint").alias("max_epoch"),
     )
+
+
+TOPP_SHARE = 0.8  # keep the top 80% quality mass per language
+
+
+@query(
+    "q154_topp_curation",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_chars,
+             sum(n_chars) OVER (PARTITION BY lang) AS total_chars
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(cum_chars AS BIGINT) AS cum_chars,
+           CAST(cum_chars AS DOUBLE) / total_chars <= {TOPP_SHARE} AS kept
+    FROM ranked
+    ORDER BY lang, cum_chars
+    """,
+)
+def q154_topp_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus curation: within each language, rank
+    documents by the quality proxy and keep only the prefix holding the
+    top {TOPP_SHARE:.0%} of character mass — the budgeted-curation knob
+    ("spend my token budget on the best p-mass per language") that a
+    fixed-count cut (q96) can't express.
+
+    One lang-keyed shuffle serves both windows (cumulative prefix sum and
+    language total — same partitioning, Catalyst reuses the exchange);
+    the keep verdict is an exact-integer division so the booleans agree
+    bitwise.  Per-language window state is O(1) (running sum), linear at
+    any corpus size; language cardinality bounds the skew (a dominant
+    language is split by AQE skew handling at deployment confs)."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.sum("n_chars").over(w_cum).cast("long").alias("cum_chars"),
+        F.sum("n_chars").over(w_tot).alias("total_chars"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "cum_chars",
+        (
+            F.col("cum_chars").cast("double") / F.col("total_chars") <= TOPP_SHARE
+        ).alias("kept"),
+    ).orderBy("lang", "cum_chars")
