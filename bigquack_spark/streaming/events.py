@@ -259,3 +259,112 @@ def dedup_against_history(
     return novel_vs_history.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [fingerprint_col]
     )
+
+
+def anomaly_stream(
+    events: DataFrame,
+    warmup: int = 30,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming anomaly detection via ``applyInPandasWithState``: per
+    event_type Welford running statistics (n, mean, M2) with a z-score
+    gate — the online-monitoring twin of the batch robust-stats family
+    (q134).  A value is anomalous when, after ``warmup`` observations,
+    |x - mean_so_far| > z * stddev_so_far (both taken BEFORE the update,
+    so a spike cannot mask itself).
+
+    State per key is three doubles + two longs — O(1) regardless of
+    stream length; each micro-batch hands the kernel whole Arrow groups.
+    Rows are folded in (t_us, event_id) order inside every batch, so a
+    replay of the same batches yields byte-identical state (the
+    exactly-once story the checkpointed sink relies on).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+            T.StructField("n_anomalies", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+            T.StructField("n_anom", T.LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        n, mean, m2, n_anom = state.get if state.exists else (0, 0.0, 0.0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(t), int(e), float(v))
+                for t, e, v in zip(pdf["t_us"], pdf["event_id"], pdf["value"])
+            )
+        rows.sort()
+        for _, _, x in rows:
+            if n >= warmup:
+                sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sd > 0 and abs(x - mean) > z_threshold * sd:
+                    n_anom += 1
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+        state.update((n, mean, m2, n_anom))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_seen": [n],
+                "mean_value": [mean],
+                "n_anomalies": [n_anom],
+            }
+        )
+
+    prepared = events.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def anomaly_batch_reference(
+    spark_events_pdf,
+    warmup: int = 30,
+    z_threshold: float = 3.0,
+) -> dict[str, tuple[int, float, int]]:
+    """Driver-side reference implementation of :func:`anomaly_stream`'s
+    fold (test harness only — O(n) python over a collected smoke slice):
+    returns {event_type: (n_seen, mean, n_anomalies)} from the identical
+    (t_us, event_id)-ordered Welford recurrence."""
+    import math
+
+    out: dict[str, list] = {}
+    for etype, _t, _e, x in sorted(
+        (
+            (r["event_type"], int(r["t_us"]), int(r["event_id"]), float(r["value"]))
+            for r in spark_events_pdf
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    ):
+        n, mean, m2, n_anom = out.get(etype, [0, 0.0, 0.0, 0])
+        if n >= warmup:
+            sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            if sd > 0 and abs(x - mean) > z_threshold * sd:
+                n_anom += 1
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+        out[etype] = [n, mean, m2, n_anom]
+    return {k: (v[0], v[1], v[3]) for k, v in out.items()}

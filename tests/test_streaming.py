@@ -539,3 +539,29 @@ def test_continuous_ingestion_pipeline_end_to_end(spark, tmp_path):
     drain()  # same checkpoint: only b1 read; doc 4 is a cross-batch dup
     out2 = spark.read.parquet(target)
     assert sorted(r.doc_id for r in out2.collect()) == [1, 5]
+
+
+def test_anomaly_stream_matches_reference_fold(spark):
+    """Streaming Welford anomaly detector == the driver-side reference
+    fold over the identically-ordered smoke slice (stream/batch parity
+    for the custom stateful op)."""
+    from bigquack_spark.sources.parquet import load_table
+    from bigquack_spark.streaming.events import anomaly_batch_reference, anomaly_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    result = run_available_now(anomaly_stream(stream, warmup=30), "anomaly_test")
+    got = {
+        r.event_type: (r.n_seen, round(r.mean_value, 9), r.n_anomalies)
+        for r in result.collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "event_id", F.unix_micros("ts").alias("t_us"), "value")
+        .collect()
+    )
+    want = {
+        k: (n, round(m, 9), a)
+        for k, (n, m, a) in anomaly_batch_reference(rows, warmup=30).items()
+    }
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(rows)  # every event folded
