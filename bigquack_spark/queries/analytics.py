@@ -303,3 +303,63 @@ def q150_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed.select(
         "event_type", "hour_idx", "n_events", F.round(ewma, 6).alias("ewma")
     ).orderBy("event_type", "hour_idx")
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q156_dow_seasonality",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST((floor(epoch_us(ts) / {_DAY_US}) + 4) % 7 AS BIGINT) AS dow_idx
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, dow_idx, CAST(count(*) AS BIGINT) AS n_events
+      FROM d GROUP BY event_type, dow_idx
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow_idx, c.n_events,
+           CAST(c.n_events AS DOUBLE) / t.total AS dow_share,
+           CAST(c.n_events AS DOUBLE) / t.total - 1.0 / 7.0 AS dev_from_uniform
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    ORDER BY c.event_type, c.dow_idx
+    """,
+)
+def q156_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume share per
+    weekday slot and its deviation from uniform — the load-shaping prior
+    behind capacity planning and anomaly baselines (a Tuesday spike is
+    only a spike relative to Tuesdays).
+
+    The weekday bucket is pure epoch arithmetic — (epoch_days + 4) mod 7,
+    Monday = 0 — deliberately avoiding both engines' calendar APIs
+    (different week-start conventions, DST rules) so the bucket is an
+    exact integer in both.  One map-side-combined aggregate to
+    |types| x 7 rows; the per-type totals broadcast back.  All shares are
+    exact-integer divisions."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "ts"])
+    d = e.select(
+        "event_type",
+        ((F.floor(F.unix_micros("ts") / _DAY_US) + 4) % 7).cast("long").alias("dow_idx"),
+    )
+    counts = d.groupBy("event_type", "dow_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("total"))
+    share = F.col("n_events").cast("double") / F.col("total")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow_idx",
+            "n_events",
+            share.alias("dow_share"),
+            (share - F.lit(1.0) / 7.0).alias("dev_from_uniform"),
+        )
+        .orderBy("event_type", "dow_idx")
+    )

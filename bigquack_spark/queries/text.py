@@ -648,3 +648,38 @@ def q139_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_digest"),
     )
+
+
+@query(
+    "q155_lang_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_lang_hits_sql(lg)} AS h_{lg}' for lg in sorted(X.LANG_MARKERS))}
+      FROM documents
+    ),
+    pred AS (SELECT lang, {_lang_case_sql()} AS predicted_lang FROM h)
+    SELECT lang AS declared_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY declared_lang, predicted_lang
+    ORDER BY declared_lang, predicted_lang
+    """,
+)
+def q155_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-audit confusion matrix: the declared ``lang`` column
+    cross-tabulated against the n-gram classifier's prediction (q52) —
+    the drift detector that catches a crawler mislabeling a source or a
+    partner feed lying about its language mix.  Bounded output
+    (|langs|^2 rows); the classification is the same zero-shuffle
+    projection as q52 and the crosstab is one tiny keyed aggregate."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"], rebalance=True)
+    return (
+        X.lang_id(d)
+        .groupBy(
+            F.col("lang").alias("declared_lang"),
+            "predicted_lang",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("declared_lang", "predicted_lang")
+    )
