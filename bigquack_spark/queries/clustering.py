@@ -173,6 +173,10 @@ def q144_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), list(r["qd"]))
         for r in v.filter(F.col("vec_id") < K).collect()
     ]
+    if not centroids:  # empty corpus: no literal centroids to inline
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, dist_to_centroid double"
+        )
     assigned = None
     for it in range(1, ITERATIONS + 1):
         assigned = _assign_literal(v, centroids)
@@ -307,6 +311,10 @@ def q147_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quantize(F.col("embedding")).cast("array<double>").alias("qd"),
     )
     protos = _centroid_rows(v, "label")
+    if not protos:  # empty corpus: no prototypes to inline
+        return spark.createDataFrame(
+            [], "true_label int, predicted_label int, n long"
+        )
     pred = _assign_literal(v, protos).withColumnRenamed("cluster", "centroid_label")
     return (
         pred.groupBy(

@@ -726,6 +726,14 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "q30_dedup_exact",
         "q113_rolling_median",
         "q117_ngram_jaccard_near_dup",
+        "q141_bm25_search",
+        "q144_kmeans_lloyd",  # once crashed: empty literal-centroid array
+        "q147_centroid_classify",
+        "q148_transition_pagerank",
+        "q149_entity_typo_pairs",
+        "q152_referential_integrity",
+        "q153_weighted_reservoir",
+        "q154_topp_curation",
     ):
         rows = QUERIES[name].fn(spark, empty).collect()
         assert rows is not None  # no crash; content checked by oracles elsewhere
