@@ -26,6 +26,7 @@ from bigquack_spark.queries import analytics  # noqa: E402,F401
 from bigquack_spark.queries import search  # noqa: E402,F401
 from bigquack_spark.queries import clustering  # noqa: E402,F401
 from bigquack_spark.queries import graph  # noqa: E402,F401
+from bigquack_spark.queries import sketch  # noqa: E402,F401
 from bigquack_spark.queries import relational  # noqa: E402,F401
 
 # Hoist the round-2 relational fixes (q87 exact-lattice stats, q62 tolerance
