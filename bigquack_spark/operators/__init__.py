@@ -8,6 +8,7 @@ down, and scales by shuffle — the 100 TB design mandate.
 from bigquack_spark.operators import (  # noqa: F401
     corpus,
     dedup,
+    graph,
     joins,
     multimodal,
     reconcile,
