@@ -9,6 +9,15 @@ with watermarked late-data handling, and a custom stateful operator via
 Batch/stream parity: :func:`hourly_counts` over a stream (availableNow)
 must equal the batch q21-style aggregate — asserted in
 tests/test_streaming.py.
+
+API note: Spark 4's newer arbitrary-state surface
+(``transformWithStateInPandas`` — ValueState/MapState/timers) requires the
+``google.protobuf`` wheel for its driver-side state server, which this
+container does not ship (verified: the streaming runner crashes on import).
+The custom stateful operators here therefore use ``applyInPandasWithState``,
+which is wheel-free; porting a processor across the two APIs is mechanical
+(the state objects map 1:1), so a deployment with protobuf available can
+swap without touching operator logic.
 """
 
 from __future__ import annotations
