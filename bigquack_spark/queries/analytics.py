@@ -363,3 +363,144 @@ def q156_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow_idx")
     )
+
+
+_CP_MARGIN = 7  # no breakpoint within the first/last week
+
+
+@query(
+    "q158_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY x
+    ),
+    pre AS (
+      SELECT x, y,
+             CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+             sum(x) OVER w AS px, sum(y) OVER w AS py,
+             sum(x * x) OVER w AS pxx, sum(x * y) OVER w AS pxy,
+             sum(y * y) OVER w AS pyy
+      FROM daily
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS tx, sum(y) AS ty,
+             sum(x * x) AS txx, sum(x * y) AS txy, sum(y * y) AS tyy
+      FROM daily
+    ),
+    scored AS (
+      SELECT p.x AS break_x,
+             -- left segment = rows 1..i-1 (strictly before the breakpoint):
+             -- prefix at i minus the current row
+             (CAST(p.pyy - p.y * p.y AS DOUBLE)
+               - CAST(p.py - p.y AS DOUBLE) * (p.py - p.y) / (p.i - 1)
+               - CASE WHEN CAST(p.pxx - p.x * p.x AS DOUBLE)
+                           - CAST(p.px - p.x AS DOUBLE) * (p.px - p.x) / (p.i - 1) = 0
+                      THEN 0.0
+                      ELSE
+                 (CAST(p.pxy - p.x * p.y AS DOUBLE)
+                   - CAST(p.px - p.x AS DOUBLE) * (p.py - p.y) / (p.i - 1))
+                 * (CAST(p.pxy - p.x * p.y AS DOUBLE)
+                   - CAST(p.px - p.x AS DOUBLE) * (p.py - p.y) / (p.i - 1))
+                 / (CAST(p.pxx - p.x * p.x AS DOUBLE)
+                   - CAST(p.px - p.x AS DOUBLE) * (p.px - p.x) / (p.i - 1))
+                      END)
+             +
+             (CAST(t.tyy - (p.pyy - p.y * p.y) AS DOUBLE)
+               - CAST(t.ty - (p.py - p.y) AS DOUBLE) * (t.ty - (p.py - p.y)) / (t.n - p.i + 1)
+               - CASE WHEN CAST(t.txx - (p.pxx - p.x * p.x) AS DOUBLE)
+                           - CAST(t.tx - (p.px - p.x) AS DOUBLE) * (t.tx - (p.px - p.x)) / (t.n - p.i + 1) = 0
+                      THEN 0.0
+                      ELSE
+                 (CAST(t.txy - (p.pxy - p.x * p.y) AS DOUBLE)
+                   - CAST(t.tx - (p.px - p.x) AS DOUBLE) * (t.ty - (p.py - p.y)) / (t.n - p.i + 1))
+                 * (CAST(t.txy - (p.pxy - p.x * p.y) AS DOUBLE)
+                   - CAST(t.tx - (p.px - p.x) AS DOUBLE) * (t.ty - (p.py - p.y)) / (t.n - p.i + 1))
+                 / (CAST(t.txx - (p.pxx - p.x * p.x) AS DOUBLE)
+                   - CAST(t.tx - (p.px - p.x) AS DOUBLE) * (t.tx - (p.px - p.x)) / (t.n - p.i + 1))
+                      END) AS sse
+      FROM pre p CROSS JOIN tot t
+      WHERE p.i > {_CP_MARGIN} AND p.i <= t.n - {_CP_MARGIN}
+    )
+    SELECT break_x, round(sse, 6) AS sse
+    FROM scored
+    ORDER BY sse, break_x
+    LIMIT 1
+    """,
+)
+def q158_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection on the daily event-volume series: the split
+    day minimizing total two-segment OLS residual error (left fit on
+    days strictly before the candidate, right fit on the candidate
+    onward).  The workhorse behind "did traffic change regime here?" —
+    deploy markers, seasonality breaks, incident onsets.
+
+    All candidate SSEs come from ONE cumulative-prefix window over the
+    O(days)-row daily aggregate: segment statistics are prefix/suffix
+    differences of exact BIGINT power sums (the q126/q87 lattice
+    discipline), so every candidate costs O(1) and the argmin is one
+    TakeOrdered over the bounded candidate rows.  The corpus-sized work
+    is only the daily aggregate; the global-order window runs over ~e2
+    pre-aggregated rows (bounded by the calendar, not the data).  The
+    divide-by-zero guards (degenerate one-point / collinear segments)
+    are CASE-identical in both engines."""
+    e = t(spark, sf_dir, "events", columns=["ts"])
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("x")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("x")).cast("long").alias("i"),
+        F.sum("x").over(w).alias("px"),
+        F.sum("y").over(w).alias("py"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("pxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("pxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("pyy"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("tx"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("x") * F.col("x")).alias("txx"),
+        F.sum(F.col("x") * F.col("y")).alias("txy"),
+        F.sum(F.col("y") * F.col("y")).alias("tyy"),
+    )
+
+    def seg_sse(n, sx, sy, sxx, sxy, syy):
+        syy_c = syy.cast("double") - sy.cast("double") * sy / n
+        sxx_c = sxx.cast("double") - sx.cast("double") * sx / n
+        sxy_c = sxy.cast("double") - sx.cast("double") * sy / n
+        return syy_c - F.when(sxx_c == 0, F.lit(0.0)).otherwise(sxy_c * sxy_c / sxx_c)
+
+    p = pre.crossJoin(F.broadcast(tot))
+    # left segment: prefix minus current row (days strictly before break)
+    ln = F.col("i") - 1
+    lx, ly = F.col("px") - F.col("x"), F.col("py") - F.col("y")
+    lxx = F.col("pxx") - F.col("x") * F.col("x")
+    lxy = F.col("pxy") - F.col("x") * F.col("y")
+    lyy = F.col("pyy") - F.col("y") * F.col("y")
+    # right segment: totals minus the strict-left prefix
+    rn = F.col("n") - F.col("i") + 1
+    rx, ry = F.col("tx") - lx, F.col("ty") - ly
+    rxx = F.col("txx") - lxx
+    rxy = F.col("txy") - lxy
+    ryy = F.col("tyy") - lyy
+    scored = p.filter(
+        (F.col("i") > _CP_MARGIN) & (F.col("i") <= F.col("n") - _CP_MARGIN)
+    ).select(
+        F.col("x").alias("break_x"),
+        (
+            seg_sse(ln, lx, ly, lxx, lxy, lyy) + seg_sse(rn, rx, ry, rxx, rxy, ryy)
+        ).alias("sse"),
+    )
+    return (
+        scored.select("break_x", F.round("sse", 6).alias("sse"))
+        .orderBy("sse", "break_x")
+        .limit(1)
+    )

@@ -234,3 +234,62 @@ def q152_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+_DAY_US_Q159 = 86_400_000_000
+
+
+@query(
+    "q159_novelty_rate",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, props,
+             CAST(floor(epoch_us(ts) / {_DAY_US_Q159}) AS BIGINT) AS day_idx,
+             md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || props) AS fingerprint
+      FROM events
+    ),
+    first_seen AS (
+      SELECT fingerprint, min(day_idx) AS first_day FROM fp GROUP BY fingerprint
+    )
+    SELECT f.day_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE s.first_day = f.day_idx) AS BIGINT) AS n_novel,
+           CAST(count(*) FILTER (WHERE s.first_day = f.day_idx) AS DOUBLE)
+             / count(*) AS novelty_rate
+    FROM fp f JOIN first_seen s ON f.fingerprint = s.fingerprint
+    GROUP BY f.day_idx
+    ORDER BY f.day_idx
+    """,
+)
+def q159_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day novelty rate: the fraction of each day's events whose
+    content fingerprint is seen for the FIRST time that day — the
+    ingest-health metric that separates a healthy crawl (high novelty)
+    from a loop re-fetching yesterday's corpus (novelty collapse), and
+    the time-sliced view of the dedup family's global dup ratio (q30).
+
+    Two shuffles, both on the 16-byte fingerprint: the min-day aggregate
+    (map-side combined; state = one BIGINT per distinct fingerprint) and
+    the join back — then a day-keyed rollup of bounded cardinality.  The
+    ratio is an exact-integer division.  At 100 TB the fingerprint join
+    is the same shape as incremental dedup (q130) and shares its AQE
+    bloom-filter benefit."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "props"])
+    fp = e.select(
+        F.floor(F.unix_micros("ts") / _DAY_US_Q159).cast("long").alias("day_idx"),
+        F.md5(
+            F.concat_ws("|", F.col("user_id").cast("string"), "event_type", "props")
+        ).alias("fingerprint"),
+    )
+    first_seen = fp.groupBy("fingerprint").agg(F.min("day_idx").alias("first_day"))
+    joined = fp.join(first_seen, "fingerprint")
+    novel = F.count(F.when(F.col("first_day") == F.col("day_idx"), 1))
+    return (
+        joined.groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_rate"),
+        )
+        .orderBy("day_idx")
+    )

@@ -285,6 +285,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q125_pps_weighted_sample",  # broadcast 1-row total-weight aggregate
         "q141_bm25_search",  # broadcast 1-row (n_docs, avgdl) stats aggregate
         "q148_transition_pagerank",  # broadcast 1-row node-count aggregate
+        "q158_changepoint",  # broadcast 1-row total power sums onto O(days) rows
     }
     offenders = []
     for name, spec in QUERIES.items():
