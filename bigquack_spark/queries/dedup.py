@@ -591,3 +591,108 @@ def q140_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "neighbor_id", "jaccard")
     )
+
+
+EVAL_SLICE = 200  # bounded doc slice for the exact ground truth
+EVAL_THRESHOLD = 0.5  # looser than production 0.9: exercises LSH recall loss
+
+
+@query(
+    "q160_lsh_eval",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      WHERE x.doc_id < {EVAL_SLICE} AND y.doc_id < {EVAL_SLICE}
+    ),
+    sets_ AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+      FROM documents WHERE doc_id < {EVAL_SLICE}
+    ),
+    all_pairs AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+      FROM sets_ sa JOIN sets_ sb ON sa.doc_id < sb.doc_id
+    ),
+    m AS (
+      SELECT
+        CAST((SELECT count(*) FROM all_pairs WHERE jac >= {EVAL_THRESHOLD}) AS BIGINT) AS n_truth,
+        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+        CAST((SELECT count(*) FROM cand c JOIN all_pairs p ON c.a = p.a AND c.b = p.b
+              WHERE p.jac >= {EVAL_THRESHOLD}) AS BIGINT) AS tp
+    )
+    SELECT n_truth, n_cand, tp,
+           n_cand - tp AS fp, n_truth - tp AS fn,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / n_cand END AS precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / n_truth END AS recall
+    FROM m
+    """,
+)
+def q160_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation harness: precision/recall of the MinHash
+    banding candidate generator against EXACT pairwise Jaccard ground
+    truth on a bounded {EVAL_SLICE}-document slice — the measurement a
+    team runs before trusting a (bands, rows) configuration at corpus
+    scale, where ground truth is unobtainable.  The threshold is looser
+    than production (0.5 vs 0.9) precisely to expose banding recall loss.
+
+    Scale posture: the O(n^2) exact pass runs ONLY on the bounded slice
+    (a broadcast nested-loop by construction — the {EVAL_SLICE}-row side
+    broadcasts); the candidate side reuses the production banding plan
+    unchanged, so the measured recall is the production operator's
+    recall.  Output is one audit row."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    sl = docs.filter(F.col("doc_id") < EVAL_SLICE).select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("sh")
+    )
+    a = sl.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sl.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    )
+    all_pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", jac.alias("jac"))
+    )
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cand = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .filter((F.col("a") < EVAL_SLICE) & (F.col("b") < EVAL_SLICE))
+        .select("a", "b")
+        .distinct()
+    )
+    n_truth = all_pairs.filter(F.col("jac") >= EVAL_THRESHOLD).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    tp = (
+        cand.join(all_pairs, ["a", "b"])
+        .filter(F.col("jac") >= EVAL_THRESHOLD)
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    m = n_truth.crossJoin(n_cand).crossJoin(tp)
+    return m.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        (F.col("n_cand") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.when(F.col("n_cand") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_cand"))
+        .alias("precision"),
+        F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+    )
