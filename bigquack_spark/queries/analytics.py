@@ -504,3 +504,117 @@ def q158_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sse", "break_x")
         .limit(1)
     )
+
+
+_HOUR_US_Q161 = 3_600_000_000
+
+
+@query(
+    "q161_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_HOUR_US_Q161}) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS h FROM bounds
+    ),
+    joined AS (
+      SELECT g.event_type, g.h, hr.n,
+             hr.n IS NOT NULL AS observed
+      FROM grid g LEFT JOIN hourly hr
+        ON g.event_type = hr.event_type AND g.h = hr.h
+    ),
+    ctx AS (
+      SELECT event_type, h, n, observed,
+             last_value(n IGNORE NULLS) OVER wb AS prev_n,
+             last_value(CASE WHEN observed THEN h END IGNORE NULLS) OVER wb AS prev_h,
+             first_value(n IGNORE NULLS) OVER wf AS next_n,
+             first_value(CASE WHEN observed THEN h END IGNORE NULLS) OVER wf AS next_h
+      FROM joined
+      WINDOW
+        wb AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h, observed,
+           round(CASE
+             WHEN observed THEN CAST(n AS DOUBLE)
+             ELSE CAST(prev_n AS DOUBLE)
+                  + CAST(next_n - prev_n AS DOUBLE) * (h - prev_h) / (next_h - prev_h)
+           END, 6) AS filled_n
+    FROM ctx
+    ORDER BY event_type, h
+    """,
+)
+def q161_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the per-type hourly series densified onto
+    a complete hour grid, missing buckets linearly interpolated between
+    the nearest observed neighbors — the regularization step before any
+    FIR smoothing (q150), seasonal profile (q156), or changepoint scan
+    (q158) that assumes an evenly-spaced series.
+
+    The grid explodes from per-type (min, max) bounds — O(hours) rows,
+    calendar-bounded; the LOCF/NOCB context comes from two frames of the
+    SAME type-keyed window partitioning (one exchange, reused).  Counts
+    are exact BIGINTs; the interpolation fraction is the only division
+    and both engines evaluate it identically (grid positions are exact
+    integers).  Interior gaps always have both neighbors; the series
+    endpoints are observed by construction (min/max come from data)."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "ts"])
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _HOUR_US_Q161).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").withColumn(
+        "observed", F.col("n").isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("observed"), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "n",
+        "observed",
+        F.last("n", ignorenulls=True).over(wb).alias("prev_n"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("prev_h"),
+        F.first("n", ignorenulls=True).over(wf).alias("next_n"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    interp = F.col("prev_n").cast("double") + (
+        F.col("next_n") - F.col("prev_n")
+    ).cast("double") * (F.col("h") - F.col("prev_h")) / (
+        F.col("next_h") - F.col("prev_h")
+    )
+    return ctx.select(
+        "event_type",
+        "h",
+        "observed",
+        F.round(
+            F.when(F.col("observed"), F.col("n").cast("double")).otherwise(interp), 6
+        ).alias("filled_n"),
+    ).orderBy("event_type", "h")

@@ -293,3 +293,61 @@ def q159_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+K_ANON = 5  # the k in k-anonymity
+
+
+@query(
+    "q163_k_anonymity",
+    oracle=f"""
+    WITH combos AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_combos,
+           CAST(count(*) FILTER (WHERE group_size < {K_ANON}) AS BIGINT) AS n_risky_combos,
+           CAST(sum(group_size) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(group_size) FILTER (WHERE group_size < {K_ANON}), 0) AS BIGINT)
+             AS n_risky_rows,
+           CAST(coalesce(sum(group_size) FILTER (WHERE group_size < {K_ANON}), 0) AS DOUBLE)
+             / sum(group_size) AS risk_rate
+    FROM combos
+    """,
+)
+def q163_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, account-balance band): how many identifier combinations have
+    fewer than k={K_ANON} members, and what fraction of rows sits in
+    those re-identifiable groups — the privacy gate a dataset passes
+    BEFORE export, sitting next to the PII scrub (q58) in the governance
+    pipeline.
+
+    One map-side-combined aggregate to the combo cardinality, then a
+    single-row rollup — shuffle is the combo vocabulary, never rows.
+    The balance band quantizes through the exact cents lattice
+    (round(x*100) — the q87 money rule) so band edges are engine-exact;
+    all ratios are exact-integer divisions."""
+    c = t(spark, sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    band = F.floor(
+        (F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100000)).cast("double")
+    ).cast("long")
+    combos = c.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    risky = F.col("group_size") < K_ANON
+    return combos.agg(
+        F.count(F.lit(1)).cast("long").alias("n_combos"),
+        F.count(F.when(risky, 1)).cast("long").alias("n_risky_combos"),
+        F.sum("group_size").cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.when(risky, F.col("group_size"))), F.lit(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        (
+            F.coalesce(F.sum(F.when(risky, F.col("group_size"))), F.lit(0)).cast("double")
+            / F.sum("group_size")
+        ).alias("risk_rate"),
+    )

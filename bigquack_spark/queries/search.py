@@ -448,3 +448,80 @@ def q149_entity_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("name_a", "name_b")
     )
+
+
+PMI_MIN_SUPPORT = 20
+PMI_TOP = 20
+
+
+@query(
+    "q162_pmi_collocations",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS co_df
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY tok_a, tok_b
+      HAVING count(*) >= {PMI_MIN_SUPPORT}
+    )
+    SELECT tok_a, tok_b, co_df,
+           round(ln(CAST(p.co_df AS DOUBLE) * n.n_docs / (ua.df * CAST(ub.df AS DOUBLE))), 6) AS pmi
+    FROM pairs p
+    JOIN uni ua ON p.tok_a = ua.tok
+    JOIN uni ub ON p.tok_b = ub.tok
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {PMI_TOP}
+    """,
+)
+def q162_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level pointwise mutual information of
+    token pairs (which terms co-occur beyond chance) with a minimum
+    support floor — the statistic behind phrase induction and
+    domain-vocabulary discovery.
+
+    The pair space is the per-document distinct-token self-join keyed on
+    doc_id: work per document is O(distinct_tokens^2) — bounded by the
+    per-doc vocabulary, never cross-document — and the pair aggregate is
+    map-side combined down to the observed-pair vocabulary.  Unigram
+    document frequencies are a broadcast-sized table joined back twice;
+    the single ln() rides on exact-integer operands (same q55 contract).
+    Production corpora cap per-doc distinct tokens before this join
+    (the standard collocation-window bound)."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens("text"))).alias("tok")
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    uni = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_df"))
+        .filter(F.col("co_df") >= PMI_MIN_SUPPORT)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log(
+            F.col("co_df").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("df_a") * F.col("df_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .select("tok_a", "tok_b", "co_df", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(PMI_TOP)
+    )
