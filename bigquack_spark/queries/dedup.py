@@ -696,3 +696,57 @@ def q160_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
         .alias("recall"),
     )
+
+
+@query(
+    "q164_dedup_savings",
+    oracle=_CLOSURE_ORACLE.replace(
+        """    SELECT src AS node, CAST(min(node) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+        """    , cc AS (
+      SELECT src AS node, CAST(min(node) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT cc.cluster_id AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN cc.node <> cc.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+             AS chars_saved
+    FROM cc JOIN documents d ON d.doc_id = cc.node
+    GROUP BY cc.cluster_id
+    ORDER BY chars_saved DESC, canonical_doc
+    """,
+    ),
+)
+def q164_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's "so what" report: each near-dup cluster (q86's
+    transitive closure) collapsed to its canonical member (minimum
+    doc_id) with the member count and the exact bytes a keep-canonical
+    policy deletes — the number a storage/training-budget review asks
+    for before green-lighting the dedup job.
+
+    One extra broadcast-sized join (cluster membership x doc metadata)
+    and a cluster-keyed aggregate on top of the q86 plan; the closure
+    itself is the O(log n)-round distributed CC, so this inherits its
+    100 TB posture unchanged."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    cc = D.connected_components(pairs)
+    meta = docs.select("doc_id", "n_chars")
+    joined = cc.join(meta, cc["node"] == meta["doc_id"])
+    saved = F.when(F.col("node") != F.col("cluster_id"), F.col("n_chars")).otherwise(
+        F.lit(0)
+    )
+    return (
+        joined.groupBy(F.col("cluster_id").alias("canonical_doc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(saved).cast("long").alias("chars_saved"),
+        )
+        .orderBy(F.desc("chars_saved"), "canonical_doc")
+    )
