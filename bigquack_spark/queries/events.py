@@ -1056,3 +1056,67 @@ def q135_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(15)
     )
+
+
+@query(
+    "q165_funnel_latency",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS c_us, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+      SELECT c.user_id, c.c_us, c.event_id,
+             min(p.p_us) AS first_p_us
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id AND p.p_us >= c.c_us
+      GROUP BY c.user_id, c.c_us, c.event_id
+    ),
+    per_user AS (
+      SELECT user_id, min(first_p_us - c_us) AS best_latency_us FROM conv GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converting_users,
+           CAST(quantile_cont(best_latency_us, 0.5) AS DOUBLE) AS p50_us,
+           CAST(quantile_cont(best_latency_us, 0.9) AS DOUBLE) AS p90_us
+    FROM per_user
+    """,
+)
+def q165_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion latency: for every click, the time to that
+    user's next purchase; per user the best (minimum) latency; corpus
+    p50/p90 — the "how long does the funnel take" number next to q65's
+    "how many convert" count.
+
+    The click->next-purchase resolution is an equi-join on user_id with
+    a range residual folded into a min-aggregate (one shuffle on the
+    user key, the same exchange the per-user reduction reuses) — never
+    a time-range explosion.  All latencies are exact BIGINT microsecond
+    differences; the percentiles are the q134-style exact interpolated
+    kind over integer operands, so both engines interpolate identical
+    doubles.  At scale the join benefits from AQE skew splitting on hot
+    users, and the final percentile runs over one row per converting
+    user."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        clicks.join(purchases, "user_id")
+        .filter(F.col("p_us") >= F.col("c_us"))
+        .groupBy("user_id", "c_us", "event_id")
+        .agg(F.min("p_us").alias("first_p_us"))
+    )
+    per_user = conv.groupBy("user_id").agg(
+        F.min(F.col("first_p_us") - F.col("c_us")).alias("best_latency_us")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converting_users"),
+        F.expr("percentile(best_latency_us, 0.5)").cast("double").alias("p50_us"),
+        F.expr("percentile(best_latency_us, 0.9)").cast("double").alias("p90_us"),
+    )
