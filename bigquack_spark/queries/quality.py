@@ -351,3 +351,58 @@ def q163_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("group_size")
         ).alias("risk_rate"),
     )
+
+
+#: Candidate functional dependencies to audit: (table, determinant, dependent).
+#: Mix of true FDs (violations must be 0) and known-false ones (the
+#: violation rate is the finding).
+_FD_CANDIDATES = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+def _q166_oracle() -> str:
+    parts = []
+    for tbl, x, y in _FD_CANDIDATES:
+        parts.append(f"""
+        SELECT '{tbl}: {x} -> {y}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_violating_lhs,
+               CAST(count(*) FILTER (WHERE n_rhs > 1) AS DOUBLE) / count(*) AS violation_rate
+        FROM (
+          SELECT {x}, count(DISTINCT {y}) AS n_rhs FROM {tbl} GROUP BY {x}
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY fd"
+
+
+@query("q166_fd_audit", oracle=_q166_oracle())
+def q166_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate X -> Y rule, the
+    count and fraction of determinant values mapping to more than one
+    dependent value — the schema-discovery / constraint-mining pass that
+    distinguishes real invariants (nationkey -> regionkey must be 0
+    violations) from folklore ones (custkey -> orderpriority is not an
+    FD, and the rate says how far off).
+
+    Per rule: one (X, Y)-distinct aggregate then an X-keyed rollup —
+    both map-side combined, shuffle bounded by the distinct pair count;
+    four bounded audit rows return.  The same shape mines FDs at 100 TB
+    because nothing is ever row-cardinality wide after the first
+    aggregate."""
+    out = None
+    for tbl, x, y in _FD_CANDIDATES:
+        d = t(spark, sf_dir, tbl, columns=[x, y])
+        per_x = d.groupBy(x).agg(F.countDistinct(y).alias("n_rhs"))
+        viol = F.col("n_rhs") > 1
+        row = per_x.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.count(F.when(viol, 1)).cast("long").alias("n_violating_lhs"),
+            (F.count(F.when(viol, 1)).cast("double") / F.count(F.lit(1))).alias(
+                "violation_rate"
+            ),
+        ).select(F.lit(f"{tbl}: {x} -> {y}").alias("fd"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")
