@@ -112,3 +112,22 @@ def test_q153_reservoir_deterministic_and_weighted(spark):
     )
     sample_mean = df1.agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_pagerank_invariant_under_repartitioning(spark):
+    """The 2^40-lattice claim, tested: ranks must be BIT-identical no
+    matter how the edge list is partitioned (1 partition vs 16, sorted
+    vs shuffled input order) — the property float accumulation loses."""
+    import random
+
+    rnd = random.Random(7)
+    edges = [
+        (f"n{rnd.randrange(40)}", f"n{rnd.randrange(40)}", rnd.randrange(1, 9))
+        for _ in range(300)
+    ]
+    schema = "src string, dst string, weight long"
+    a = spark.createDataFrame(edges, schema).repartition(1)
+    b = spark.createDataFrame(list(reversed(edges)), schema).repartition(16, "dst")
+    ra = {r["node"]: r["rank"] for r in pagerank(a, iterations=3).collect()}
+    rb = {r["node"]: r["rank"] for r in pagerank(b, iterations=3).collect()}
+    assert ra == rb  # exact equality, not approx
