@@ -406,3 +406,68 @@ def q166_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{tbl}: {x} -> {y}").alias("fd"), "*")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd")
+
+
+@query(
+    "q167_join_cardinality",
+    oracle="""
+    WITH ha AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca FROM orders GROUP BY k),
+    hb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb FROM lineitem GROUP BY k),
+    prod AS (
+      SELECT ha.k, ha.ca * hb.cb AS rows_for_key
+      FROM ha JOIN hb ON ha.k = hb.k
+    )
+    SELECT CAST((SELECT count(*) FROM ha) AS BIGINT) AS n_keys_orders,
+           CAST((SELECT count(*) FROM hb) AS BIGINT) AS n_keys_lineitem,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(sum(rows_for_key) AS BIGINT) AS join_rows,
+           CAST(max(rows_for_key) AS BIGINT) AS max_key_rows,
+           CAST(max(rows_for_key) AS DOUBLE) * count(*) / sum(rows_for_key)
+             AS skew_amplification
+    FROM prod
+    """,
+)
+def q167_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight: the exact output size of
+    orders x lineitem on the orderkey computed from per-key histograms
+    (sum of count products) WITHOUT running the join, plus the hottest
+    key's row contribution and its amplification over the mean — the
+    planning diagnostic that decides between plain shuffle, AQE skew
+    split, and an explicit salt BEFORE the 95 TB exchange is paid
+    (q119's key-skew report generalized to the two-sided join form).
+
+    Both histograms are map-side-combined aggregates; their join carries
+    one row per distinct key.  At 100 TB this costs two key-count
+    aggregates instead of the joined fact shuffle it sizes — the whole
+    point."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey"])
+    l = t(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    ha = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    hb = l.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    prod = ha.join(hb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("rows_for_key")
+    )
+    na = ha.agg(F.count(F.lit(1)).cast("long").alias("n_keys_orders"))
+    nb = hb.agg(F.count(F.lit(1)).cast("long").alias("n_keys_lineitem"))
+    agg = prod.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.sum("rows_for_key").cast("long").alias("join_rows"),
+        F.max("rows_for_key").cast("long").alias("max_key_rows"),
+        (
+            F.max("rows_for_key").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("rows_for_key")
+        ).alias("skew_amplification"),
+    )
+    return na.crossJoin(nb).crossJoin(agg).select(
+        "n_keys_orders",
+        "n_keys_lineitem",
+        "n_matching_keys",
+        "join_rows",
+        "max_key_rows",
+        "skew_amplification",
+    )

@@ -287,6 +287,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q148_transition_pagerank",  # broadcast 1-row node-count aggregate
         "q158_changepoint",  # broadcast 1-row total power sums onto O(days) rows
         "q160_lsh_eval",  # bounded 200-doc eval slice broadcast (exact ground truth)
+        "q167_join_cardinality",  # broadcast 1-row histogram summaries
     }
     offenders = []
     for name, spec in QUERIES.items():
