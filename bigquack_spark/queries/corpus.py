@@ -602,3 +602,96 @@ def q154_topp_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_chars").cast("double") / F.col("total_chars") <= TOPP_SHARE
         ).alias("kept"),
     ).orderBy("lang", "cum_chars")
+
+
+@query(
+    "q168_source_scorecard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text, n_chars,
+             string_split_regex(lower(text), '\\s+') AS tk
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             (len(tk) BETWEEN 20 AND 200
+              AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                    / len(tk) BETWEEN 2.0 AND 8.0
+              AND CAST(len(list_filter(tk, x -> x IN ('a', 'the'))) AS DOUBLE)
+                    / len(tk) <= 0.3
+              AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.25) AS quality_ok,
+             md5(text) AS fp
+      FROM toks
+    ),
+    keep_first AS (
+      SELECT fp, min(doc_id) AS canonical FROM per_doc GROUP BY fp
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(d.n_words) AS BIGINT) AS total_words,
+           CAST(count(*) FILTER (WHERE d.quality_ok) AS DOUBLE) / count(*) AS quality_rate,
+           CAST(count(*) FILTER (WHERE d.doc_id <> k.canonical) AS DOUBLE) / count(*)
+             AS dup_rate
+    FROM per_doc d JOIN keep_first k ON d.fp = k.fp
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q168_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard: volume (docs/chars/words), C4-gate
+    pass rate (q120's rule cascade), and exact-duplicate rate (q30's
+    keep-first policy) rolled up per source — the one-table answer to
+    "which feed is worth its ingest cost", feeding the q85/q137 mixture
+    weights.
+
+    One corpus scan computes all per-doc signals as projections; the
+    fingerprint keep-first aggregate and the join back are the q30/q129
+    shape (16-byte keys, map-side combined); the final rollup has
+    |sources| groups.  All rates are exact-integer divisions."""
+    d = t(spark, sf_dir, "documents", rebalance=True)
+    tk = F.split(F.lower("text"), r"\s+")
+    n_words = F.size(tk).cast("long")
+    mean_len = F.aggregate(
+        F.transform(tk, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double") / F.size(tk)
+    stop_ratio = F.size(
+        F.filter(tk, lambda x: x.isin("a", "the"))
+    ).cast("double") / F.size(tk)
+    distinct_ratio = F.size(F.array_distinct(tk)).cast("double") / F.size(tk)
+    quality_ok = (
+        n_words.between(20, 200)
+        & mean_len.between(2.0, 8.0)
+        & (stop_ratio <= 0.3)
+        & (distinct_ratio >= 0.25)
+    )
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        n_words.alias("n_words"),
+        quality_ok.alias("quality_ok"),
+        F.md5("text").alias("fp"),
+    )
+    keep_first = per_doc.groupBy("fp").agg(F.min("doc_id").alias("canonical"))
+    j = per_doc.join(keep_first, "fp")
+    dup = F.col("doc_id") != F.col("canonical")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            (
+                F.count(F.when(F.col("quality_ok"), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("quality_rate"),
+            (F.count(F.when(dup, 1)).cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
