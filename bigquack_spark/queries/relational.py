@@ -2051,3 +2051,192 @@ def q114_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rev_units") - prev) / F.lit(10000.0)).alias("mom_delta"),
         ((F.col("rev_units") - prev).cast("double") / prev).alias("mom_pct"),
     )
+
+
+@query(
+    "q169_bloom_semi_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY s_nationkey
+    """,
+)
+def q169_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (the runtime-row-level-filtering shape):
+    lineitem revenue by supplier nation, restricted to lines of URGENT
+    orders.  operators.joins.bloom_semi_join builds a 1 Mbit / 5-probe
+    xxhash64 bitmap from the urgent orderkeys with ONE key-side
+    aggregation, broadcasts the single-row bitmap (128 KiB — never the
+    key set), and kills non-member lineitem rows at the scan, BEFORE the
+    semi-join exchange.  The trailing exact semi join makes false
+    positives invisible, so the result is identical to the plain semi
+    join the oracle runs.  At 100 TB this is the difference between
+    shuffling every fact row and shuffling ~the selectivity fraction;
+    the bitmap cost is O(|keys|) map-side.  Revenue rides the integer
+    cents lattice (see _money_cents_units); supplier dim is broadcast.
+    """
+    from bigquack_spark.operators.joins import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    urgent = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]) \
+        .filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_orderkey"))
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    kept = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+    return (
+        kept.join(F.broadcast(s), kept.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_money_cents_units()).cast("long") / F.lit(10000.0), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q174_metric_unpivot",
+    oracle="""
+    WITH cagg AS (
+      SELECT c_nationkey AS nk,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS custbal_cents
+      FROM customer GROUP BY c_nationkey
+    ),
+    sagg AS (
+      SELECT s_nationkey AS nk,
+             CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    ),
+    wide AS (
+      SELECT n.n_name,
+             coalesce(c.n_customers, 0) AS n_customers,
+             coalesce(s.n_suppliers, 0) AS n_suppliers,
+             coalesce(c.custbal_cents, 0) AS custbal_cents
+      FROM nation n
+      LEFT JOIN cagg c ON c.nk = n.n_nationkey
+      LEFT JOIN sagg s ON s.nk = n.n_nationkey
+    )
+    SELECT n_name, metric, value FROM (
+      SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+      UNION ALL
+      SELECT n_name, 'n_suppliers', n_suppliers FROM wide
+      UNION ALL
+      SELECT n_name, 'custbal_cents', custbal_cents FROM wide
+    )
+    """,
+)
+def q174_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the wide->long reshape the §2.5 surface needs as
+    the inverse of q16's pivot: per-nation metrics unpivoted to
+    (nation, metric, value) rows with the native ``DataFrame.unpivot``
+    (Spark's Unpivot logical node — a zero-shuffle projection that emits
+    one row per metric, NOT a join).  Distinct-counts are computed
+    per-dimension before reshaping; the balance metric rides the integer
+    cents lattice so a BIGINT value column serves all three metrics.
+    The oracle replays the reshape as UNION ALL — semantically identical
+    and portable.  At scale: unpivot multiplies rows by the metric count
+    in the map stage only; nothing shuffles twice."""
+    n = t(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    s = t(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cagg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("custbal_cents"),
+    )
+    sagg = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count_distinct("s_suppkey").alias("n_suppliers")
+    )
+    wide = (
+        n.join(cagg, n.n_nationkey == cagg.nk, "left")
+        .join(sagg, n.n_nationkey == sagg.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+            F.coalesce("custbal_cents", F.lit(0)).cast("long").alias("custbal_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "n_suppliers", "custbal_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q175_mode_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM lineitem
+    ),
+    modes AS (
+      SELECT l_returnflag,
+             arg_min(qty, printf('%019d%019d', 100000000000000000 - cnt, qty)) AS mode_qty
+      FROM (
+        SELECT l_returnflag, qty, CAST(count(*) AS BIGINT) AS cnt
+        FROM ranked GROUP BY l_returnflag, qty
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           max(m.mode_qty) AS mode_qty,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN qty END) AS p50_disc,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN qty END) AS p90_disc
+    FROM ranked r JOIN modes m USING (l_returnflag)
+    GROUP BY r.l_returnflag
+    """,
+)
+def q175_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE and DISCRETE percentiles (the §2.5 ordered-set
+    aggregate gap): per return flag, the most frequent quantity and the
+    p50/p90 values that EXIST in the data (percentile_disc semantics:
+    the rn == ceil(p*n) order statistic), not interpolations.  Native
+    engine mode()/percentile_disc() tie-break and interpolation rules
+    differ across engines, so BOTH sides evaluate the same explicit
+    definition: mode = arg-min over (-count, value) — ties go to the
+    smallest value — and the order statistic uses a total order with
+    (orderkey, linenumber) tiebreak.  One l_returnflag shuffle serves the
+    ranking window, the count window, and the final aggregate; quantities
+    are exact BIGINTs on both engines."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"])
+    qty = li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"),
+                    "l_orderkey", "l_linenumber")
+    wr = Window.partitionBy("l_returnflag").orderBy("qty", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = qty.select(
+        "l_returnflag", "qty",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    modes = (
+        ranked.groupBy("l_returnflag", "qty").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(
+                F.col("qty"),
+                F.format_string("%019d%019d", F.lit(100000000000000000) - F.col("cnt"), F.col("qty")),
+            ).alias("mode_qty")
+        )
+    )
+    stats = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("qty"))).alias("p50_disc"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("qty"))).alias("p90_disc"),
+    )
+    return stats.join(modes, "l_returnflag").select(
+        "l_returnflag", "mode_qty", "p50_disc", "p90_disc"
+    )

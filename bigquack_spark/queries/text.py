@@ -683,3 +683,94 @@ def q155_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("declared_lang", "predicted_lang")
     )
+
+
+BOILER_MIN_DOCS = 20  # fingerprint shared by >= this many docs = boilerplate
+
+
+@query(
+    "q173_boilerplate_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS hh
+      FROM tk
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
+               list_transform(range(1, len(hh) - 2),
+                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
+                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
+             ELSE [] END AS roll
+      FROM h
+    ),
+    wnd AS (
+      SELECT doc_id,
+             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
+               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
+             ELSE [] END AS wins
+      FROM r
+    ),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(wins)) AS f FROM wnd
+    ),
+    dfreq AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS n_docs FROM fp GROUP BY f
+    ),
+    per_doc AS (
+      SELECT fp.doc_id,
+             CAST(count(*) AS BIGINT) AS n_fps,
+             CAST(sum(CASE WHEN d.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM fp JOIN dfreq d USING (f)
+      GROUP BY fp.doc_id
+    )
+    SELECT doc_id, n_fps, n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_fps, 6) AS boiler_frac
+    FROM per_doc
+    """,
+)
+def q173_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mining — the crawl-cleaning twin of
+    q139: a winnowing fingerprint shared by >= {BOILER_MIN_DOCS} distinct
+    documents marks a boilerplate token span (headers, footers, license
+    blocks — the spans MinHash under-weights because they ride inside
+    otherwise-distinct pages), and each document reports what fraction of
+    its fingerprints are boilerplate.  Pipeline: per-doc fingerprints
+    (zero-shuffle projection, q139's exact-BIGINT rolling hash) ->
+    explode -> fingerprint document-frequency (ONE map-side-combined
+    shuffle on the fingerprint key, same shape as a df count) -> join
+    back and re-aggregate per doc.  Never pairwise: cost is linear in
+    total fingerprints at any corpus size, and a hot fingerprint (in
+    every doc) is just a big count, not a big join group.  The oracle
+    replays the identical integer pipeline."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    # Materialize the fingerprint arrays BEFORE exploding: feeding the
+    # nested winnowing transform tree straight into a Generate lets the
+    # optimizer inline it per output element (observed ~100x slowdown /
+    # hang at tiny scale).  localCheckpoint flattens the lineage the same
+    # way the connected-components operator does; the checkpointed data
+    # is doc_id + the compact fingerprint arrays, ~1% of corpus bytes.
+    arrs = X.winnow_fingerprints(d).select("doc_id", "fps").localCheckpoint(eager=False)
+    fp = arrs.select("doc_id", F.explode("fps").alias("f"))
+    # document frequency via a window on the fingerprint key rather than a
+    # groupBy + self-join: one f-keyed shuffle serves the count AND the
+    # per-doc re-aggregation input.
+    wf = Window.partitionBy("f")
+    counted = fp.select(
+        "doc_id", F.count(F.lit(1)).over(wf).alias("n_docs")
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(
+            F.when(F.col("n_docs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+        ).cast("long").alias("n_boiler"),
+    )
+    return per_doc.select(
+        "doc_id", "n_fps", "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_fps"), 6).alias("boiler_frac"),
+    )

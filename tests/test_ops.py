@@ -960,3 +960,70 @@ def test_winnowing_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two three")], "doc_id bigint, text string")
     r = X.winnow_fingerprints(df).collect()[0]
     assert r.fps == [] and r.n_fps == 0
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """bloom_semi_join is an OPTIMIZATION, not a semantics change: for any
+    key set, its output must equal the plain left-semi join (false
+    positives are caught by the trailing exact join; false negatives are
+    impossible in a bloom filter)."""
+    from bigquack_spark.operators.joins import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    keys = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    got = bloom_semi_join(li, "l_orderkey", keys, "o_orderkey")
+    want = li.join(
+        keys.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The bitmap must reject (almost all) non-member keys before the semi
+    join: with a tiny member set, the bloom-filtered row count should sit
+    near the true match count, far below the input count (128 KiB bitmap,
+    5 probes => ~0 false-positive rate at this cardinality)."""
+    from bigquack_spark.operators.joins import _bloom_probe
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey")
+    keys = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("__bk"))
+        .distinct()
+    )
+    num_bits, k = 1 << 20, 5
+    probes = None
+    for j in range(k):
+        slot, mask = _bloom_probe(F.col("__bk"), num_bits, j)
+        p = keys.select(slot.alias("__slot"), mask.alias("__mask"))
+        probes = p if probes is None else probes.unionByName(p)
+    words = probes.groupBy("__slot").agg(F.bit_or("__mask").alias("__bits"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__slot", "__bits"))).alias("__bloom")
+    )
+    cond = None
+    for j in range(k):
+        slot, mask = _bloom_probe(F.col("l_orderkey"), num_bits, j)
+        hit = (
+            F.coalesce(F.element_at(F.col("__bloom"), slot), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            == mask
+        )
+        cond = hit if cond is None else (cond & hit)
+    surviving = li.join(F.broadcast(bloom)).filter(cond).count()
+    total = li.count()
+    true_matches = li.join(
+        keys.select(F.col("__bk").alias("l_orderkey")), "l_orderkey", "left_semi"
+    ).count()
+    assert surviving < total * 0.6  # prunes the majority of non-members
+    assert surviving >= true_matches  # never drops a true member
+    # false-positive slack: at 1 Mbit / ~1.2k keys the fp rate is ~0
+    assert surviving <= true_matches * 1.05 + 100

@@ -288,6 +288,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q158_changepoint",  # broadcast 1-row total power sums onto O(days) rows
         "q160_lsh_eval",  # bounded 200-doc eval slice broadcast (exact ground truth)
         "q167_join_cardinality",  # broadcast 1-row histogram summaries
+        "q169_bloom_semi_join",  # broadcast 1-row bloom bitmap onto the fact scan
     }
     offenders = []
     for name, spec in QUERIES.items():
