@@ -324,3 +324,76 @@ def q147_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("true_label", "predicted_label")
     )
+
+
+@query(
+    "q178_embedding_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_Q_SQL} AS qv FROM embeddings
+    ),
+    cells AS (
+      SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+             q.qv[CAST(i AS INTEGER)] AS vi, q.qv[CAST(j AS INTEGER)] AS vj
+      FROM q
+      CROSS JOIN range(1, {DIM} + 1) t1(i)
+      CROSS JOIN range(1, {DIM} + 1) t2(j)
+      WHERE i <= j
+    ),
+    sums AS (
+      SELECT i, j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vi) AS BIGINT) AS si,
+             CAST(sum(vj) AS BIGINT) AS sj,
+             CAST(sum(vi * vj) AS BIGINT) AS sij
+      FROM cells GROUP BY i, j
+    )
+    SELECT i, j,
+           round((CAST(sij AS DOUBLE)
+                  - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / {SCALE} / {SCALE}, 9) AS cov
+    FROM sums
+    """,
+)
+def q178_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DIM x DIM embedding covariance matrix — the whitening / PCA /
+    Mahalanobis precursor q145's per-dim stats cannot provide (those lack
+    the cross terms).  Vectors ride the 2^20 integer lattice, every
+    (i, j <= i) cell's power sums are exact BIGINT aggregates, and the
+    covariance is assembled from the exact sums in an identical IEEE
+    expression on both engines — the q87/q126 lattice discipline extended
+    to matrices.  Shape: posexplode x conditional pair fan-out is
+    DIM*(DIM+1)/2 cells per row, map-side combined into DIM^2-bounded
+    state — 2,080 accumulators at DIM=64, independent of corpus size; no
+    shuffle carries row-level data.  At 1e9+ rows the BIGINT product sums
+    approach 2^63: shrink SCALE to 2^14 (covariance precision degrades
+    gracefully) or tree-aggregate in two tiers; noted in SCALING.md."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(_quantize(F.col("embedding")).alias("qv"))
+    pairs = (
+        q.select(F.posexplode("qv").alias("i0", "vi"), F.col("qv"))
+        .select(
+            (F.col("i0") + 1).alias("i"), "vi",
+            F.posexplode(F.slice(F.col("qv"), F.col("i0") + 1, F.lit(DIM))).alias("j0", "vj"),
+        )
+        .select("i", (F.col("i") + F.col("j0")).alias("j"), "vi", "vj")
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("si"),
+        F.sum("vj").alias("sj"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
+    )
+    return sums.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round(
+            (
+                F.col("sij").cast("double")
+                - F.col("si").cast("double") * F.col("sj").cast("double") / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - F.lit(1.0))
+            / F.lit(float(SCALE)) / F.lit(float(SCALE)),
+            9,
+        ).alias("cov"),
+    )

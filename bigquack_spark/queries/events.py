@@ -1183,3 +1183,62 @@ def q170_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
+
+
+@query(
+    "q177_json_schema_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             unnest(json_keys(props)) AS key,
+             props
+      FROM events WHERE props IS NOT NULL
+    ),
+    typed AS (
+      SELECT event_type, key,
+             json_extract_string(props, '$.' || key) AS sval,
+             json_type(json_extract(props, '$.' || key)) IN
+               ('INTEGER', 'UBIGINT', 'BIGINT', 'DOUBLE') AS is_num
+      FROM kv
+    )
+    SELECT event_type, key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_num THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(count(DISTINCT sval) AS BIGINT) AS n_distinct,
+           CAST(min(CASE WHEN is_num THEN CAST(sval AS BIGINT) END) AS BIGINT) AS min_num,
+           CAST(max(CASE WHEN is_num THEN CAST(sval AS BIGINT) END) AS BIGINT) AS max_num
+    FROM typed
+    GROUP BY event_type, key
+    """,
+)
+def q177_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift audit: per (event_type, JSON key) —
+    occurrence count, numeric rate, distinct-value cardinality, numeric
+    range.  The producer-contract monitor for a JSON property bag: a new
+    key, a key that flips from numeric to string, or a cardinality
+    explosion all surface as row-level diffs between daily runs.  Keys
+    are discovered DYNAMICALLY (from_json to map<string,string> +
+    explode(map_keys), ≅ DuckDB json_keys/unnest), not hardcoded paths —
+    this is the schema-free complement of q20's fixed-path extraction.
+    One (event_type, key)-keyed shuffle; numeric detection is a cast
+    probe on both engines (Spark try-cast semantics == CASE-gated CAST).
+    At 100 TB the map explode multiplies rows by keys-per-object (bounded
+    by producer schema width), all map-side."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "props"])
+    m = e.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("kv"),
+    )
+    kv = m.select("event_type", F.explode("kv").alias("key", "sval"))
+    num = F.col("sval").cast("bigint")
+    typed = kv.select(
+        "event_type", "key", "sval",
+        (num.isNotNull() | F.col("sval").cast("double").isNotNull()).alias("is_num"),
+    )
+    return typed.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_num"), 1).otherwise(0)).cast("long").alias("n_numeric"),
+        F.count_distinct("sval").alias("n_distinct"),
+        F.min(F.when(F.col("is_num"), num)).alias("min_num"),
+        F.max(F.when(F.col("is_num"), num)).alias("max_num"),
+    )

@@ -182,3 +182,94 @@ def q171_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coef"),
     )
+
+
+WALK_STEPS = 4
+
+
+def _md5_mod_sql(parts_sql: str, mod_sql: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5({parts_sql}), 1, 6) AS BIGINT) % ({mod_sql})"
+    )
+
+
+@query(
+    "q176_deterministic_walks",
+    oracle=f"""
+    WITH edges AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+      FROM ({_EDGES_CTE})
+    ),
+    w0 AS (SELECT DISTINCT src AS start, src AS cur, src AS path FROM edges),
+    w1 AS (
+      SELECT w.start, e.dst AS cur, w.path || '>' || e.dst AS path
+      FROM w0 w JOIN edges e ON e.src = w.cur
+      AND e.rnk = {_md5_mod_sql("w.start || '|1|' || w.cur", "e.outdeg")}
+    ),
+    w2 AS (
+      SELECT w.start, e.dst AS cur, w.path || '>' || e.dst AS path
+      FROM w1 w JOIN edges e ON e.src = w.cur
+      AND e.rnk = {_md5_mod_sql("w.start || '|2|' || w.cur", "e.outdeg")}
+    ),
+    w3 AS (
+      SELECT w.start, e.dst AS cur, w.path || '>' || e.dst AS path
+      FROM w2 w JOIN edges e ON e.src = w.cur
+      AND e.rnk = {_md5_mod_sql("w.start || '|3|' || w.cur", "e.outdeg")}
+    ),
+    w4 AS (
+      SELECT w.start, e.dst AS cur, w.path || '>' || e.dst AS path
+      FROM w3 w JOIN edges e ON e.src = w.cur
+      AND e.rnk = {_md5_mod_sql("w.start || '|4|' || w.cur", "e.outdeg")}
+    )
+    SELECT start, path FROM w4
+    """,
+)
+def q176_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graph random walks — the DeepWalk/node2vec corpus
+    generator: one {WALK_STEPS}-step walk per start node over the event-
+    transition graph, where the step-s choice at node v is the
+    md5(start|s|v)-derived index into v's dst-sorted out-edges.  md5
+    replaces rand() for the same reason as q125/q153: the walk corpus is
+    bit-identical under task retry, repartitioning, and replay — and the
+    oracle replays it exactly.  Each step is ONE equi-join of the walk
+    frontier against the edge list (rank + outdeg come from a single
+    src-keyed window) — the iterated-join shape of q148's PageRank, so a
+    billion-walk corpus costs {WALK_STEPS} keyed shuffles of the frontier
+    regardless of graph size.  Walk fan-out per node is 1 here; B walks
+    per node = add a walk-index column to the seed frontier."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    raw = (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    we = Window.partitionBy("src")
+    edges = raw.select(
+        "src", "dst",
+        (F.row_number().over(we.orderBy("dst")) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(we).cast("long").alias("outdeg"),
+    )
+    walks = edges.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur"), F.col("start").alias("path")
+    )
+    for step in range(1, WALK_STEPS + 1):
+        choice = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("", F.col("start"), F.lit(f"|{step}|"), F.col("cur"))),
+                1, 6,
+            ), 16, 10,
+        ).cast("bigint") % F.col("outdeg")
+        walks = (
+            walks.join(edges, walks.cur == edges.src)
+            .filter(F.col("rnk") == choice)
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.lit(">"), F.col("dst")).alias("path"),
+            )
+        )
+    return walks.select("start", "path")

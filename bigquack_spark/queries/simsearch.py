@@ -195,3 +195,86 @@ def q136_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l2_norm") < 10.0)
     )
     return m.withColumn("vector_ok", ok)
+
+
+HARDNEG_LO, HARDNEG_HI = 0.15, 0.4  # similar-but-not-duplicate cosine band
+HARDNEG_K = 2
+
+
+@query(
+    "q179_hard_negatives",
+    oracle=None,  # filled below to reuse dedup's plane SQL without an import cycle
+)
+def q179_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the top-{HARDNEG_K} bucket-mates whose cosine lands in the
+    similar-but-not-duplicate band [{HARDNEG_LO}, {HARDNEG_HI}) — above
+    it is q172's dedup territory, far below it the negative is trivial
+    and teaches the model nothing.  Candidates come from the SAME seeded
+    sign-LSH buckets as q35/q172 (one bucket-keyed self-join, bounded by
+    bucket occupancy — never corpus x corpus), ranked by (cosine desc,
+    neg_id) per anchor with a window over the anchor key.  Cosines are
+    rounded to 6 decimals BEFORE ranking so the order is engine-
+    invariant; the oracle replays plane literals, band, and ranking
+    exactly.  At 100 TB this inherits q172's posture: bucket caps,
+    per-anchor output bounded at k rows."""
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    v = random_hyperplane_lsh(
+        e, vec_col="embedding", num_planes=2, seed=42, bucket_col="bkt"
+    ).select("vec_id", "bkt", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("anchor"), "bkt", F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("neg_id"), "bkt", F.col("v").alias("vb"))
+    sims = (
+        a.join(b, "bkt")
+        .filter(F.col("anchor") != F.col("neg_id"))
+        .select(
+            "anchor", "neg_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter((F.col("cos") >= HARDNEG_LO) & (F.col("cos") < HARDNEG_HI))
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), "neg_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select("anchor", "neg_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _install_q179_oracle() -> None:
+    from bigquack_spark.queries import dedup as _dq
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    plane = _dq._q35_plane_sql(2, 64, 42)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, e, {plane} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    sims AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS neg_id,
+             round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               6
+             ) AS cos
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ),
+    banded AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg_id) AS rnk
+      FROM sims WHERE cos >= {HARDNEG_LO} AND cos < {HARDNEG_HI}
+    )
+    SELECT anchor, neg_id, cos, CAST(rnk AS INTEGER) AS rnk
+    FROM banded WHERE rnk <= {HARDNEG_K}
+    """
+    spec = QUERIES["q179_hard_negatives"]
+    QUERIES["q179_hard_negatives"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q179_oracle()
