@@ -1027,3 +1027,30 @@ def test_bloom_prefilter_actually_prunes(spark):
     assert surviving >= true_matches  # never drops a true member
     # false-positive slack: at 1 Mbit / ~1.2k keys the fp rate is ~0
     assert surviving <= true_matches * 1.05 + 100
+
+
+def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
+    """Persisted IVF index (build once, serve many) must return EXACTLY
+    what the in-session ivf_topk computes with the same seed/params — the
+    quantizer is deterministic, so the index is just a materialization —
+    and the probe plan must show dynamic partition pruning (the scan is
+    bounded by probed cells, not corpus size)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    n = S.build_ivf_index(emb, path, n_lists=4, seed=42)
+    assert n == 4
+    served = S.probe_ivf_index(spark, path, queries, k=5, n_probes=2)
+    inline = S.ivf_topk(emb, queries, k=5, n_lists=4, n_probes=2, seed=42)
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_ivf_index_small_corpus_refuses(spark, tmp_path):
+    """A corpus smaller than n_lists writes nothing (brute force is exact
+    there) — the caller contract mirrors ivf_topk's fallback."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(3)
+    assert S.build_ivf_index(emb, str(tmp_path / "ivf2"), n_lists=8) == 0
