@@ -695,3 +695,113 @@ def q168_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q180_source_overlap_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS f, source FROM documents
+    ),
+    per AS (
+      SELECT f, source, CAST(count(*) AS BIGINT) AS n
+      FROM fp GROUP BY f, source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_texts,
+           CAST(sum(a.n) AS BIGINT) AS copies_a,
+           CAST(sum(b.n) AS BIGINT) AS copies_b
+    FROM per a JOIN per b ON a.f = b.f AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q180_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHO copies from WHOM: for every
+    source pair, the number of exact texts both carry plus the copy
+    counts on each side (mirror-site detection, scraped-aggregator
+    triage; the pairwise drill-down behind q168's per-source dup rate).
+    Pipeline: text fingerprint -> (fingerprint, source) counts — the
+    corpus-sized shuffle, map-side combined — then a fingerprint-keyed
+    self-join whose fan-out per fingerprint is (sources carrying it
+    choose 2), bounded by the SOURCE count, never the copy count: a
+    text with 1M copies in 2 sources is ONE joined row carrying two
+    counts.  Output is |sources|^2-bounded.  The oracle replays the
+    identical md5 pipeline."""
+    d = t(spark, sf_dir, "documents", columns=["text", "source"], rebalance=True)
+    per = (
+        d.select(F.md5("text").alias("f"), "source")
+        .groupBy("f", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = per.select(F.col("f"), F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = per.select(F.col("f"), F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_texts"),
+            F.sum("na").alias("copies_a"),
+            F.sum("nb").alias("copies_b"),
+        )
+    )
+
+
+@query(
+    "q181_quality_decile_lift",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, md5(text) AS f,
+             ntile(10) OVER (
+               PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16
+               ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    ),
+    firsts AS (
+      SELECT f, min(doc_id) AS keeper FROM sig GROUP BY f
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.doc_id <> fr.keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           round(CAST(sum(CASE WHEN s.doc_id <> fr.keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM sig s JOIN firsts fr ON s.f = fr.f
+    GROUP BY decile
+    """,
+)
+def q181_quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band duplicate-rate lift: docs are ranked into deciles by
+    length (the cheapest quality proxy; swap in q120's composite score
+    unchanged) and each decile reports its exact-duplicate rate — the
+    calibration table that tells a curation pipeline WHERE the dups live
+    (short boilerplate bands usually dominate) and whether a quality
+    cut and the dedup pass overlap or complement.  Deciles are SLICED
+    (ntile within 16 deterministic md5 slices of the corpus, then
+    aggregated across slices — the q115 discipline): each slice's decile
+    boundaries are unbiased estimates of the global ones, and no window
+    ever runs on a single partition.  The other shuffle is the
+    fingerprint keep-first aggregate joined back (q30's shape).  The
+    deterministic keeper (min doc_id) makes dup verdicts — hence rates —
+    exact integers on both engines."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"], rebalance=True)
+    from pyspark.sql.window import Window
+
+    slice_key = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 16
+    )
+    sig = d.select(
+        "doc_id", F.md5("text").alias("f"),
+        F.ntile(10)
+        .over(Window.partitionBy(slice_key).orderBy("n_chars", "doc_id"))
+        .alias("decile"),
+    )
+    firsts = sig.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    joined = sig.join(firsts, "f")
+    isdup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return joined.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(isdup).cast("long").alias("n_dups"),
+        F.round(F.sum(isdup).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )
