@@ -1242,3 +1242,170 @@ def q177_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_num"), num)).alias("min_num"),
         F.max(F.when(F.col("is_num"), num)).alias("max_num"),
     )
+
+
+@query(
+    "q183_linear_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    purchases AS (
+      SELECT user_id, sid, event_id AS pid, us AS pus,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM sess WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, sid, event_id AS tid, us AS tus, event_type
+      FROM sess WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT p.pid, p.value_cents, t.event_type
+      FROM purchases p
+      JOIN touches t ON t.user_id = p.user_id AND t.sid = p.sid
+       AND (t.tus < p.pus OR (t.tus = p.pus AND t.tid < p.pid))
+    ),
+    shared AS (
+      SELECT pid, event_type,
+             CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n_touch,
+             value_cents
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(value_cents * 10000 // n_touch) AS BIGINT) AS attributed_ucents
+    FROM shared
+    GROUP BY event_type
+    """,
+)
+def q183_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across the touches (non-purchase events) that precede it in
+    the SAME 30-minute session, answering 'which touchpoint types drive
+    revenue' without last-touch bias (q100 is the single-touch
+    first/last form).  Sessionization reuses q22's gap-flag cumsum (one
+    user_id shuffle); the purchase->touch pairing is a (user, session)
+    equi-join whose fan-out is bounded by session length, never
+    cross-session; per-purchase shares are exact integer micro-cents
+    (floor division — the residual < n_touch µ¢ per purchase is
+    documented, not silently float-smeared), so sums are BIGINT-exact on
+    both engines.  Total-order tiebreak (ts, event_id) decides
+    same-microsecond touches deterministically."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"])
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "event_type", "value", us.alias("us")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    purchases = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sid", F.col("event_id").alias("pid"), F.col("us").alias("pus"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    touches = sess.filter(F.col("event_type") != "purchase").select(
+        "user_id", "sid", F.col("event_id").alias("tid"), F.col("us").alias("tus"),
+        "event_type",
+    )
+    pairs = purchases.join(touches, ["user_id", "sid"]).filter(
+        (F.col("tus") < F.col("pus"))
+        | ((F.col("tus") == F.col("pus")) & (F.col("tid") < F.col("pid")))
+    )
+    wp = Window.partitionBy("pid")
+    shared = pairs.select(
+        "pid", "event_type", "value_cents",
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+    )
+    return shared.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(
+            (F.col("value_cents") * 10000 / F.col("n_touch")).cast("long")
+        ).alias("attributed_ucents"),
+    )
+
+
+@query(
+    "q184_behavioral_entropy",
+    oracle="""
+    WITH tr AS (
+      SELECT user_id,
+             event_type || '>' || lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS bigram
+      FROM events
+    ),
+    cnt AS (
+      SELECT user_id, bigram, CAST(count(*) AS BIGINT) AS c
+      FROM tr WHERE bigram IS NOT NULL GROUP BY user_id, bigram
+    ),
+    folded AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list_sort(list(CAST(c AS DOUBLE))) AS cl
+      FROM cnt GROUP BY user_id
+    )
+    SELECT user_id, total, n_distinct,
+           round(ln(CAST(total AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(cl, x -> x * ln(x))), (acc, x) -> acc + x)
+                   / CAST(total AS DOUBLE), 9) AS entropy_nats
+    FROM folded
+    WHERE total > 0
+    """,
+)
+def q184_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event-type transition bigrams —
+    the bot/monoculture detector: H = ln(T) - Σ c·ln(c)/T, where c are
+    the user's bigram counts.  A user cycling one loop scores ~0; a
+    diverse explorer scores high.  The float discipline is the
+    interesting part: Σ c·ln(c) is a DOUBLE fold whose result depends on
+    summation ORDER, so both engines fold over the SORTED count list
+    (collect -> array_sort -> sequential aggregate ≅ list_sort ->
+    list_reduce) — identical operands, identical order, identical IEEE
+    result, no lattice needed for exactness.  The per-user count list is
+    bounded by |event types|^2, so the collected array is a few dozen
+    doubles.  One user_id shuffle for the transition window, one for the
+    count rollup."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    tr = e.select(
+        "user_id",
+        F.concat_ws(">", "event_type", F.lead("event_type").over(w)).alias("bigram"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = tr.groupBy("user_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    folded = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.array_sort(F.collect_list(F.col("c").cast("double"))).alias("cl"),
+    )
+    fold = F.aggregate(
+        F.transform(F.col("cl"), lambda x: x * F.log(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.filter(F.col("total") > 0).select(
+        "user_id", "total", "n_distinct",
+        F.round(
+            F.log(F.col("total").cast("double")) - fold / F.col("total").cast("double"), 9
+        ).alias("entropy_nats"),
+    )

@@ -380,3 +380,103 @@ def q153_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(ES_SAMPLE_K)
     )
+
+
+NEYMAN_TOTAL = 100  # total sample size allocated across strata
+
+
+@query(
+    "q182_neyman_allocation",
+    oracle=f"""
+    WITH stats AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                      * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM customer GROUP BY c_mktsegment
+    ),
+    sized AS (
+      SELECT stratum, nh,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(nh AS DOUBLE)) / (CAST(nh AS DOUBLE) - 1.0)) AS sh
+      FROM stats WHERE nh > 1
+    ),
+    alloc AS (
+      SELECT stratum, nh, sh,
+             CAST(round({NEYMAN_TOTAL} * (nh * sh) /
+                        (SELECT sum(nh * sh) FROM sized)) AS BIGINT) AS n_alloc
+      FROM sized
+    ),
+    ranked AS (
+      SELECT c_custkey, c_mktsegment AS stratum,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer
+    )
+    SELECT r.stratum, CAST(count(*) AS BIGINT) AS n_sampled,
+           max(a.n_alloc) AS n_alloc,
+           CAST(min(r.c_custkey) AS BIGINT) AS min_key,
+           CAST(max(r.c_custkey) AS BIGINT) AS max_key
+    FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+    WHERE r.rn <= a.n_alloc
+    GROUP BY r.stratum
+    """,
+)
+def q182_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the statistically OPTIMAL
+    per-stratum sample sizes n_h ∝ N_h·S_h (big and high-variance strata
+    get more budget — minimizes the estimator variance at fixed total
+    cost), then a deterministic md5-ranked take of exactly n_h rows per
+    stratum.  Extends q96's equal/proportional stratified sampling with
+    the allocation step.  S_h comes from exact integer-cents power sums
+    (the q87 lattice discipline), so the allocations — and therefore the
+    sampled sets — are identical cross-engine.  Three bounded shuffles:
+    per-stratum moment aggregate (|strata| rows), broadcast of the
+    allocation table, one stratum-partitioned ranking window.  The
+    md5-rank take is retry/repartition-stable where rand() sampling is
+    not (q153's argument)."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    sized = stats.filter(F.col("nh") > 1).select(
+        "stratum", "nh",
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("nh").cast("double")
+            )
+            / (F.col("nh").cast("double") - F.lit(1.0))
+        ).alias("sh"),
+    )
+    total = sized.agg(F.sum(F.col("nh") * F.col("sh")).alias("tot"))
+    alloc = sized.crossJoin(F.broadcast(total)).select(
+        "stratum", "nh",
+        F.round(F.lit(NEYMAN_TOTAL) * (F.col("nh") * F.col("sh")) / F.col("tot"))
+        .cast("long").alias("n_alloc"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    ranked = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("stratum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("n_alloc").alias("n_alloc"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+    )
