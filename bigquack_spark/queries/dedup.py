@@ -809,3 +809,115 @@ def q172_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(hits, v.vec_id == hits.vid, "left").select(
         "vec_id", "cluster", F.col("vid").isNotNull().alias("pruned")
     )
+
+
+PPJ_THRESHOLD = 0.9  # unigram-set Jaccard (vocab is tiny => high similarity)
+
+
+@query(
+    "q185_prefix_filter_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS nd FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT t.doc_id,
+             list_sort(list(printf('%010d|%s', d.nd, t.tok))) AS keys,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks t JOIN dfreq d USING (tok)
+      GROUP BY t.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               keys[1:CAST(n - ceil({PPJ_THRESHOLD} * n) + 1 AS BIGINT)],
+               k -> substr(k, 12))) AS ptok
+      FROM ranked WHERE n > 0
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM prefix a JOIN prefix b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS s
+      FROM documents
+    )
+    SELECT c.a, c.b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.a
+    JOIN sets sb ON sb.doc_id = c.b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= {PPJ_THRESHOLD}
+    """,
+)
+def q185_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family — Chaudhuri et al. SSJoin, Xiao et al.
+    PPJoin): the deterministic complement of MinHash-LSH (q36), with
+    ZERO false negatives by theorem instead of by tuned probability.
+    Each doc's distinct-token set is ordered rarest-first (global df
+    ascending — computed with one token-keyed aggregate, joined back),
+    and only its first n - ceil(θ·n) + 1 tokens generate candidates: two
+    sets with Jaccard >= θ MUST share a prefix token (pigeonhole on the
+    overlap bound), so the candidate join touches the rare end of the
+    vocabulary — the frequent tokens that make naive token-joins
+    quadratic never leave the prefix cut.  Exact Jaccard verifies
+    candidates (array intersect/union, round-6 both engines).  At
+    100 TB: candidate volume is sum over PREFIX tokens of occurrence^2 —
+    tunable by θ — and a still-hot prefix token takes the q33 bucket-cap
+    diversion; everything shuffles on token or doc keys."""
+    from pyspark.sql.window import Window  # noqa: F401  (registry-style parity)
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nd"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.format_string("%010d|%s", F.col("nd"), F.col("tok")))
+            ).alias("keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(F.lit(PPJ_THRESHOLD) * F.col("n")) + 1).cast("int")
+    prefix = ranked.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("keys"), 1, plen), lambda k: F.substring(k, 12, 1_000_000)
+            )
+        ).alias("ptok"),
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "ptok")
+        .join(prefix.select(F.col("doc_id").alias("b"), "ptok"), "ptok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("s")
+    )
+    joined = (
+        cand.join(sets.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
+        .join(sets.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).cast("double")
+    return (
+        joined.filter(inter / union >= PPJ_THRESHOLD)
+        .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+    )
