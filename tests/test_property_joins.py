@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the join-shaped operators: the
+as-of join and the bucketed range join are checked against brute-force
+pandas references on randomized small inputs — the class of boundary bugs
+(equal timestamps, empty keys, duplicate right rows, negative values)
+fixture-based tests under-sample.  Mirrors the reference's golden-test
+philosophy (duck_test.go) extended with generative coverage."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigquack_spark.operators.joins import asof_join, bloom_semi_join, range_join_buckets
+
+KEYS = st.integers(min_value=0, max_value=2)
+TS = st.integers(min_value=0, max_value=30)
+VAL = st.integers(min_value=-5, max_value=5)
+
+left_rows = st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12)
+right_rows = st.lists(st.tuples(KEYS, TS, VAL), min_size=0, max_size=12)
+
+
+def _brute_asof(left, right, direction):
+    out = []
+    for k, lts in left:
+        cands = [
+            (rts, v) for (rk, rts, v) in right
+            if rk == k and (rts <= lts if direction == "backward" else rts >= lts)
+        ]
+        if not cands:
+            out.append((k, lts, None))
+            continue
+        # matches operator: max ts (backward) / min ts (forward); among
+        # equal-ts rows the greatest tiebreak value is carried
+        if direction == "backward":
+            best_ts = max(ts for ts, _ in cands)
+        else:
+            best_ts = min(ts for ts, _ in cands)
+        best_v = max(v for ts, v in cands if ts == best_ts)
+        out.append((k, lts, best_v))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=left_rows, right=right_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    ldf = spark.createDataFrame(left, "k int, lts int")
+    rdf = spark.createDataFrame(right, "k int, rts int, v int") if right else (
+        spark.createDataFrame([], "k int, rts int, v int")
+    )
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction=direction, right_tiebreak="v",
+    )
+    got_rows = sorted(
+        ((r.k, r.lts, r.v) for r in got.collect()),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got_rows == _brute_asof(left, right, direction)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(KEYS, st.integers(0, 50)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(KEYS, st.integers(0, 50)), min_size=0, max_size=10),
+    maxd=st.integers(min_value=1, max_value=10),
+)
+def test_range_join_matches_bruteforce(spark, left, right, maxd):
+    ldf = spark.createDataFrame(left, "k int, lv int")
+    rdf = spark.createDataFrame(right, "k int, rv int") if right else (
+        spark.createDataFrame([], "k int, rv int")
+    )
+    got = range_join_buckets(ldf, rdf, on="k", left_val="lv", right_val="rv", max_distance=maxd)
+    got_rows = sorted((r.k, r.lv, r.rv) for r in got.collect())
+    want = sorted(
+        (k, lv, rv)
+        for (k, lv) in left
+        for (rk, rv) in right
+        if rk == k and abs(lv - rv) <= maxd
+    )
+    assert got_rows == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    big=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    keys=st.lists(st.integers(0, 40), min_size=0, max_size=10),
+)
+def test_bloom_semi_join_matches_bruteforce(spark, big, keys):
+    bdf = spark.createDataFrame([(x,) for x in big], "k bigint")
+    kdf = spark.createDataFrame([(x,) for x in keys], "ok bigint") if keys else (
+        spark.createDataFrame([], "ok bigint")
+    )
+    got = sorted(r.k for r in bloom_semi_join(bdf, "k", kdf, "ok", num_bits=1 << 12).collect())
+    want = sorted(x for x in big if x in set(keys))
+    assert got == want
