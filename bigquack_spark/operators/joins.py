@@ -22,10 +22,15 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     right_tiebreak: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the single right row with the
     latest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' is
-    earliest >=), matching on the equi-key ``on``.
+    earliest >=), matching on the equi-key ``on``.  ``tolerance`` (same
+    units as the ts columns — pass integer epochs for time) additionally
+    requires |left_ts - matched right_ts| <= tolerance, the pandas
+    merge_asof staleness bound: a match older than the tolerance is
+    reported as NO match, not a stale one.
 
     Implementation is the union-and-carry construction: tag both sides,
     union them, sort within each key by (ts, side-priority), and carry the
@@ -39,15 +44,19 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     lcols = [c for c in left.columns]
     tie = right_tiebreak or right_cols[0]
+    # the carried payload includes the matched right ts so a tolerance
+    # bound can disqualify stale matches after the carry
+    rstruct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+    )
+    rstruct_type = right.select(rstruct.alias("s")).schema["s"].dataType
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(right.schema[tie].dataType).alias("__tie"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(
-            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
-        ).alias("__r"),
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     tagged_right = right.select(
         F.col(on).alias("__k"),
@@ -57,7 +66,7 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("__l"),
-        F.struct(*right_cols).alias("__r"),
+        rstruct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows sort before left rows at equal ts => ties match; among
@@ -72,6 +81,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        age = (
+            F.col("__ts") - F.col("__match").getField("__rts")
+            if direction == "backward"
+            else F.col("__match").getField("__rts") - F.col("__ts")
+        )
+        carried = carried.withColumn(
+            "__match", F.when(age <= tolerance, F.col("__match"))
+        )
     out = carried.filter(F.col("__is_left") == 1).select("__l.*", "__match")
     for c in right_cols:
         out = out.withColumn(c, F.col("__match").getField(c))

@@ -133,3 +133,31 @@ def changelog(
             ],
         )
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive one-row table checksum for transfer validation —
+    the cheap first gate before :func:`table_diff`'s row-level full-outer
+    diff (the reference's BQ2Duck pipeline reports only a row COUNT,
+    bigquack.go:127-138; this adds content).
+
+    Per row: a canonical '|'-joined string over ``cols`` (callers must
+    pre-normalize floats/timestamps to lattice ints or formatted strings
+    — raw doubles would make the digest engine-sensitive), hashed to a
+    60-bit md5 prefix.  Aggregates: COUNT plus BIT_XOR of the hashes —
+    commutative/associative, so partition order, shuffle order, and
+    engine never matter, and there is no overflow at any row count.
+    XOR's known blind spot (a row appearing an EVEN number of times
+    cancels out) is covered by the count plus a second sum-of-hashes mod
+    2^40 channel: a duplicated+dropped pair that fools XOR shifts the
+    modular sum."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.sum(F.col("h") % F.lit(1 << 40)).alias("sum_checksum_mod"),
+        )
+    )

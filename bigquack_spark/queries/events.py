@@ -1409,3 +1409,70 @@ def q184_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("total").cast("double")) - fold / F.col("total").cast("double"), 9
         ).alias("entropy_nats"),
     )
+
+
+ASOF_TOL_US = 10 * 60 * 1_000_000  # 10 min staleness bound
+
+
+@query(
+    "q187_asof_tolerance",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS is_left, event_id AS tie,
+             event_type AS state, CAST(NULL AS DOUBLE) AS val
+      FROM events WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, event_id, NULL, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT *,
+             last_value(state IGNORE NULLS) OVER w AS ctx_state,
+             last_value(CASE WHEN is_left = 0 THEN us END IGNORE NULLS)
+               OVER w AS ctx_us
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, is_left, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN ctx_state IS NOT NULL AND us - ctx_us <= {ASOF_TOL_US}
+                THEN ctx_state ELSE 'stale_or_none' END AS ctx_state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM carried WHERE is_left = 1
+    GROUP BY 1
+    """,
+)
+def q187_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof parity, the
+    operator's round-2 extension): q170's point-in-time context lookup,
+    but a context event older than {ASOF_TOL_US} µs (10 min) does NOT
+    match — purchases with only stale context land in 'stale_or_none'.
+    The staleness gate runs AFTER the carry inside the same window pass
+    (the matched right timestamp rides in the carried struct), so the
+    plan is byte-identical to q170's: one user_id shuffle, O(1) state,
+    no second join.  The fresh-context rate this yields is the feature-
+    staleness metric every online-feature-store batch parity job needs."""
+    from bigquack_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"])
+    us = F.unix_micros("ts")
+    ctx = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", us.alias("us"), F.col("event_type").alias("state"), "event_id"
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), "event_id", "value"
+    )
+    looked = asof_join(
+        pur, ctx, on="user_id", left_ts="us", right_ts="us",
+        right_cols=["state", "event_id"], direction="backward",
+        right_tiebreak="event_id", tolerance=ASOF_TOL_US,
+    )
+    return (
+        looked.groupBy(
+            F.coalesce("state", F.lit("stale_or_none")).alias("ctx_state")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -471,3 +471,50 @@ def q167_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key_rows",
         "skew_amplification",
     )
+
+
+@query(
+    "q186_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(
+               concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 o_orderpriority)
+             ), 1, 15) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+           CAST(sum(h % 1099511627776) AS BIGINT) AS sum_checksum_mod
+    FROM h
+    """,
+)
+def q186_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum
+    (operators.reconcile.table_checksum) — the transfer-validation gate
+    the reference's BQ2Duck pipeline lacks (it reports only a row count,
+    bigquack.go:127-138): COUNT + BIT_XOR of 60-bit row digests + a
+    modular digest sum, over a canonical column rendering (money on the
+    cents lattice, keys as strings).  Commutative aggregates mean
+    partition/shuffle/engine order never matters and a 1e12-row table
+    checksums in one scan with 24 bytes of aggregate state.  Run it on
+    source and target; equal rows = proceed, unequal = drill into
+    reconcile.table_diff (q88) for the row-level story."""
+    from bigquack_spark.operators.reconcile import table_checksum
+
+    o = t(spark, sf_dir, "orders",
+          columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+    canon = o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string").alias("price_cents"),
+        "o_orderpriority",
+    )
+    return table_checksum(
+        canon, ["o_orderkey", "o_custkey", "o_orderstatus", "price_cents", "o_orderpriority"]
+    )

@@ -97,3 +97,46 @@ def test_bloom_semi_join_matches_bruteforce(spark, big, keys):
     got = sorted(r.k for r in bloom_semi_join(bdf, "k", kdf, "ok", num_bits=1 << 12).collect())
     want = sorted(x for x in big if x in set(keys))
     assert got == want
+
+
+def _brute_asof_tol(left, right, direction, tol):
+    out = []
+    for k, lts in left:
+        cands = [
+            (rts, v) for (rk, rts, v) in right
+            if rk == k
+            and (rts <= lts if direction == "backward" else rts >= lts)
+            and abs(lts - rts) <= tol
+        ]
+        if not cands:
+            out.append((k, lts, None))
+            continue
+        best_ts = max(ts for ts, _ in cands) if direction == "backward" else min(
+            ts for ts, _ in cands
+        )
+        best_v = max(v for ts, v in cands if ts == best_ts)
+        out.append((k, lts, best_v))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=left_rows,
+    right=right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.integers(min_value=0, max_value=8),
+)
+def test_asof_join_tolerance_matches_bruteforce(spark, left, right, direction, tol):
+    ldf = spark.createDataFrame(left, "k int, lts int")
+    rdf = spark.createDataFrame(right, "k int, rts int, v int") if right else (
+        spark.createDataFrame([], "k int, rts int, v int")
+    )
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], direction=direction, right_tiebreak="v", tolerance=tol,
+    )
+    got_rows = sorted(
+        ((r.k, r.lts, r.v) for r in got.collect()),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got_rows == _brute_asof_tol(left, right, direction, tol)
