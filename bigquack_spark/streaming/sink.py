@@ -113,3 +113,107 @@ class ContinuousRollupSink:
             )
         )
         self._upsert(self.daily, day_rows, ["day_key", "event_type"])
+
+
+class SketchRollupSink:
+    """Streaming Count-Min rollup — the streaming twin of the batch CMS
+    (queries/sketch.q157): a ``foreachBatch`` handler that maintains ONE
+    persisted DEPTH x WIDTH counter table by ADDING each micro-batch's
+    partial sketch into it.
+
+    Mergeability is the whole point of the sketch: per-batch partials
+    combine by counter addition, so the persisted summary stays
+    4 KB-class forever while summarizing an unbounded stream.  Addition
+    is NOT idempotent, so this sink composes the batch-id offset gate
+    (ExactlyOnceBatchSink's contract — replayed batch ids are skipped,
+    offset persisted atomically next to the data) with the merge; replay
+    convergence is exactly-once by offset, not by idempotence.
+
+    The partial build is the q157 plan (DEPTH-way projection union +
+    map-side-combined groupBy); md5 buckets keep the persisted sketch a
+    portable artifact any engine can extend or query."""
+
+    def __init__(self, target: str, key_col: str, depth: int = 4, width: int = 1024):
+        self.target = target
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+        self.table = os.path.join(target, "sketch")
+        self._offset_file = os.path.join(target, "_COMMITTED_BATCH")
+        self.next_batch_id = self._load()
+
+    _load = ExactlyOnceBatchSink._load
+    _persist = ExactlyOnceBatchSink._persist
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        rows = None
+        for j in range(self.depth):
+            bucket = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(j), F.col(self.key_col).cast("string"))),
+                        1, 12,
+                    ), 16, 10,
+                ).cast("bigint") % self.width
+            )
+            r = batch_df.select(F.lit(j).alias("j"), bucket.alias("bucket"))
+            rows = r if rows is None else rows.unionByName(r)
+        return rows.groupBy("j", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id < self.next_batch_id:
+            return  # replayed: the sketch already contains this batch
+        spark = batch_df.sparkSession
+        partial = self._partial(batch_df)
+        if os.path.exists(self.table):
+            merged = (
+                spark.read.parquet(self.table)
+                .unionByName(partial)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        else:
+            merged = partial
+        tmp = self.table + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.table):
+            backup = self.table + f".old-{batch_id}"
+            os.rename(self.table, backup)
+            os.rename(tmp, self.table)
+            import shutil
+
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(tmp, self.table)
+        self.next_batch_id = batch_id + 1
+        self._persist()
+
+    def estimate(self, spark, keys: DataFrame, key_col: str) -> DataFrame:
+        """CMS point estimates for a bounded key set: min over depth rows
+        of the matching counters (the standard CMS upper-bound read)."""
+        from pyspark.sql import functions as F
+
+        sketch = spark.read.parquet(self.table)
+        probes = None
+        for j in range(self.depth):
+            bucket = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(j), F.col(key_col).cast("string"))),
+                        1, 12,
+                    ), 16, 10,
+                ).cast("bigint") % self.width
+            )
+            p = keys.select(F.col(key_col), F.lit(j).alias("j"), bucket.alias("bucket"))
+            probes = p if probes is None else probes.unionByName(p)
+        return (
+            probes.join(sketch, ["j", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+        )

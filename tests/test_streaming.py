@@ -565,3 +565,59 @@ def test_anomaly_stream_matches_reference_fold(spark):
     }
     assert got == want
     assert sum(n for n, _, _ in got.values()) == len(rows)  # every event folded
+
+
+def test_sketch_rollup_sink_matches_batch_and_replays_once(spark, tmp_path):
+    """Streaming CMS rollup: after draining the stream, the persisted
+    sketch's point estimates must (a) upper-bound the exact counts (CMS
+    never undercounts) and (b) EQUAL a batch-built CMS with the same
+    depth/width/buckets — merging per-batch partials by addition is
+    lossless for a counting sketch.  Replaying the same stream against
+    the same sink state must be a no-op (batch-id offset gate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.streaming.sink import SketchRollupSink
+
+    target = str(tmp_path / "cms")
+    os.makedirs(target)
+    sink = SketchRollupSink(target, key_col="event_type", depth=4, width=256)
+    stream = read_events_stream(spark, SF_SMOKE).select("event_type")
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_type")
+    keys = batch.select("event_type").distinct()
+    est = {r.event_type: r.est for r in sink.estimate(spark, keys, "event_type").collect()}
+    exact = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS upper bound
+    # batch-built sketch with identical construction must equal the merged one
+    batch_partial = sink._partial(batch)
+    merged = spark.read.parquet(sink.table)
+    diff = batch_partial.alias("a").join(
+        merged.alias("b"), ["j", "bucket"], "full"
+    ).filter(
+        F.coalesce(F.col("a.cnt"), F.lit(-1)) != F.coalesce(F.col("b.cnt"), F.lit(-1))
+    )
+    assert diff.count() == 0
+    # replay: same data, fresh checkpoint => same batch ids => gate skips
+    before = sorted(map(tuple, merged.collect()))
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    after = sorted(map(tuple, spark.read.parquet(sink.table).collect()))
+    assert after == before
