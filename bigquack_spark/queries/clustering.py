@@ -397,3 +397,158 @@ def q178_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cov"),
     )
+
+
+PURITY_K = 5  # neighbors per vector for the label-agreement audit
+
+
+@query(
+    "q188_label_purity",
+    oracle=None,  # installed below (reuses dedup's seeded-plane SQL)
+)
+def q188_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-purity audit — the label-noise detector for a supervised
+    embedding set (Confident-Learning-shape triage): for each vector, its
+    top-{PURITY_K} cosine neighbors among sign-LSH bucket-mates vote on
+    its label; a low agreement rate flags a likely mislabel or a class-
+    boundary point.  Same bucket-bounded candidate geometry as
+    q172/q179 (never corpus x corpus), one anchor-keyed window for the
+    top-k cut, then an exact integer agreement count.  Output is
+    per-vector (n_neighbors, n_same_label, purity) — the audit table a
+    relabeling queue consumes.  The oracle replays planes, ranking, and
+    votes exactly."""
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    v = random_hyperplane_lsh(
+        e, vec_col="embedding", num_planes=2, seed=42, bucket_col="bkt"
+    ).select(
+        "vec_id", "label", "bkt", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("anchor"), F.col("label").alias("alabel"),
+                 "bkt", F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+                 "bkt", F.col("v").alias("vb"))
+    sims = (
+        a.join(b, "bkt")
+        .filter(F.col("anchor") != F.col("nid"))
+        .select(
+            "anchor", "alabel", "nid", "nlabel",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), "nid")
+    top = sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= PURITY_K)
+    same = F.when(F.col("nlabel") == F.col("alabel"), 1).otherwise(0)
+    return top.groupBy("anchor", "alabel").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(same).cast("long").alias("n_same_label"),
+        F.round(F.sum(same).cast("double") / F.count(F.lit(1)), 6).alias("purity"),
+    )
+
+
+def _install_q188_oracle() -> None:
+    from bigquack_spark.queries import dedup as _dq
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    plane = _dq._q35_plane_sql(2, 64, 42)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, label, e, {plane} AS bkt
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    sims AS (
+      SELECT a.vec_id AS anchor, a.label AS alabel,
+             b.vec_id AS nid, b.label AS nlabel,
+             round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               6
+             ) AS cos
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, nid) AS rnk
+      FROM sims
+    )
+    SELECT anchor, alabel,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CASE WHEN nlabel = alabel THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           round(CAST(sum(CASE WHEN nlabel = alabel THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS purity
+    FROM top WHERE rnk <= {PURITY_K}
+    GROUP BY anchor, alabel
+    """
+    spec = QUERIES["q188_label_purity"]
+    QUERIES["q188_label_purity"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q188_oracle()
+
+
+BALANCE_BETA = 0.999  # effective-number-of-samples decay (Cui et al. 2019)
+
+
+@query(
+    "q189_class_balance_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    eff AS (
+      SELECT label, n,
+             (1.0 - pow({BALANCE_BETA}, CAST(n AS DOUBLE))) / (1.0 - {BALANCE_BETA})
+               AS eff_n
+      FROM counts
+    )
+    SELECT label, n,
+           round(eff_n, 6) AS eff_n,
+           round((1.0 / eff_n)
+                 / (SELECT sum(1.0 / eff_n) FROM eff)
+                 * (SELECT CAST(count(*) AS BIGINT) FROM counts), 6) AS weight
+    FROM eff
+    """,
+)
+def q189_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report + effective-number re-weighting (the
+    'class-balanced loss' weight table, Cui et al. CVPR 2019): per label,
+    raw count, effective sample count (1-β^n)/(1-β), and the normalized
+    inverse-effective-number weight a weighted loss or sampler consumes.
+    β={BALANCE_BETA} discounts marginal duplicates-in-effect — the
+    principled middle ground between no re-weighting and raw inverse
+    frequency.  All from ONE |labels|-sized aggregate; the normalizer is
+    a broadcast 1-row sum; pow/division over exact BIGINTs are identical
+    IEEE cross-engine.  Pair with q172's prune verdicts to re-weight
+    AFTER semantic dedup shifts the counts."""
+    c = t(spark, sf_dir, "embeddings", columns=["label"]).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    eff = c.select(
+        "label", "n",
+        (
+            (F.lit(1.0) - F.pow(F.lit(BALANCE_BETA), F.col("n").cast("double")))
+            / F.lit(1.0 - BALANCE_BETA)
+        ).alias("eff_n_raw"),
+    )
+    norm = eff.agg(
+        F.sum(F.lit(1.0) / F.col("eff_n_raw")).alias("inv_sum"),
+        F.sum("n").alias("n_labels_rows"),
+    )
+    n_labels = eff.agg(F.count(F.lit(1)).alias("n_classes"))
+    return (
+        eff.crossJoin(F.broadcast(norm.select("inv_sum")))
+        .crossJoin(F.broadcast(n_labels))
+        .select(
+            "label", "n",
+            F.round("eff_n_raw", 6).alias("eff_n"),
+            F.round(
+                (F.lit(1.0) / F.col("eff_n_raw")) / F.col("inv_sum") * F.col("n_classes"),
+                6,
+            ).alias("weight"),
+        )
+    )

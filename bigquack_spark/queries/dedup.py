@@ -921,3 +921,88 @@ def q185_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(inter / union >= PPJ_THRESHOLD)
         .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
     )
+
+
+@query(
+    "q190_split_leakage",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    pairs AS (
+      SELECT cand.a, cand.b
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT least(pa.split, pb.split) AS split_lo,
+           greatest(pa.split, pb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaks
+    FROM pairs p
+    JOIN splits pa ON pa.doc_id = p.a
+    JOIN splits pb ON pb.doc_id = p.b
+    GROUP BY least(pa.split, pb.split), greatest(pa.split, pb.split)
+    """,
+)
+def q190_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE audit — the eval-integrity check a random
+    document-level split silently fails: near-duplicate pairs (q36's full
+    MinHash-LSH + exact-Jaccard pipeline, reused verbatim) are joined to
+    q83's deterministic split assignment, and every (split, split) cell
+    reports its pair count and how many cross the boundary.  A nonzero
+    train x test cell means the benchmark is contaminated by paraphrases
+    exact dedup can't see (q84 catches verbatim overlap; this catches
+    near-dup overlap).  The fix loop: route each leaked pair's CLUSTER
+    (q86) to one side — which is why split assignment should key on the
+    dedup-cluster id, not the doc id, at production scale.  Costs: the
+    q36 pair pipeline plus two broadcast-shaped split joins and a
+    9-cell-bounded aggregate."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
+    pairs = D.jaccard_verify(
+        cands, docs, "doc_id", "text", shingle_len=1, threshold=JACCARD_THRESHOLD
+    ).select("a", "b")
+    from bigquack_spark.operators import corpus as C
+
+    splits = C.hash_split(docs, id_col="doc_id", salt="split-v1").select(
+        "doc_id", "split"
+    )
+    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    labeled = pairs.join(sa, "a").join(sb, "b")
+    return labeled.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("long").alias("n_leaks"),
+    )
