@@ -289,6 +289,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q160_lsh_eval",  # bounded 200-doc eval slice broadcast (exact ground truth)
         "q167_join_cardinality",  # broadcast 1-row histogram summaries
         "q169_bloom_semi_join",  # broadcast 1-row bloom bitmap onto the fact scan
+        "q182_neyman_allocation",  # broadcast 1-row total-allocation aggregate
+        "q189_class_balance_weights",  # broadcast 1-row normalizer aggregates
+        "q191_hybrid_rrf",  # bounded 3-doc query set broadcast (the q40 shape)
     }
     offenders = []
     for name, spec in QUERIES.items():
