@@ -1476,3 +1476,59 @@ def q187_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
+
+
+DUP_EVENT_WINDOW_US = 60 * 1_000_000  # events closer than 60 s can be retries
+
+
+@query(
+    "q192_duplicate_event_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             user_id || '|' || event_type || '|' || coalesce(props, '') AS k
+      FROM events
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT b.event_id) AS BIGINT) AS n_suspect_events
+    FROM e a JOIN e b
+      ON a.k = b.k AND a.event_id < b.event_id
+     AND abs(a.us - b.us) <= {DUP_EVENT_WINDOW_US}
+    GROUP BY a.event_type
+    """,
+)
+def q192_duplicate_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-event (producer-retry) audit — the idempotency monitor an
+    at-least-once event pipeline needs: pairs of events identical on
+    (user, type, props) landing within 60 s of each other are suspected
+    retries; the later event_id of each pair is the suspect.  Executed
+    with operators.joins.range_join_buckets on the composite identity
+    key: both sides bucket by floor(ts/window) and each row joins only
+    adjacent buckets — a pure equi-join on (key, bucket), NEVER a
+    per-key time cross-product, so a hot identity key costs bucket
+    occupancy, not its row count squared.  The streaming twin is
+    dedup_stream's watermark-bounded dropDuplicates; this is the batch
+    forensic that sizes the problem first.  The oracle replays the
+    same pairing rule directly."""
+    from bigquack_spark.operators.joins import range_join_buckets
+
+    e = t(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "props"])
+    keyed = e.select(
+        "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.concat_ws("|", F.col("user_id"), F.col("event_type"),
+                    F.coalesce(F.col("props"), F.lit(""))).alias("k"),
+    )
+    a = keyed.select(F.col("k"), F.col("event_id").alias("a_id"),
+                     F.col("event_type"), F.col("us").alias("a_us"))
+    b = keyed.select(F.col("k"), F.col("event_id").alias("b_id"),
+                     F.col("us").alias("b_us"))
+    pairs = range_join_buckets(
+        a, b, on="k", left_val="a_us", right_val="b_us",
+        max_distance=DUP_EVENT_WINDOW_US,
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.count_distinct("b_id").alias("n_suspect_events"),
+    )

@@ -774,3 +774,98 @@ def q173_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_fps", "n_boiler",
         F.round(F.col("n_boiler").cast("double") / F.col("n_fps"), 6).alias("boiler_frac"),
     )
+
+
+ZIPF_TOP = 30  # head of the rank-frequency curve used for the log-log fit
+
+
+@query(
+    "q193_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM freq
+    ),
+    head AS (SELECT * FROM ranked WHERE rnk <= {ZIPF_TOP}),
+    lists AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk) AS lx,
+             list(ln(CAST(n AS DOUBLE)) ORDER BY rnk) AS ly,
+             list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rnk) AS lxy,
+             list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) ORDER BY rnk) AS lxx
+      FROM head
+    ),
+    sums AS (
+      SELECT m,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), lx), (a, x) -> a + x) AS sx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), ly), (a, x) -> a + x) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), lxy), (a, x) -> a + x) AS sxy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), lxx), (a, x) -> a + x) AS sxx
+      FROM lists
+    )
+    SELECT m AS n_tokens_fit,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 9) AS zipf_slope,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 9)
+             AS zipf_intercept
+    FROM sums
+    """,
+)
+def q193_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus rank-frequency curve — the one-row
+    corpus-health gauge: natural text slopes near -1 on the log-log head;
+    a flat slope says templated/boilerplate text, a cliff says synthetic
+    or truncated vocabulary.  OLS over the top-{ZIPF_TOP} ranks, with
+    every double sum computed as a SEQUENTIAL FOLD over rank-sorted
+    lists (q184's discipline) so Sx/Sy/Sxy/Sxx — and therefore the
+    slope — are bit-identical cross-engine.  Scale: the token count is
+    the corpus-sized map-side-combined shuffle (q146's shape); ranking
+    and the fit run on VOCABULARY-sized data, and the fold arrays hold
+    {ZIPF_TOP} doubles."""
+    d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "tok", "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), "tok")).alias("rnk"),
+    ).filter(F.col("rnk") <= ZIPF_TOP)
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    lists = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.array_sort(F.collect_list(F.struct(F.col("rnk"), lx.alias("v")))).alias("ax"),
+        F.array_sort(F.collect_list(F.struct(F.col("rnk"), ly.alias("v")))).alias("ay"),
+        F.array_sort(F.collect_list(F.struct(F.col("rnk"), (lx * ly).alias("v")))).alias("axy"),
+        F.array_sort(F.collect_list(F.struct(F.col("rnk"), (lx * lx).alias("v")))).alias("axx"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(col, lambda s: s.getField("v")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sums = lists.select(
+        F.col("m").cast("long").alias("m"),
+        fold(F.col("ax")).alias("sx"),
+        fold(F.col("ay")).alias("sy"),
+        fold(F.col("axy")).alias("sxy"),
+        fold(F.col("axx")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").alias("n_tokens_fit"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9).alias("zipf_intercept"),
+    )
