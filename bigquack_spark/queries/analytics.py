@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigquack_spark.queries.registry import query
 from bigquack_spark.sources.parquet import load_table as t
@@ -618,3 +619,154 @@ def q161_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("observed"), F.col("n").cast("double")).otherwise(interp), 6
         ).alias("filled_n"),
     ).orderBy("event_type", "h")
+
+
+@query(
+    "q194_ab_test_readout",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conv
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             max(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+             max(CASE WHEN arm = 1 THEN n_conv END) AS c1
+      FROM cells
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 9) AS p0,
+           round(CAST(c1 AS DOUBLE) / n1, 9) AS p1,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 9) AS z_score
+    FROM wide
+    """,
+)
+def q194_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — deterministic assignment + two-proportion
+    z-test: users hash into arms via md5('exp1'|user) (the q83 split
+    discipline — assignment survives replays and engine swaps, which
+    rand() bucketing does not), conversion = any purchase, and the
+    pooled-variance z-score comes out of exact integer cell counts
+    through one shared IEEE expression.  Plan: one distinct per input,
+    one broadcast-shaped left join, a 2-row aggregate pivoted to one
+    readout row — at any scale the statistics flow through 4 integers.
+    The experimentation loop this feeds: q153/q125 choose exposure,
+    this reads it out, q66's cohorts slice it."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))), 1, 6), 16, 10)
+        .cast("bigint") % 2
+    )
+    assign = e.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    conv = e.filter(F.col("event_type") == "purchase").select("user_id").distinct() \
+        .withColumn("converted", F.lit(1))
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias("n_conv"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 9).alias("p0"),
+        F.round(p1, 9).alias("p1"),
+        F.round(z, 9).alias("z_score"),
+    )
+
+
+FORECAST_WEEKS = 3  # same-weekday history depth for the seasonal-naive model
+
+
+@query(
+    "q195_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, epoch_us(ts) // 86400000000
+    ),
+    lagged AS (
+      SELECT event_type, day_idx, n,
+             lag(n, 7) OVER w AS w1,
+             lag(n, 14) OVER w AS w2,
+             lag(n, 21) OVER w AS w3
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    scored AS (
+      SELECT event_type, day_idx, n,
+             (w1 + w2 + w3) // 3 AS forecast
+      FROM lagged WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(n - forecast)) AS BIGINT) AS total_abs_err,
+           round(CAST(sum(abs(n - forecast)) AS DOUBLE) / sum(n), 9) AS wape
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def q195_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the capacity-planning baseline
+    every fancier model must beat: each (event_type, day) is predicted
+    by the floor-mean of the same weekday's counts over the prior
+    {FORECAST_WEEKS} weeks (pure lag(7k) windows on an integer day
+    index — q156 established the epoch-lattice weekday discipline), and
+    the readout is per-type WAPE (total |err| / total actual).  Integer
+    day buckets, integer forecasts (floor mean), integer error sums —
+    nothing to drift.  One event_type-keyed shuffle serves the daily
+    rollup and all three lags; scoring skips days without full history
+    rather than padding them (q161 covers gap semantics).  At 100 TB
+    the window input is DAYS x TYPES rows, not events."""
+    e = t(spark, sf_dir, "events", columns=["ts", "event_type"])
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = daily.select(
+        "event_type", "day_idx", "n",
+        F.lag("n", 7).over(w).alias("w1"),
+        F.lag("n", 14).over(w).alias("w2"),
+        F.lag("n", 21).over(w).alias("w3"),
+    ).filter(F.col("w1").isNotNull() & F.col("w2").isNotNull() & F.col("w3").isNotNull())
+    scored = lagged.withColumn(
+        "forecast", F.floor((F.col("w1") + F.col("w2") + F.col("w3")) / 3).cast("long")
+    )
+    err = F.abs(F.col("n") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(err).cast("long").alias("total_abs_err"),
+        F.round(F.sum(err).cast("double") / F.sum("n"), 9).alias("wape"),
+    )
