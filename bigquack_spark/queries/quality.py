@@ -518,3 +518,87 @@ def q186_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         canon, ["o_orderkey", "o_custkey", "o_orderstatus", "price_cents", "o_orderpriority"]
     )
+
+
+RLE_GOOD = 4.0   # avg run length above which RLE wins
+DICT_GOOD = 0.01  # distinct ratio below which dictionary encoding wins
+
+
+def _q196_col_sql(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN {col} IS DISTINCT FROM prev_{col} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_runs
+      FROM (
+        SELECT {col}, lag({col}) OVER (ORDER BY l_orderkey, l_linenumber) AS prev_{col}
+        FROM lineitem
+      )"""
+
+
+_Q196_COLS = ["l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey", "l_quantity"]
+
+
+@query(
+    "q196_encoding_advisor",
+    oracle=f"""
+    WITH stats AS ({' UNION ALL '.join(_q196_col_sql(c) for c in _Q196_COLS)})
+    SELECT col, n_rows, n_distinct, n_runs,
+           round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len,
+           round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_ratio,
+           CASE WHEN CAST(n_rows AS DOUBLE) / n_runs >= {RLE_GOOD} THEN 'rle'
+                WHEN CAST(n_distinct AS DOUBLE) / n_rows <= {DICT_GOOD} THEN 'dictionary'
+                ELSE 'plain' END AS recommendation
+    FROM stats
+    """,
+)
+def q196_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding / sort-key advisor: per column, the distinct
+    ratio and the RUN LENGTH the column exhibits under the table's
+    natural (orderkey, linenumber) order — the two numbers that decide
+    parquet encoding wins (long runs -> RLE, tiny dictionaries ->
+    dictionary) and, more importantly at 100 TB, which columns gain from
+    re-sorting before write (a column whose distinct ratio is low but
+    run length is ALSO low is exactly the one a sort or Z-order
+    (sinks/clustered.py, save_zordered) would compress 10x).  One
+    total-order window pass computes all change-point counts
+    simultaneously; the per-column stats are |cols| rows.  Production
+    note: the total-order window is the q107-style test-tier form — at
+    scale, compute runs per FILE (parquet already orders within files)
+    and sum, which this plan does unchanged once the window is keyed by
+    file.  The oracle replays the identical scan."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_orderkey", "l_linenumber"] + _Q196_COLS)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    changes = li.select(
+        *_Q196_COLS,
+        *[
+            F.when(
+                ~F.col(c).eqNullSafe(F.lag(c).over(w)), 1
+            ).otherwise(0).alias(f"chg_{c}")
+            for c in _Q196_COLS
+        ],
+    )
+    rows = None
+    for c in _Q196_COLS:
+        r = changes.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.sum(f"chg_{c}").cast("long").alias("n_runs"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    avg_run = F.col("n_rows").cast("double") / F.col("n_runs")
+    dr = F.col("n_distinct").cast("double") / F.col("n_rows")
+    return rows.select(
+        "col", "n_rows", "n_distinct", "n_runs",
+        F.round(avg_run, 6).alias("avg_run_len"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        F.when(avg_run >= RLE_GOOD, "rle")
+        .when(dr <= DICT_GOOD, "dictionary")
+        .otherwise("plain")
+        .alias("recommendation"),
+    )
