@@ -621,3 +621,72 @@ def test_sketch_rollup_sink_matches_batch_and_replays_once(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(sink.table).collect()))
     assert after == before
+
+
+def test_near_dup_ingest_sink_classifies_and_replays_once(spark, tmp_path):
+    """Streaming near-dup ingestion: micro-batch 1 seeds history; micro-
+    batch 2 of the SAME query must classify exact copies as exact_dup,
+    small edits of history docs as near_dup, fresh text as novel — and a
+    full replay of the source under the same sink state must add nothing
+    (batch-id offset gate)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.streaming.documents import NearDupIngestSink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside "
+        "as rain falls softly on the quiet empty street below the window"
+    )
+    wave1 = [(i, base + f" tail marker {i}") for i in range(5)]
+    wave2 = (
+        [(100, wave1[0][1])]                                   # exact copy
+        + [(101, wave1[1][1].replace("lazy", "sleepy"))]       # near dup
+        + [(102, "completely different text about query planners and shuffle "
+                 "partitions in distributed analytical database engines today")]
+    )
+    src = str(tmp_path / "src"); os.makedirs(src)
+
+    def add_wave(rows, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1) \
+            .write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    add_wave(wave1, "wave1")
+    add_wave(wave2, "wave2")
+    target = str(tmp_path / "ingest"); os.makedirs(target)
+    sink = NearDupIngestSink(target)
+    schema = "doc_id bigint, text string"
+
+    def run(ck):
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run("ck1")
+    allv = {r.doc_id: r.verdict for r in spark.read.parquet(sink.verdicts_dir).collect()}
+    assert {k: v for k, v in allv.items() if k < 100} == {i: "novel" for i in range(5)}
+    assert {k: v for k, v in allv.items() if k >= 100} == {
+        100: "exact_dup", 101: "near_dup", 102: "novel"
+    }
+    # history grew by exactly the novel docs
+    hist = sorted(r.doc_id for r in spark.read.parquet(sink.docs_dir).collect())
+    assert hist == [0, 1, 2, 3, 4, 102]
+    # full replay with a fresh checkpoint: same batch ids => offset gate
+    n_before = spark.read.parquet(sink.verdicts_dir).count()
+    run("ck2")
+    assert spark.read.parquet(sink.verdicts_dir).count() == n_before
