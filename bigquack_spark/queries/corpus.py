@@ -805,3 +805,205 @@ def q181_quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(isdup).cast("long").alias("n_dups"),
         F.round(F.sum(isdup).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+BUDGET_BYTES = 200_000  # ingest budget for the source-selection plan
+
+
+@query(
+    "q197_source_budget_plan",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+             CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+             CAST(sum(CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 5
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT *,
+             CAST(n_pass AS DOUBLE) * total_tokens / (n_docs * total_bytes)
+               AS quality_density
+      FROM per_source
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(sum(total_bytes) OVER (
+               ORDER BY quality_density DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+      FROM scored
+    )
+    SELECT source, n_docs, total_bytes, total_tokens,
+           round(quality_density, 9) AS quality_density,
+           cum_bytes,
+           (cum_bytes <= {BUDGET_BYTES}) AS selected
+    FROM ranked
+    """,
+)
+def q197_source_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-selection budget plan — the greedy knapsack over feeds:
+    rank sources by quality density (pass-rate x tokens per byte, the
+    q168 scorecard's signals compressed to one sort key) and take them
+    in order until the byte budget runs out — the standard
+    density-greedy approximation whose worst case is one fractional
+    source.  The cumulative-bytes window runs over |sources| ROWS — a
+    global order over a handful of feeds, not over data (contrast
+    q107's doc-level global window, which IS demoted) — so the plan is
+    scale-free: all corpus-sized work is the one per-source aggregate.
+    Deterministic density tiebreak on the source name."""
+    d = t(spark, sf_dir, "documents", rebalance=True)
+    ntok = F.size(F.split(F.lower("text"), r"\s+")).cast("long")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.sum(ntok).alias("total_tokens"),
+        F.sum(F.when(ntok >= 5, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
+    density = (
+        F.col("n_pass").cast("double") * F.col("total_tokens")
+        / (F.col("n_docs") * F.col("total_bytes"))
+    )
+    scored = per.withColumn("quality_density", density)
+    w = Window.orderBy(F.desc("quality_density"), "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return scored.select(
+        "source", "n_docs", "total_bytes", "total_tokens",
+        F.round("quality_density", 9).alias("quality_density"),
+        F.sum("total_bytes").over(w).alias("cum_bytes"),
+    ).withColumn("selected", F.col("cum_bytes") <= BUDGET_BYTES)
+
+
+Q200_MIN_TOK, Q200_MAX_TOK = 20, 150  # the funnel's length gate
+
+
+def _q200_oracle() -> str:
+    from bigquack_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        ROWS_PER_BAND,
+        _SIG_SQL,
+    )
+
+    return f"""
+    WITH {_SIG_SQL},
+    sized AS (
+      SELECT doc_id, text, md5(text) AS fp,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM sized WHERE n_tok BETWEEN {Q200_MIN_TOK} AND {Q200_MAX_TOK}
+    ),
+    exact_u AS (
+      SELECT q.* FROM q
+      JOIN (SELECT fp, min(doc_id) AS keep FROM q GROUP BY fp) k
+        ON q.fp = k.fp AND q.doc_id = k.keep
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      WHERE x.doc_id IN (SELECT doc_id FROM exact_u)
+        AND y.doc_id IN (SELECT doc_id FROM exact_u)
+    ),
+    sets_ AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+      FROM exact_u
+    ),
+    removed AS (
+      SELECT DISTINCT c.b AS doc_id
+      FROM cand c
+      JOIN sets_ sa ON sa.doc_id = c.a
+      JOIN sets_ sb ON sb.doc_id = c.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    near_u AS (
+      SELECT * FROM exact_u WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    ),
+    split_ AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN b < 80 THEN '4_train' WHEN b < 90 THEN '4_val'
+                  ELSE '4_test' END AS stage
+      FROM (
+        SELECT doc_id, n_tok,
+               CAST('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+        FROM near_u
+      )
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT '0_raw' AS stage, n_tok FROM sized
+      UNION ALL SELECT '1_quality', n_tok FROM q
+      UNION ALL SELECT '2_exact_unique', n_tok FROM exact_u
+      UNION ALL SELECT '3_near_unique', n_tok FROM near_u
+      UNION ALL SELECT stage, n_tok FROM split_
+    )
+    GROUP BY stage
+    """
+
+
+@query("q200_curation_funnel", oracle=_q200_oracle())
+def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL — the one-table attrition report for the whole
+    training-data pipeline: raw -> length gate -> exact-unique (keep-first
+    fingerprint) -> near-unique (MinHash-LSH pairs among survivors,
+    pair-greedy removal of the higher id; the q86 closure is the exact
+    variant) -> 80/10/10 split, each stage reporting docs AND tokens so
+    the cost of every rule is visible before a 100 TB run commits to it.
+    Composes the proven pieces unchanged: q120's gate slot, q30's
+    keep-first, q36's banding+verify geometry, q83's md5 split — one
+    extra aggregation over their union.  Every stage's work is the
+    bounded shape its standalone query already demonstrated; the funnel
+    adds only |stages| rows of output."""
+    from bigquack_spark.operators import dedup as D
+    from bigquack_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    sized = docs.select(
+        "doc_id", "text", F.md5("text").alias("fp"),
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    q = sized.filter(F.col("n_tok").between(Q200_MIN_TOK, Q200_MAX_TOK))
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    exact_u = q.join(keep, "fp").filter(F.col("doc_id") == F.col("keep")).drop("keep")
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    eu_ids = exact_u.select("doc_id")
+    bands_eu = bands.join(eu_ids, "doc_id", "left_semi")
+    cand = D.lsh_candidate_pairs(bands_eu, "doc_id")
+    removed = (
+        D.jaccard_verify(cand, exact_u, "doc_id", "text",
+                         shingle_len=1, threshold=JACCARD_THRESHOLD)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    near_u = exact_u.join(removed, "doc_id", "left_anti")
+    split = C.hash_split(near_u, id_col="doc_id", salt="split-v1").select(
+        F.concat(F.lit("4_"), F.col("split")).alias("stage"), "n_tok"
+    )
+    stages = (
+        sized.select(F.lit("0_raw").alias("stage"), "n_tok")
+        .unionByName(q.select(F.lit("1_quality").alias("stage"), "n_tok"))
+        .unionByName(exact_u.select(F.lit("2_exact_unique").alias("stage"), "n_tok"))
+        .unionByName(near_u.select(F.lit("3_near_unique").alias("stage"), "n_tok"))
+        .unionByName(split)
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

@@ -869,3 +869,49 @@ def q193_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9).alias("zipf_intercept"),
     )
+
+
+MAX_SEQ_LEN = 128  # model context length for the truncation-loss report
+
+
+@query(
+    "q199_truncation_loss",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tok > {MAX_SEQ_LEN} THEN n_tok - {MAX_SEQ_LEN}
+                    ELSE 0 END) AS BIGINT) AS lost_tokens,
+           CAST(sum(CASE WHEN n_tok > {MAX_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           round(CAST(sum(CASE WHEN n_tok > {MAX_SEQ_LEN} THEN n_tok - {MAX_SEQ_LEN}
+                          ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS loss_rate
+    FROM sized GROUP BY source
+    """,
+)
+def q199_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation accounting: per source, how many tokens a
+    max_seq_len={MAX_SEQ_LEN} dataloader THROWS AWAY if long documents are
+    truncated rather than chunked — the number that justifies running the
+    q57 chunker (chunking keeps those tokens; truncation doesn't).  Read
+    next to q132's padding-waste ratio, this is the other half of the
+    dataloader-efficiency ledger: q132 counts padding you pay for, this
+    counts content you lose.  Pure projection + one |sources| aggregate;
+    exact integer token math end to end."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
+    n_tok = F.size(F.split(F.lower("text"), r"\s+")).cast("long")
+    sized = d.select("source", n_tok.alias("n_tok"))
+    lost = F.when(F.col("n_tok") > MAX_SEQ_LEN, F.col("n_tok") - MAX_SEQ_LEN).otherwise(0)
+    trunc = F.when(F.col("n_tok") > MAX_SEQ_LEN, 1).otherwise(0)
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(lost).cast("long").alias("lost_tokens"),
+        F.sum(trunc).cast("long").alias("n_truncated"),
+        F.round(F.sum(lost).cast("double") / F.sum("n_tok"), 6).alias("loss_rate"),
+    )
