@@ -278,3 +278,80 @@ def _install_q179_oracle() -> None:
 
 
 _install_q179_oracle()
+
+
+@query(
+    "q198_contrastive_pairs",
+    oracle=None,  # installed below (shares the seeded-plane SQL)
+)
+def q198_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair manifest: one table of (anchor, other,
+    label, score) where label 1 = near-duplicate positives (cosine >=
+    {0.4}, q35's blocked pairs) and label 0 = hard negatives (q179's
+    similar-not-duplicate band, top-{2} per anchor) — the
+    ready-to-sample input for embedding-model fine-tuning, emitted by
+    the SAME bucket-bounded candidate join computed once.  Balance
+    accounting rides along (the trainer needs the ratio).  The oracle
+    replays both branches from one shared CTE."""
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    v = random_hyperplane_lsh(
+        e, vec_col="embedding", num_planes=2, seed=42, bucket_col="bkt"
+    ).select("vec_id", "bkt", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("anchor"), "bkt", F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("other"), "bkt", F.col("v").alias("vb"))
+    sims = (
+        a.join(b, "bkt")
+        .filter(F.col("anchor") != F.col("other"))
+        .select("anchor", "other", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    pos = sims.filter((F.col("cos") >= 0.4) & (F.col("anchor") < F.col("other"))).select(
+        "anchor", "other", F.lit(1).alias("label"), F.col("cos").alias("score")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), "other")
+    neg = (
+        sims.filter((F.col("cos") >= HARDNEG_LO) & (F.col("cos") < HARDNEG_HI))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select("anchor", "other", F.lit(0).alias("label"), F.col("cos").alias("score"))
+    )
+    return pos.unionByName(neg)
+
+
+def _install_q198_oracle() -> None:
+    from bigquack_spark.queries import dedup as _dq
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    plane = _dq._q35_plane_sql(2, 64, 42)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, e, {plane} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    sims AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS other,
+             round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               6
+             ) AS cos
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    )
+    SELECT anchor, other, 1 AS label, cos AS score
+    FROM sims WHERE cos >= 0.4 AND anchor < other
+    UNION ALL
+    SELECT anchor, other, 0, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, other) AS rnk
+      FROM sims WHERE cos >= {HARDNEG_LO} AND cos < {HARDNEG_HI}
+    ) WHERE rnk <= {HARDNEG_K}
+    """
+    spec = QUERIES["q198_contrastive_pairs"]
+    QUERIES["q198_contrastive_pairs"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q198_oracle()
