@@ -770,3 +770,205 @@ def q195_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).cast("long").alias("total_abs_err"),
         F.round(F.sum(err).cast("double") / F.sum("n"), 9).alias("wape"),
     )
+
+
+RFM_SLICES = 16  # md5 slices for the scale-safe quartile ranking
+
+
+@query(
+    "q201_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    sliced AS (
+      SELECT *,
+             CAST('0x' || substr(md5('rfm|' || CAST(user_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 16 AS slc
+      FROM per_user
+    ),
+    scored AS (
+      SELECT user_id, freq, monetary_cents,
+             ntile(4) OVER (PARTITION BY slc ORDER BY last_us DESC, user_id) AS r,
+             ntile(4) OVER (PARTITION BY slc ORDER BY freq DESC, user_id) AS f,
+             ntile(4) OVER (PARTITION BY slc ORDER BY monetary_cents DESC, user_id) AS m
+      FROM sliced
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f, CAST(m AS INTEGER) AS m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def q201_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quartile
+    codes with segment rollups, the marketing-analytics workhorse.  The
+    quartile ranks use the q181 SLICED discipline (ntile within 16
+    deterministic md5 slices of the user base, quartile 1 = best): no
+    global-order window anywhere, each slice's quartile boundaries are
+    unbiased estimates of the global ones, and assignments are
+    deterministic under replay.  One user-keyed aggregate (purchases
+    only), one slice-keyed shuffle serving all three ranking windows,
+    then a 64-cell-bounded rollup.  Money rides the cents lattice;
+    recency compares exact microsecond epochs."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+        )
+    )
+    slc = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rfm|"), F.col("user_id").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % RFM_SLICES
+    )
+    sliced = per_user.withColumn("slc", slc)
+    def q(col_order):
+        return F.ntile(4).over(Window.partitionBy("slc").orderBy(*col_order))
+    scored = sliced.select(
+        "user_id", "freq", "monetary_cents",
+        q([F.desc("last_us"), F.asc("user_id")]).alias("r"),
+        q([F.desc("freq"), F.asc("user_id")]).alias("f"),
+        q([F.desc("monetary_cents"), F.asc("user_id")]).alias("m"),
+    )
+    return scored.groupBy(
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    )
+
+
+PSI_BINS = 10
+PSI_FLOOR = 0.0005  # zero-cell smoothing so ln() stays finite both engines
+
+
+@query(
+    "q203_psi_drift",
+    oracle=f"""
+    WITH spans AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < (SELECT (lo + hi) // 2 FROM spans)
+                  THEN 'ref' ELSE 'cur' END AS era,
+             least(CAST(floor(value / 10.0) AS BIGINT), {PSI_BINS - 1}) AS bin
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, era, bin, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY event_type, era, bin
+    ),
+    grid AS (
+      SELECT DISTINCT e.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM cells) e
+      CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    wide AS (
+      SELECT g.event_type, g.bin,
+             coalesce(max(CASE WHEN c.era = 'ref' THEN c.n END), 0) AS n_ref,
+             coalesce(max(CASE WHEN c.era = 'cur' THEN c.n END), 0) AS n_cur
+      FROM grid g LEFT JOIN cells c
+        ON c.event_type = g.event_type AND c.bin = g.bin
+      GROUP BY g.event_type, g.bin
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM wide GROUP BY event_type
+    ),
+    terms AS (
+      SELECT w.event_type, w.bin,
+             greatest(CAST(w.n_ref AS DOUBLE) / t.t_ref, {PSI_FLOOR}) AS p_ref,
+             greatest(CAST(w.n_cur AS DOUBLE) / t.t_cur, {PSI_FLOOR}) AS p_cur
+      FROM wide w JOIN tot t USING (event_type)
+    ),
+    folded AS (
+      SELECT event_type,
+             list((p_cur - p_ref) * ln(p_cur / p_ref) ORDER BY bin) AS lterms
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), lterms),
+                             (a, x) -> a + x), 9) AS psi
+    FROM folded
+    """,
+)
+def q203_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: the value distribution of
+    each event type, binned on a fixed integer grid, compared between the
+    first and second half of the time range (ref vs cur era split at the
+    exact epoch midpoint) — PSI = Σ (p_cur - p_ref)·ln(p_cur/p_ref),
+    the standard model-input drift gauge (<0.1 stable, >0.25 shifted).
+    Determinism: integer bin edges, exact count cells densified over an
+    explicit bin grid (missing bins are REAL zeros, floored for ln), and
+    the PSI sum folded over bin-ORDERED term lists (the q184/q193
+    sorted-fold rule) so both engines add the same doubles in the same
+    order.  Per-type cell state is {PSI_BINS} bins — corpus-size-free."""
+    e = t(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    us = F.unix_micros("ts")
+    span = e.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    binned = (
+        e.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.when(us < (F.col("lo") + F.col("hi")) / 2, "ref").otherwise("cur").alias("era"),
+            F.least(
+                F.floor(F.col("value") / 10.0).cast("long"), F.lit(PSI_BINS - 1)
+            ).alias("bin"),
+        )
+    )
+    cells = binned.groupBy("event_type", "era", "bin").agg(F.count(F.lit(1)).alias("n"))
+    types = cells.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            cells.sparkSession.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    wide = (
+        grid.join(cells, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("era") == "ref", F.col("n"))), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.max(F.when(F.col("era") == "cur", F.col("n"))), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    terms = wide.join(tot, "event_type").select(
+        "event_type", "bin",
+        F.greatest(F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(PSI_FLOOR)).alias("p_ref"),
+        F.greatest(F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(PSI_FLOOR)).alias("p_cur"),
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bin"),
+                    ((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))).alias("v"),
+                )
+            )
+        ).alias("lt")
+    )
+    psi = F.aggregate(
+        F.transform(F.col("lt"), lambda s: s.getField("v")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.select("event_type", F.round(psi, 9).alias("psi"))
