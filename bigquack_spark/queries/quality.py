@@ -602,3 +602,67 @@ def q196_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommendation"),
     )
+
+
+@query(
+    "q202_rollup_consistency",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS line_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderstatus,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             coalesce(li.line_cents, 0) AS line_cents,
+             coalesce(li.n_lines, 0) AS n_lines
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless,
+           CAST(sum(CASE WHEN abs(header_cents - line_cents) <= 1 AND n_lines > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST(max(abs(header_cents - line_cents)) AS BIGINT) AS max_abs_delta_cents,
+           CAST(sum(abs(header_cents - line_cents)) AS BIGINT) AS total_abs_delta_cents
+    FROM joined
+    GROUP BY o_orderstatus
+    """,
+)
+def q202_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail rollup consistency audit — the cross-table
+    invariant check (does orders.o_totalprice equal the sum of its line
+    amounts?) that catches partial loads, double-applied CDC batches,
+    and currency rounding bugs the single-table profiles (q118) can't
+    see.  One map-side-combined rollup of the detail table to header
+    grain, one left join at that grain (lineless headers surface
+    explicitly — they're a different defect than a wrong sum), and a
+    |status|-row report with exact cents-lattice deltas.  A tolerance
+    of one cent absorbs legitimate per-line rounding.  Companion to
+    q88's row diff and q186's table checksum: checksum says SOMETHING
+    differs, q88 says which rows, this says which INVARIANT broke."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    li = t(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    rolled = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("line_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = o.join(rolled, o.o_orderkey == rolled.l_orderkey, "left").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )
+    delta = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("n_lines") == 0, 1).otherwise(0)).cast("long").alias("n_lineless"),
+        F.sum(
+            F.when((delta <= 1) & (F.col("n_lines") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_consistent"),
+        F.max(delta).cast("long").alias("max_abs_delta_cents"),
+        F.sum(delta).cast("long").alias("total_abs_delta_cents"),
+    )
