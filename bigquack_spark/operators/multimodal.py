@@ -168,3 +168,46 @@ def pseudo_embed(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return media.mapInPandas(kernel, schema=EMBED_SCHEMA)
+
+
+AUDIO_CHUNK_BYTES = 400  # stand-in for a fixed-duration PCM window
+
+
+def segment_audio(df: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFrame:
+    """Audio segmentation plumbing: split each media payload into
+    fixed-size windows (≅ fixed-duration PCM chunks) and emit one row per
+    window with an exact integer ENERGY (sum of squared byte values) —
+    the deterministic stand-in for RMS loudness that makes the whole
+    Arrow-batched kernel oracle-diffable, the q60 trick applied to the
+    audio axis (decode_media covers images, sample_frames covers video).
+    A real build swaps the byte math for a PCM decode + true RMS; the
+    Spark-side shape — mapInPandas fan-out of one media row to N window
+    rows, exact integer metrics, bounded per-row output — is the part
+    that carries to 100 TB."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"media_id": [], "chunk_idx": [], "n_bytes": [], "energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for i in range(0, max(len(buf), 1), chunk_bytes):
+                    chunk = buf[i : i + chunk_bytes]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i // chunk_bytes)
+                    out["n_bytes"].append(int(len(chunk)))
+                    out["energy"].append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(kernel, out_schema)

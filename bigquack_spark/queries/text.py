@@ -915,3 +915,42 @@ def q199_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(trunc).cast("long").alias("n_truncated"),
         F.round(F.sum(lost).cast("double") / F.sum("n_tok"), 6).alias("loss_rate"),
     )
+
+
+@query(
+    "q204_audio_segments",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, CAST(ceil(length(text) / 400.0) AS BIGINT))) AS ci
+      FROM documents
+    ),
+    cut AS (
+      SELECT media_id, CAST(ci AS INTEGER) AS chunk_idx,
+             substr(d.text, CAST(ci * 400 + 1 AS INTEGER), 400) AS c
+      FROM chunks JOIN documents d ON d.doc_id = chunks.media_id
+    )
+    SELECT media_id, chunk_idx,
+           CAST(length(c) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(c) + 1),
+                j -> ord(substr(c, CAST(j AS INTEGER), 1))
+                     * ord(substr(c, CAST(j AS INTEGER), 1)))) AS BIGINT) AS energy
+    FROM cut
+    """,
+)
+def q204_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-axis multimodal plumbing (operators.multimodal.segment_audio):
+    each payload splits into fixed-size windows — the fixed-duration PCM
+    chunking shape — and every window reports an exact integer energy
+    (sum of squared byte values, the deterministic RMS stand-in).  Like
+    q60, the PYTHON KERNEL itself is oracle-diffed: the corpus is ASCII,
+    so DuckDB recomputes the same per-byte integer math with ord() over
+    the same text bytes — verifying the mapInPandas fan-out (1 media row
+    -> N window rows), the Arrow batch plumbing, and the chunk geometry
+    end to end.  Completes the modality triad: q60 image decode, frame
+    sampling (sample_frames, pytest), and now audio segmentation."""
+    from bigquack_spark.operators import multimodal as M
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    media = M.attach_binary_payload(d, "doc_id", "text", kind="audio")
+    return M.segment_audio(media)
