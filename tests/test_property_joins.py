@@ -140,3 +140,21 @@ def test_asof_join_tolerance_matches_bruteforce(spark, left, right, direction, t
         key=lambda r: (r[0], r[1], r[2] is None, r[2]),
     )
     assert got_rows == _brute_asof_tol(left, right, direction, tol)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    big=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=10),
+)
+def test_bloom_semi_join_exact_under_fp_pressure(spark, big, keys):
+    """With a deliberately tiny bitmap (64 bits for up to 10 keys x 5
+    probes) the bloom filter passes many false positives — the trailing
+    exact semi join must still make the result identical to the plain
+    semi join.  This pins the operator's correctness-vs-pruning split:
+    the bitmap is ONLY an optimization."""
+    bdf = spark.createDataFrame([(x,) for x in big], "k bigint")
+    kdf = spark.createDataFrame([(x,) for x in keys], "ok bigint")
+    got = sorted(r.k for r in bloom_semi_join(bdf, "k", kdf, "ok", num_bits=64).collect())
+    want = sorted(x for x in big if x in set(keys))
+    assert got == want
