@@ -292,6 +292,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q182_neyman_allocation",  # broadcast 1-row total-allocation aggregate
         "q189_class_balance_weights",  # broadcast 1-row normalizer aggregates
         "q191_hybrid_rrf",  # bounded 3-doc query set broadcast (the q40 shape)
+        "q203_psi_drift",  # broadcast 1-row epoch span + 10-row bin grid
     }
     offenders = []
     for name, spec in QUERIES.items():
