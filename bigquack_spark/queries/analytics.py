@@ -972,3 +972,124 @@ def q203_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return folded.select("event_type", F.round(psi, 9).alias("psi"))
+
+
+@query(
+    "q205_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, price_cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_cents, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wt,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(max(tot_wt) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum_wt >= tot_wt THEN price_cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def q205_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (weight = quantity, value = price
+    cents): the smallest value whose cumulative weight reaches half the
+    total — the robust-stats member q134's unweighted median can't
+    stand in for when rows represent unequal mass (tokens, bytes,
+    shares).  Entirely on the integer lattice: cumulative weights are
+    BIGINT window sums with a total-order tiebreak, the 2*cum >= tot
+    test avoids division, and the answer is a value that EXISTS in the
+    data (percentile_disc semantics, q175's rule).  One group-keyed
+    shuffle serves both windows and the final aggregate."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price_cents", "wt")
+    ranked = w.select(
+        "l_returnflag", "price_cents", "wt",
+        F.sum("wt").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot_wt"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("tot_wt").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("price_cents"))
+        ).cast("long").alias("weighted_median_cents"),
+    )
+
+
+@query(
+    "q206_retention_curve",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             min(epoch_us(ts)) // 86400000000 AS first_day,
+             max(epoch_us(ts)) // 86400000000 AS last_day
+      FROM events GROUP BY user_id
+    ),
+    lifetimes AS (
+      SELECT user_id, last_day - first_day AS lifetime_days FROM bounds
+    ),
+    horizon AS (SELECT max(lifetime_days) AS h FROM lifetimes),
+    grid AS (
+      SELECT unnest(range(0, (SELECT h + 1 FROM horizon))) AS day
+    )
+    SELECT CAST(g.day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_retained,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM lifetimes), 6) AS retention
+    FROM grid g JOIN lifetimes l ON l.lifetime_days >= g.day
+    GROUP BY g.day
+    """,
+)
+def q206_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-lifetime retention curve: for each day offset d, the
+    fraction of users still active at least d days after their first
+    event (lifetime = last-seen minus first-seen on the exact integer
+    day lattice) — the survival-analysis readout behind churn and LTV
+    models, and the curve q66's fixed-window cohort table samples
+    pointwise.  The day grid x lifetimes join fans out to at most
+    horizon x users rows with horizon = max observed lifetime (a few
+    hundred at any scale — bounded by calendar, not data); counts and
+    the denominator are exact integers.  At 100 TB: user bounds are one
+    map-side-combined aggregate; everything after runs on |users| rows."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts"])
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    bounds = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    lifetimes = bounds.select(
+        "user_id", (F.col("last_day") - F.col("first_day")).alias("lifetime_days")
+    )
+    horizon = lifetimes.agg(F.max("lifetime_days").alias("h"))
+    totals = lifetimes.agg(F.count(F.lit(1)).alias("n_users"))
+    grid = horizon.select(
+        F.explode(F.sequence(F.lit(0), F.col("h"))).alias("day")
+    )
+    joined = lifetimes.join(
+        F.broadcast(grid), lifetimes.lifetime_days >= grid.day
+    )
+    return (
+        joined.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double") / F.col("n_users"), 6
+            ).alias("retention"),
+        )
+    )
