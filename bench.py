@@ -7,8 +7,11 @@ and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Extra keys (duckdb per-query timings, config echo) ride along for the 2x-of-
-DuckDB comparison the driver grades against.
+The stdout line stays SHORT (headline totals, aggregate ratio, gate verdict,
+three-point ratio trend) so the driver's capture parses it whole; the full
+per-tier detail (multifile / 10x crossover / 100x trend / bucketed-join
+blocks, per-query DuckDB timings, config echo) is written to
+bench_full.json next to this script.
 
 Execution is forced with the noop sink (full plan runs, nothing collected to
 the driver) so timings measure the engine, not result transfer.
@@ -118,6 +121,13 @@ CROSSOVER = [
 ]
 CROSSOVER_FACTOR = int(os.environ.get("SPARK_GRAFT_CROSSOVER_FACTOR", "10"))
 
+#: Third point of the ratio trend (r2 verdict #5): the three worst-ratio
+#: queries re-timed at 100x (events/lineitem/orders only — the tables those
+#: queries actually scan) to show the Spark/DuckDB ratio still falling as
+#: the fixed task floor amortizes.
+TREND_QUERIES = ["q20_events_json_extract", "q21_events_hourly", "q68_nation_profit"]
+TREND_FACTOR = int(os.environ.get("SPARK_GRAFT_TREND_FACTOR", "100"))
+
 #: Per-table key shifts for replica i (replica 0 is the original rows, so
 #: bounded query sets like q75's vec_id < N keep their original members).
 #: Facts replicate; every other table (the dims) copies through unchanged.
@@ -133,12 +143,14 @@ _SCALE_REPLACE = {
 }
 
 
-def _scaled_copy(src_dir: str, factor: int) -> str | None:
+def _scaled_copy(src_dir: str, factor: int, tables: set[str] | None = None) -> str | None:
     """Materialize the factor-x dataset under /tmp (cached across runs).
 
     DuckDB generates it (SELECT * REPLACE over a range join — one pass, no
     driver loop); row groups are sized ~120k rows so Spark scans get real
-    task parallelism, the same layout rationale as _multifile_copy."""
+    task parallelism, the same layout rationale as _multifile_copy.
+    ``tables`` restricts WHICH facts replicate (the 100x trend tier scales
+    only events/lineitem/orders); everything else copies through."""
     try:
         import duckdb
         import pyarrow.parquet as pq
@@ -159,6 +171,8 @@ def _scaled_copy(src_dir: str, factor: int) -> str | None:
             table = name[: -len(".parquet")]
             s, d = os.path.join(src_dir, name), os.path.join(dst, name)
             repl = _SCALE_REPLACE.get(table)
+            if tables is not None and table not in tables:
+                repl = None
             want = pq.read_metadata(s).num_rows * (factor if repl else 1)
             if os.path.exists(d) and pq.read_metadata(d).num_rows == want:
                 continue
@@ -332,6 +346,11 @@ def main() -> None:
     scaled_dir = (
         _scaled_copy(SF_DIR, CROSSOVER_FACTOR) if CROSSOVER_FACTOR > 1 else None
     )
+    trend_dir = (
+        _scaled_copy(SF_DIR, TREND_FACTOR, tables={"events", "lineitem", "orders"})
+        if TREND_FACTOR > CROSSOVER_FACTOR
+        else None
+    )
     try:
         spark_t = run_spark(spark, HEADLINE)
         extra_t = run_spark(spark, UNPAIRED)
@@ -358,88 +377,126 @@ def main() -> None:
         else:
             xo_spark = {}
             buckets = None
+        # 100x tier: only the 3 worst-ratio queries, to measure the third
+        # point of the falling-ratio trend (r2 verdict #5)
+        tr_spark = run_spark(spark, TREND_QUERIES, trend_dir) if trend_dir else {}
     finally:
         spark.stop()
     duck_t = run_duckdb()
     mf_duck = run_duckdb(multifile_dir) if multifile_dir else {}
     xo_duck = run_duckdb(scaled_dir, CROSSOVER) if scaled_dir else {}
+    tr_duck = run_duckdb(trend_dir, TREND_QUERIES) if trend_dir else {}
     total = round(sum(spark_t.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": spark_t,
-                "sf": _sf_label(SF_DIR),
-                "duckdb_queries": duck_t,
-                "duckdb_total": round(sum(duck_t.values()), 4),
-                "unpaired_queries": extra_t,
-                "multifile": {
-                    "note": "same rows re-written at 20k rows/row-group (realistic ingest layout; the primary metric's parquet is one row group per table, capping Spark scans at one task)",
-                    "total": round(sum(mf_spark.values()), 4),
-                    "duckdb_total": round(sum(mf_duck.values()), 4),
-                    "queries": mf_spark,
-                    "duckdb_queries": mf_duck,
-                } if multifile_dir else None,
-                "crossover": {
-                    "note": (
-                        f"fact tables replicated {CROSSOVER_FACTOR}x with shifted keys (dims unchanged). "
-                        f"What this block demonstrates is AMORTIZATION, not single-node parity: Spark's "
-                        f"per-query time grows ~2-3x while the data grows {CROSSOVER_FACTOR}x "
-                        f"(see growth_vs_data_growth — the fixed task-launch/exchange floor washing out), "
-                        f"whereas cache-resident DuckDB keeps near-flat times at this tier, so the per-query "
-                        f"RATIO does not converge on one node.  Single-node vectorized throughput on "
-                        f"sub-second joins is DuckDB's home game; the engine-level scale path is the "
-                        f"aggregate <=2x gate (passing), the text/Python family (Spark up to 10x faster), "
-                        f"the bucketed layout below (join-input exchanges eliminated), and distribution "
-                        f"beyond one node — which no local bench can show."
-                    ),
-                    "factor": CROSSOVER_FACTOR,
-                    "total": round(sum(xo_spark.values()), 4),
-                    "duckdb_total": round(sum(xo_duck.values()), 4),
-                    "queries": xo_spark,
-                    "duckdb_queries": xo_duck,
-                    "ratios": {
-                        n: round(xo_spark[n] / xo_duck[n], 3)
-                        for n in xo_spark
-                        if xo_duck.get(n)
-                    },
-                    # time growth from the 1x multifile tier to the Nx tier,
-                    # per engine: [spark_growth, duck_growth, data_growth].
-                    # spark_growth << data_growth is the amortization claim.
-                    "growth_vs_data_growth": {
-                        n: [
-                            round(xo_spark[n] / mf_spark[n], 2)
-                            if mf_spark.get(n) else None,
-                            round(xo_duck[n] / mf_duck[n], 2)
-                            if mf_duck.get(n) and xo_duck.get(n) else None,
-                            CROSSOVER_FACTOR,
-                        ]
-                        for n in xo_spark
-                    },
-                    "bucketed_join": buckets,
-                    "ratio_trend_1x_to_Nx": {
-                        n: [
-                            round(mf_spark[n] / mf_duck[n], 2)
-                            if mf_duck.get(n) and n in mf_spark else None,
-                            round(xo_spark[n] / xo_duck[n], 2)
-                            if xo_duck.get(n) else None,
-                        ]
-                        for n in xo_spark
-                    },
-                } if scaled_dir else None,
-                "config": {
-                    "master": f"local[{cpus}]",
-                    "shuffle_partitions": parts,
-                    "aqe": False,
-                    "aqe_note": "on in session.tune() for deployments; off at bench tier where the re-plan barrier dominates sub-GB queries",
-                    "runs_per_query": WARM_RUNS,
-                    "timing": "median of warm runs, noop sink",
-                },
-            }
-        )
-    )
+    duck_total = round(sum(duck_t.values()), 4)
+    # Three-point ratio trend for the worst-overhead queries:
+    # 1x multifile -> 10x crossover -> 100x trend tier.  Falling = the
+    # fixed task-launch floor amortizing with data, the 100 TB claim.
+    ratio_trend = {
+        n: [
+            round(mf_spark[n] / mf_duck[n], 2) if mf_duck.get(n) and mf_spark.get(n) else None,
+            round(xo_spark[n] / xo_duck[n], 2) if xo_duck.get(n) and xo_spark.get(n) else None,
+            round(tr_spark[n] / tr_duck[n], 2) if tr_duck.get(n) and tr_spark.get(n) else None,
+        ]
+        for n in TREND_QUERIES
+    }
+    full = {
+        "metric": "headline_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_t,
+        "sf": _sf_label(SF_DIR),
+        "duckdb_queries": duck_t,
+        "duckdb_total": duck_total,
+        "unpaired_queries": extra_t,
+        "multifile": {
+            "note": "same rows re-written at 20k rows/row-group (realistic ingest layout; the primary metric's parquet is one row group per table, capping Spark scans at one task)",
+            "total": round(sum(mf_spark.values()), 4),
+            "duckdb_total": round(sum(mf_duck.values()), 4),
+            "queries": mf_spark,
+            "duckdb_queries": mf_duck,
+        } if multifile_dir else None,
+        "crossover": {
+            "note": (
+                f"fact tables replicated {CROSSOVER_FACTOR}x with shifted keys (dims unchanged). "
+                f"What this block demonstrates is AMORTIZATION, not single-node parity: Spark's "
+                f"per-query time grows ~2-3x while the data grows {CROSSOVER_FACTOR}x "
+                f"(see growth_vs_data_growth — the fixed task-launch/exchange floor washing out), "
+                f"whereas cache-resident DuckDB keeps near-flat times at this tier, so the per-query "
+                f"RATIO does not converge on one node.  Single-node vectorized throughput on "
+                f"sub-second joins is DuckDB's home game; the engine-level scale path is the "
+                f"aggregate <=2x gate (passing), the text/Python family (Spark up to 10x faster), "
+                f"the bucketed layout below (join-input exchanges eliminated), and distribution "
+                f"beyond one node — which no local bench can show."
+            ),
+            "factor": CROSSOVER_FACTOR,
+            "total": round(sum(xo_spark.values()), 4),
+            "duckdb_total": round(sum(xo_duck.values()), 4),
+            "queries": xo_spark,
+            "duckdb_queries": xo_duck,
+            "ratios": {
+                n: round(xo_spark[n] / xo_duck[n], 3)
+                for n in xo_spark
+                if xo_duck.get(n)
+            },
+            # time growth from the 1x multifile tier to the Nx tier,
+            # per engine: [spark_growth, duck_growth, data_growth].
+            # spark_growth << data_growth is the amortization claim.
+            "growth_vs_data_growth": {
+                n: [
+                    round(xo_spark[n] / mf_spark[n], 2)
+                    if mf_spark.get(n) else None,
+                    round(xo_duck[n] / mf_duck[n], 2)
+                    if mf_duck.get(n) and xo_duck.get(n) else None,
+                    CROSSOVER_FACTOR,
+                ]
+                for n in xo_spark
+            },
+            "bucketed_join": buckets,
+        } if scaled_dir else None,
+        "trend_100x": {
+            "note": (
+                f"the 3 worst-ratio queries re-timed at {TREND_FACTOR}x "
+                f"(events/lineitem/orders replicated; dims unchanged) — the third "
+                f"point of ratio_trend_1x_10x_100x.  Monotonically falling ratios "
+                f"= the fixed per-query floor amortizing, measured not asserted."
+            ),
+            "factor": TREND_FACTOR,
+            "queries": tr_spark,
+            "duckdb_queries": tr_duck,
+        } if trend_dir else None,
+        "ratio_trend_1x_10x_100x": ratio_trend,
+        "config": {
+            "master": f"local[{cpus}]",
+            "shuffle_partitions": parts,
+            "aqe": False,
+            "aqe_note": "on in session.tune() for deployments; off at bench tier where the re-plan barrier dominates sub-GB queries",
+            "runs_per_query": WARM_RUNS,
+            "timing": "median of warm runs, noop sink",
+        },
+    }
+    # Full detail is a separate artifact; stdout carries ONE SHORT line the
+    # driver can capture whole (r2 verdict #3: the giant line was truncated
+    # both rounds and recorded as "parsed": null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    headline = {
+        "metric": "headline_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_t,
+        "sf": _sf_label(SF_DIR),
+        "duckdb_total": duck_total,
+        "spark_over_duckdb": round(total / duck_total, 3) if duck_total else None,
+        "gate_2x_pass": bool(duck_total and total <= 2 * duck_total),
+        "multifile_ratio": (
+            round(sum(mf_spark.values()) / sum(mf_duck.values()), 3)
+            if mf_duck and sum(mf_duck.values()) else None
+        ),
+        "ratio_trend_1x_10x_100x": ratio_trend,
+        "detail": "bench_full.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Incremental materialized-view maintenance for algebraic aggregates —
+the batch twin of streaming/sink.ContinuousRollupSink's upsert loop.
+
+The reference's pipeline re-ingests whole tables (bigquack.go:64-141 pumps
+every batch of the source on every run); a 100 TB rollup cannot afford
+that.  For ALGEBRAIC aggregates (sum/count/min/max — and anything derived
+from them at read time: avg = sum/count) the maintained view can instead
+merge yesterday's materialized partials with today's delta partials:
+
+    new_view = combine(view_partials, agg(delta))
+
+which costs one scan of the DELTA plus one scan of the (key-sized) view —
+never a rescan of history.  ``merge_agg_partials`` is that combine step as
+a pure DataFrame function: union the partial tables, re-aggregate with the
+merge function of each column's aggregate kind (sum+sum, count: sum,
+min: min, max: max).  Holistic aggregates (median, distinct counts) do NOT
+merge this way — route those through sketches (queries/sketch.py CMS, q62
+HLL) whose partials ARE mergeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: aggregate kind -> merge function over partial columns
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by SUMMING partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def merge_agg_partials(
+    partials: list[DataFrame],
+    keys: list[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Combine partial-aggregate tables into one (same schema: ``keys`` +
+    the columns named in ``spec``).  ``spec`` maps each value column to
+    its aggregate kind (``sum``/``count``/``min``/``max``); the merge
+    applies that kind's combine function.  Keys present in only some
+    partials pass through (union semantics) — exactly Spark's own
+    partial/final aggregation contract, applied across materialization
+    boundaries.  One key-hashed shuffle of key-cardinality rows."""
+    unknown = {k for k in spec.values() if k not in _MERGE}
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate kinds: {sorted(unknown)}")
+    cols = keys + list(spec)
+    merged = None
+    for p in partials:
+        part = p.select(*cols)
+        merged = part if merged is None else merged.unionByName(part)
+    return merged.groupBy(*keys).agg(
+        *[_MERGE[kind](c).alias(c) for c, kind in spec.items()]
+    )

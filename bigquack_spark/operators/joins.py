@@ -234,8 +234,35 @@ def bloom_semi_join(
     The key side is aggregated (k probes -> bit_or per word -> one map
     row), so it may be far larger than the broadcast-join threshold: only
     the bitmap is broadcast, never the keys.
+
+    xxhash64 is input-TYPE-sensitive: hashing an int column and a bigint
+    column of equal values gives different bits, and a probe-side miss is
+    a silent FALSE NEGATIVE the trailing exact semi join cannot restore
+    (a plain semi join would have coerced the types).  Both probe columns
+    are therefore canonicalized before hashing: integral types (and exact
+    decimal(p,0)) widen to long; otherwise the dtypes must already match,
+    or the call raises instead of silently dropping rows.
     """
-    kd = keys.select(F.col(keys_on).alias("__bk")).distinct()
+    import pyspark.sql.types as T
+
+    def _canon_type(dt) -> str:
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(dt, integral) or (isinstance(dt, T.DecimalType) and dt.scale == 0):
+            return "bigint"
+        return dt.simpleString()
+
+    big_ct = _canon_type(big.schema[big_on].dataType)
+    keys_ct = _canon_type(keys.schema[keys_on].dataType)
+    if big_ct != keys_ct:
+        raise ValueError(
+            f"bloom_semi_join probe types must match after integral widening: "
+            f"{big_on}:{big.schema[big_on].dataType.simpleString()} vs "
+            f"{keys_on}:{keys.schema[keys_on].dataType.simpleString()} "
+            f"(xxhash64 is type-sensitive; align the columns explicitly)"
+        )
+    big_probe = F.col(big_on).cast(big_ct)
+
+    kd = keys.select(F.col(keys_on).cast(keys_ct).alias("__bk")).distinct()
     probes = None
     for j in range(num_hashes):
         slot, mask = _bloom_probe(F.col("__bk"), num_bits, j)
@@ -248,7 +275,7 @@ def bloom_semi_join(
     pruned = big.join(F.broadcast(bloom))
     cond = None
     for j in range(num_hashes):
-        slot, mask = _bloom_probe(F.col(big_on), num_bits, j)
+        slot, mask = _bloom_probe(big_probe, num_bits, j)
         hit = (
             F.coalesce(F.element_at(F.col("__bloom"), slot), F.lit(0).cast("long"))
             .bitwiseAND(mask)

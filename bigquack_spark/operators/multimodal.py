@@ -202,7 +202,9 @@ def segment_audio(df: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFr
                 if payload is None:
                     continue
                 buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                for i in range(0, max(len(buf), 1), chunk_bytes):
+                if len(buf) == 0:
+                    continue  # zero chunks for empty media — matches the oracle's ceil(len/chunk) semantics
+                for i in range(0, len(buf), chunk_bytes):
                     chunk = buf[i : i + chunk_bytes]
                     out["media_id"].append(mid)
                     out["chunk_idx"].append(i // chunk_bytes)

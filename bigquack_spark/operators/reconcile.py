@@ -146,18 +146,23 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     — raw doubles would make the digest engine-sensitive), hashed to a
     60-bit md5 prefix.  Aggregates: COUNT plus BIT_XOR of the hashes —
     commutative/associative, so partition order, shuffle order, and
-    engine never matter, and there is no overflow at any row count.
-    XOR's known blind spot (a row appearing an EVEN number of times
-    cancels out) is covered by the count plus a second sum-of-hashes mod
-    2^40 channel: a duplicated+dropped pair that fools XOR shifts the
-    modular sum."""
+    engine never matter, and neither channel overflows at any row count
+    (XOR is closed over 64 bits; the sum channel accumulates the mod-2^40
+    terms in decimal(38,0) — good past 1e26 rows — and reduces mod 2^40
+    at the end, mirroring the oracle's HUGEINT sum).  XOR's known blind
+    spot (a row appearing an EVEN number of times cancels out) is covered
+    by the count plus the modular-sum channel: a duplicated+dropped pair
+    that fools XOR shifts the modular sum."""
     canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    mod = F.lit(1 << 40)
     return (
         df.select(h.alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(h)").alias("xor_checksum"),
-            F.sum(F.col("h") % F.lit(1 << 40)).alias("sum_checksum_mod"),
+            (F.sum((F.col("h") % mod).cast("decimal(38,0)")) % mod)
+            .cast("bigint")
+            .alias("sum_checksum_mod"),
         )
     )

@@ -11,36 +11,85 @@ from bigquack_spark.queries.registry import QUERIES, QuerySpec, oracle_sql, quer
 
 # Importing the modules populates the registry.  Registration order matters:
 # the driver's per-round correctness run walks the dict in insertion order and
-# caps how many queries it checks (~50 in round 1), so the families that still
-# need driver-verified rows go FIRST.  Round 1 verified the 50 relational.py
-# queries; round 2 front-loads the LLM-pipeline extensions — the r1-verdict
-# priority set (dedup / ANN / text / corpus + the q87/q62 fixes) fills the
-# ~50-row window exactly.  Round 3 should rotate events / sampling / search /
-# clustering / graph / sketch to the front for their turn in the window
-# (every family is already repo-verified by the full tools/driver_check.py
-# sweep recorded in README).
-from bigquack_spark.queries import dedup  # noqa: E402,F401
-from bigquack_spark.queries import simsearch  # noqa: E402,F401
-from bigquack_spark.queries import text  # noqa: E402,F401
-from bigquack_spark.queries import corpus  # noqa: E402,F401
-from bigquack_spark.queries import events  # noqa: E402,F401
+# caps how many queries it checks (~50 per round), so the families that still
+# need driver-verified rows go FIRST.  Round 1 verified the ~50 relational.py
+# queries; round 2's window covered dedup / simsearch / text / corpus.  Round
+# 3 front-loads (a) the three complex-typed-output fixes the r2 verdict
+# flagged (q121 driver-red, q103/q142 latent) to prove them green, then (b)
+# the never-driver-checked small families — sampling, search, clustering,
+# graph, sketch, analytics, quality — which together with the fixes fill the
+# ~50-row window.  events (31 queries) rotates in next round; every family is
+# already repo-verified by the full tools/driver_check.py sweep.
 from bigquack_spark.queries import sampling  # noqa: E402,F401
-from bigquack_spark.queries import quality  # noqa: E402,F401
-from bigquack_spark.queries import analytics  # noqa: E402,F401
 from bigquack_spark.queries import search  # noqa: E402,F401
 from bigquack_spark.queries import clustering  # noqa: E402,F401
 from bigquack_spark.queries import graph  # noqa: E402,F401
 from bigquack_spark.queries import sketch  # noqa: E402,F401
+from bigquack_spark.queries import analytics  # noqa: E402,F401
+from bigquack_spark.queries import quality  # noqa: E402,F401
+from bigquack_spark.queries import events  # noqa: E402,F401
+from bigquack_spark.queries import corpus  # noqa: E402,F401
+from bigquack_spark.queries import text  # noqa: E402,F401
+from bigquack_spark.queries import dedup  # noqa: E402,F401
+from bigquack_spark.queries import simsearch  # noqa: E402,F401
 from bigquack_spark.queries import relational  # noqa: E402,F401
 
-# Hoist the round-2 relational fixes (q87 exact-lattice stats, q62 tolerance
-# booleans) into the driver's check window, ahead of the already-proven
-# relational block.
-_PRIORITY = [n for n in ("q87_statistical_profile", "q62_approx_aggregates") if n in QUERIES]
-for _n in reversed(_PRIORITY):
-    _spec = QUERIES.pop(_n)
-    _rest = dict(QUERIES)
-    QUERIES.clear()
-    QUERIES[_n] = _spec
-    QUERIES.update(_rest)
-del _PRIORITY
+# Module imports cascade (graph pulls in dedup, etc.), so insertion order
+# alone can't express the window priority.  Rebuild the dict explicitly:
+# (1) the round-3 fixes, (2) every query with no driver row yet from
+# CORRECTNESS_r01/r02 (kept in registration order, which groups families),
+# (3) the already-driver-verified names.
+_FIXES = [
+    "q121_int8_quantization",  # r2 driver-red: array output, now canonical string
+    "q103_nation_rich_roster",  # latent same bug, now canonical string
+    "q142_inverted_index",  # latent same bug, now canonical string
+]
+#: Names with green driver rows in CORRECTNESS_r01.json / r02 — they go to
+#: the BACK of the window so never-checked families get their turn.
+_DRIVER_VERIFIED = {
+    # round 1 (relational families)
+    "q01_pricing_summary", "q02_supplier_pushdown", "q03_shipping_priority",
+    "q04_order_priority", "q05_region_revenue", "q06_revenue_delta",
+    "q07_top_customers_per_nation", "q08_rollup_acctbal", "q09_set_ops",
+    "q10_distinct_segments", "q11_customers_without_orders",
+    "q12_scalar_functions", "q13_orders_by_month", "q14_limit_scan",
+    "q15_full_outer_counts", "q16_status_pivot", "q17_above_nation_average",
+    "q18_cumulative_revenue", "q19_cube_volumes", "q25_brand_revenue",
+    "q26_promo_share", "q27_supplier_part_breadth", "q29_multiset_ops",
+    "q43_left_join_coverage", "q44_date_arithmetic", "q45_string_agg",
+    "q46_scalar_subquery_select", "q47_percentiles", "q61_grouping_sets",
+    "q62_approx_aggregates", "q63_bilateral_trade", "q64_returned_items",
+    "q68_nation_profit", "q69_priority_lines", "q70_disjunctive_revenue",
+    "q71_dormant_rich_customers", "q72_cheapest_supplier",
+    "q73_gap_filled_months", "q76_order_count_distribution",
+    "q77_promo_revenue_share", "q78_top_supplier", "q79_small_order_revenue",
+    "q80_large_volume_customers", "q81_sole_late_shipper",
+    "q82_nation_value_share", "q87_statistical_profile",
+    "q88_table_reconciliation", "q89_supplier_diversity",
+    "q90_event_anomalies", "q91_excess_shippers",
+    # round 2 (dedup / ANN / text / multimodal / corpus window)
+    "q30_dedup_exact", "q31_dedup_by_key", "q32_minhash_signatures",
+    "q33_lsh_bucket_stats", "q34_simhash", "q35_embedding_near_dup",
+    "q36_lsh_near_dup_pairs", "q86_dedup_clusters",
+    "q99_dedup_clusters_twostar", "q117_ngram_jaccard_near_dup",
+    "q129_chunk_dedup", "q130_incremental_dedup", "q140_knn_graph",
+    "q160_lsh_eval", "q164_dedup_savings", "q172_semantic_dedup",
+    "q185_prefix_filter_join", "q190_split_leakage", "q40_ann_cosine_topk",
+    "q41_ann_lsh_topk", "q42_ann_ivf_topk", "q75_ann_gemm_topk",
+    "q136_embedding_quality", "q179_hard_negatives", "q198_contrastive_pairs",
+    "q50_token_stats", "q51_quality_signals", "q52_lang_id",
+    "q53_fingerprint", "q60_multimodal_features", "q54_top_tokens",
+    "q55_tf_idf_top_term", "q56_top_bigrams", "q57_chunking",
+    "q58_pii_scrub", "q59_token_sharding", "q93_multimodal_retrieval",
+    "q120_c4_quality_filter", "q131_nfc_canonical_fingerprint",
+    "q138_bpe_token_count", "q139_winnowing_fingerprint",
+    "q155_lang_confusion", "q173_boilerplate_spans", "q193_zipf_fit",
+    "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
+}
+_front = [n for n in _FIXES if n in QUERIES]
+_unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in _front]
+_checked = [n for n in QUERIES if n in _DRIVER_VERIFIED and n not in _front]
+_ordered = {n: QUERIES[n] for n in _front + _unchecked + _checked}
+QUERIES.clear()
+QUERIES.update(_ordered)
+del _FIXES, _DRIVER_VERIFIED, _front, _unchecked, _checked, _ordered

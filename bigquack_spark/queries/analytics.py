@@ -927,7 +927,10 @@ def q203_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(span))
         .select(
             "event_type",
-            F.when(us < (F.col("lo") + F.col("hi")) / 2, "ref").otherwise("cur").alias("era"),
+            # integer floor midpoint — the oracle's (lo + hi) // 2; double
+            # division would classify an event AT an odd-sum floor boundary
+            # differently between engines
+            F.when(us < F.expr("(lo + hi) div 2"), "ref").otherwise("cur").alias("era"),
             F.least(
                 F.floor(F.col("value") / 10.0).cast("long"), F.lit(PSI_BINS - 1)
             ).alias("bin"),

@@ -1532,3 +1532,55 @@ def q192_duplicate_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suspect_pairs"),
         F.count_distinct("b_id").alias("n_suspect_events"),
     )
+
+
+@query(
+    "q212_incremental_rollup",
+    oracle="""
+    WITH latest AS (SELECT CAST(max(CAST(ts AS DATE)) AS DATE) AS d FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q212_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators.ivm): the
+    per-type rollup is computed as TWO partial aggregates — history (all
+    days before the latest) and the latest-day delta — merged with the
+    algebraic combine (sum+sum, count-as-sum, max).  The oracle is the
+    FULL single-pass aggregate, so the hash-match IS the IVM correctness
+    theorem: combine(agg(history), agg(delta)) == agg(all), on the exact
+    integer lattice (cents, epoch micros) where it holds bitwise.  At
+    100 TB the history partial is yesterday's materialized view (key-
+    cardinality rows read back from the sink, not a rescan); the daily
+    cost is one delta scan + one view-sized merge shuffle — the batch
+    twin of ContinuousRollupSink's hourly->daily upsert loop."""
+    from bigquack_spark.operators.ivm import merge_agg_partials
+
+    e = t(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    latest = e.agg(F.max(F.to_date("ts")).alias("d"))
+    tagged = e.crossJoin(F.broadcast(latest))
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+            F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+        )
+
+    history = partial(tagged.filter(F.to_date("ts") < F.col("d")))
+    delta = partial(tagged.filter(F.to_date("ts") >= F.col("d")))
+    merged = merge_agg_partials(
+        [history, delta],
+        keys=["event_type"],
+        spec={"n_events": "count", "total_cents": "sum", "last_us": "max"},
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("last_us").cast("long").alias("last_us"),
+    )

@@ -273,3 +273,98 @@ def q176_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return walks.select("start", "path")
+
+
+KCORE_K = 350     # minimum surviving degree (sf0.01: peel cascades 500 -> 428 -> 394 -> 381)
+KCORE_PEELS = 3   # fixed unrolled peeling rounds (both engines identical)
+
+
+def _kcore_oracle() -> str:
+    """Fixed-iteration peel replayed as generated CTE rounds over the SAME
+    minhash-band candidate graph q140 builds (queries.dedup._SIG_SQL)."""
+    from bigquack_spark.queries.dedup import _SIG_SQL, ROWS_PER_BAND
+
+    rounds = []
+    prev = "alive0"
+    for r in range(1, KCORE_PEELS + 1):
+        rounds.append(f"""
+    deg{r} AS (
+      SELECT u.node, CAST(count(*) AS BIGINT) AS deg
+      FROM und u
+      JOIN {prev} a ON u.node = a.node
+      JOIN {prev} b ON u.nbr = b.node
+      GROUP BY u.node
+    ),
+    alive{r} AS (SELECT node FROM deg{r} WHERE deg >= {KCORE_K})""")
+        prev = f"alive{r}"
+    return f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    und AS (
+      SELECT a AS node, b AS nbr FROM cand
+      UNION ALL SELECT b, a FROM cand
+    ),
+    alive0 AS (SELECT DISTINCT node FROM und),{",".join(rounds)}
+    SELECT u.node AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und u
+    JOIN {prev} a ON u.node = a.node
+    JOIN {prev} b ON u.nbr = b.node
+    GROUP BY u.node
+    """
+
+
+@query("q211_kcore_peel", oracle=_kcore_oracle())
+def q211_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition ({KCORE_PEELS} unrolled peel rounds at
+    k={KCORE_K}) on the document near-dup candidate graph (q140's minhash
+    band edges) — the fourth graph primitive after CC, PageRank and
+    triangles, and the curation read on THIS graph is direct: the
+    surviving core is the heavily-templated/boilerplate cluster mass
+    (every survivor near-dups hundreds of siblings), the peeled nodes
+    are the long tail worth keeping.  Nodes below degree k are removed,
+    degrees recomputed on the surviving subgraph, repeated; a FIXED
+    iteration count replaces the data-dependent fixpoint so both engines
+    run the exact same rounds (q148's unrolling discipline — a
+    production caller loops until the survivor count stabilizes, same
+    plan per round).  Scale shape: each round is two survivor-set semi
+    joins of the edge list plus one map-side-combined degree count —
+    edge-keyed shuffles throughout, survivor state never on the driver;
+    the edge list itself is the bucket-bounded LSH join, never all
+    pairs."""
+    from bigquack_spark.operators import dedup as D
+    from bigquack_spark.queries.dedup import NUM_HASHES, ROWS_PER_BAND
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    und = cand.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        cand.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    # flatten the banding lineage once; each peel round then re-reads a
+    # compact (node, nbr) edge list instead of re-deriving signatures
+    und = und.localCheckpoint(eager=False)
+    alive = und.select("node").distinct()
+    for _ in range(KCORE_PEELS):
+        deg = (
+            und.join(alive, "node", "left_semi")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("node")
+    return (
+        und.join(alive, "node", "left_semi")
+        .join(alive.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("node").alias("doc_id"), "core_degree")
+    )

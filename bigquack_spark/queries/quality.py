@@ -489,7 +489,7 @@ def q167_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
-           CAST(sum(h % 1099511627776) AS BIGINT) AS sum_checksum_mod
+           CAST(sum(h % 1099511627776) % 1099511627776 AS BIGINT) AS sum_checksum_mod
     FROM h
     """,
 )

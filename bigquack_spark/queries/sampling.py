@@ -162,7 +162,7 @@ _RICH_CENTS = 9000_00  # customers above $9000 balance
     oracle=f"""
     SELECT n.n_name,
            CAST(count(*) AS BIGINT) AS n_rich,
-           list_sort(list(c.c_name)) AS roster
+           array_to_string(list_sort(list(c.c_name)), '|') AS roster
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > {_RICH_CENTS}
     GROUP BY n.n_name
@@ -170,10 +170,12 @@ _RICH_CENTS = 9000_00  # customers above $9000 balance
 )
 def q103_nation_rich_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-aggregation surface: per nation, the SORTED roster of
-    high-balance customer names as an array column.  collect_list order is
-    nondeterministic under parallelism, so the result is array_sort-ed —
-    the only way an array agg can be reproducible on a cluster.  The money
-    threshold is integer cents (lattice rule); nation broadcasts."""
+    high-balance customer names.  collect_list order is nondeterministic
+    under parallelism, so the result is array_sort-ed — the only way an
+    array agg can be reproducible on a cluster — then '|'-joined to one
+    canonical string (the driver's canonicalizer cannot sort array-typed
+    cells, r2 verdict #2).  The money threshold is integer cents (lattice
+    rule); nation broadcasts."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
@@ -183,7 +185,7 @@ def q103_nation_rich_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rich"),
-            F.array_sort(F.collect_list("c_name")).alias("roster"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("roster"),
         )
     )
 

@@ -161,7 +161,7 @@ def q141_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok,
              CAST(count(*) AS BIGINT) AS df,
              CAST(sum(tf) AS BIGINT) AS total_tf,
-             (list(doc_id ORDER BY doc_id))[1:5] AS sample_postings
+             array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS sample_postings
       FROM tf GROUP BY tok
     ),
     top_doc AS (
@@ -205,7 +205,13 @@ def q142_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).alias("sample_postings"),
+        # ','-joined canonical string: the driver's canonicalizer cannot
+        # sort array cells (r2 verdict #2); a real index sink would write
+        # the full postings as binary/bucketed files, not result cells
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).cast("array<string>"),
+            ",",
+        ).alias("sample_postings"),
     )
     return (
         postings.join(top_doc, "tok")

@@ -112,9 +112,11 @@ def q75_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     )
     SELECT vec_id, q_scale,
-           CASE WHEN q_scale > 0
-                THEN list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INTEGER))
-                ELSE list_transform(e, x -> 0) END AS q_vec,
+           array_to_string(
+             CASE WHEN q_scale > 0
+                  THEN list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INTEGER))
+                  ELSE list_transform(e, x -> 0) END,
+             ',') AS q_vec,
            CASE WHEN q_scale > 0
                 THEN list_max(list_transform(e,
                        x -> abs(CAST(floor(x / q_scale + 0.5) AS INTEGER) * q_scale - x)))
@@ -131,7 +133,11 @@ def q121_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reconstruction error stays within scale/2.  Zero-shuffle
     projection; at 100 TB this is the 4x scan-bandwidth/cache cut the ANN
     family rides.  Both engines evaluate the identical IEEE expressions,
-    so the int arrays, scales, AND boundary booleans agree bitwise."""
+    so the int arrays, scales, AND boundary booleans agree bitwise.  The
+    int8 vector is emitted as a canonical ','-joined STRING — the driver's
+    canonicalizer cannot sort array-typed cells (r2 driver-red), and a
+    quantized vector written to parquet would be a string/binary payload
+    column anyway."""
     e = t(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -145,7 +151,7 @@ def q121_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "q_scale",
-        "q_vec",
+        F.array_join(F.col("q_vec").cast("array<string>"), ",").alias("q_vec"),
         F.when(scale > 0, err <= scale * 0.5).otherwise(F.lit(True)).alias("err_ok"),
     )
 
@@ -355,3 +361,171 @@ def _install_q198_oracle() -> None:
 
 
 _install_q198_oracle()
+
+
+MATRYOSHKA_DIM = 16  # truncated prefix dimensionality
+
+
+@query(
+    "q209_matryoshka_overlap",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    full_rk AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(
+                   list_dot_product(v.e, q.qe)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                   6) DESC, v.vec_id
+               ) AS rk
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {TOP_K}
+    ),
+    trunc_rk AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(
+                   list_dot_product(v.e[1:{MATRYOSHKA_DIM}], q.qe[1:{MATRYOSHKA_DIM}])
+                   / (sqrt(list_dot_product(v.e[1:{MATRYOSHKA_DIM}], v.e[1:{MATRYOSHKA_DIM}]))
+                      * sqrt(list_dot_product(q.qe[1:{MATRYOSHKA_DIM}], q.qe[1:{MATRYOSHKA_DIM}]))),
+                   6) DESC, v.vec_id
+               ) AS rk
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {TOP_K}
+    )
+    SELECT f.qid, CAST({TOP_K} AS INTEGER) AS k,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / {TOP_K}, 6) AS overlap_frac
+    FROM full_rk f
+    LEFT JOIN trunc_rk t ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.qid
+    """,
+)
+def q209_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much of the full-dimension top-k
+    survives when retrieval runs on only the first {MATRYOSHKA_DIM} of 64
+    dims — the measurement behind the serve-cheap-rerank-exact pattern
+    (MRL embeddings): a high overlap licenses cutting index bytes 4x.
+    Both rankings are the q40 broadcast shape (corpus never shuffles,
+    bounded query set broadcasts), cosines rounded to 6 digits BEFORE
+    ranking with vec_id tiebreak, so both engines rank identically; the
+    overlap join is (qid, neighbor)-keyed on k-bounded sets."""
+    from bigquack_spark.operators.simsearch import cosine
+
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+
+    def topk(sim_col):
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+        return (
+            pairs.select(
+                "qid", F.col("vec_id").alias("neighbor_id"),
+                F.round(sim_col, 6).alias("cos"),
+            )
+            .withColumnRenamed("neighbor_id", "vec_id")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full_rk = topk(cosine(F.col("e"), F.col("qe")))
+    tr = lambda c: F.slice(c, 1, MATRYOSHKA_DIM)  # noqa: E731
+    trunc_rk = topk(cosine(tr(F.col("e")), tr(F.col("qe"))))
+    hits = trunc_rk.withColumn("hit", F.lit(1))
+    return (
+        full_rk.join(hits, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.count("hit").cast("long").alias("n_overlap"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias("overlap_frac"),
+        )
+    )
+
+
+def _sign_half_sql(lo: int) -> str:
+    """DuckDB BIGINT signature of sign bits e[lo..lo+31] (1-based)."""
+    return (
+        f"list_sum(list_transform(range(0, 32), "
+        f"i -> CASE WHEN e[CAST(i AS INT) + {lo}] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+@query(
+    "q210_hamming_ann",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             CAST({_sign_half_sql(1)} AS BIGINT) AS h1,
+             CAST({_sign_half_sql(33)} AS BIGINT) AS h2
+      FROM v
+    ),
+    q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM sig WHERE vec_id < {N_QUERY_VECS}),
+    d AS (
+      SELECT q.qid, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(s.h1, q.q1)) + bit_count(xor(s.h2, q.q2)) AS INTEGER)
+               AS hamming
+      FROM sig s CROSS JOIN q WHERE s.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, hamming, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY hamming, neighbor_id
+      ) AS rk FROM d
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q210_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: each 64-dim vector collapses to a 64-bit sign
+    signature (two BIGINT halves), similarity becomes popcount(xor) —
+    the 1-bit extreme of q121's int8 story and the standard first-pass
+    filter for billion-scale retrieval (32x smaller than float32, SIMD
+    hamming).  Signatures are an exact integer projection (sum of
+    distinct powers of two — order-free, so no fold discipline needed);
+    ranking is (hamming asc, neighbor_id) for a total order.  The corpus
+    never shuffles: signatures ride the scan, the {N_QUERY_VECS}-row
+    query-signature set broadcasts, and the only exchange is the
+    per-query top-k window — q40's contract at 1/32 the bytes."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def half(lo: int):
+        return F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN element_at(e, i + {lo}) > CAST(0 AS DOUBLE) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    sig = v.select("vec_id", half(1).alias("h1"), half(33).alias("h2"))
+    q = sig.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    ham = (
+        F.expr("bit_count(h1 ^ q1)") + F.expr("bit_count(h2 ^ q2)")
+    ).cast("int")
+    d = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "hamming", "rank")
+    )

@@ -954,3 +954,158 @@ def q204_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
     media = M.attach_binary_payload(d, "doc_id", "text", kind="audio")
     return M.segment_audio(media)
+
+
+UNIGRAM_MIN_LOGPROB = -9.0  # avg-logprob floor for the keep gate
+
+
+@query(
+    "q207_unigram_logprob",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY tok
+    ),
+    total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM vocab),
+    terms AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * ln(CAST(v.n_tok AS DOUBLE) / n_total) AS v,
+             t.tf
+      FROM tf t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             list(v ORDER BY tok) AS lv
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), lv), (a, x) -> a + x)
+                 / n_tokens, 6) AS avg_logprob,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), lv), (a, x) -> a + x)
+                 / n_tokens, 6) >= {UNIGRAM_MIN_LOGPROB} AS keep
+    FROM folded
+    """,
+)
+def q207_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model document scoring — the cheap stand-in for
+    the perplexity filter every LLM curation pipeline runs (CCNet/Gopher
+    drop the lowest-LM-score tail): the corpus IS the model (token
+    unigram frequencies), each document scores the tf-weighted mean of
+    ln p(tok), and the keep gate floors it at {UNIGRAM_MIN_LOGPROB}.
+    Swapping the corpus-derived vocab for an external KenLM table is a
+    join-input change, not a plan change.  Scale shape: tf is the
+    map-side-combined (doc,tok) shuffle, vocab the tok-keyed rollup of
+    tf (vocabulary-sized), the score join is tok-keyed equi (never a
+    driver-side model), and the per-doc sum folds over TOKEN-SORTED term
+    lists (q184 discipline) so the doubles add in one order on both
+    engines.  The 1-row corpus total broadcasts."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    tf = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    terms = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "tok", "tf",
+            (F.col("tf") * F.log(F.col("n_tok").cast("double") / F.col("n_total"))).alias("v"),
+        )
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("v")))).alias("lv"),
+    )
+    s = F.aggregate(
+        F.transform(F.col("lv"), lambda x: x.getField("v")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    avg = F.round(s / F.col("n_tokens"), 6)
+    return folded.select(
+        "doc_id", "n_tokens", avg.alias("avg_logprob"),
+        (avg >= UNIGRAM_MIN_LOGPROB).alias("keep"),
+    )
+
+
+@query(
+    "q208_ngram_diversity",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= 2 THEN list_transform(range(1, n),
+               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+             ELSE [] END AS big,
+             CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                    || ' ' || toks[CAST(i AS INT) + 2])
+             ELSE [] END AS tri
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(big) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(big)) AS BIGINT) AS n_distinct_bigrams,
+           CASE WHEN len(big) > 0
+                THEN round(CAST(len(list_distinct(big)) AS DOUBLE) / len(big), 6)
+                ELSE CAST(NULL AS DOUBLE) END AS bigram_diversity,
+           CASE WHEN len(tri) > 0
+                THEN round(CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+                ELSE CAST(NULL AS DOUBLE) END AS trigram_diversity
+    FROM grams
+    """,
+)
+def q208_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity scoring (the self-repetition gauge used to
+    catch degenerate/templated text in generation-quality work — the
+    per-document complement of q101's corpus dup-ngram ratio): unique
+    bigrams / total bigrams and the trigram twin, NULL when the document
+    is too short to have any.  Pure per-row projection over the scan —
+    zero shuffle, linear at any corpus size; element_at is 1-based on
+    both engines, and the n>=2 guard matters because Spark's
+    sequence(1, n-1) runs DESCENDING when n-1 < 1 while DuckDB's range
+    returns empty."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = X.tokens("text")
+    tk = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    empty = F.array().cast("array<string>")
+    big = F.when(
+        F.col("n") >= 2,
+        F.expr(
+            "transform(sequence(1, n - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(empty)
+    tri = F.when(
+        F.col("n") >= 3,
+        F.expr(
+            "transform(sequence(1, n - 2), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+            "' ', element_at(toks, i + 2)))"
+        ),
+    ).otherwise(empty)
+    g = tk.select("doc_id", big.alias("big"), tri.alias("tri"))
+
+    def ratio(col: str):
+        return F.when(
+            F.size(col) > 0,
+            F.round(F.size(F.array_distinct(col)).cast("double") / F.size(col), 6),
+        ).otherwise(F.lit(None).cast("double"))
+
+    return g.select(
+        "doc_id",
+        F.size("big").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("big")).cast("long").alias("n_distinct_bigrams"),
+        ratio("big").alias("bigram_diversity"),
+        ratio("tri").alias("trigram_diversity"),
+    )

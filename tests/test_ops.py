@@ -1054,3 +1054,71 @@ def test_ivf_index_small_corpus_refuses(spark, tmp_path):
     there) — the caller contract mirrors ivf_topk's fallback."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(3)
     assert S.build_ivf_index(emb, str(tmp_path / "ivf2"), n_lists=8) == 0
+
+
+def test_merge_agg_partials_equals_full_aggregate(spark):
+    """IVM combine theorem on the lattice: combine(agg(A), agg(B)) ==
+    agg(A ∪ B) for sum/count/min/max partials."""
+    from bigquack_spark.operators.ivm import merge_agg_partials
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    a = e.filter(F.col("us") % 2 == 0)
+    b = e.filter(F.col("us") % 2 != 0)
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+
+    merged = merge_agg_partials(
+        [partial(a), partial(b)],
+        keys=["event_type"],
+        spec={"n": "count", "cents": "sum", "first_us": "min", "last_us": "max"},
+    )
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, partial(e).collect()))
+    assert got == want
+
+
+def test_merge_agg_partials_rejects_holistic(spark):
+    import pytest as _pytest
+
+    from bigquack_spark.operators.ivm import merge_agg_partials
+
+    df = spark.range(3).groupBy().agg(F.count(F.lit(1)).alias("n"))
+    with _pytest.raises(ValueError, match="non-algebraic"):
+        merge_agg_partials([df], keys=[], spec={"n": "median"})
+
+
+def test_bloom_semi_join_rejects_type_mismatch(spark):
+    """xxhash64 is type-sensitive: an int-vs-string probe pair must raise,
+    never silently drop rows via hash-mismatch false negatives."""
+    import pytest as _pytest
+
+    from bigquack_spark.operators.joins import bloom_semi_join
+
+    big = spark.range(100).select(F.col("id").alias("k"))
+    keys = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError, match="type"):
+        bloom_semi_join(big, "k", keys, "k")
+
+
+def test_bloom_semi_join_widens_integral_types(spark):
+    """int32 keys probing a bigint big side must return EXACTLY the plain
+    semi-join result (the r2-ADVICE false-negative class)."""
+    from bigquack_spark.operators.joins import bloom_semi_join
+
+    big = spark.range(500).select(F.col("id").alias("k"))  # bigint
+    keys = spark.range(0, 500, 7).select(F.col("id").cast("int").alias("k"))
+    got = sorted(r.k for r in bloom_semi_join(big, "k", keys, "k").collect())
+    want = sorted(
+        r.k for r in big.join(keys.select(F.col("k").cast("long")), "k", "left_semi").collect()
+    )
+    assert got == want

@@ -294,6 +294,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q191_hybrid_rrf",  # bounded 3-doc query set broadcast (the q40 shape)
         "q203_psi_drift",  # broadcast 1-row epoch span + 10-row bin grid
         "q206_retention_curve",  # broadcast calendar-bounded day grid + 1-row total
+        "q207_unigram_logprob",  # broadcast 1-row corpus-total aggregate
+        "q209_matryoshka_overlap",  # bounded query set broadcast (the q40 shape), twice
+        "q210_hamming_ann",  # bounded query-signature set broadcast (the q40 shape)
+        "q212_incremental_rollup",  # broadcast 1-row latest-day aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
@@ -303,6 +307,30 @@ def test_no_accidental_cartesian_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_no_complex_typed_outputs_in_oracle_paired_queries(spark):
+    """Registry-wide lint (r2 verdict #1): the driver's canonicalizer does a
+    pandas ``sort_values`` over object columns and raises ``unhashable
+    type: numpy.ndarray`` on any array/map/struct result cell (q121 was
+    driver-red this way; q103/q142 were latent).  Every oracle-paired query
+    must emit scalar-only output columns — arrays are serialized to
+    canonical joined strings instead."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        schema = QUERIES[name].fn(spark, SF_SMOKE).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"complex-typed output columns: {offenders}"
 
 
 def test_q129_chunk_dedup_aggregate_not_window(spark):

@@ -85,6 +85,72 @@ def test_exactly_once_sink(spark, tmp_path):
     assert spark.read.parquet(target).count() == n + 10
 
 
+def test_exactly_once_sink_crash_between_write_and_persist(spark, tmp_path):
+    """r2-verdict crash window: a process death AFTER the batch's data write
+    but BEFORE the offset persist must not duplicate rows on replay.  The
+    per-batch overwrite directory makes the replayed write idempotent."""
+    import os
+
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    target = str(tmp_path / "crash_sink")
+    os.makedirs(target)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(25)
+
+    sink = ExactlyOnceBatchSink(target)
+    sink(batch, batch_id=0)
+    assert spark.read.parquet(target).count() == 25
+
+    # simulate the crash: data for batch 1 lands, offset persist never runs
+    # (write through the sink's own path, then roll the durable offset back
+    # to what a crash would have left on disk)
+    sink(batch, batch_id=1)
+    import json as _json
+
+    with open(os.path.join(target, "_COMMITTED_BATCH"), "w") as fh:
+        _json.dump({"next_batch_id": 1}, fh)
+    assert spark.read.parquet(target).count() == 50
+
+    # restart: fresh sink loads the stale offset and REPLAYS batch 1
+    replay = ExactlyOnceBatchSink(target)
+    assert replay.next_batch_id == 1
+    replay(batch, batch_id=1)
+    assert spark.read.parquet(target).count() == 50  # converged, no dupes
+    assert replay.next_batch_id == 2
+
+
+def test_sketch_rollup_sink_crash_mid_swap_recovers(spark, tmp_path):
+    """ADVICE r2: a crash between the two swap renames leaves the sketch in
+    a .old-<id> backup with the table missing; the next call must restore
+    it, not silently reset the accumulated counters to one batch's
+    partial."""
+    import os
+
+    from bigquack_spark.streaming.sink import SketchRollupSink
+
+    target = str(tmp_path / "cms_crash")
+    os.makedirs(target)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_type").limit(100)
+
+    sink = SketchRollupSink(target, key_col="event_type", depth=4, width=64)
+    sink(batch, batch_id=0)
+    total_after_0 = (
+        spark.read.parquet(sink.table).groupBy("j").agg(F.sum("cnt").alias("n")).collect()
+    )
+    assert all(r.n == 100 for r in total_after_0)
+
+    # simulate dying between rename(table, backup) and rename(tmp, table)
+    os.rename(sink.table, sink.table + ".old-99")
+    # the unpersisted-offset replay of batch 1 (offset says next=1, so it runs)
+    sink(batch, batch_id=1)
+    per_depth = (
+        spark.read.parquet(sink.table).groupBy("j").agg(F.sum("cnt").alias("n")).collect()
+    )
+    # batch 0's 100 rows were recovered from the backup, batch 1 added 100
+    assert all(r.n == 200 for r in per_depth)
+    assert not os.path.exists(sink.table + ".old-99")
+
+
 def test_exactly_once_sink_corrupt_offset_file(spark, tmp_path):
     """A damaged offset file must degrade to offset 0 (reprocess), never
     crash the stream."""

@@ -8,7 +8,14 @@ contract (__spark_entry__), smoke-runs entry(), then executes every
 queries() entry at the given SF and diffs oracle-paired ones against DuckDB
 under the FIXTURES.md §C canonicalization.
 
-Usage: python tools/driver_check.py [sf_dir] [query_prefix ...]
+Usage: python tools/driver_check.py [--strict-driver-canon] [sf_dir] [query_prefix ...]
+
+``--strict-driver-canon`` additionally replays the DRIVER's canonicalizer
+(a plain pandas lexsort over every output column, NO per-cell coercion —
+the code path that raised ``unhashable type: numpy.ndarray`` on q121 in
+round 2) on both result frames, so any cell pandas cannot factorize
+(arrays, maps, structs, mixed objects) fails HERE instead of in the
+grading record.
 """
 
 from __future__ import annotations
@@ -57,9 +64,26 @@ def rows_of(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(tuple(canon(v) for v in r) for r in pdf[cols].itertuples(index=False))
 
 
+def driver_canon_ok(pdf: pd.DataFrame) -> str | None:
+    """Replay the grading driver's canonicalization verbatim: sort the raw
+    frame by every column with pandas (lexsort via Categorical factorize —
+    chokes on unhashable cells).  Returns an error string, or None if the
+    driver would survive this frame."""
+    try:
+        cols = sorted(pdf.columns)
+        pdf[cols].sort_values(by=cols, kind="mergesort")
+    except Exception as exc:  # the exact failure class the driver records
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefixes = tuple(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    strict = "--strict-driver-canon" in argv
+    if strict:
+        argv.remove("--strict-driver-canon")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    prefixes = tuple(argv[1:])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -94,8 +118,16 @@ def main() -> int:
             print(f"{name}: rows-only ({len(pdf)} rows)")
             continue
         o = con.execute(osql[name]).fetchdf()
-        ok = sorted(pdf.columns) == sorted(o.columns) and rows_of(pdf) == rows_of(o)
-        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(pdf)} rows)")
+        strict_err = None
+        if strict:
+            strict_err = driver_canon_ok(pdf) or driver_canon_ok(o)
+        ok = (
+            strict_err is None
+            and sorted(pdf.columns) == sorted(o.columns)
+            and rows_of(pdf) == rows_of(o)
+        )
+        tag = "MATCH" if ok else ("DRIVER-CANON-FAIL " + strict_err if strict_err else "MISMATCH")
+        print(f"{name}: {tag} ({len(pdf)} rows)")
         if not ok:
             fails.append(name)
     print(
