@@ -55,3 +55,35 @@ def merge_agg_partials(
     return merged.groupBy(*keys).agg(
         *[_MERGE[kind](c).alias(c) for c, kind in spec.items()]
     )
+
+
+def distinct_partials(
+    df: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key Datasketches HLL partials for COUNT(DISTINCT value_col) —
+    the mergeable form of the one aggregate ``merge_agg_partials`` cannot
+    carry (distinct counts are holistic; their SKETCHES are algebraic).
+    Output: ``keys`` + a binary ``sketch`` column, key-cardinality rows."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_partials(
+    partials: list[DataFrame], keys: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Union per-key HLL partials and read the estimate: the incremental-
+    view path for distinct counts (yesterday's sketches + today's delta
+    sketches -> today's estimate, no history rescan).  Estimates are
+    deterministic for given inputs (Datasketches is seed-stable), so
+    merge(agg(A), agg(B)) reads the SAME estimate as agg(A ∪ B) — the
+    test-asserted mergeability theorem."""
+    merged = None
+    for p in partials:
+        part = p.select(*keys, "sketch")
+        merged = part if merged is None else merged.unionByName(part)
+    return merged.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(True))
+        ).alias("n_distinct_est")
+    )

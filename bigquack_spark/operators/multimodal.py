@@ -213,3 +213,34 @@ def segment_audio(df: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFr
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(kernel, out_schema)
+
+
+def scene_cuts(df: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFrame:
+    """Video-axis scene segmentation stand-in: fixed-size frame windows via
+    the ``segment_audio`` kernel (exact integer energy per window — the
+    deterministic fake for a frame-difference metric), then a cut wherever
+    the energy jumps by more than half the previous frame's energy
+    (``2*|Δ| > e_prev``, exact BIGINT math), and a running scene index as
+    the cumulative cut count.  A real build swaps the byte-energy kernel
+    for a decoded frame-difference (histogram/SSIM delta) — the windowing,
+    lag, and scene-numbering plan is unchanged.  Scale: the kernel is
+    Arrow-batched per partition; the lag/cumsum windows partition by
+    media_id (bounded frames per video), never global."""
+    from pyspark.sql.window import Window
+
+    frames = segment_audio(df, chunk_bytes)
+    w = Window.partitionBy("media_id").orderBy("chunk_idx")
+    prev = F.lag("energy").over(w)
+    delta = F.when(prev.isNull(), F.lit(0)).otherwise(F.col("energy") - prev)
+    is_cut = F.when(prev.isNull(), F.lit(False)).otherwise(
+        2 * F.abs(F.col("energy") - prev) > prev
+    )
+    cur = frames.select(
+        "media_id", "chunk_idx", "n_bytes", "energy",
+        delta.cast("long").alias("delta"),
+        is_cut.alias("is_cut"),
+    )
+    scene = F.sum(F.col("is_cut").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cur.withColumn("scene_id", scene.cast("long"))

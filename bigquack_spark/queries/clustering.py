@@ -552,3 +552,120 @@ def q189_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+PQ_SUBSPACES = 2   # 64 dims -> two 32-dim subspaces
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_K = 4           # codebook entries per subspace (2-bit codes)
+PQ_ITERS = 2       # unrolled Lloyd iterations per subspace
+
+
+def _pq_oracle() -> str:
+    """Per-subspace unrolled Lloyd + assignment, joined on vec_id — the
+    q144 generator applied to each 32-dim slice."""
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform({_Q_SQL}, x -> CAST(x AS DOUBLE)) AS qd
+      FROM embeddings
+    )"""
+    finals = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        dist = _DIST_SQL.format(d=PQ_SUBDIM, c="c.cvec")
+        sql += f""",
+    v{s} AS (SELECT vec_id, qd[{lo}:{hi}] AS qd FROM v),
+    s{s}c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, qd AS cvec FROM v{s} WHERE vec_id < {PQ_K}
+    )"""
+        prev = f"s{s}c0"
+        for it in range(1, PQ_ITERS + 1):
+            sql += f""",
+    s{s}a{it} AS (
+      SELECT vec_id, qd, cluster, dist FROM (
+        SELECT v.vec_id, v.qd, c.cluster, {dist} AS dist,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {dist}, c.cluster
+               ) AS rk
+        FROM v{s} AS v CROSS JOIN {prev} AS c
+      ) WHERE rk = 1
+    )"""
+            if it < PQ_ITERS:
+                sql += f""",
+    s{s}c{it} AS (
+      SELECT cluster, list(c ORDER BY pos) AS cvec FROM (
+        SELECT cluster, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
+        FROM (
+          SELECT cluster,
+                 unnest(list_transform(qd, x -> CAST(x AS BIGINT))) AS val,
+                 unnest(range(1, {PQ_SUBDIM} + 1)) AS pos
+          FROM s{s}a{it}
+        )
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )"""
+                prev = f"s{s}c{it}"
+        finals.append(f"s{s}a{PQ_ITERS}")
+    sql += f"""
+    SELECT a.vec_id,
+           CAST(a.cluster AS INTEGER) AS code_0,
+           CAST(b.cluster AS INTEGER) AS code_1,
+           round(sqrt(a.dist + b.dist) / {SCALE}, 6) AS recon_err
+    FROM {finals[0]} a JOIN {finals[1]} b ON a.vec_id = b.vec_id
+    """
+    return sql
+
+
+@query("q213_pq_codes", oracle=_pq_oracle())
+def q213_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encoding — the codebook compression
+    behind IVF-PQ indexes: each 64-dim vector splits into
+    {PQ_SUBSPACES} x {PQ_SUBDIM}-dim subspaces, each subspace trains its
+    own {PQ_K}-entry codebook ({PQ_ITERS} unrolled Lloyd iterations,
+    deterministic first-K init — q144's exact-lattice machinery applied
+    per slice), and the vector's code is the concatenation of its nearest
+    codebook entries plus the total reconstruction error.  Plan shape:
+    codebook training per subspace is q144's bounded loop (literal-
+    centroid projection + K x SUBDIM-bounded recompute shuffle, K rows to
+    the driver per round); the FINAL encoding pass inlines both trained
+    codebooks as literals into one projection over the corpus scan —
+    zero shuffle, zero joins, the write-once/serve-many shape an actual
+    PQ index build needs.  The oracle replays both subspace loops and
+    joins them on vec_id."""
+    e = t(spark, sf_dir, "embeddings", rebalance=True)
+    v = e.select(
+        "vec_id", _quantize(F.col("embedding")).cast("array<double>").alias("qd")
+    )
+    if not v.filter(F.col("vec_id") < PQ_K).take(1):
+        return spark.createDataFrame(
+            [], "vec_id long, code_0 int, code_1 int, recon_err double"
+        )
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(PQ_SUBSPACES):
+        sub = v.select("vec_id", F.slice("qd", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qd"))
+        cents = [
+            (int(r["vec_id"]), list(r["qd"]))
+            for r in sub.filter(F.col("vec_id") < PQ_K).collect()
+        ]
+        for it in range(1, PQ_ITERS):
+            cents = _centroid_rows(_assign_literal(sub, cents), "cluster")
+        books.append(sorted(cents))
+
+    # single final projection: both codebooks inlined as literals
+    out_cols = ["vec_id"]
+    dist_cols = []
+    sel = v
+    for s, cents in enumerate(books):
+        sub_qd = F.slice("qd", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dists = F.array(*[_sq_dist_lit(sub_qd, c) for _, c in cents])
+        ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+        sel = sel.withColumn(f"__d{s}", dists)
+        sel = sel.withColumn(
+            f"code_{s}",
+            F.element_at(
+                ids, F.array_position(F.col(f"__d{s}"), F.array_min(f"__d{s}")).cast("int")
+            ).cast("int"),
+        ).withColumn(f"__m{s}", F.array_min(f"__d{s}"))
+        out_cols.append(f"code_{s}")
+        dist_cols.append(F.col(f"__m{s}"))
+    err = F.round(F.sqrt(sum(dist_cols[1:], dist_cols[0])) / SCALE, 6)
+    return sel.select(*out_cols, err.alias("recon_err"))

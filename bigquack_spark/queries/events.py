@@ -1584,3 +1584,52 @@ def q212_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("long").alias("total_cents"),
         F.col("last_us").cast("long").alias("last_us"),
     )
+
+
+@query(
+    "q214_hll_distinct_rollup",
+    doc=(
+        "Mergeable HLL distinct-user rollup (rows-only: Datasketches "
+        "estimates have no DuckDB twin; merge==direct + <5% error asserted "
+        "in tests/test_ops.py)"
+    ),
+)
+def q214_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, maintained INCREMENTALLY: per-half
+    HLL sketch partials (operators.ivm.distinct_partials) merged with
+    hll_union_agg and read with hll_sketch_estimate — the sketch
+    completes q212's IVM story for the one aggregate whose raw form is
+    holistic (COUNT DISTINCT cannot merge; its sketch can).  Output
+    carries the exact distinct alongside the estimate and the relative
+    error so the quality is auditable in the result itself.  Rows-only
+    driver check: Datasketches binary estimates are engine-specific; the
+    mergeability theorem (merge(agg(A), agg(B)) == agg(A∪B), < 5% vs
+    exact) is pytest-asserted instead.  At 100 TB: the per-key state is a
+    4 KB sketch regardless of user cardinality, and the daily update
+    touches delta + key-cardinality sketches, never history."""
+    from bigquack_spark.operators.ivm import distinct_partials, merge_distinct_partials
+
+    e = t(spark, sf_dir, "events", columns=["ts", "event_type", "user_id"]).select(
+        "event_type", "user_id", F.unix_micros("ts").alias("us")
+    )
+    halves = [e.filter(F.col("us") % 2 == 0), e.filter(F.col("us") % 2 != 0)]
+    est = merge_distinct_partials(
+        [distinct_partials(h, ["event_type"], "user_id") for h in halves],
+        ["event_type"],
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_distinct_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_exact",
+            F.col("n_distinct_est").cast("long").alias("n_distinct_est"),
+            F.round(
+                F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
+                / F.col("n_distinct_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

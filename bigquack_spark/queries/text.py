@@ -1109,3 +1109,62 @@ def q208_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("big").alias("bigram_diversity"),
         ratio("tri").alias("trigram_diversity"),
     )
+
+
+@query(
+    "q215_scene_cuts",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, CAST(ceil(length(text) / 400.0) AS BIGINT))) AS ci
+      FROM documents
+    ),
+    cut AS (
+      SELECT media_id, CAST(ci AS INTEGER) AS chunk_idx,
+             substr(d.text, CAST(ci * 400 + 1 AS INTEGER), 400) AS c
+      FROM chunks JOIN documents d ON d.doc_id = chunks.media_id
+    ),
+    frames AS (
+      SELECT media_id, chunk_idx,
+             CAST(length(c) AS BIGINT) AS n_bytes,
+             CAST(list_sum(list_transform(range(1, length(c) + 1),
+                  j -> ord(substr(c, CAST(j AS INTEGER), 1))
+                       * ord(substr(c, CAST(j AS INTEGER), 1)))) AS BIGINT) AS energy
+      FROM cut
+    ),
+    lagged AS (
+      SELECT media_id, chunk_idx, n_bytes, energy,
+             lag(energy) OVER (PARTITION BY media_id ORDER BY chunk_idx) AS prev
+      FROM frames
+    ),
+    flagged AS (
+      SELECT media_id, chunk_idx, n_bytes, energy,
+             CAST(CASE WHEN prev IS NULL THEN 0 ELSE energy - prev END AS BIGINT) AS delta,
+             CASE WHEN prev IS NULL THEN false
+                  ELSE 2 * abs(energy - prev) > prev END AS is_cut
+      FROM lagged
+    )
+    SELECT media_id, chunk_idx, n_bytes, energy, delta, is_cut,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+             PARTITION BY media_id ORDER BY chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS scene_id
+    FROM flagged
+    """,
+)
+def q215_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-axis scene segmentation (operators.multimodal.scene_cuts):
+    fixed-size frame windows from the payload (q204's oracle-diffed
+    Arrow-batched kernel — the corpus is ASCII so SQL can replay the
+    byte energies), a cut wherever energy jumps by more than half the
+    previous frame (exact BIGINT inequality — no float threshold), and a
+    running scene index (cumulative cut count) that downstream
+    frame-sampling would stratify on.  Completes the modality triad's
+    TEMPORAL story: q60 decodes, q93 retrieves, q204 windows audio, this
+    segments video into scenes.  The lag/cumsum windows partition by
+    media_id — bounded frames per video, never a global sort."""
+    from bigquack_spark.operators import multimodal as M
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    media = M.attach_binary_payload(d, "doc_id", "text", kind="video")
+    return M.scene_cuts(media)

@@ -1122,3 +1122,31 @@ def test_bloom_semi_join_widens_integral_types(spark):
         r.k for r in big.join(keys.select(F.col("k").cast("long")), "k", "left_semi").collect()
     )
     assert got == want
+
+
+def test_distinct_sketch_partials_merge_equals_direct(spark):
+    """HLL mergeability: merging per-half sketches reads the same estimate
+    as sketching the whole data, and lands within 5% of exact."""
+    from bigquack_spark.operators.ivm import distinct_partials, merge_distinct_partials
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "user_id", F.unix_micros("ts").alias("us")
+    )
+    a, b = e.filter(F.col("us") % 2 == 0), e.filter(F.col("us") % 2 != 0)
+    merged = merge_distinct_partials(
+        [distinct_partials(a, ["event_type"], "user_id"),
+         distinct_partials(b, ["event_type"], "user_id")],
+        ["event_type"],
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("n_distinct_est")
+    )
+    got = {r.event_type: r.n_distinct_est for r in merged.collect()}
+    want = {r.event_type: r.n_distinct_est for r in direct.collect()}
+    assert got == want
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
