@@ -377,3 +377,95 @@ def anomaly_batch_reference(
         m2 += delta * (x - mean)
         out[etype] = [n, mean, m2, n_anom]
     return {k: (v[0], v[1], v[3]) for k, v in out.items()}
+
+
+def topk_stream(
+    events: DataFrame,
+    k: int = 3,
+    capacity: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters via ``applyInPandasWithState``: per
+    event_type, a SpaceSaving summary (Metwally et al.) of ``capacity``
+    counters maintains the top-``k`` users by event count with O(capacity)
+    state — the bounded-memory complement of the CMS sink
+    (streaming/sink.SketchRollupSink counts ALL keys approximately; this
+    tracks the TOP keys with per-key error bounds).
+
+    SpaceSaving invariants: a monitored user increments its counter; an
+    unmonitored user REPLACES the minimum counter, inheriting its count
+    as the error bound (est - err <= true <= est).  When capacity >=
+    distinct users per key the summary is EXACT — the parity test pins
+    that case against the batch groupBy; the bounded case asserts the
+    error-bound contract instead.  Rows fold in (t_us, event_id) order
+    within every batch, ties on the eviction minimum break toward the
+    smallest user_id, so replays are byte-identical (the checkpointed-
+    sink exactly-once story).  State per key: 3 parallel arrays of
+    ``capacity`` scalars."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("max_err", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            ids, counts, errs = (list(x) for x in state.get)
+        else:
+            ids, counts, errs = [], [], []
+        slots = {u: i for i, u in enumerate(ids)}
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(t), int(e), int(u))
+                for t, e, u in zip(pdf["t_us"], pdf["event_id"], pdf["user_id"])
+            )
+        rows.sort()
+        for _, _, u in rows:
+            if u in slots:
+                counts[slots[u]] += 1
+            elif len(ids) < capacity:
+                slots[u] = len(ids)
+                ids.append(u)
+                counts.append(1)
+                errs.append(0)
+            else:
+                # evict the minimum counter; ties -> smallest user_id
+                j = min(range(len(ids)), key=lambda i: (counts[i], ids[i]))
+                del slots[ids[j]]
+                slots[u] = j
+                errs[j] = counts[j]
+                counts[j] += 1
+                ids[j] = u
+        state.update((ids, counts, errs))
+        order = sorted(range(len(ids)), key=lambda i: (-counts[i], ids[i]))[:k]
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(order),
+                "rank": [r + 1 for r in range(len(order))],
+                "user_id": [ids[i] for i in order],
+                "est_count": [counts[i] for i in order],
+                "max_err": [errs[i] for i in order],
+            }
+        )
+
+    prepared = events.select(
+        "event_type", "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -756,3 +756,59 @@ def test_near_dup_ingest_sink_classifies_and_replays_once(spark, tmp_path):
     n_before = spark.read.parquet(sink.verdicts_dir).count()
     run("ck2")
     assert spark.read.parquet(sink.verdicts_dir).count() == n_before
+
+
+def test_topk_stream_exact_at_capacity(spark):
+    """SpaceSaving with capacity >= distinct keys is exact: the streamed
+    top-3 users per event type must equal the batch groupBy answer
+    (count desc, user_id tiebreak), with zero error bounds."""
+    from bigquack_spark.streaming.events import topk_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    result = run_available_now(
+        topk_stream(stream, k=3, capacity=n_users + 1), "topk_exact"
+    )
+    got = {
+        (r.event_type, r.rank): (r.user_id, r.est_count, r.max_err)
+        for r in result.collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    want = {
+        (r.event_type, r.rk): (r.user_id, r.n, 0)
+        for r in batch.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
+
+
+def test_topk_stream_bounded_capacity_error_contract(spark):
+    """With tight capacity the SpaceSaving bound must hold: for every
+    reported user, est - err <= true count <= est."""
+    from bigquack_spark.streaming.events import topk_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    result = run_available_now(topk_stream(stream, k=3, capacity=4), "topk_tight")
+    true_counts = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = result.collect()
+    assert rows
+    for r in rows:
+        true = true_counts.get((r.event_type, r.user_id), 0)
+        assert r.est_count - r.max_err <= true <= r.est_count, r
