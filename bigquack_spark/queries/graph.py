@@ -368,3 +368,103 @@ def q211_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("node").alias("doc_id"), "core_degree")
     )
+
+
+REACH_HOPS = 3  # recursion bound (UNION ALL + hop guard: Spark 4 rCTE form)
+
+
+def _knn_edges_sql() -> str:
+    """q140's top-1 kNN edges as a reusable CTE body (bands -> candidate
+    pairs -> exact-Jaccard argmax), symmetrized."""
+    from bigquack_spark.queries.dedup import _SIG_SQL, ROWS_PER_BAND
+
+    return f"""
+    {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    scored AS (
+      SELECT cand.a, cand.b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+    ),
+    sym AS (
+      SELECT a AS doc_id, b AS neighbor_id, jaccard FROM scored
+      UNION ALL
+      SELECT b, a, jaccard FROM scored
+    ),
+    knn AS (
+      SELECT doc_id, neighbor_id FROM (
+        SELECT doc_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id
+               ) AS rk
+        FROM sym
+      ) WHERE rk = 1
+    ),
+    edges AS (
+      SELECT doc_id AS src, neighbor_id AS dst FROM knn
+      UNION ALL
+      SELECT neighbor_id, doc_id FROM knn
+    )"""
+
+
+#: The recursive tail is the SAME SQL text on both engines — Spark 4's
+#: WITH RECURSIVE (UNION ALL + hop guard; min() dedups path multiplicity).
+_REACH_TAIL = f"""
+    WITH RECURSIVE reach(doc_id, hops) AS (
+      SELECT (SELECT min(src) FROM {{edges}}) AS doc_id, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN {{edges}} e ON e.src = r.doc_id
+      WHERE r.hops < {REACH_HOPS}
+    )
+    SELECT doc_id, CAST(min(hops) AS INTEGER) AS min_hops,
+           CAST(count(*) AS BIGINT) AS n_walks
+    FROM reach GROUP BY doc_id
+"""
+
+
+@query(
+    "q216_recursive_reachability",
+    oracle=f"WITH {_knn_edges_sql()[5:]}\n"
+    + _REACH_TAIL.replace("WITH RECURSIVE", ", walk_base AS (SELECT 1)\n    SELECT * FROM (WITH RECURSIVE")
+    .format(edges="edges")
+    + ")",
+)
+def q216_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE reachability — Spark 4's WITH RECURSIVE exercised as
+    part of the delegated-SQL surface (SURVEY §2.5: the reference accepts
+    whatever SQL the engine accepts, and recursive CTEs just became part
+    of what THIS engine accepts): hop-bounded BFS from the smallest node
+    of the kNN graph (q140's top-1 edges, symmetrized), reporting each
+    reached document's minimum hop count and walk multiplicity.  The
+    recursive tail is the IDENTICAL SQL text on both engines (UNION ALL
+    anchor/step + hop guard — Spark does not yet support UNION-distinct
+    recursion, so dedup happens in the min()/count() aggregate, which is
+    exact for any walk multiplicity).  Scale: each recursion step is one
+    frontier-to-edges equi-join — the same shuffle shape as q148's
+    unrolled iterations, with the engine managing termination; the top-1
+    kNN graph keeps out-degrees (and therefore walk fan-out) bounded."""
+    knn = QUERIES_REF["q140_knn_graph"].fn(spark, sf_dir).select("doc_id", "neighbor_id")
+    edges = knn.select(F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")).unionAll(
+        knn.select(F.col("neighbor_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    edges.createOrReplaceTempView("q216_edges")
+    return spark.sql(_REACH_TAIL.format(edges="q216_edges"))
+
+
+from bigquack_spark.queries.registry import QUERIES as QUERIES_REF  # noqa: E402
