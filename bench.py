@@ -378,8 +378,16 @@ def main() -> None:
             xo_spark = {}
             buckets = None
         # 100x tier: only the 3 worst-ratio queries, to measure the third
-        # point of the falling-ratio trend (r2 verdict #5)
-        tr_spark = run_spark(spark, TREND_QUERIES, trend_dir) if trend_dir else {}
+        # point of the falling-ratio trend (r2 verdict #5).  Splits re-sized
+        # to the tier: 2 MB (right for ~50 MB tables at 10x) starves 100x
+        # scans with task overhead — 32 MB re-measured 1.2-2.3x faster on
+        # all three queries here.  Deployments get this sizing from AQE +
+        # file-based split heuristics; the bench pins what it measured.
+        if trend_dir:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+            tr_spark = run_spark(spark, TREND_QUERIES, trend_dir)
+        else:
+            tr_spark = {}
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -429,6 +437,16 @@ def main() -> None:
                 f"beyond one node — which no local bench can show."
             ),
             "factor": CROSSOVER_FACTOR,
+            "split_note": (
+                "10x tier keeps 2 MB scan splits: re-measured round 3, the "
+                "events-scan queries (q20/q21) are ~30% faster at 2 MB while "
+                "the fact joins (q68, q01, q03) prefer 16 MB (q68 1.04s->0.88s) "
+                "— per-table split sizing is the deployment answer (AQE); one "
+                "global value favors the worst-ratio events family.  q68's "
+                "10x ratio bump is this tradeoff plus a superlinearly-fast "
+                "DuckDB denominator at that tier; its 100x point (32 MB "
+                "splits) is the lowest of its three."
+            ),
             "total": round(sum(xo_spark.values()), 4),
             "duckdb_total": round(sum(xo_duck.values()), 4),
             "queries": xo_spark,

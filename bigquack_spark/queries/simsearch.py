@@ -529,3 +529,111 @@ def q210_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "hamming", "rank")
     )
+
+
+RERANK_POOL = 50  # hamming-stage candidates per query fed to the exact stage
+
+
+@query(
+    "q217_hamming_rerank",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             CAST({_sign_half_sql(1)} AS BIGINT) AS h1,
+             CAST({_sign_half_sql(33)} AS BIGINT) AS h2
+      FROM v
+    ),
+    q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM sig WHERE vec_id < {N_QUERY_VECS}),
+    pool AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, s.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY bit_count(xor(s.h1, q.q1)) + bit_count(xor(s.h2, q.q2)),
+                          s.vec_id
+               ) AS rk
+        FROM sig s CROSS JOIN q WHERE s.vec_id <> q.qid
+      ) WHERE rk <= {RERANK_POOL}
+    ),
+    qv AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    reranked AS (
+      SELECT p.qid, p.neighbor_id,
+             round(
+               list_dot_product(c.e, qv.qe)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(qv.qe, qv.qe))),
+               6
+             ) AS cosine_sim
+      FROM pool p
+      JOIN v c ON c.vec_id = p.neighbor_id
+      JOIN qv ON qv.qid = p.qid
+    )
+    SELECT qid, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, neighbor_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rk
+      FROM reranked
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q217_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the pattern every production vector store
+    serves: a CHEAP first pass over 64-bit sign signatures (q210's
+    popcount(xor), 1/32 the bytes of the float corpus) keeps
+    {RERANK_POOL} candidates per query, then the EXACT cosine reranks
+    only that pool to the final top-{TOP_K}.  Stage 1 inherits q40's
+    contract (corpus in place, query signatures broadcast, one window
+    exchange); stage 2 touches RERANK_POOL x |Q| rows — the full-precision
+    vectors are fetched by a vec_id equi-join against the pool, so the
+    expensive floats never stream through the cross product at all.  At
+    1e9 vectors stage 1 scans 8 GB of signatures instead of 256 GB of
+    floats; recall vs the exact q40 baseline is measured in
+    tests/test_ops.py (deterministic, since both stages are
+    tie-broken total orders).  Both stages replay exactly in SQL."""
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.operators.simsearch import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def half(lo: int):
+        return F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN element_at(e, i + {lo}) > CAST(0 AS DOUBLE) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    sig = v.select("vec_id", half(1).alias("h1"), half(33).alias("h2"))
+    qsig = sig.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    ham = (F.expr("bit_count(h1 ^ q1)") + F.expr("bit_count(h2 ^ q2)"))
+    w1 = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    pool = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= RERANK_POOL)
+        .select("qid", "neighbor_id")
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    reranked = (
+        pool.join(v.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "neighbor_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cosine_sim", "rank")
+    )

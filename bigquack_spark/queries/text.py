@@ -1168,3 +1168,82 @@ def q215_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
     media = M.attach_binary_payload(d, "doc_id", "text", kind="video")
     return M.scene_cuts(media)
+
+
+#: Offline-trained logistic quality-classifier weights (fasttext-style
+#: model stand-in, frozen as literals: intercept + per-feature).  The
+#: features are q51's exact ratios plus log10 token count.
+QC_W0 = -2.0
+QC_W_ALPHA = 3.0      # alphabetic ratio
+QC_W_STOP = 2.0       # stopword ratio (natural prose has stopwords)
+QC_W_SPACE = -4.0     # extreme whitespace = boilerplate/tables
+QC_W_LOGTOK = 0.5     # longer docs are likelier to be prose
+QC_THRESHOLD = 0.5
+
+
+@query(
+    "q218_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS space_ratio,
+             log10(CAST(len({_TOKS}) AS DOUBLE)) AS log_tokens
+      FROM documents WHERE length(text) > 0 AND len({_TOKS}) > 0
+    ),
+    scored AS (
+      SELECT doc_id,
+             {QC_W0} + {QC_W_ALPHA} * alpha_ratio + {QC_W_STOP} * stopword_ratio
+               + {QC_W_SPACE} * space_ratio + {QC_W_LOGTOK} * log_tokens AS z
+      FROM feats
+    )
+    SELECT doc_id,
+           round(z, 6) AS logit,
+           round(1.0 / (1.0 + exp(-z)), 6) AS p_quality,
+           round(1.0 / (1.0 + exp(-z)), 6) >= {QC_THRESHOLD} AS keep
+    FROM scored
+    """,
+)
+def q218_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the fasttext/logreg classifier stage
+    that follows the q51 heuristic gates in real curation stacks (CCNet,
+    RefinedWeb): a logistic model over exact text features (alpha,
+    stopword, whitespace ratios + log token count) with OFFLINE-TRAINED
+    weights frozen as literals, scoring p(quality) per document with a
+    keep threshold.  Swapping in real learned weights is a constant
+    change; swapping in a real fasttext model is a Pandas-UDF scoring
+    kernel over the same plan.  The whole thing is one zero-shuffle
+    projection — at 100 TB the classifier IS the scan.  Both engines
+    evaluate the identical z then sigmoid on identical doubles; outputs
+    rounded to 6 digits.  The keep decision compares the ROUNDED
+    probability so the boolean is as portable as the score."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = X.tokens("text")
+    nonempty = d.filter((F.length("text") > 0) & (F.size(toks) > 0))
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    stop = X._count_in(toks, X.STOPWORDS).cast("double") / F.size(toks)
+    space = (
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("double") / F.length("text")
+    )
+    logtok = F.log10(F.size(toks).cast("double"))
+    z = (
+        F.lit(QC_W0)
+        + F.lit(QC_W_ALPHA) * alpha
+        + F.lit(QC_W_STOP) * stop
+        + F.lit(QC_W_SPACE) * space
+        + F.lit(QC_W_LOGTOK) * logtok
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return nonempty.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        p.alias("p_quality"),
+        (p >= QC_THRESHOLD).alias("keep"),
+    )

@@ -1150,3 +1150,16 @@ def test_distinct_sketch_partials_merge_equals_direct(spark):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+def test_hamming_rerank_recall(spark):
+    """Two-stage (sign-bit prefilter -> exact rerank) recall@10 vs the
+    exact brute-force baseline on the real embeddings table."""
+    from bigquack_spark.queries import QUERIES
+
+    exact = QUERIES["q40_ann_cosine_topk"].fn(spark, SF_SMOKE)
+    staged = QUERIES["q217_hamming_rerank"].fn(spark, SF_SMOKE)
+    exact_set = {(r.qid, r.neighbor_id) for r in exact.collect()}
+    staged_set = {(r.qid, r.neighbor_id) for r in staged.collect()}
+    recall = len(exact_set & staged_set) / len(exact_set)
+    assert recall >= 0.6, recall  # 64-bit signatures at dim=64: coarse but useful

@@ -298,6 +298,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q209_matryoshka_overlap",  # bounded query set broadcast (the q40 shape), twice
         "q210_hamming_ann",  # bounded query-signature set broadcast (the q40 shape)
         "q212_incremental_rollup",  # broadcast 1-row latest-day aggregate
+        "q217_hamming_rerank",  # bounded query-signature set broadcast (stage 1 = q210)
     }
     offenders = []
     for name, spec in QUERIES.items():
