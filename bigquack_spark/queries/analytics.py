@@ -1096,3 +1096,96 @@ def q206_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+STL_HALF = 3  # centered trend window: +-3 days (7-day moving average)
+
+
+@query(
+    "q219_stl_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY day_num
+    ),
+    trended AS (
+      SELECT day_num, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+             CAST(count(*) OVER w AS BIGINT) AS win_n
+      FROM daily
+      WINDOW w AS (ORDER BY day_num ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT day_num, cents,
+             CAST(win_sum AS DOUBLE) / win_n AS trend,
+             cents - CAST(win_sum AS DOUBLE) / win_n AS detrended,
+             CAST((day_num + 4) % 7 AS INTEGER) AS dow
+      FROM trended WHERE win_n = {2 * STL_HALF + 1}
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(detrended ORDER BY day_num)), (a, x) -> a + x)
+               / count(*) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT d.day_num, d.cents, round(d.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(d.detrended - s.seasonal, 6) AS residual
+    FROM det d JOIN seas s ON d.dow = s.dow
+    """,
+)
+def q219_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of daily event value: trend = the
+    centered 7-day moving average (exact BIGINT window sums / exact
+    count), seasonal = the per-weekday mean of the detrended series
+    (folded in day order — the q184 discipline, since detrended values
+    are doubles), residual = the rest.  Extends the time-series family
+    (q150 EWMA smoothing, q156 weekday shares, q158 changepoints, q195
+    seasonal-naive backtest) with the classic additive decomposition that
+    anomaly baselines subtract before thresholding.  Edge days without a
+    full +-{STL_HALF} window are excluded (win_n check) instead of
+    emitting a biased partial mean.  Scale: the day grid is calendar-
+    bounded, so the single-partition trend window and the 7-row seasonal
+    table are O(days) — the corpus-sized work is only the first
+    map-side-combined groupBy; weekday is pure epoch arithmetic, immune
+    to calendar-API divergence."""
+    e = t(spark, sf_dir, "events", columns=["ts", "value"])
+    daily = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(-STL_HALF, STL_HALF)
+    trended = daily.select(
+        "day_num", "cents",
+        F.sum("cents").over(w).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    )
+    det = (
+        trended.filter(F.col("win_n") == 2 * STL_HALF + 1)
+        .select(
+            "day_num", "cents",
+            (F.col("win_sum").cast("double") / F.col("win_n")).alias("trend"),
+            (F.col("cents") - F.col("win_sum").cast("double") / F.col("win_n")).alias("detrended"),
+            ((F.col("day_num") + 4) % 7).cast("int").alias("dow"),
+        )
+    )
+    folded = det.groupBy("dow").agg(
+        F.array_sort(F.collect_list(F.struct("day_num", F.col("detrended").alias("v")))).alias("lv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = F.aggregate(
+        F.transform("lv", lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x
+    )
+    seas = folded.select("dow", (s / F.col("n")).alias("seasonal"))
+    return det.join(F.broadcast(seas), "dow").select(
+        "day_num", "cents",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+    )
