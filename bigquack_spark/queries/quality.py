@@ -666,3 +666,135 @@ def q202_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(delta).cast("long").alias("max_abs_delta_cents"),
         F.sum(delta).cast("long").alias("total_abs_delta_cents"),
     )
+
+
+ZORDER_FILES = 64   # simulated file count (ntile buckets over the sort order)
+ZORDER_BITS = 16    # per-dimension bit budget for the interleave
+
+
+def _zorder_oracle() -> str:
+    interleave = (
+        "list_sum(list_transform(range(0, {b}), i -> "
+        "(((cb >> CAST(i AS INTEGER)) & 1) << CAST(2 * i AS INTEGER)) + "
+        "(((db >> CAST(i AS INTEGER)) & 1) << CAST(2 * i + 1 AS INTEGER))))"
+    ).format(b=ZORDER_BITS)
+    return f"""
+    WITH base AS (
+      SELECT o_custkey AS ck, CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS dy
+      FROM orders
+    ),
+    rng AS (
+      SELECT min(ck) AS ck_lo, max(ck) AS ck_hi, min(dy) AS dy_lo, max(dy) AS dy_hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base
+    ),
+    scaled AS (
+      SELECT ck, dy,
+             ((ck - ck_lo) * {(1 << ZORDER_BITS) - 1}) // greatest(ck_hi - ck_lo, 1) AS cb,
+             ((dy - dy_lo) * {(1 << ZORDER_BITS) - 1}) // greatest(dy_hi - dy_lo, 1) AS db,
+             ck_hi - ck_lo AS ck_span, dy_hi - dy_lo AS dy_span
+      FROM base CROSS JOIN rng
+    ),
+    keyed AS (
+      SELECT ck, dy, ck_span, dy_span,
+             CAST({interleave} AS BIGINT) AS z
+      FROM scaled
+    ),
+    linear_files AS (
+      SELECT 'linear' AS layout, ntile({ZORDER_FILES}) OVER (ORDER BY dy, ck) AS f,
+             ck, dy, ck_span, dy_span
+      FROM keyed
+    ),
+    z_files AS (
+      SELECT 'zorder' AS layout, ntile({ZORDER_FILES}) OVER (ORDER BY z, ck, dy) AS f,
+             ck, dy, ck_span, dy_span
+      FROM keyed
+    ),
+    files AS (
+      SELECT layout, f,
+             CAST(max(ck) - min(ck) AS DOUBLE) / greatest(any_value(ck_span), 1) AS ck_frac,
+             CAST(max(dy) - min(dy) AS DOUBLE) / greatest(any_value(dy_span), 1) AS dy_frac
+      FROM (SELECT * FROM linear_files UNION ALL SELECT * FROM z_files)
+      GROUP BY layout, f
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           round(sum(ck_frac) / count(*), 6) AS avg_custkey_span_frac,
+           round(sum(dy_frac) / count(*), 6) AS avg_day_span_frac,
+           round(sum(ck_frac) / count(*) + sum(dy_frac) / count(*), 6) AS combined_span
+    FROM files GROUP BY layout
+    """
+
+
+@query("q221_zorder_layout", oracle=_zorder_oracle())
+def q221_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout advisor — the multi-dimensional clustering lever
+    (Delta OPTIMIZE ZORDER BY, Iceberg sort orders) quantified on this
+    data: orders keyed by the bit-interleave of (custkey, order-day)
+    scaled to {ZORDER_BITS}-bit lattices, carved into {ZORDER_FILES}
+    simulated files (ntile over the sort order), and each layout scored
+    by the average per-file min/max span fraction per dimension — the
+    exact statistic file skipping prunes on.  A linear (date, custkey)
+    sort gives tight day spans but each file covers ~the whole custkey
+    range (custkey predicates prune nothing); the z-order layout trades
+    a little day-span for bounded spans in BOTH dimensions, so both
+    predicate families skip files.  All integer bit arithmetic
+    (identical both engines); spans are exact-int ratios rounded to 6.
+    At 100 TB this query IS the advisor you run before choosing a table
+    layout; the write itself is one sort — sinks/partitioned.py's
+    save_bucketed with z as the sort key."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400000000))
+        .cast("bigint")
+        .alias("dy"),
+    )
+    rng = base.agg(
+        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"), F.max("dy").alias("dy_hi"),
+    )
+    mx = (1 << ZORDER_BITS) - 1
+    scaled = base.crossJoin(F.broadcast(rng)).select(
+        "ck", "dy",
+        F.floor((F.col("ck") - F.col("ck_lo")) * mx / F.greatest(F.col("ck_hi") - F.col("ck_lo"), F.lit(1))).cast("long").alias("cb"),
+        F.floor((F.col("dy") - F.col("dy_lo")) * mx / F.greatest(F.col("dy_hi") - F.col("dy_lo"), F.lit(1))).cast("long").alias("db"),
+        (F.col("ck_hi") - F.col("ck_lo")).alias("ck_span"),
+        (F.col("dy_hi") - F.col("dy_lo")).alias("dy_span"),
+    )
+    z = F.expr(
+        f"aggregate(sequence(0, {ZORDER_BITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + shiftleft(shiftright(cb, i) % 2, 2 * i) "
+        "+ shiftleft(shiftright(db, i) % 2, 2 * i + 1))"
+    )
+    keyed = scaled.select("ck", "dy", "ck_span", "dy_span", z.alias("z"))
+    from pyspark.sql.window import Window
+
+    linear = keyed.select(
+        F.lit("linear").alias("layout"),
+        F.ntile(ZORDER_FILES).over(Window.orderBy("dy", "ck")).alias("f"),
+        "ck", "dy", "ck_span", "dy_span",
+    )
+    zord = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.ntile(ZORDER_FILES).over(Window.orderBy("z", "ck", "dy")).alias("f"),
+        "ck", "dy", "ck_span", "dy_span",
+    )
+    files = (
+        linear.unionAll(zord)
+        .groupBy("layout", "f")
+        .agg(
+            ((F.max("ck") - F.min("ck")).cast("double")
+             / F.greatest(F.first("ck_span"), F.lit(1))).alias("ck_frac"),
+            ((F.max("dy") - F.min("dy")).cast("double")
+             / F.greatest(F.first("dy_span"), F.lit(1))).alias("dy_frac"),
+        )
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(F.sum("ck_frac") / F.count(F.lit(1)), 6).alias("avg_custkey_span_frac"),
+        F.round(F.sum("dy_frac") / F.count(F.lit(1)), 6).alias("avg_day_span_frac"),
+        F.round(
+            F.sum("ck_frac") / F.count(F.lit(1)) + F.sum("dy_frac") / F.count(F.lit(1)), 6
+        ).alias("combined_span"),
+    )

@@ -637,3 +637,115 @@ def q217_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+@query(
+    "q220_alignment_uniformity",
+    oracle=None,  # installed below (reuses the seeded-plane SQL like q179/q198)
+)
+def q220_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health metrics (Wang & Isola): ALIGNMENT = mean
+    squared L2 distance over the near-duplicate positive pairs (q198's
+    bucketed cos >= 0.4 pairs — closer is better), UNIFORMITY =
+    log-mean-exp(-2 d²) over the bucket-bounded candidate pairs (more
+    negative = embeddings spread over the sphere; a collapsed encoder
+    scores near 0).  The training-monitoring counterpart of the q136
+    per-vector gate: q136 catches broken VECTORS, this catches a broken
+    SPACE.  Both means fold over (anchor, other)-sorted term lists (q184
+    discipline) and the pair set is the SAME sign-LSH bucket join as
+    q35/q172/q179/q198 — bounded by bucket occupancy, never corpus²;
+    at 100 TB the metric runs on a deterministic md5 sample of buckets
+    with identical plan shape."""
+    from pyspark.sql.window import Window  # noqa: F401
+
+    from bigquack_spark.operators.simsearch import cosine, random_hyperplane_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    v = random_hyperplane_lsh(
+        e, vec_col="embedding", num_planes=2, seed=42, bucket_col="bkt"
+    ).select("vec_id", "bkt", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("anchor"), "bkt", F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("other"), "bkt", F.col("v").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "bkt")
+        .filter(F.col("anchor") < F.col("other"))
+        .select(
+            "anchor", "other",
+            d2.alias("d2"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    folded = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("cos") >= 0.4, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("anchor", "other",
+                         F.when(F.col("cos") >= 0.4, F.col("d2")).otherwise(F.lit(0.0)).alias("vp"))
+            )
+        ).alias("lp"),
+        F.array_sort(
+            F.collect_list(F.struct("anchor", "other", F.exp(-2.0 * F.col("d2")).alias("vu")))
+        ).alias("lu"),
+    )
+
+    def fold(col, field):
+        return F.aggregate(
+            F.transform(col, lambda s: s.getField(field)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    return folded.select(
+        "n_pairs",
+        "n_pos",
+        F.round(fold(F.col("lp"), "vp") / F.col("n_pos"), 6).alias("alignment"),
+        F.round(F.log(fold(F.col("lu"), "vu") / F.col("n_pairs")), 6).alias("uniformity"),
+    )
+
+
+def _install_q220_oracle() -> None:
+    from bigquack_spark.queries import dedup as _dq
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    plane = _dq._q35_plane_sql(2, 64, 42)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, e, {plane} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS other,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) AS d2,
+             round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               6
+             ) AS cos
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             list(CASE WHEN cos >= 0.4 THEN d2 ELSE 0.0 END ORDER BY anchor, other) AS lp,
+             list(exp(-2.0 * d2) ORDER BY anchor, other) AS lu
+      FROM pairs
+    )
+    SELECT n_pairs, n_pos,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), lp), (a, x) -> a + x)
+                 / n_pos, 6) AS alignment,
+           round(ln(list_reduce(list_prepend(CAST(0 AS DOUBLE), lu), (a, x) -> a + x)
+                 / n_pairs), 6) AS uniformity
+    FROM folded
+    """
+    spec = QUERIES["q220_alignment_uniformity"]
+    QUERIES["q220_alignment_uniformity"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q220_oracle()
