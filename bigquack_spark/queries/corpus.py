@@ -1007,3 +1007,150 @@ def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+#: Target language shares for the q222 mixture recipe (literal training-mix
+#: spec: what the model team WANTS, vs what the corpus has).
+MIX_TARGET = {"en": 0.55, "de": 0.15, "fr": 0.15, "es": 0.10, "it": 0.05}
+
+
+def _q222_target_case() -> str:
+    clauses = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGET.items()))
+    return f"CASE lang {clauses} ELSE 0.0 END"
+
+
+@query(
+    "q222_mixture_solver",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM obs),
+    shares AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / total AS obs_share,
+             {_q222_target_case()} AS target_share
+      FROM obs CROSS JOIN tot
+    ),
+    rated AS (
+      SELECT *, CASE WHEN obs_share > 0 THEN target_share / obs_share ELSE 0.0 END AS raw_rate
+      FROM shares
+    ),
+    capped AS (SELECT max(raw_rate) AS max_rate FROM rated WHERE target_share > 0)
+    SELECT lang, n_docs, n_tokens,
+           round(obs_share, 6) AS obs_share,
+           round(target_share, 6) AS target_share,
+           round(raw_rate, 6) AS resample_rate,
+           CAST(round(n_tokens * raw_rate / max_rate) AS BIGINT) AS budget_tokens,
+           raw_rate > 1.0 AS needs_upsampling
+    FROM rated CROSS JOIN capped
+    """,
+)
+def q222_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-recipe SOLVER — the planning step before q137's applier:
+    given literal target language shares (the training-mix spec) and the
+    corpus's observed token shares, derive each language's resample rate
+    (target/observed), flag which need upsampling (rate > 1 = repeat
+    epochs, the q137 mechanism) and, under a no-upsampling-beyond-the-
+    binding-constraint policy, the token budget each language
+    contributes when the scarcest target language is consumed exactly
+    once (divide by max rate — the standard epoch-normalized recipe).
+    One vocabulary... language-cardinality aggregate: the corpus-sized
+    work is the single token-count scan; everything after runs on
+    |langs| rows with 1-row broadcast totals.  Exact-int token counts;
+    rates are single IEEE divisions rounded to 6."""
+    d = t(spark, sf_dir, "documents", columns=["lang", "text"], rebalance=True)
+    obs = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    tot = obs.agg(F.sum("n_tokens").cast("long").alias("total"))
+    target = F.lit(0.0)
+    for k, v in sorted(MIX_TARGET.items()):
+        target = F.when(F.col("lang") == k, F.lit(v)).otherwise(target)
+    shares = obs.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("obs_share"),
+        target.alias("target_share"),
+    )
+    rated = shares.withColumn(
+        "raw_rate",
+        F.when(F.col("obs_share") > 0, F.col("target_share") / F.col("obs_share")).otherwise(0.0),
+    )
+    capped = rated.filter(F.col("target_share") > 0).agg(F.max("raw_rate").alias("max_rate"))
+    return rated.crossJoin(F.broadcast(capped)).select(
+        "lang", "n_docs", "n_tokens",
+        F.round("obs_share", 6).alias("obs_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("raw_rate", 6).alias("resample_rate"),
+        F.round(F.col("n_tokens") * F.col("raw_rate") / F.col("max_rate"))
+        .cast("long")
+        .alias("budget_tokens"),
+        (F.col("raw_rate") > 1.0).alias("needs_upsampling"),
+    )
+
+
+OOV_VOCAB_K = 1000  # tokenizer vocabulary size for the coverage audit
+
+
+@query(
+    "q223_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tk
+      FROM documents
+    ),
+    freq AS (SELECT tk, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tk),
+    vocab AS (
+      SELECT tk FROM (
+        SELECT tk, row_number() OVER (ORDER BY n DESC, tk) AS rk FROM freq
+      ) WHERE rk <= {OOV_VOCAB_K}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tk IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE v.tk IS NULL) AS DOUBLE) / count(*), 6)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tk)
+    GROUP BY source
+    """,
+)
+def q223_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: freeze the top-{OOV_VOCAB_K} corpus
+    tokens as the vocabulary (the word-level stand-in for a trained
+    tokenizer's merge table) and measure each source's out-of-vocabulary
+    token rate — the number that predicts token-inflation when a
+    general-purpose tokenizer meets a specialized source (code, math,
+    other languages) and the trigger for vocab retraining or fertility
+    re-budgeting (q138's BPE counter is the per-doc view; this is the
+    per-source rollout decision).  Plan: one token-frequency shuffle, a
+    {OOV_VOCAB_K}-row vocab via TakeOrdered, then a broadcast semi-ish
+    LEFT join tagging each token occurrence — the fact-side token stream
+    never shuffles for the join because the vocab broadcasts.  Exact
+    integer counts; one rounded division."""
+    d = t(spark, sf_dir, "documents", columns=["source", "text"], rebalance=True)
+    tok = d.select("source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.desc("n"), "tk")
+        .limit(OOV_VOCAB_K)
+        .select("tk", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -299,6 +299,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q210_hamming_ann",  # bounded query-signature set broadcast (the q40 shape)
         "q212_incremental_rollup",  # broadcast 1-row latest-day aggregate
         "q217_hamming_rerank",  # bounded query-signature set broadcast (stage 1 = q210)
+        "q219_stl_decompose",  # broadcast 7-row seasonal table onto O(days) rows
+        "q221_zorder_layout",  # broadcast 1-row min/max range aggregate
+        "q222_mixture_solver",  # broadcast 1-row total + 1-row binding-rate aggregates
     }
     offenders = []
     for name, spec in QUERIES.items():
