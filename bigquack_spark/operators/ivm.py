@@ -87,3 +87,56 @@ def merge_distinct_partials(
             F.hll_union_agg("sketch", F.lit(True))
         ).alias("n_distinct_est")
     )
+
+
+def histogram_partials(
+    df: DataFrame, keys: list[str], value_col: str, bin_width: int
+) -> DataFrame:
+    """Per-key equi-width histogram partials over an INTEGER value column —
+    the mergeable summary for quantiles (quantiles are holistic like
+    distinct counts; their histograms are algebraic: partials merge by
+    adding bin counts, via ``merge_agg_partials`` with ``{"n": "sum"}``).
+    Output: ``keys`` + (bin, n); state per key is value-range/bin_width
+    rows regardless of row count."""
+    return (
+        df.select(*keys, F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, keys: list[str], bin_width: int, qs: list[float]
+) -> DataFrame:
+    """Read approximate quantiles off a (possibly merged) histogram: for
+    each requested q, the LOWER EDGE of the first bin whose cumulative
+    count reaches ceil(q * total) — deterministic integer arithmetic, so
+    any engine reading the same histogram gets the same answer, with
+    error bounded by one bin width.  One key-partitioned cumulative
+    window over bin-cardinality rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys, "bin", "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(*keys)
+            .agg(F.min("bin").alias("qbin"))
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                (F.col("qbin") * bin_width).cast("long").alias("quantile_lo"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

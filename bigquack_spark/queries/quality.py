@@ -798,3 +798,51 @@ def q221_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ck_frac") / F.count(F.lit(1)) + F.sum("dy_frac") / F.count(F.lit(1)), 6
         ).alias("combined_span"),
     )
+
+
+QH_BIN = 50000  # $500 bins on the cents lattice
+QH_QS = [0.5, 0.9]
+
+
+@query(
+    "q226_histogram_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // {QH_BIN} AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, bin
+    ),
+    c AS (
+      SELECT l_returnflag, bin, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM h
+    )
+    SELECT l_returnflag, q, CAST(min(bin) * {QH_BIN} AS BIGINT) AS quantile_lo
+    FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in QH_QS)}]) AS q)
+    WHERE cum >= ceil(q * total)
+    GROUP BY l_returnflag, q
+    """,
+)
+def q226_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (operators.ivm histogram_partials +
+    quantiles_from_histogram): per return flag, the median and p90 of
+    extended price read off a $500-bin integer histogram — the
+    incremental-maintenance answer to the one aggregate family q212's
+    algebraic merge can't carry and q214's HLL doesn't cover.  The
+    histogram partials merge by bin-count addition (pytest asserts
+    merged == direct and error <= one bin), so yesterday's persisted
+    histogram + today's delta histogram IS today's quantile state —
+    no history rescan, per-key state = value-range/bin rows.  Unlike
+    percentile sketches (t-digest/KLL), the equi-width histogram is
+    engine-portable: DuckDB replays cumsum-over-bins bit-exactly."""
+    from bigquack_spark.operators.ivm import histogram_partials, quantiles_from_histogram
+
+    li = t(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    cents = li.select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    hist = histogram_partials(cents, ["l_returnflag"], "cents", QH_BIN)
+    return quantiles_from_histogram(hist, ["l_returnflag"], QH_BIN, QH_QS)

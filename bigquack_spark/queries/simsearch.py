@@ -749,3 +749,144 @@ def _install_q220_oracle() -> None:
 
 
 _install_q220_oracle()
+
+
+@query(
+    "q224_ann_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    exact AS (
+      SELECT qid, neighbor_id, rk FROM (
+        SELECT q.qid, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(
+                   list_dot_product(v.e, q.qe)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                   6) DESC, v.vec_id
+               ) AS rk
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {TOP_K}
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST({_sign_half_sql(1)} AS BIGINT) AS h1,
+             CAST({_sign_half_sql(33)} AS BIGINT) AS h2
+      FROM v
+    ),
+    qs AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM sig WHERE vec_id < {N_QUERY_VECS}),
+    approx AS (
+      SELECT qid, neighbor_id, rk FROM (
+        SELECT qs.qid, s.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qs.qid
+                 ORDER BY bit_count(xor(s.h1, qs.q1)) + bit_count(xor(s.h2, qs.q2)),
+                          s.vec_id
+               ) AS rk
+        FROM sig s CROSS JOIN qs WHERE s.vec_id <> qs.qid
+      ) WHERE rk <= {TOP_K}
+    ),
+    hits AS (
+      SELECT e.qid, e.rk AS exact_rk, a.rk AS approx_rk
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT qid,
+           round(CAST(count(approx_rk) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k,
+           round(coalesce(max(CASE WHEN exact_rk = 1 THEN 1.0 / approx_rk END), 0.0), 6)
+             AS mrr_of_top1,
+           round(
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN approx_rk IS NULL THEN 0.0
+                         ELSE 1.0 / ln(1.0 + approx_rk) * ln(2.0) END
+                    ORDER BY exact_rk)),
+               (acc, x) -> acc + x)
+             /
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(1.0 / ln(1.0 + exact_rk) * ln(2.0) ORDER BY exact_rk)),
+               (acc, x) -> acc + x),
+             6) AS ndcg_at_k
+    FROM hits GROUP BY qid
+    """,
+)
+def q224_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class operator (the vector
+    sibling of q160's LSH eval): per query, recall@{TOP_K} of the
+    hamming-signature ranking against the exact cosine ranking, the
+    reciprocal rank at which the approx list surfaces the TRUE nearest
+    neighbor (MRR-of-top1 — the metric that catches 'good recall but the
+    best match is buried'), and binary-relevance NDCG@{TOP_K} (exact
+    top-k as the relevant set, approx rank as the gain position, ideal
+    DCG from the exact ranks).  This is the query you schedule after
+    every index rebuild: a recall regression pages before users notice.
+    Both rankings are q40/q210's broadcast shapes; the eval join touches
+    k-bounded lists; NDCG folds in exact-rank order (q184 discipline).
+    Scale: eval cost is |Q| x corpus for the two rankings — run on a
+    deterministic md5 query sample, same plan."""
+    from pyspark.sql.window import Window
+
+    from bigquack_spark.operators.simsearch import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").alias("exact_rk"))
+    )
+
+    def half(lo: int):
+        return F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN element_at(e, i + {lo}) > CAST(0 AS DOUBLE) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    sig = v.select("vec_id", half(1).alias("h1"), half(33).alias("h2"))
+    qs = sig.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    ham = (F.expr("bit_count(h1 ^ q1)") + F.expr("bit_count(h2 ^ q2)"))
+    wh = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    approx = (
+        sig.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+        .withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "neighbor_id", F.col("rk").alias("approx_rk"))
+    )
+    hits = exact.join(approx, ["qid", "neighbor_id"], "left")
+    ln2 = F.lit(float(__import__("math").log(2.0)))
+    dcg_term = F.when(F.col("approx_rk").isNull(), 0.0).otherwise(
+        1.0 / F.log(1.0 + F.col("approx_rk")) * ln2
+    )
+    idcg_term = 1.0 / F.log(1.0 + F.col("exact_rk")) * ln2
+    folded = hits.groupBy("qid").agg(
+        F.count("approx_rk").alias("n_hits"),
+        F.max(
+            F.when(F.col("exact_rk") == 1, 1.0 / F.col("approx_rk"))
+        ).alias("rr"),
+        F.array_sort(F.collect_list(F.struct("exact_rk", dcg_term.alias("d")))).alias("ld"),
+        F.array_sort(F.collect_list(F.struct("exact_rk", idcg_term.alias("d")))).alias("li"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(col, lambda s: s.getField("d")), F.lit(0.0), lambda a, x: a + x
+        )
+
+    return folded.select(
+        "qid",
+        F.round(F.col("n_hits").cast("double") / TOP_K, 6).alias("recall_at_k"),
+        F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias("mrr_of_top1"),
+        F.round(fold(F.col("ld")) / fold(F.col("li")), 6).alias("ndcg_at_k"),
+    )

@@ -1247,3 +1247,88 @@ def q218_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_quality"),
         (p >= QC_THRESHOLD).alias("keep"),
     )
+
+
+@query(
+    "q225_slice_audit",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, source,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS space_ratio,
+             log10(CAST(len({_TOKS}) AS DOUBLE)) AS log_tokens
+      FROM documents WHERE length(text) > 0 AND len({_TOKS}) > 0
+    ),
+    scored AS (
+      SELECT lang, source,
+             CASE WHEN round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_ALPHA} * alpha_ratio
+                    + {QC_W_STOP} * stopword_ratio + {QC_W_SPACE} * space_ratio
+                    + {QC_W_LOGTOK} * log_tokens))), 6) >= {QC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS keep
+      FROM feats
+    ),
+    overall AS (
+      SELECT CAST(sum(keep) AS DOUBLE) / count(*) AS base_rate FROM scored
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate,
+           round(CAST(sum(keep) AS DOUBLE) / count(*) / base_rate, 6) AS lift_vs_corpus
+    FROM scored CROSS JOIN overall
+    GROUP BY lang, source, base_rate
+    """,
+)
+def q225_slice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice audit of the q218 quality classifier — the disparate-impact
+    check a curation gate must pass before deployment: keep rate per
+    (lang, source) slice and its lift against the corpus-wide base rate.
+    A filter trained on majority-language prose silently starves
+    minority slices (lift << 1 on one language = the training mix just
+    lost it); this query is the per-release report that catches it.
+    Replays q218's exact scoring (identical literal weights + sigmoid,
+    decision on the ROUNDED probability) then one (lang, source)
+    aggregate with a 1-row broadcast base rate.  Zero-shuffle scoring +
+    one slice-cardinality shuffle at any corpus size."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "lang", "source", "text"],
+          rebalance=True)
+    toks = X.tokens("text")
+    nonempty = d.filter((F.length("text") > 0) & (F.size(toks) > 0))
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    stop = X._count_in(toks, X.STOPWORDS).cast("double") / F.size(toks)
+    space = (
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("double") / F.length("text")
+    )
+    logtok = F.log10(F.size(toks).cast("double"))
+    z = (
+        F.lit(QC_W0)
+        + F.lit(QC_W_ALPHA) * alpha
+        + F.lit(QC_W_STOP) * stop
+        + F.lit(QC_W_SPACE) * space
+        + F.lit(QC_W_LOGTOK) * logtok
+    )
+    keep = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= QC_THRESHOLD).cast("int")
+    scored = nonempty.select("lang", "source", keep.alias("keep"))
+    overall = scored.agg(
+        (F.sum("keep").cast("double") / F.count(F.lit(1))).alias("base_rate")
+    )
+    return (
+        scored.crossJoin(F.broadcast(overall))
+        .groupBy("lang", "source", "base_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+            F.round(
+                F.sum("keep").cast("double") / F.count(F.lit(1)) / F.first("base_rate"), 6
+            ).alias("lift_vs_corpus"),
+        )
+        .drop("base_rate")
+    )

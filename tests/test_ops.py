@@ -1163,3 +1163,42 @@ def test_hamming_rerank_recall(spark):
     staged_set = {(r.qid, r.neighbor_id) for r in staged.collect()}
     recall = len(exact_set & staged_set) / len(exact_set)
     assert recall >= 0.6, recall  # 64-bit signatures at dim=64: coarse but useful
+
+
+def test_histogram_quantiles_merge_equals_direct(spark):
+    """Mergeable-quantile theorem: quantiles read from MERGED per-half
+    histogram partials equal quantiles from the direct histogram, and sit
+    within one bin width of the exact percentile."""
+    from bigquack_spark.operators.ivm import (
+        histogram_partials,
+        merge_agg_partials,
+        quantiles_from_histogram,
+    )
+
+    BIN = 50000  # $500 in cents
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_orderkey"),
+    )
+    a, b = li.filter(F.col("l_orderkey") % 2 == 0), li.filter(F.col("l_orderkey") % 2 != 0)
+    merged_hist = merge_agg_partials(
+        [histogram_partials(a, ["l_returnflag"], "cents", BIN),
+         histogram_partials(b, ["l_returnflag"], "cents", BIN)],
+        keys=["l_returnflag", "bin"],
+        spec={"n": "sum"},
+    )
+    direct_hist = histogram_partials(li, ["l_returnflag"], "cents", BIN)
+    qs = [0.5, 0.9]
+    got = sorted(map(tuple, quantiles_from_histogram(merged_hist, ["l_returnflag"], BIN, qs).collect()))
+    want = sorted(map(tuple, quantiles_from_histogram(direct_hist, ["l_returnflag"], BIN, qs).collect()))
+    assert got == want
+    exact = {
+        (r.l_returnflag, q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag").agg(
+            *[F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY cents)").alias(f"p{int(q*100)}") for q in qs]
+        ).collect()
+        for q in qs
+    }
+    for flag, q, lo in got:
+        assert abs(exact[(flag, q)] - lo) <= BIN, (flag, q, lo, exact[(flag, q)])

@@ -302,6 +302,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q219_stl_decompose",  # broadcast 7-row seasonal table onto O(days) rows
         "q221_zorder_layout",  # broadcast 1-row min/max range aggregate
         "q222_mixture_solver",  # broadcast 1-row total + 1-row binding-rate aggregates
+        "q224_ann_eval",  # bounded query/query-signature sets broadcast (q40/q210 shapes)
+        "q225_slice_audit",  # broadcast 1-row corpus base-rate aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
