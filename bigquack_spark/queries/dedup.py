@@ -1006,3 +1006,95 @@ def q190_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
         .cast("long").alias("n_leaks"),
     )
+
+
+@query(
+    "q227_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    pairs AS (
+      SELECT cand.a, cand.b
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, node) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN sym e ON r.node = e.s
+    ),
+    comps AS (
+      SELECT src AS node, CAST(min(node) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.node AS doc_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(d.text) DESC, c.node
+             ) AS rk
+      FROM comps c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_n_chars,
+           CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars
+    FROM scored GROUP BY cluster_id
+    """,
+)
+def q227_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the curation DECISION the
+    cluster machinery exists to serve: per near-dup cluster (q86's
+    transitive closure), keep the MOST COMPLETE copy (longest text,
+    doc_id tiebreak) instead of the arbitrary min-id, and account for
+    the bytes the drop reclaims.  Truncated crawls, paywalled prefixes,
+    and boilerplate-injected mirrors make the copies genuinely unequal —
+    min-id keep (the naive default) throws away the full article
+    whenever a stub has the smaller id.  Plan: the CC output
+    (node-cardinality) joins documents once for the length, one
+    cluster-keyed window picks the representative, one aggregate emits
+    the roster — everything after the pair pipeline is linear in cluster
+    membership.  Swap the length criterion for q218's p_quality and the
+    plan is unchanged (score joins in the same place)."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    comps = D.connected_components(pairs)
+    scored = comps.join(
+        docs.select(F.col("doc_id").alias("node"), F.length("text").cast("long").alias("n_chars")),
+        "node",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "node")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("node"))).cast("long").alias("kept_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias("kept_n_chars"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+    )

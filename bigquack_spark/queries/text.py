@@ -1332,3 +1332,97 @@ def q225_slice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("base_rate")
     )
+
+
+@query(
+    "q228_calibration_curve",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS space_ratio,
+             log10(CAST(len({_TOKS}) AS DOUBLE)) AS log_tokens,
+             (len({_TOKS}) >= 5
+              AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) > 0.5
+              AND CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(X.STOPWORDS)}, x))) AS DOUBLE)
+                    / CAST(len({_TOKS}) AS DOUBLE) < 0.9) AS label
+      FROM documents WHERE length(text) > 0 AND len({_TOKS}) > 0
+    ),
+    scored AS (
+      SELECT doc_id, label,
+             round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_ALPHA} * alpha_ratio
+                    + {QC_W_STOP} * stopword_ratio + {QC_W_SPACE} * space_ratio
+                    + {QC_W_LOGTOK} * log_tokens))), 6) AS p
+      FROM feats
+    ),
+    bucketed AS (
+      SELECT doc_id, label, p,
+             least(CAST(floor(p * 10) AS INTEGER), 9) AS bucket
+      FROM scored
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY doc_id)),
+                             (a, x) -> a + x) / count(*), 6) AS avg_pred,
+           round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS obs_pass_rate,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY doc_id)),
+                             (a, x) -> a + x) / count(*)
+                 - CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS calibration_gap
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q228_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q218 classifier — calibration checked
+    against the q51 heuristic gate as the pseudo-label: per predicted-
+    probability decile, the mean predicted p vs the observed pass rate
+    and their gap (a well-calibrated scorer tracks the diagonal; a gap
+    says the threshold is lying about precision).  This is the model-
+    monitoring query you run per release next to q225's slice audit:
+    q225 catches WHO the gate hurts, this catches WHETHER its scores
+    mean what they claim.  Mean-of-doubles folds in doc_id order (q184
+    discipline); labels and buckets are exact ints.  One zero-shuffle
+    scoring pass + one 10-row aggregate."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = X.tokens("text")
+    nonempty = d.filter((F.length("text") > 0) & (F.size(toks) > 0))
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    stop = X._count_in(toks, X.STOPWORDS).cast("double") / F.size(toks)
+    space = (
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("double") / F.length("text")
+    )
+    logtok = F.log10(F.size(toks).cast("double"))
+    z = (
+        F.lit(QC_W0) + F.lit(QC_W_ALPHA) * alpha + F.lit(QC_W_STOP) * stop
+        + F.lit(QC_W_SPACE) * space + F.lit(QC_W_LOGTOK) * logtok
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    label = (
+        (F.size(toks) >= 5) & (alpha > 0.5) & (stop < 0.9)
+    )
+    bucketed = nonempty.select(
+        "doc_id", p.alias("p"), label.alias("label"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bucket"),
+    )
+    folded = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list(F.struct("doc_id", F.col("p").alias("v")))).alias("lp"),
+        F.sum(F.col("label").cast("int")).alias("n_pass"),
+    )
+    s = F.aggregate(F.transform("lp", lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x)
+    avg_pred = F.round(s / F.col("n_docs"), 6)
+    obs = F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 6)
+    return folded.select(
+        "bucket", "n_docs", avg_pred.alias("avg_pred"), obs.alias("obs_pass_rate"),
+        F.round(s / F.col("n_docs") - F.col("n_pass").cast("double") / F.col("n_docs"), 6)
+        .alias("calibration_gap"),
+    )
