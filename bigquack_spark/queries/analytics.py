@@ -1189,3 +1189,94 @@ def q219_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+KM_CENSOR_DAYS = 90  # last order within this window of corpus end = censored
+
+
+@query(
+    "q230_kaplan_meier",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                  - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS BIGINT)
+               AS dur,
+             CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS BIGINT)
+               AS last_day
+      FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT CAST(max(last_day) AS BIGINT) AS h FROM life),
+    subj AS (
+      SELECT dur, last_day < h - {KM_CENSOR_DAYS} AS event
+      FROM life CROSS JOIN horizon
+    ),
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subj),
+    at_t AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+             n - coalesce(sum(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM at_t CROSS JOIN n_total
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lsum
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           round(exp(lsum), 6) AS survival
+    FROM km
+    """,
+)
+def q230_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer activity lifetime with RIGHT
+    CENSORING — the estimator q206's observed-lifetime curve
+    approximates without: lifetime = days between first and last order,
+    a customer whose last order falls within {KM_CENSOR_DAYS} days of
+    the corpus horizon is CENSORED (still alive — counting them as
+    churned biases survival down, the classic retention-analysis error).
+    S(t) = Π over event times ≤ t of (1 − d/n_risk), computed as
+    exp of the running sum of ln terms over the time-ordered event
+    table — a sequential prefix sum both engines evaluate left-to-right
+    over identical doubles (q158's discipline).  Scale: per-customer
+    lifetimes are one groupBy; the KM table is distinct-duration-sized
+    (calendar-bounded), so the windows run on O(days) rows."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400000000)).cast("bigint")
+    life = o.groupBy("o_custkey").agg(
+        (F.max(day) - F.min(day)).cast("long").alias("dur"),
+        F.max(day).cast("long").alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").cast("long").alias("h"))
+    subj = life.crossJoin(F.broadcast(horizon)).select(
+        "dur", (F.col("last_day") < F.col("h") - KM_CENSOR_DAYS).alias("event")
+    )
+    n_total = subj.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    at_t = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.col("event").cast("int")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(n_total)).select(
+        "t", "d",
+        (F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km = risk.filter(F.col("d") > 0).select(
+        "t", "d", "n_risk",
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(w_cum).alias("lsum"),
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round(F.exp("lsum"), 6).alias("survival"),
+    )

@@ -1426,3 +1426,105 @@ def q228_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / F.col("n_docs") - F.col("n_pass").cast("double") / F.col("n_docs"), 6)
         .alias("calibration_gap"),
     )
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight: bigram vs unigram backoff
+
+
+@query(
+    "q229_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    trans AS (
+      SELECT doc_id,
+             unnest(range(1, n)) AS pos,
+             unnest(toks[1:n - 1]) AS w1,
+             unnest(toks[2:n]) AS w2
+      FROM tk WHERE n >= 2
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+        SELECT unnest(toks) AS w FROM tk
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uni),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM trans GROUP BY w1, w2
+    ),
+    terms AS (
+      SELECT t.doc_id, t.pos,
+             ln({BIGRAM_LAMBDA} * (CAST(b.cb AS DOUBLE) / u1.cu)
+                + {1.0 - BIGRAM_LAMBDA} * (CAST(u2.cu AS DOUBLE) / total)) AS v
+      FROM trans t
+      JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+      JOIN uni u1 ON u1.w = t.w1
+      JOIN uni u2 ON u2.w = t.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY pos)),
+                             (a, x) -> a + x) / count(*), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q229_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — q207's unigram filter
+    upgraded one order: per token transition,
+    p = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N (Jelinek-Mercer smoothing with
+    λ={BIGRAM_LAMBDA}), per-doc mean of ln p over POSITION-ordered folds.
+    The architectural point: the bigram table is vocabulary²-keyed DATA
+    joined on (w1, w2) — never driver state, never a broadcast — which
+    is exactly how a real KenLM-scale model (billions of n-grams) has to
+    be applied on a cluster; the unigram table and 1-row total ride the
+    same join pipeline.  Transition extraction is a zipped slice
+    (zero-shuffle projection); the model joins are the only exchanges.
+    Both engines fold identical doubles in identical order."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = X.tokens("text")
+    tk = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    trans = (
+        tk.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.col("n") - 1),
+                    F.expr("slice(toks, 2, n - 1)"),
+                )
+            ).alias("p0", "z"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.col("z.0").alias("w1"),
+            F.col("z.1").alias("w2"),
+        )
+    )
+    uni = tk.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("long").alias("total"))
+    bi = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    p = (
+        F.lit(BIGRAM_LAMBDA) * (F.col("cb").cast("double") / F.col("cu1"))
+        + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("cu2").cast("double") / F.col("total"))
+    )
+    terms = (
+        trans.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "pos", F.log(p).alias("v"))
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.array_sort(F.collect_list(F.struct("pos", F.col("v").alias("v")))).alias("lv"),
+    )
+    s = F.aggregate(F.transform("lv", lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x)
+    return folded.select(
+        "doc_id", "n_transitions", F.round(s / F.col("n_transitions"), 6).alias("avg_logprob")
+    )

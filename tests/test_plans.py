@@ -304,6 +304,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q222_mixture_solver",  # broadcast 1-row total + 1-row binding-rate aggregates
         "q224_ann_eval",  # bounded query/query-signature sets broadcast (q40/q210 shapes)
         "q225_slice_audit",  # broadcast 1-row corpus base-rate aggregate
+        "q229_bigram_logprob",  # broadcast 1-row corpus-total aggregate
+        "q230_kaplan_meier",  # broadcast 1-row horizon + 1-row subject-count aggregates
     }
     offenders = []
     for name, spec in QUERIES.items():
