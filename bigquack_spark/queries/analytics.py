@@ -1280,3 +1280,64 @@ def q230_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         F.round(F.exp("lsum"), 6).alias("survival"),
     )
+
+
+@query(
+    "q231_lorenz_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM cust
+    ),
+    folded AS (
+      SELECT any_value(n) AS n, any_value(total) AS total,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE) AS iw
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           total AS total_cents,
+           round((2.0 * iw) / (n * CAST(total AS DOUBLE)) - (n + 1.0) / n, 6) AS gini
+    FROM folded
+    """,
+)
+def q231_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customer lifetime spend
+    — the one-number inequality gauge behind whale-risk analysis (and,
+    on a training corpus, the same formula reads source/token
+    concentration): G = 2·Σ(i·w_i)/(n·Σw) − (n+1)/n over rank-ordered
+    exact cents.  The rank-weighted sum is exact integer arithmetic
+    (HUGEINT/decimal accumulation — no float fold at all), divided once
+    at the end, so both engines agree bitwise.  The rank window is the
+    only global-order operation and runs on customer-cardinality rows;
+    at 100 TB you'd rank via two-pass range partitioning (the q115
+    sliced discipline) with the same downstream math."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum((F.col("i").cast("decimal(38,0)") * F.col("cents"))).alias("iw_dec"),
+    )
+    return folded.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("iw_dec").cast("double")) / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

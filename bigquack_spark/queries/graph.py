@@ -468,3 +468,100 @@ def q216_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from bigquack_spark.queries.registry import QUERIES as QUERIES_REF  # noqa: E402
+
+
+@query(
+    "q232_markov_eval",
+    oracle=f"""
+    WITH trans AS (
+      SELECT user_id, event_type AS cur, next_type AS nxt
+      FROM (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+      )
+      WHERE next_type IS NOT NULL
+    ),
+    model AS (
+      SELECT cur, nxt AS pred, row_number() OVER (
+               PARTITION BY cur ORDER BY n DESC, nxt
+             ) AS rk
+      FROM (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY cur, nxt)
+    ),
+    top1 AS (SELECT cur, pred FROM model WHERE rk = 1),
+    majority AS (
+      SELECT nxt AS maj, row_number() OVER (ORDER BY n DESC, nxt) AS rk
+      FROM (SELECT nxt, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY nxt)
+    ),
+    evald AS (
+      SELECT t.cur, t.nxt,
+             CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END AS hit,
+             CASE WHEN t.nxt = m.maj THEN 1 ELSE 0 END AS base_hit
+      FROM trans t
+      JOIN top1 p ON p.cur = t.cur
+      CROSS JOIN (SELECT maj FROM majority WHERE rk = 1) m
+    )
+    SELECT cur AS event_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS markov_acc,
+           round(CAST(sum(base_hit) AS DOUBLE) / count(*), 6) AS majority_acc,
+           round(CAST(sum(hit) AS DOUBLE) / count(*)
+                 - CAST(sum(base_hit) AS DOUBLE) / count(*), 6) AS lift
+    FROM evald GROUP BY cur
+    """,
+)
+def q232_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictive-power readout of the event-transition matrix (q148's
+    edges turned into a first-order Markov next-event model): per current
+    event type, the top-1-transition prediction's accuracy on the
+    observed transitions vs the global majority-class baseline, and the
+    lift — the go/no-go number before anyone ships 'next-action
+    prediction' on journey data (a Markov model that can't beat
+    majority-class is a lookup table of the mode).  In-sample by
+    construction (the honest deployment splits train/eval by q83's
+    md5 buckets — same plan with two filtered transition sets).  All
+    exact-count argmaxes with alphabetical tiebreaks; accuracy is one
+    rounded division.  Scale: transitions = the user-keyed lead window
+    (q22's shuffle); the model is |types|²-bounded and the baseline
+    1 row."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    trans = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("cur"), "nxt")
+    )
+    counts = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("cur").orderBy(F.desc("n"), "nxt")
+    top1 = (
+        counts.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    maj = (
+        trans.groupBy("nxt").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("n"), "nxt")))
+        .filter(F.col("rk") == 1)
+        .select(F.col("nxt").alias("maj"))
+    )
+    evald = (
+        trans.join(F.broadcast(top1), "cur")
+        .crossJoin(F.broadcast(maj))
+        .select(
+            "cur",
+            (F.col("nxt") == F.col("pred")).cast("int").alias("hit"),
+            (F.col("nxt") == F.col("maj")).cast("int").alias("base_hit"),
+        )
+    )
+    return evald.groupBy(F.col("cur").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("markov_acc"),
+        F.round(F.sum("base_hit").cast("double") / F.count(F.lit(1)), 6).alias("majority_acc"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1))
+            - F.sum("base_hit").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("lift"),
+    )

@@ -306,6 +306,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q225_slice_audit",  # broadcast 1-row corpus base-rate aggregate
         "q229_bigram_logprob",  # broadcast 1-row corpus-total aggregate
         "q230_kaplan_meier",  # broadcast 1-row horizon + 1-row subject-count aggregates
+        "q232_markov_eval",  # broadcast 1-row majority-class baseline
     }
     offenders = []
     for name, spec in QUERIES.items():
