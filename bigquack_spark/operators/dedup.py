@@ -767,3 +767,57 @@ def incremental_dedup(
         )
     )
     return marked.drop("__in_hist", "__batch_min")
+
+
+def incremental_components(
+    old_components: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Incremental connected components — graph IVM: fold a batch of NEW
+    edges into an EXISTING clustering (``node``/``cluster_id``, min-label
+    convention) without recomputing history.
+
+    Contract-then-solve: each new edge's endpoints map to their current
+    cluster label (identity for unseen nodes), CC runs on the CONTRACTED
+    edge list — whose size is bounded by the new batch, not the
+    accumulated graph — and the resulting label-of-label composes back
+    over the old assignment.  Because labels are per-component MINIMUM
+    ids, the contraction preserves the global min: the composed result
+    is exactly what full CC over (old ∪ new) edges would produce, which
+    is how the oracle checks it.  Daily cost at 100 TB: two keyed joins
+    of the DELTA edges + CC over a delta-sized graph + one join to
+    re-label touched history rows — never a full-graph walk."""
+    labels = old_components.select(
+        F.col("node").alias("__n"), F.col("cluster_id").alias("__l")
+    )
+    contracted = (
+        new_pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .join(labels.withColumnRenamed("__n", "a").withColumnRenamed("__l", "__la"), "a", "left")
+        .join(labels.withColumnRenamed("__n", "b").withColumnRenamed("__l", "__lb"), "b", "left")
+        .select(
+            F.coalesce("__la", F.col("a")).alias("a"),
+            F.coalesce("__lb", F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cc2 = connected_components(contracted)  # label -> merged label (delta-sized)
+    relabel = cc2.select(F.col("node").alias("__l"), F.col("cluster_id").alias("__l2"))
+    # old nodes: compose old label through the merge map (identity if untouched)
+    old_final = (
+        old_components.join(relabel, old_components.cluster_id == relabel.__l, "left")
+        .select("node", F.coalesce("__l2", "cluster_id").alias("cluster_id"))
+    )
+    # new nodes from the batch that never appeared in history
+    new_nodes = (
+        new_pairs.select(F.col(a_col).alias("node"))
+        .unionAll(new_pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .join(old_components.select("node"), "node", "left_anti")
+    )
+    new_final = (
+        new_nodes.join(relabel, new_nodes.node == relabel.__l, "left")
+        .select("node", F.coalesce("__l2", F.col("node")).alias("cluster_id"))
+    )
+    return old_final.unionByName(new_final)

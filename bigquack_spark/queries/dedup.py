@@ -1098,3 +1098,40 @@ def q227_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_chars"),
     )
+
+
+@query(
+    "q233_incremental_components",
+    # Full-recompute closure == incrementally-maintained closure: the
+    # hash-match against the same recursive-CTE oracle as q86/q99 IS the
+    # graph-IVM correctness theorem.
+    oracle=_CLOSURE_ORACLE,
+)
+def q233_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup clustering (operators.dedup
+    incremental_components): the continuous-ingestion form of q86 — an
+    80% history slice (q130's md5 buckets) is clustered once, then the
+    day's new documents arrive and ONLY the delta edges (pairs touching
+    a new doc) are folded in by contracting endpoints to their current
+    labels, solving CC on the delta-sized contracted graph, and
+    composing the relabel map over history.  The oracle is the SAME full
+    recursive-CTE closure that checks q86: incremental maintenance must
+    land on byte-identical cluster assignments as full recomputation —
+    checked including transitive merges where a new document bridges two
+    previously-separate history clusters.  Daily cost: delta joins + CC
+    on the delta, never a full-graph walk; this is what makes
+    LSH-cluster dedup operable as a STREAMING property (the
+    NearDupIngestSink emits verdicts; this maintains the groups)."""
+    from bigquack_spark.operators.corpus import _hash_bucket
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    bkt_a = _hash_bucket(F.col("a"), INCR_SALT, 10)
+    bkt_b = _hash_bucket(F.col("b"), INCR_SALT, 10)
+    old_pairs = pairs.filter((bkt_a < 8) & (bkt_b < 8))
+    new_pairs = pairs.filter((bkt_a >= 8) | (bkt_b >= 8))
+    old_components = D.connected_components(old_pairs).localCheckpoint(eager=False)
+    return D.incremental_components(old_components, new_pairs)

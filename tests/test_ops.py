@@ -1202,3 +1202,33 @@ def test_histogram_quantiles_merge_equals_direct(spark):
     }
     for flag, q, lo in got:
         assert abs(exact[(flag, q)] - lo) <= BIN, (flag, q, lo, exact[(flag, q)])
+
+
+def test_incremental_components_equals_full(spark):
+    """Graph-IVM property: for several deterministic edge splits, folding
+    the 'new' half into CC(old half) equals CC(all edges) — including
+    bridge edges that merge previously-separate clusters."""
+    import random
+
+    from bigquack_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(1, 61))
+    edges = [(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.04]
+    for salt in (1, 2, 3):
+        r2 = random.Random(salt)
+        old = [e for e in edges if r2.random() < 0.6]
+        new = [e for e in edges if e not in old]
+        if not old or not new:
+            continue
+        old_df = spark.createDataFrame(old, "a long, b long")
+        new_df = spark.createDataFrame(new, "a long, b long")
+        all_df = spark.createDataFrame(edges, "a long, b long")
+        inc = incremental_components(connected_components(old_df), new_df)
+        full = connected_components(all_df)
+        got = sorted(map(tuple, inc.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want, f"salt={salt}"
