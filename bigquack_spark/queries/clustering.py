@@ -669,3 +669,142 @@ def q213_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist_cols.append(F.col(f"__m{s}"))
     err = F.round(F.sqrt(sum(dist_cols[1:], dist_cols[0])) / SCALE, 6)
     return sel.select(*out_cols, err.alias("recon_err"))
+
+
+def _silhouette_oracle() -> str:
+    """q144's unrolled Lloyd CTEs + per-vector distances to ALL final
+    centroids; silhouette-lite from the two smallest order statistics."""
+    dist0 = _DIST_SQL.format(d=DIM, c="c.cvec")
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform({_Q_SQL}, x -> CAST(x AS DOUBLE)) AS qd
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, qd AS cvec FROM v WHERE vec_id < {K}
+    )"""
+    prev = "c0"
+    for it in range(1, ITERATIONS):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, qd, cluster, dist FROM (
+        SELECT v.vec_id, v.qd, c.cluster, {dist0} AS dist,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {dist0}, c.cluster
+               ) AS rk
+        FROM v CROSS JOIN {prev} AS c
+      ) WHERE rk = 1
+    ),
+    c{it} AS (
+      SELECT cluster, list(c ORDER BY pos) AS cvec FROM (
+        SELECT cluster, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
+        FROM (
+          SELECT cluster,
+                 unnest(list_transform(qd, x -> CAST(x AS BIGINT))) AS val,
+                 unnest(range(1, {DIM} + 1)) AS pos
+          FROM a{it}
+        )
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )"""
+        prev = f"c{it}"
+    sql += f""",
+    alld AS (
+      SELECT v.vec_id, c.cluster, {dist0} AS dist
+      FROM v CROSS JOIN {prev} AS c
+    ),
+    ranked AS (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+      FROM alld
+    ),
+    per_vec AS (
+      SELECT o.vec_id, o.cluster AS own_cluster, o.dist AS own, s2.dist AS second
+      FROM ranked o JOIN ranked s2 ON s2.vec_id = o.vec_id AND s2.rk = 2
+      WHERE o.rk = 1
+    ),
+    scored AS (
+      SELECT vec_id, own_cluster,
+             sqrt(own) / {SCALE} AS d_own,
+             sqrt(second) / {SCALE} AS d_other,
+             CASE WHEN greatest(sqrt(own), sqrt(second)) = 0 THEN 0.0
+                  ELSE (sqrt(second) - sqrt(own)) / greatest(sqrt(own), sqrt(second))
+             END AS s
+      FROM per_vec
+    )
+    SELECT own_cluster AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY vec_id)),
+                             (a, x) -> a + x) / count(*), 6) AS mean_silhouette,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d_own ORDER BY vec_id)),
+                             (a, x) -> a + x) / count(*), 6) AS mean_intra_dist
+    FROM scored GROUP BY own_cluster
+    """
+    return sql
+
+
+@query("q234_cluster_silhouette", oracle=_silhouette_oracle())
+def q234_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation for the q144 k-means result —
+    simplified silhouette (Kaufman's s = (b−a)/max(a,b) with b = the
+    nearest-OTHER-centroid distance, the standard centroid approximation
+    that avoids the O(n²) pairwise silhouette): per cluster, the mean
+    silhouette and mean intra-cluster distance.  s near 0 = clusters
+    touching (k too high or data unclusterable); this is the metric that
+    decides K before anyone trusts q144's buckets for diversity sampling
+    or IVF cells.  Determinism: distances on the q144 lattice, own/other
+    taken as the two smallest ORDER STATISTICS of the cluster-ordered
+    distance list (tie-stable on both engines), folds in vec_id order.
+    Plan: the corpus-side work is one literal-centroid projection (no
+    join, no shuffle); the only exchanges are K-bounded."""
+    e = t(spark, sf_dir, "embeddings", rebalance=True)
+    v = e.select(
+        "vec_id", _quantize(F.col("embedding")).cast("array<double>").alias("qd")
+    )
+    centroids = [
+        (int(r["vec_id"]), list(r["qd"]))
+        for r in v.filter(F.col("vec_id") < K).collect()
+    ]
+    if not centroids:
+        return spark.createDataFrame(
+            [], "cluster int, n long, mean_silhouette double, mean_intra_dist double"
+        )
+    for it in range(1, ITERATIONS):
+        centroids = _centroid_rows(_assign_literal(v, centroids), "cluster")
+    centroids = sorted(centroids)
+    dists = F.array(*[_sq_dist_lit(F.col("qd"), c) for _, c in centroids])
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    per_vec = v.select(
+        "vec_id",
+        F.element_at(
+            ids, F.array_position(dists, F.array_min(dists)).cast("int")
+        ).alias("own_cluster"),
+        F.element_at(F.array_sort(dists), 1).alias("own"),
+        F.element_at(F.array_sort(dists), 2).alias("second"),
+    )
+    d_own = F.sqrt("own") / SCALE
+    d_other = F.sqrt("second") / SCALE
+    s = F.when(
+        F.greatest(F.sqrt("own"), F.sqrt("second")) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.sqrt("second") - F.sqrt("own")) / F.greatest(F.sqrt("own"), F.sqrt("second"))
+    )
+    scored = per_vec.select(
+        "vec_id", "own_cluster", d_own.alias("d_own"), s.alias("s")
+    )
+    folded = scored.groupBy(F.col("own_cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_sort(F.collect_list(F.struct("vec_id", F.col("s").alias("v")))).alias("ls"),
+        F.array_sort(F.collect_list(F.struct("vec_id", F.col("d_own").alias("v")))).alias("ld"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x
+        )
+
+    return folded.select(
+        "cluster", "n",
+        F.round(fold(F.col("ls")) / F.col("n"), 6).alias("mean_silhouette"),
+        F.round(fold(F.col("ld")) / F.col("n"), 6).alias("mean_intra_dist"),
+    )

@@ -469,3 +469,52 @@ def topk_stream(
     return prepared.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+class Scd2EnrichSink:
+    """Temporally-correct stream enrichment — ``enrich_stream`` answers
+    'what is the dimension row NOW'; this answers 'what was it AT EVENT
+    TIME': each micro-batch as-of joins (operators.joins.asof_join,
+    backward) against an SCD2-style version table, so late-arriving
+    events pick up the version that was valid when they HAPPENED, not
+    the current one — the difference between a correct revenue
+    restatement and silently repricing history.
+
+    Stateless streaming-wise: the as-of's union-and-carry windows are
+    not expressible on an unbounded stream, but each micro-batch IS a
+    bounded frame, so the join runs per batch inside ``foreachBatch``
+    with the batch-id offset gate (ExactlyOnceBatchSink's idempotent
+    per-batch overwrite dirs) making delivery exactly-once.  The dim
+    re-resolves per batch, so new versions take effect without
+    restarts."""
+
+    def __init__(
+        self,
+        target: str,
+        dim_provider,
+        on: str,
+        left_ts: str,
+        right_ts: str,
+        right_cols: list[str],
+    ):
+        from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+        self._sink = ExactlyOnceBatchSink(target)
+        self.dim_provider = dim_provider
+        self.on, self.left_ts, self.right_ts = on, left_ts, right_ts
+        self.right_cols = right_cols
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from bigquack_spark.operators.joins import asof_join
+
+        dim = self.dim_provider(batch_df.sparkSession)
+        enriched = asof_join(
+            batch_df, dim, on=self.on,
+            left_ts=self.left_ts, right_ts=self.right_ts,
+            right_cols=self.right_cols,
+        )
+        self._sink(enriched, batch_id)
+
+    @property
+    def next_batch_id(self) -> int:
+        return self._sink.next_batch_id

@@ -812,3 +812,60 @@ def test_topk_stream_bounded_capacity_error_contract(spark):
     for r in rows:
         true = true_counts.get((r.event_type, r.user_id), 0)
         assert r.est_count - r.max_err <= true <= r.est_count, r
+
+
+def test_scd2_enrich_stream_matches_batch_asof(spark, tmp_path):
+    """Streaming SCD2 enrichment parity: per-event dimension version
+    attached by the foreachBatch as-of must equal the batch as-of join
+    over the same events — temporally correct, not current-version."""
+    import os
+
+    from bigquack_spark.operators.joins import asof_join
+    from bigquack_spark.streaming.events import Scd2EnrichSink
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    lo, hi = events.agg(F.min("t_us"), F.max("t_us")).first()
+    mid = (lo + hi) // 2
+    # SCD2 dim: every user has version 1 from the epoch start, version 2
+    # from the midpoint — events before mid must enrich as v1, after as v2
+    users = events.select("user_id").distinct()
+    dim = users.select("user_id", F.lit(lo).alias("valid_from_us"), F.lit(1).alias("version")).unionByName(
+        users.select("user_id", F.lit(mid).alias("valid_from_us"), F.lit(2).alias("version"))
+    )
+    dim_pdf = dim.toPandas()
+
+    def provider(s):
+        return s.createDataFrame(dim_pdf)
+
+    target = str(tmp_path / "scd2_out")
+    os.makedirs(target)
+    sink = Scd2EnrichSink(
+        target, provider, on="user_id",
+        left_ts="t_us", right_ts="valid_from_us", right_cols=["version"],
+    )
+    stream = (
+        read_events_stream(spark, SF_SMOKE)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("t_us"))
+    )
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.event_id: r.version
+        for r in spark.read.parquet(target).select("event_id", "version").collect()
+    }
+    want = {
+        r.event_id: r.version
+        for r in asof_join(
+            events, provider(spark), on="user_id",
+            left_ts="t_us", right_ts="valid_from_us", right_cols=["version"],
+        ).collect()
+    }
+    assert got == want
+    assert 1 in got.values() and 2 in got.values()  # both eras actually hit
