@@ -166,3 +166,31 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
             .alias("sum_checksum_mod"),
         )
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-evolution compatibility report between two frames: added,
+    dropped, and type-changed columns, each tagged with whether the
+    change is append-safe for a create-or-append sink (the reference's
+    writer hard-rejects ANY schema inequality, bigquery_write.go:422-424;
+    this tells you WHY before the job dies).  Widening numeric changes
+    (int->long, float->double) are append-safe under mergeSchema; drops
+    and narrowings are not.  Driver-side metadata only — no data read."""
+    WIDENINGS = {("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+                 ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+                 ("float", "double")}
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    report: list[dict] = []
+    for name in sorted(set(old_t) | set(new_t)):
+        if name not in old_t:
+            report.append({"column": name, "change": "added",
+                           "from": None, "to": new_t[name], "append_safe": True})
+        elif name not in new_t:
+            report.append({"column": name, "change": "dropped",
+                           "from": old_t[name], "to": None, "append_safe": False})
+        elif old_t[name] != new_t[name]:
+            safe = (old_t[name], new_t[name]) in WIDENINGS
+            report.append({"column": name, "change": "type_changed",
+                           "from": old_t[name], "to": new_t[name], "append_safe": safe})
+    return report

@@ -846,3 +846,58 @@ def q226_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = histogram_partials(cents, ["l_returnflag"], "cents", QH_BIN)
     return quantiles_from_histogram(hist, ["l_returnflag"], QH_BIN, QH_QS)
+
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1/epsilon for counts
+DP_SALT = "dp-v1"
+
+
+@query(
+    "q235_dp_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events
+      GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, true_n,
+             (CAST('0x' || substr(md5('{DP_SALT}|' || event_type), 1, 12) AS BIGINT) + 0.5)
+               / 281474976710656.0 AS u
+      FROM counts
+    )
+    SELECT event_type, true_n,
+           CAST(round(true_n - (1.0 / {DP_EPSILON})
+                 * CASE WHEN u < 0.5 THEN -ln(2.0 * u) ELSE ln(2.0 * (1.0 - u)) END)
+                AS BIGINT) AS dp_n,
+           CAST(abs(CAST(round(true_n - (1.0 / {DP_EPSILON})
+                 * CASE WHEN u < 0.5 THEN -ln(2.0 * u) ELSE ln(2.0 * (1.0 - u)) END)
+                AS BIGINT) - true_n) AS BIGINT) AS abs_err
+    FROM noised
+    """,
+)
+def q235_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε={DP_EPSILON} Laplace
+    mechanism) — the privacy-preserving statistics surface next to
+    q163's k-anonymity audit: per event type, the true count plus the
+    released noisy count.  The Laplace draw inverts a uniform derived
+    from md5(salt|key) — DETERMINISTIC noise, which is exactly how
+    production DP release pipelines make audits reproducible (a keyed
+    PRF per release; rotate the salt per epoch, never re-release the
+    same statistic under two salts — the sequential-composition leak).
+    Both engines invert the identical uniform through the identical
+    branch, so even the noise hash-matches.  One map-side-combined
+    aggregate; noise is a per-row projection."""
+    e = t(spark, sf_dir, "events", columns=["event_type"])
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(DP_SALT + "|"), F.col("event_type"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    lap = F.when(u < 0.5, -F.log(2.0 * u)).otherwise(F.log(2.0 * (1.0 - u)))
+    dp_n = F.round(F.col("true_n") - (1.0 / DP_EPSILON) * lap).cast("long")
+    return counts.select(
+        "event_type", "true_n", dp_n.alias("dp_n"),
+        F.abs(dp_n - F.col("true_n")).cast("long").alias("abs_err"),
+    )

@@ -1232,3 +1232,19 @@ def test_incremental_components_equals_full(spark):
         got = sorted(map(tuple, inc.collect()))
         want = sorted(map(tuple, full.collect()))
         assert got == want, f"salt={salt}"
+
+
+def test_schema_diff_classifies_changes(spark):
+    from bigquack_spark.operators.reconcile import schema_diff
+
+    old = spark.range(1).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id AS DOUBLE) AS b", "CAST(id AS STRING) AS c"
+    )
+    new = spark.range(1).selectExpr(
+        "CAST(id AS BIGINT) AS a", "CAST(id AS STRING) AS b", "CAST(id AS STRING) AS d"
+    )
+    rep = {r["column"]: r for r in schema_diff(old, new)}
+    assert rep["a"]["change"] == "type_changed" and rep["a"]["append_safe"]  # widening
+    assert rep["b"]["change"] == "type_changed" and not rep["b"]["append_safe"]
+    assert rep["c"]["change"] == "dropped" and not rep["c"]["append_safe"]
+    assert rep["d"]["change"] == "added" and rep["d"]["append_safe"]
