@@ -1341,3 +1341,118 @@ def q231_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+ANOM_Z = 3.0  # robust-z threshold on seasonal residuals
+
+
+@query(
+    "q237_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY day_num
+    ),
+    trended AS (
+      SELECT day_num, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+             CAST(count(*) OVER w AS BIGINT) AS win_n
+      FROM daily
+      WINDOW w AS (ORDER BY day_num ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT day_num, cents,
+             cents - CAST(win_sum AS DOUBLE) / win_n AS detrended,
+             CAST((day_num + 4) % 7 AS INTEGER) AS dow
+      FROM trended WHERE win_n = {2 * STL_HALF + 1}
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(detrended ORDER BY day_num)), (a, x) -> a + x)
+               / count(*) AS seasonal
+      FROM det GROUP BY dow
+    ),
+    resid AS (
+      SELECT d.day_num, d.cents,
+             round(d.detrended - s.seasonal, 6) AS residual
+      FROM det d JOIN seas s ON d.dow = s.dow
+    ),
+    anchors AS (
+      SELECT median(residual) AS med FROM resid
+    ),
+    spread AS (
+      SELECT any_value(a.med) AS med,
+             median(abs(r.residual - a.med)) AS mad
+      FROM resid r CROSS JOIN anchors a
+    )
+    SELECT r.day_num, r.cents, r.residual,
+           round((r.residual - s.med) / (1.4826 * s.mad), 6) AS robust_z,
+           abs(r.residual - s.med) > {ANOM_Z} * 1.4826 * s.mad AS is_anomaly
+    FROM resid r CROSS JOIN spread s
+    WHERE s.mad > 0
+    """,
+)
+def q237_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection — q219's decomposition turned
+    into a DETECTOR: after removing trend (centered 7-day MA) and
+    weekday seasonality, a day is anomalous when its residual sits more
+    than {ANOM_Z} robust sigmas (1.4826·MAD, the q134 scale) from the
+    residual median — the detector that does NOT page on 'every Sunday
+    is low' (q156's point) or 'the quarter is growing' (the trend), only
+    on genuinely unexplained days.  Medians interpolate the same two
+    middle values of the same rounded residuals on both engines; the
+    MAD anchor rides a 1-row broadcast.  All windows run on the
+    calendar-bounded day grid; the corpus-sized work is the one daily
+    aggregate."""
+    e = t(spark, sf_dir, "events", columns=["ts", "value"])
+    daily = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(-STL_HALF, STL_HALF)
+    det = (
+        daily.select(
+            "day_num", "cents",
+            F.sum("cents").over(w).cast("long").alias("win_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        )
+        .filter(F.col("win_n") == 2 * STL_HALF + 1)
+        .select(
+            "day_num", "cents",
+            (F.col("cents") - F.col("win_sum").cast("double") / F.col("win_n")).alias("detrended"),
+            ((F.col("day_num") + 4) % 7).cast("int").alias("dow"),
+        )
+    )
+    folded = det.groupBy("dow").agg(
+        F.array_sort(F.collect_list(F.struct("day_num", F.col("detrended").alias("v")))).alias("lv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ssum = F.aggregate(F.transform("lv", lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x)
+    seas = folded.select("dow", (ssum / F.col("n")).alias("seasonal"))
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "day_num", "cents", F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual")
+    )
+    anchors = resid.agg(F.expr("median(residual)").alias("med"))
+    spread = (
+        resid.crossJoin(F.broadcast(anchors))
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("median(abs(residual - med))").alias("mad"),
+        )
+    )
+    rz = (F.col("residual") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        resid.crossJoin(F.broadcast(spread))
+        .filter(F.col("mad") > 0)
+        .select(
+            "day_num", "cents", "residual",
+            F.round(rz, 6).alias("robust_z"),
+            (F.abs(F.col("residual") - F.col("med")) > ANOM_Z * 1.4826 * F.col("mad")).alias("is_anomaly"),
+        )
+    )

@@ -1135,3 +1135,109 @@ def q233_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_pairs = pairs.filter((bkt_a >= 8) | (bkt_b >= 8))
     old_components = D.connected_components(old_pairs).localCheckpoint(eager=False)
     return D.incremental_components(old_components, new_pairs)
+
+
+CONTAIN_THRESHOLD = 0.9  # |A ∩ B| / |A| for A-contained-in-B
+
+
+@query(
+    "q236_containment_dups",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id <> y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    scored AS (
+      SELECT cand.a AS contained_id, cand.b AS container_id,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+             CAST(len(sa.sh) AS BIGINT) AS n_contained,
+             CAST(len(sb.sh) AS BIGINT) AS n_container,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 6)
+               AS containment
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+    )
+    SELECT contained_id, container_id, n_common, n_contained, n_container, containment
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY contained_id
+               ORDER BY containment DESC, n_container DESC, container_id
+             ) AS rk
+      FROM scored
+      WHERE containment >= {CONTAIN_THRESHOLD} AND n_contained < n_container
+    ) WHERE rk = 1
+    """,
+)
+def q236_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection — the subset-duplicate class
+    symmetric Jaccard structurally misses: a short document whose
+    vocabulary sits ≥{CONTAIN_THRESHOLD} inside a longer one (quote
+    farms, article+boilerplate mirrors, truncated re-crawls) scores
+    |A∩B|/|A| high while |A∩B|/|A∪B| stays low, so q36's threshold never
+    fires.  Candidates come from the SAME minhash band join (ordered
+    pairs this time — containment is directional), scored by exact
+    set-overlap against the smaller side, and emitted only when the
+    contained doc is strictly smaller.  The curation action differs from
+    near-dup too: drop the CONTAINED copy, always keep the container.
+    Output is ONE verdict per contained document — its best container —
+    so the result is corpus-bounded, not pair-bounded.  Same
+    bucket-bounded scale posture as the whole LSH family.  Caveat
+    worth knowing: band candidates under-recall low-Jaccard containment
+    pairs (a tiny doc inside a huge one rarely shares a full band) — the
+    production variant blocks on the CONTAINED side's own shingles
+    (q185's prefix-filter shape); the oracle checks the algorithm as
+    declared, bands included."""
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    x = bands.select(F.col("doc_id").alias("a"), "band_id", "band_key")
+    y = bands.select(F.col("doc_id").alias("b"), "band_id", "band_key")
+    cand = (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("sh")
+    )
+    scored = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")), "b")
+        .select(
+            F.col("a").alias("contained_id"),
+            F.col("b").alias("container_id"),
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+            F.size("sa").cast("long").alias("n_contained"),
+            F.size("sb").cast("long").alias("n_container"),
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa"), 6
+            ).alias("containment"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    flagged = scored.filter(
+        (F.col("containment") >= CONTAIN_THRESHOLD)
+        & (F.col("n_contained") < F.col("n_container"))
+    )
+    # one verdict per contained doc: its BEST container (max containment,
+    # then largest container, then id) — the drop decision, not the pair dump
+    w = Window.partitionBy("contained_id").orderBy(
+        F.desc("containment"), F.desc("n_container"), "container_id"
+    )
+    return (
+        flagged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
