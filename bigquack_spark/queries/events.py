@@ -1633,3 +1633,52 @@ def q214_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@query(
+    "q238_salted_join",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id, min(event_type) AS first_type
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rk
+        FROM events
+      ) WHERE rk = 1
+      GROUP BY user_id
+    )
+    SELECT e.event_type, p.first_type, CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY e.event_type, p.first_type
+    """,
+)
+def q238_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-invariance contract for the explicit skew-salting join
+    (operators.joins.salted_join): the hot-key events stream joins its
+    per-user first-touch profile through the SALTED path (key salted
+    with a random bucket, small side replicated across buckets) and must
+    hash-match the oracle's PLAIN join — salting changes only the
+    shuffle shape, never the result, and this query pins that as a
+    driver-checked invariant rather than a code comment.  The profile
+    side is the q100-style first-touch argmin; the rollup keeps the
+    output |types|²-bounded.  When to reach for this instead of AQE's
+    skew splitting: a first-stage join directly on a custom source,
+    where no runtime statistics exist yet (the docstring case in
+    operators/joins.py)."""
+    from bigquack_spark.operators.joins import salted_join
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    profile = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    joined = salted_join(
+        e.select("user_id", "event_type"), profile, on="user_id", salt_buckets=8
+    )
+    return joined.groupBy("event_type", "first_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
