@@ -675,3 +675,59 @@ def _install_q191_oracle() -> None:
 
 
 _install_q191_oracle()
+
+
+PHRASE = ("table", "hash")  # the corpus's most frequent bigram (q56)
+
+
+@query(
+    "q239_phrase_search",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(range(1, n + 1)) AS p,
+             unnest(toks) AS tok
+      FROM tk
+    ),
+    first_tok AS (SELECT doc_id, p FROM pos WHERE tok = '{PHRASE[0]}'),
+    second_tok AS (SELECT doc_id, p FROM pos WHERE tok = '{PHRASE[1]}')
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(f.p) AS BIGINT) AS first_pos
+    FROM first_tok f JOIN second_tok s
+      ON s.doc_id = f.doc_id AND s.p = f.p + 1
+    GROUP BY f.doc_id
+    """,
+)
+def q239_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search — the retrieval capability BM25
+    (q141) and the inverted index (q142) cannot express: exact-phrase
+    match '{PHRASE[0]} {PHRASE[1]}' via a positions join (term1 at p,
+    term2 at p+1), returning occurrence counts and first position per
+    document.  This is how every FTS engine runs quoted queries; the
+    distributed form is the same plan with the positional postings
+    PRE-BUILT and bucketed by term (q142's sink note) so the join reads
+    two term partitions instead of tokenizing the corpus.  The position
+    explode is a zero-shuffle projection; the phrase join is
+    (doc_id, position)-keyed equi on term-filtered slivers — bounded by
+    term frequency, never corpus size."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    pos = d.select(
+        "doc_id",
+        F.posexplode(X.tokens("text")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    first_tok = pos.filter(F.col("tok") == PHRASE[0]).select("doc_id", "p")
+    second_tok = pos.filter(F.col("tok") == PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        first_tok.join(second_tok, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+    )

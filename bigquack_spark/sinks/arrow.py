@@ -1,0 +1,78 @@
+"""Arrow IPC shard export/import — the reference's native currency
+(arrow.Record batches end to end, SURVEY §1.1) as a FILE handoff.
+
+JSONL (sinks/jsonl.py) is the text handoff; Arrow IPC stream files are
+the zero-parse one: embeddings, token-id arrays, and binary payloads
+round-trip with exact types and no string re-encoding, and any Arrow
+consumer (DuckDB, polars, pyarrow dataloaders) memory-maps them
+directly.  The writer is ``mapInArrow`` — each executor task serializes
+ITS batches into one IPC stream file named by partition id, so the
+export is fully distributed (no driver collect, no single writer), the
+same per-stream fan-out discipline as the reference's parallel read
+streams (bigquery.go:93).  A manifest with per-shard row counts is
+written LAST (publish step); readers verify count parity before use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def export_arrow_shards(df: DataFrame, path: str) -> dict:
+    """Write one Arrow IPC stream file per partition under ``path``;
+    returns (and persists) the manifest {shard -> n_rows, total}."""
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"shard-{pid:05d}.arrows")
+        writer = None
+        n = 0
+        for batch in batches:
+            if writer is None:
+                writer = pa.ipc.new_stream(out, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        import pyarrow as _pa
+
+        yield _pa.record_batch({"shard": [f"shard-{pid:05d}.arrows"], "n_rows": [n]})
+
+    counts_schema = "shard string, n_rows long"
+    counts = df.mapInArrow(write_partition, counts_schema).collect()
+    shards = {r["shard"]: r["n_rows"] for r in counts if r["n_rows"] > 0}
+    manifest = {"shards": shards, "n_records": int(sum(shards.values()))}
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return manifest
+
+
+def read_arrow_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read an Arrow shard directory back into a DataFrame, verifying the
+    manifest's row counts (raises on mismatch — a missing/truncated shard
+    must fail loudly, not silently shrink the corpus)."""
+    import pyarrow as pa
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    tables = []
+    for shard, want in sorted(manifest["shards"].items()):
+        with pa.ipc.open_stream(os.path.join(path, shard)) as reader:
+            t = reader.read_all()
+        if t.num_rows != want:
+            raise ValueError(
+                f"arrow shard {shard}: manifest says {want} rows, file has {t.num_rows}"
+            )
+        tables.append(t)
+    full = pa.concat_tables(tables)
+    return spark.createDataFrame(full.to_pandas())
