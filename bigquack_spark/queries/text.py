@@ -1528,3 +1528,131 @@ def q229_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "doc_id", "n_transitions", F.round(s / F.col("n_transitions"), 6).alias("avg_logprob")
     )
+
+
+MAXSIM_CHUNK = 400   # char window per chunk (q204's window)
+MAXSIM_DIM = 8       # digest-embedding dims per chunk
+MAXSIM_QDOCS = 3     # doc_id < 3 are the queries
+MAXSIM_TOP_K = 5
+
+_CHUNK_EMB_SQL = " , ".join(
+    f"((CAST('0x' || substr(sha256(c), {2*i+1}, 2) AS BIGINT)) - 127.5) / 127.5"
+    for i in range(MAXSIM_DIM)
+)
+
+
+@query(
+    "q240_maxsim_retrieval",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+             substr(text, CAST(ci * {MAXSIM_CHUNK} + 1 AS INTEGER), {MAXSIM_CHUNK}) AS c
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / {MAXSIM_CHUNK}.0) AS BIGINT))) AS ci
+        FROM documents
+      )
+    ),
+    emb AS (
+      SELECT doc_id, chunk_idx, [{_CHUNK_EMB_SQL}] AS e FROM chunks
+    ),
+    q AS (
+      SELECT doc_id AS qid, chunk_idx AS q_chunk, e AS qe
+      FROM emb WHERE doc_id < {MAXSIM_QDOCS}
+    ),
+    sims AS (
+      SELECT q.qid, q.q_chunk, emb.doc_id,
+             round(
+               list_dot_product(emb.e, q.qe)
+               / (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+               6
+             ) AS cos
+      FROM emb CROSS JOIN q
+      WHERE emb.doc_id <> q.qid
+    ),
+    best AS (
+      SELECT qid, q_chunk, doc_id, max(cos) AS m
+      FROM sims GROUP BY qid, q_chunk, doc_id
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             round(
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m ORDER BY q_chunk)),
+                           (a, x) -> a + x) / count(*),
+               6) AS maxsim
+      FROM best GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id AS neighbor_id, maxsim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, doc_id, maxsim,
+             row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {MAXSIM_TOP_K}
+    """,
+)
+def q240_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, digest-embedded):
+    documents split into {MAXSIM_CHUNK}-char chunks, each chunk embedded
+    (the q93 sha256-digest stand-in — a real encoder is a mapInPandas
+    swap), and a document's score against a query document is the mean
+    over QUERY chunks of the max cosine over the document's chunks —
+    the multi-vector semantics that whole-document pooling destroys
+    (one matching paragraph ranks the document even when the rest
+    differs).  Plan: chunk+embed is a zero-shuffle projection; the
+    bounded query-chunk set broadcasts against the corpus chunk scan
+    (q40's contract, one per-chunk-pair score pass); MaxSim reduces by
+    (qid, q_chunk, doc) max then a q_chunk-ordered fold.  At 1e9 docs
+    the chunk-pair pass is corpus x |query chunks| — the first-stage
+    hamming prefilter (q217) drops in front unchanged.  Every stage
+    replays exactly in SQL, late interaction included."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(text) / {MAXSIM_CHUNK}.0) AS INT) - 1), "
+                f"i -> substring(text, i * {MAXSIM_CHUNK} + 1, {MAXSIM_CHUNK}))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    hexd = F.sha2("c", 256)
+    emb = chunks.select(
+        "doc_id", "chunk_idx",
+        F.array(
+            *[
+                (
+                    F.conv(F.substring(hexd, 2 * i + 1, 2), 16, 10).cast("double")
+                    - 127.5
+                ) / 127.5
+                for i in range(MAXSIM_DIM)
+            ]
+        ).alias("e"),
+    )
+    q = emb.filter(F.col("doc_id") < MAXSIM_QDOCS).select(
+        F.col("doc_id").alias("qid"), F.col("chunk_idx").alias("q_chunk"), F.col("e").alias("qe")
+    )
+    from bigquack_spark.operators.simsearch import cosine
+
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid", "q_chunk", "doc_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
+        )
+    )
+    best = sims.groupBy("qid", "q_chunk", "doc_id").agg(F.max("cos").alias("m"))
+    folded = best.groupBy("qid", "doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("q_chunk", F.col("m").alias("v")))).alias("lm"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    s = F.aggregate(F.transform("lm", lambda x: x.getField("v")), F.lit(0.0), lambda a, x: a + x)
+    scored = folded.select("qid", "doc_id", F.round(s / F.col("nq"), 6).alias("maxsim"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MAXSIM_TOP_K)
+        .select("qid", F.col("doc_id").alias("neighbor_id"), "maxsim", "rank")
+    )

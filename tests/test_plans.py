@@ -308,6 +308,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q230_kaplan_meier",  # broadcast 1-row horizon + 1-row subject-count aggregates
         "q232_markov_eval",  # broadcast 1-row majority-class baseline
         "q237_seasonal_anomaly",  # broadcast 7-row seasonal + 1-row median/MAD anchors
+        "q240_maxsim_retrieval",  # bounded query-chunk set broadcast (the q40 shape)
     }
     offenders = []
     for name, spec in QUERIES.items():
