@@ -1241,3 +1241,82 @@ def q236_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@query(
+    "q241_threshold_sweep",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM sig
+      GROUP BY doc_id, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sets_ AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS sh
+              FROM documents),
+    scored AS (
+      SELECT round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
+               AS jaccard
+      FROM cand
+      JOIN sets_ sa ON sa.doc_id = cand.a
+      JOIN sets_ sb ON sb.doc_id = cand.b
+    ),
+    binned AS (
+      SELECT least(CAST(floor(jaccard * 10) AS INTEGER), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM binned)
+    SELECT bin,
+           round(bin / 10.0, 1) AS threshold_lo,
+           n AS n_pairs,
+           CAST(sum(n) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above,
+           round(CAST(sum(n) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / total, 6) AS frac_at_or_above
+    FROM binned CROSS JOIN tot
+    """,
+)
+def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning table: the exact-Jaccard distribution of
+    ALL LSH candidate pairs, binned by decile, with the reverse-cumulative
+    pair counts — the one-scan answer to 'what does moving the q36
+    threshold from 0.8 to 0.7 actually cost' (pairs kept at-or-above each
+    cut).  Every threshold decision in the dedup family (q36/q140/q172)
+    reads this table first; computing it costs ONE pass over the already-
+    bounded candidate set, not one run per candidate threshold.  The
+    reverse cumsum runs over 10 bins."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", NUM_HASHES, ROWS_PER_BAND)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
+    scored = D.jaccard_verify(cands, docs, "doc_id", "text", shingle_len=1, threshold=0.0)
+    binned = (
+        scored.select(
+            F.least(F.floor(F.round("jaccard", 6) * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = binned.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("bin") / 10.0, 1).alias("threshold_lo"),
+            F.col("n").alias("n_pairs"),
+            F.sum("n").over(w).cast("long").alias("n_pairs_at_or_above"),
+            F.round(F.sum("n").over(w).cast("double") / F.col("total"), 6).alias("frac_at_or_above"),
+        )
+    )

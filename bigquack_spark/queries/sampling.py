@@ -482,3 +482,89 @@ def q182_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").cast("long").alias("max_key"),
         )
     )
+
+
+SAMPLE_PCT = 10  # md5-bucket percent for the audited sample
+CHI2_SALT = "bias-v1"
+
+
+@query(
+    "q242_sample_bias_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('{CHI2_SALT}|' || CAST(event_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 100 < {SAMPLE_PCT} AS in_sample
+      FROM events
+    ),
+    pop AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pop FROM tagged GROUP BY event_type
+    ),
+    samp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_samp
+      FROM tagged WHERE in_sample GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pop) AS BIGINT) AS pop_total FROM pop
+    ),
+    stot AS (
+      SELECT CAST(sum(n_samp) AS BIGINT) AS samp_total FROM samp
+    ),
+    cells AS (
+      SELECT p.event_type, p.n_pop, coalesce(s.n_samp, 0) AS n_samp,
+             CAST(p.n_pop AS DOUBLE) * samp_total / pop_total AS expected
+      FROM pop p LEFT JOIN samp s ON p.event_type = s.event_type
+      CROSS JOIN tot CROSS JOIN stot
+    )
+    SELECT event_type, n_pop, n_samp,
+           round(expected, 6) AS expected,
+           round((n_samp - expected) * (n_samp - expected) / expected, 6) AS chi2_term,
+           round(CAST(n_samp AS DOUBLE) / n_pop, 6) AS observed_rate
+    FROM cells
+    """,
+)
+def q242_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-representativeness audit: the {SAMPLE_PCT}% md5-bucket
+    sample's per-type counts against their expected values under the
+    population distribution, with per-cell chi-square terms — the check
+    that the DETERMINISTIC sampler (the md5 bucketing every sampling
+    query here relies on: q83/q96/q125/q153) isn't correlated with the
+    stratum variable.  Sum the chi2_term column against the
+    chi-square({{k-1}}) critical value to accept/reject; per-cell terms
+    are emitted (not just the sum) so a failure points at WHICH stratum
+    drifted.  One tagged scan + two stratum-sized aggregates + 1-row
+    broadcast totals; all counts exact, one division per cell."""
+    e = t(spark, sf_dir, "events", columns=["event_id", "event_type"])
+    from bigquack_spark.operators.corpus import _hash_bucket
+
+    tagged = e.select(
+        "event_type",
+        (_hash_bucket(F.col("event_id"), CHI2_SALT, 100) < SAMPLE_PCT).alias("in_sample"),
+    )
+    pop = tagged.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_pop"))
+    samp = (
+        tagged.filter("in_sample")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_samp"))
+    )
+    tot = pop.agg(F.sum("n_pop").cast("long").alias("pop_total"))
+    stot = samp.agg(F.sum("n_samp").cast("long").alias("samp_total"))
+    cells = (
+        pop.join(samp, "event_type", "left")
+        .withColumn("n_samp", F.coalesce("n_samp", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stot))
+        .withColumn(
+            "expected", F.col("n_pop").cast("double") * F.col("samp_total") / F.col("pop_total")
+        )
+    )
+    return cells.select(
+        "event_type", "n_pop", "n_samp",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n_samp") - F.col("expected")) * (F.col("n_samp") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_term"),
+        F.round(F.col("n_samp").cast("double") / F.col("n_pop"), 6).alias("observed_rate"),
+    )

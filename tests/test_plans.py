@@ -309,6 +309,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q232_markov_eval",  # broadcast 1-row majority-class baseline
         "q237_seasonal_anomaly",  # broadcast 7-row seasonal + 1-row median/MAD anchors
         "q240_maxsim_retrieval",  # bounded query-chunk set broadcast (the q40 shape)
+        "q241_threshold_sweep",  # broadcast 1-row pair-total aggregate
+        "q242_sample_bias_audit",  # broadcast 1-row population/sample totals
     }
     offenders = []
     for name, spec in QUERIES.items():
