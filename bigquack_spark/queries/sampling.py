@@ -530,7 +530,7 @@ def q242_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the DETERMINISTIC sampler (the md5 bucketing every sampling
     query here relies on: q83/q96/q125/q153) isn't correlated with the
     stratum variable.  Sum the chi2_term column against the
-    chi-square({{k-1}}) critical value to accept/reject; per-cell terms
+    chi-square(k-1) critical value to accept/reject; per-cell terms
     are emitted (not just the sum) so a failure points at WHICH stratum
     drifted.  One tagged scan + two stratum-sized aggregates + 1-row
     broadcast totals; all counts exact, one division per cell."""
