@@ -1320,3 +1320,148 @@ def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n").over(w).cast("double") / F.col("total"), 6).alias("frac_at_or_above"),
         )
     )
+
+
+CDC_K = 4          # rolling window (tokens) for the boundary hash
+CDC_MASK = 64      # boundary when rolling hash % 64 == 0 (expected ~64-token chunks)
+CDC_BASE = 131     # polynomial base (winnowing's, exact BIGINT at 24-bit hashes)
+
+
+@query(
+    "q243_content_defined_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split_regex(lower(text), '\\s+')) + 1)) AS pos,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, pos, tok,
+             CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) AS h
+      FROM toks
+    ),
+    rolled AS (
+      SELECT doc_id, pos, tok,
+             CAST(sum(h * CAST(power({CDC_BASE}, {CDC_K} - 1 - (pos - p2)) AS BIGINT))
+               AS BIGINT) AS r,
+             CAST(count(*) AS BIGINT) AS wlen
+      FROM (
+        SELECT a.doc_id, a.pos, a.tok, b.pos AS p2, b.h
+        FROM hashed a JOIN hashed b
+          ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos - {CDC_K} + 1 AND a.pos
+      )
+      GROUP BY doc_id, pos, tok
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN wlen = {CDC_K} AND r % {CDC_MASK} = 0 THEN 1 ELSE 0 END AS bnd
+      FROM rolled
+    ),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cdc_chunk,
+             CAST((pos - 1) // {CDC_MASK} AS BIGINT) AS fixed_chunk
+      FROM flagged
+    ),
+    cdc_keys AS (
+      SELECT md5(string_agg(tok, ' ' ORDER BY pos)) AS k
+      FROM assigned GROUP BY doc_id, coalesce(cdc_chunk, 0)
+    ),
+    fixed_keys AS (
+      SELECT md5(string_agg(tok, ' ' ORDER BY pos)) AS k
+      FROM assigned GROUP BY doc_id, fixed_chunk
+    )
+    SELECT 'cdc' AS method,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT k) AS DOUBLE) / count(*), 6) AS dedup_rate
+    FROM cdc_keys
+    UNION ALL
+    SELECT 'fixed', CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT),
+           round(1.0 - CAST(count(DISTINCT k) AS DOUBLE) / count(*), 6)
+    FROM fixed_keys
+    """,
+)
+def q243_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style) vs fixed-size chunking,
+    scored by corpus chunk-dedup rate — the storage/transfer-dedup
+    technique (LBFS, borg, restic) brought to corpus text: a chunk
+    boundary falls wherever the rolling {CDC_K}-token hash ≡ 0 mod
+    {CDC_MASK}, so an INSERTION early in a document only perturbs the
+    chunk it lands in — every later boundary re-synchronizes — while
+    fixed windows shift EVERY downstream chunk and lose all sharing
+    (q129's fixed chunks are the baseline being beaten here).  The
+    emitted dedup rates quantify exactly that on this corpus's near-dup
+    families.  All exact BIGINT rolling hashes (q139's no-modulus
+    discipline); chunk membership is a per-doc prefix sum of boundary
+    flags; chunk identity is md5 of position-ordered tokens.  Scale:
+    token rows shuffle once per (doc)-keyed window and once per chunk
+    key — the same two-exchange budget as the q142 index build."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+    )
+    # rolling polynomial over the trailing K tokens via a windowed sum of
+    # h * BASE^(K-1-lag): collect the window as (pos, h) structs
+    wk = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(CDC_K - 1), 0)
+    rolled = hashed.select(
+        "doc_id", "pos", "tok",
+        F.collect_list(F.struct("pos", "h")).over(wk).alias("win"),
+    )
+    r = F.aggregate(
+        F.col("win"),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + s.getField("h")
+        * F.pow(F.lit(float(CDC_BASE)), (CDC_K - 1 - (F.col("pos") - s.getField("pos")))).cast("bigint"),
+    )
+    flagged = rolled.select(
+        "doc_id", "pos", "tok",
+        F.when((F.size("win") == CDC_K) & (r % CDC_MASK == 0), 1).otherwise(0).alias("bnd"),
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = flagged.select(
+        "doc_id", "pos", "tok",
+        F.coalesce(F.sum("bnd").over(wprev), F.lit(0)).cast("bigint").alias("cdc_chunk"),
+        (((F.col("pos") - 1) / CDC_MASK).cast("bigint")).alias("fixed_chunk"),
+    )
+
+    def keys(chunk_col):
+        return (
+            assigned.groupBy("doc_id", chunk_col)
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                            lambda s: s.getField("tok"),
+                        ),
+                        " ",
+                    )
+                ).alias("k")
+            )
+        )
+
+    def summary(kdf, name):
+        return kdf.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("k").cast("long").alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dedup_rate"),
+        ).select("method", "n_chunks", "n_unique", "dedup_rate")
+
+    return summary(keys("cdc_chunk"), "cdc").unionByName(
+        summary(keys("fixed_chunk"), "fixed")
+    )

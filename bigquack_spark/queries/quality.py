@@ -901,3 +901,59 @@ def q235_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "true_n", dp_n.alias("dp_n"),
         F.abs(dp_n - F.col("true_n")).cast("long").alias("abs_err"),
     )
+
+
+MERKLE_BUCKETS = 64  # checksum fan-out: which 1/64th of the keyspace differs
+
+
+@query(
+    "q244_merkle_buckets",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey % {MERKLE_BUCKETS} AS bucket,
+             CAST('0x' || substr(md5(
+               concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+             ), 1, 15) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS bucket_checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def q244_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content checksums — q186's one-row table digest upgraded
+    to a LOCALIZING structure: the keyspace folds into {MERKLE_BUCKETS}
+    buckets, each carrying its own count + XOR digest.  Transfer
+    validation then works like a one-level Merkle tree: compare the
+    bucket vectors of source and target, and a mismatch names WHICH
+    1/{MERKLE_BUCKETS}th of the keys to re-sync or drill into with the
+    row-level diff (q88) — instead of 'something differs somewhere,
+    rescan everything'.  Deepening to a real Merkle hierarchy is
+    re-bucketing the mismatched slice with a finer modulus — same
+    query, narrower predicate, log-rounds convergence on the exact
+    divergent keys.  One map-side-combined shuffle of
+    {MERKLE_BUCKETS} groups; same commutative-XOR portability as q186."""
+    o = t(spark, sf_dir, "orders",
+          columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select((F.col("o_orderkey") % MERKLE_BUCKETS).cast("long").alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("bucket_checksum"),
+        )
+    )
