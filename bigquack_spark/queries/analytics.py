@@ -1456,3 +1456,89 @@ def q237_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("residual") - F.col("med")) > ANOM_Z * 1.4826 * F.col("mad")).alias("is_anomaly"),
         )
     )
+
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+KS_ALPHA_C = 1.358  # c(0.05) for the two-sample KS critical value
+
+
+@query(
+    "q245_ks_test",
+    oracle=f"""
+    WITH lens AS (
+      SELECT source, n_chars AS x FROM documents
+      WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+    ),
+    counts AS (
+      SELECT x,
+             CAST(sum(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM lens GROUP BY x
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM counts
+    ),
+    ecdf AS (
+      SELECT x,
+             CAST(sum(ca) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / na AS fa,
+             CAST(sum(cb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / nb AS fb
+      FROM counts CROSS JOIN tot
+    ),
+    dmax AS (
+      SELECT x, abs(fa - fb) AS d,
+             row_number() OVER (ORDER BY abs(fa - fb) DESC, x) AS rk
+      FROM ecdf
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(d.d, 6) AS ks_d,
+           CAST(d.x AS BIGINT) AS at_x,
+           round({KS_ALPHA_C} * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * CAST(t.nb AS DOUBLE))), 6)
+             AS critical_d,
+           d.d > {KS_ALPHA_C} * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * CAST(t.nb AS DOUBLE)))
+             AS reject_same_dist
+    FROM dmax d CROSS JOIN tot t WHERE d.rk = 1
+    """,
+)
+def q245_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test on document-length
+    distributions between sources '{KS_SRC_A}' and '{KS_SRC_B}' — the
+    UNBINNED distribution-shift check beside q203's binned PSI: D = the
+    maximum ECDF gap (with the length where it happens — the actionable
+    part: WHERE the distributions diverge), against the α=0.05
+    asymptotic critical value.  The ECDFs are exact integer cumulative
+    counts over the merged distinct-value grid, so D is a ratio of
+    exact ints and the argmax is tie-broken on the value — fully
+    engine-portable with no binning parameter to tune (PSI's weakness).
+    One (source,value) aggregate + windows over the distinct-value grid
+    (bounded by value cardinality, not rows) + a 1-row result."""
+    d = t(spark, sf_dir, "documents", columns=["source", "n_chars"])
+    lens = d.filter(F.col("source").isin(KS_SRC_A, KS_SRC_B))
+    counts = lens.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("source") == KS_SRC_A, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("source") == KS_SRC_B, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = counts.crossJoin(F.broadcast(tot)).select(
+        "x", "na", "nb",
+        (F.sum("ca").over(w).cast("double") / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w).cast("double") / F.col("nb")).alias("fb"),
+    )
+    ranked = ecdf.select(
+        "x", "na", "nb", F.abs(F.col("fa") - F.col("fb")).alias("d")
+    ).withColumn("rk", F.row_number().over(Window.orderBy(F.desc("d"), "x")))
+    crit = KS_ALPHA_C * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb").cast("double"))
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("d", 6).alias("ks_d"),
+        F.col("x").cast("long").alias("at_x"),
+        F.round(crit, 6).alias("critical_d"),
+        (F.col("d") > crit).alias("reject_same_dist"),
+    )

@@ -311,6 +311,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q240_maxsim_retrieval",  # bounded query-chunk set broadcast (the q40 shape)
         "q241_threshold_sweep",  # broadcast 1-row pair-total aggregate
         "q242_sample_bias_audit",  # broadcast 1-row population/sample totals
+        "q245_ks_test",  # broadcast 1-row sample-size totals
     }
     offenders = []
     for name, spec in QUERIES.items():
