@@ -821,3 +821,44 @@ def incremental_components(
         .select("node", F.coalesce("__l2", F.col("node")).alias("cluster_id"))
     )
     return old_final.unionByName(new_final)
+
+
+def lsh_tune(
+    threshold: float,
+    num_hashes: int,
+    candidate_rows: tuple[int, ...] = (1, 2, 4, 8),
+) -> dict:
+    """Pick (bands, rows_per_band) for a MinHash-LSH deployment targeting a
+    Jaccard ``threshold``: for each feasible split of ``num_hashes``, the
+    S-curve P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands is evaluated
+    at the threshold and at ±0.1 around it; the chosen split maximizes the
+    separation P(t+0.1) - P(t-0.1) (steepest S-curve at the operating
+    point), tie-broken toward more bands (higher recall).  Driver-side
+    arithmetic over a handful of splits — the ten lines everyone otherwise
+    re-derives from the MMDS textbook before every near-dup rollout; the
+    returned numbers plug straight into minhash_bands_portable."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in candidate_rows:
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+
+        def p(s: float) -> float:
+            return 1.0 - (1.0 - s**rows) ** bands
+
+        sep = p(min(threshold + 0.1, 0.999)) - p(max(threshold - 0.1, 0.001))
+        key = (sep, bands)
+        if best is None or key > best[0]:
+            best = (key, {
+                "bands": bands,
+                "rows_per_band": rows,
+                "p_at_threshold": round(p(threshold), 6),
+                "p_below": round(p(max(threshold - 0.1, 0.001)), 6),
+                "p_above": round(p(min(threshold + 0.1, 0.999)), 6),
+                "implied_threshold": round((1.0 / bands) ** (1.0 / rows), 6),
+            })
+    if best is None:
+        raise ValueError("no candidate rows_per_band divides num_hashes")
+    return best[1]

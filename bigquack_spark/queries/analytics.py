@@ -1542,3 +1542,63 @@ def q245_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("critical_d"),
         (F.col("d") > crit).alias("reject_same_dist"),
     )
+
+
+@query(
+    "q246_cohort_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(min(year(o_orderdate) * 12 + (month(o_orderdate) - 1)) AS BIGINT)
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT DISTINCT o.o_custkey,
+             f.cohort_m,
+             CAST(year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1) AS BIGINT)
+               - f.cohort_m AS months_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_n FROM firsts GROUP BY cohort_m
+    )
+    SELECT a.cohort_m, a.months_since,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_n,
+           round(CAST(count(*) AS DOUBLE) / s.cohort_n, 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_m = s.cohort_m
+    WHERE a.months_since <= 12
+    GROUP BY a.cohort_m, a.months_since, s.cohort_n
+    """,
+)
+def q246_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the (signup month x months-since) grid
+    behind every product-retention dashboard, capped at 12 periods:
+    customers cohort by FIRST order month, each later active month marks
+    the cohort's cell, retention = active/cohort-size.  q206's retention
+    curve is this matrix's diagonal average; the matrix itself separates
+    'old cohorts decay' from 'new cohorts arrive worse' — the confound a
+    single curve hides.  Month arithmetic is exact integer (y*12+m, no
+    date intervals); one distinct-activity shuffle + a cohort-sized join;
+    output bounded at cohorts x 13 cells regardless of order volume."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    m = (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).cast("bigint")
+    firsts = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    activity = (
+        o.select("o_custkey", m.alias("om"))
+        .join(firsts, "o_custkey")
+        .select("o_custkey", "cohort_m", (F.col("om") - F.col("cohort_m")).alias("months_since"))
+        .distinct()
+        .filter(F.col("months_since") <= 12)
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).cast("long").alias("cohort_n"))
+    return (
+        activity.groupBy("cohort_m", "months_since")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            "cohort_m", "months_since", "n_active", "cohort_n",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias("retention"),
+        )
+    )

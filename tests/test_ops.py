@@ -1248,3 +1248,19 @@ def test_schema_diff_classifies_changes(spark):
     assert rep["b"]["change"] == "type_changed" and not rep["b"]["append_safe"]
     assert rep["c"]["change"] == "dropped" and not rep["c"]["append_safe"]
     assert rep["d"]["change"] == "added" and rep["d"]["append_safe"]
+
+
+def test_lsh_tune_selects_steepest_split():
+    from bigquack_spark.operators.dedup import lsh_tune
+
+    cfg = lsh_tune(threshold=0.8, num_hashes=16)
+    assert cfg["bands"] * cfg["rows_per_band"] == 16
+    # the S-curve must actually discriminate around the operating point
+    assert cfg["p_above"] > cfg["p_at_threshold"] > cfg["p_below"]
+    assert cfg["p_above"] - cfg["p_below"] > 0.3
+    # implied threshold (where P=1-1/e) should sit near the target
+    assert abs(cfg["implied_threshold"] - 0.8) < 0.35
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_tune(threshold=1.5, num_hashes=16)
