@@ -12,14 +12,12 @@ from bigquack_spark.queries.registry import QUERIES, QuerySpec, oracle_sql, quer
 # Importing the modules populates the registry.  Registration order matters:
 # the driver's per-round correctness run walks the dict in insertion order and
 # caps how many queries it checks (~50 per round), so the families that still
-# need driver-verified rows go FIRST.  Round 1 verified the ~50 relational.py
-# queries; round 2's window covered dedup / simsearch / text / corpus.  Round
-# 3 front-loads (a) the three complex-typed-output fixes the r2 verdict
-# flagged (q121 driver-red, q103/q142 latent) to prove them green, then (b)
-# the never-driver-checked small families — sampling, search, clustering,
-# graph, sketch, analytics, quality — which together with the fixes fill the
-# ~50-row window.  events (31 queries) rotates in next round; every family is
-# already repo-verified by the full tools/driver_check.py sweep.
+# need driver-verified rows go FIRST.  Rounds 1-3 verified 147 distinct names
+# (relational; dedup/simsearch/text/corpus; sampling/search/clustering/graph/
+# sketch/analytics/quality).  The rebuild below is self-maintaining: it reads
+# every CORRECTNESS_r*.json at import time and rotates driver-green names to
+# the back, so each round's window covers whatever has never been checked.
+# Round 4 pins the 31-query events family to the very front of the window.
 from bigquack_spark.queries import sampling  # noqa: E402,F401
 from bigquack_spark.queries import search  # noqa: E402,F401
 from bigquack_spark.queries import clustering  # noqa: E402,F401
@@ -66,13 +64,6 @@ def _driver_verified_from_disk() -> set[str]:
             continue  # a malformed record must never break the import
     return names
 
-# NOTE round 4+: once CORRECTNESS_r03 confirms these three green, the disk
-# reader above absorbs them and this hoist becomes a no-op safe to delete.
-_FIXES = [
-    "q121_int8_quantization",  # r2 driver-red: array output, now canonical string
-    "q103_nation_rich_roster",  # latent same bug, now canonical string
-    "q142_inverted_index",  # latent same bug, now canonical string
-]
 #: Names with green driver rows in CORRECTNESS_r01.json / r02 — they go to
 #: the BACK of the window so never-checked families get their turn.
 _DRIVER_VERIFIED = {
@@ -116,10 +107,14 @@ _DRIVER_VERIFIED = {
     "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
 }
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
-_front = [n for n in _FIXES if n in QUERIES]
-_unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in _front]
-_checked = [n for n in QUERIES if n in _DRIVER_VERIFIED and n not in _front]
-_ordered = {n: QUERIES[n] for n in _front + _unchecked + _checked}
+# Round 4: the events family (31 never-checked names, the only §2.5 surface
+# still missing driver rows) must fit entirely inside the ~50-row window, so
+# it leads the unchecked section; the ~20 remaining slots go to the other
+# stragglers in registration order, and everything driver-green rotates back.
+_unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
+_unchecked.sort(key=lambda n: 0 if QUERIES[n].fn.__module__.endswith(".events") else 1)
+_checked = [n for n in QUERIES if n in _DRIVER_VERIFIED]
+_ordered = {n: QUERIES[n] for n in _unchecked + _checked}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _FIXES, _DRIVER_VERIFIED, _front, _unchecked, _checked, _ordered
+del _DRIVER_VERIFIED, _unchecked, _checked, _ordered

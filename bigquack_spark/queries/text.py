@@ -1606,6 +1606,10 @@ def q240_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming prefilter (q217) drops in front unchanged.  Every stage
     replays exactly in SQL, late interaction included."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    # Empty-text guard (q208's warning): sequence(0, ceil(0/N)-1) =
+    # sequence(0, -1) runs DESCENDING and emits two phantom chunks where the
+    # oracle's range(0, 0) emits none — filter empties out before chunking.
+    d = d.filter(F.length("text") > 0)
     chunks = d.select(
         "doc_id",
         F.posexplode(

@@ -11,6 +11,17 @@ export is fully distributed (no driver collect, no single writer), the
 same per-stream fan-out discipline as the reference's parallel read
 streams (bigquery.go:93).  A manifest with per-shard row counts is
 written LAST (publish step); readers verify count parity before use.
+
+Scope: ``path`` must be a filesystem ALL participants see — local mode
+(one host) or a shared mount (NFS/FUSE-mounted object store).  On a
+cluster with executor-local disks the shard files would land on
+different machines than the driver-side manifest; there this sink is
+the wrong tool and the parquet/JSONL sinks (driver-coordinated Spark
+writers) are the right ones.  Within that scope the write is
+crash/retry-safe: each task writes ``shard-NNNNN.arrows.<attempt>.tmp``
+and ``os.replace()``s it into place, so a retried or speculative task
+attempt republishes the whole shard atomically instead of re-opening
+and half-overwriting a file a concurrent reader may hold open.
 """
 
 from __future__ import annotations
@@ -31,17 +42,23 @@ def export_arrow_shards(df: DataFrame, path: str) -> dict:
     def write_partition(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"shard-{pid:05d}.arrows")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(path, f"shard-{pid:05d}.arrows")
+        # Per-attempt temp name + atomic rename: a retried/speculative task
+        # never mutates the published file in place, and the losing attempt's
+        # replace() is idempotent (same content, same final name).
+        tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
         writer = None
         n = 0
         for batch in batches:
             if writer is None:
-                writer = pa.ipc.new_stream(out, batch.schema)
+                writer = pa.ipc.new_stream(tmp, batch.schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            os.replace(tmp, final)
         import pyarrow as _pa
 
         yield _pa.record_batch({"shard": [f"shard-{pid:05d}.arrows"], "n_rows": [n]})

@@ -27,6 +27,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _checksum_aggs() -> list:
+    """The two-channel line checksum shared by export and verify: XOR of
+    60-bit md5 prefixes plus a mod-2^40 modular SUM of the same hashes
+    (accumulated in decimal(38,0) so billions of rows can't overflow,
+    reduced mod 2^40 at the end).  XOR alone cancels on even-multiplicity
+    swaps (a line duplicated while another is dropped keeps both count and
+    XOR intact); the sum channel breaks that symmetry — the same pairing
+    ``reconcile.table_checksum`` uses."""
+    h = "cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint)"
+    return [
+        F.count(F.lit(1)).alias("n_records"),
+        F.expr(f"bit_xor({h})").alias("xor_checksum"),
+        F.expr(
+            f"cast(sum(cast({h} % 1099511627776 as decimal(38,0))) % 1099511627776 as bigint)"
+        ).alias("sum_checksum"),
+        F.sum(F.length("value")).cast("long").alias("n_bytes"),
+    ]
+
+
 def export_jsonl_shards(
     df: DataFrame,
     path: str,
@@ -34,8 +53,11 @@ def export_jsonl_shards(
 ) -> dict:
     """Write ``df`` as JSONL shards under ``path`` and return the manifest
     (also persisted as ``_MANIFEST.json`` next to the shards).  Checksum =
-    XOR of 60-bit md5 prefixes of each emitted LINE — order-insensitive,
-    so the consumer can verify a parallel read in any order."""
+    XOR of 60-bit md5 prefixes of each emitted LINE paired with a mod-2^40
+    modular sum of the same hashes (see :func:`_checksum_aggs`) — both
+    order-insensitive, so the consumer can verify a parallel read in any
+    order, and together resistant to the even-multiplicity swaps XOR alone
+    cannot see."""
     lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     (
         lines.write.mode("overwrite")
@@ -44,18 +66,14 @@ def export_jsonl_shards(
     )
     spark = df.sparkSession
     back = spark.read.text(path)
-    h = F.conv(F.substring(F.md5("value"), 1, 15), 16, 10).cast("bigint")
-    row = back.agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.expr("bit_xor(cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint))").alias("xor_checksum"),
-        F.sum(F.length("value")).cast("long").alias("n_bytes"),
-    ).first()
+    row = back.agg(*_checksum_aggs()).first()
     n_shards = len([f for f in os.listdir(path) if f.startswith("part-")])
     manifest = {
         "n_records": row["n_records"],
         "n_shards": n_shards,
         "n_bytes": row["n_bytes"],
         "xor_checksum": int(row["xor_checksum"]) if row["xor_checksum"] is not None else 0,
+        "sum_checksum": int(row["sum_checksum"]) if row["sum_checksum"] is not None else 0,
         "shard_records": shard_records,
     }
     tmp = os.path.join(path, "_MANIFEST.json.tmp")
@@ -71,11 +89,10 @@ def verify_jsonl_export(spark: SparkSession, path: str) -> bool:
     with open(os.path.join(path, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)
     back = spark.read.text(path)
-    row = back.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint))").alias("x"),
-    ).first()
+    row = back.agg(*_checksum_aggs()).first()
     return bool(
-        row["n"] == manifest["n_records"]
-        and int(row["x"] or 0) == manifest["xor_checksum"]
+        row["n_records"] == manifest["n_records"]
+        and int(row["xor_checksum"] or 0) == manifest["xor_checksum"]
+        # pre-upgrade manifests lack the sum channel; don't fail them on it
+        and int(row["sum_checksum"] or 0) == manifest.get("sum_checksum", int(row["sum_checksum"] or 0))
     )

@@ -40,7 +40,36 @@ class ExactlyOnceBatchSink:
     def __init__(self, target: str):
         self.target = target
         self._offset_file = os.path.join(target, "_COMMITTED_BATCH")
+        self._migrate_legacy_layout()
         self.next_batch_id = self._load()
+
+    def _migrate_legacy_layout(self) -> None:
+        """Pre-r3 versions of this sink appended flat ``part-*`` files at the
+        target root; the current layout is ``batch_id=N/`` directories.  A
+        mixed-depth target breaks Spark partition discovery ('Conflicting
+        directory structures'), so a resumed stream over an old target would
+        fail even with a valid offset file.  Absorb legacy flat part-files
+        into a ``batch_id=-1`` partition directory (they predate offset
+        tracking, so no real batch id claims them; -1 sorts before every
+        genuine batch and can never collide with one)."""
+        try:
+            legacy = [
+                f
+                for f in os.listdir(self.target)
+                if f.startswith("part-") and os.path.isfile(os.path.join(self.target, f))
+            ]
+        except OSError:
+            return  # fresh target: nothing to migrate
+        if not legacy:
+            return
+        legacy_dir = os.path.join(self.target, "batch_id=-1")
+        os.makedirs(legacy_dir, exist_ok=True)
+        for f in legacy:
+            os.replace(os.path.join(self.target, f), os.path.join(legacy_dir, f))
+        for marker in ("_SUCCESS",):
+            marker_path = os.path.join(self.target, marker)
+            if os.path.isfile(marker_path):
+                os.remove(marker_path)
 
     def _load(self) -> int:
         try:

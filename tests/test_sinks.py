@@ -439,3 +439,99 @@ def test_arrow_shard_export_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="manifest says"):
         read_arrow_shards(spark, path)
+
+
+def test_jsonl_sum_channel_catches_even_multiplicity_swap(spark, tmp_path):
+    """The r3-advice blind spot: a corruption where every distinct line's
+    multiplicity changes by an EVEN amount (two copies of one line swapped
+    for two copies of another) preserves both the record count and the XOR
+    channel — only the mod-2^40 modular-sum channel can see it."""
+    import hashlib
+    import os
+
+    from bigquack_spark.sinks.jsonl import export_jsonl_shards, verify_jsonl_export
+
+    # dataset with genuine duplicate lines so an even-multiplicity drop exists
+    df = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), ("beta",), ("gamma",)], ["word"]
+    ).coalesce(1)
+    path = str(tmp_path / "swap")
+    export_jsonl_shards(df, path, shard_records=1000)
+    assert verify_jsonl_export(spark, path)
+
+    part = next(f for f in os.listdir(path) if f.startswith("part-"))
+    fp = os.path.join(path, part)
+    with open(fp) as fh:
+        lines = fh.readlines()
+    a = next(ln for ln in lines if "alpha" in ln)
+    corrupted = [ln for ln in lines if "beta" not in ln] + [a, a]
+    assert len(corrupted) == len(lines)  # count channel blind
+    with open(fp, "w") as fh:
+        fh.writelines(corrupted)
+    crc = os.path.join(path, f".{part}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    def h(line: str) -> int:
+        return int(hashlib.md5(line.rstrip("\n").encode()).hexdigest()[:15], 16)
+
+    xor_before = 0
+    xor_after = 0
+    for ln in lines:
+        xor_before ^= h(ln)
+    for ln in corrupted:
+        xor_after ^= h(ln)
+    assert xor_before == xor_after  # XOR channel blind by construction
+    assert not verify_jsonl_export(spark, path)  # sum channel catches it
+
+
+def test_arrow_shards_publish_atomically(spark, tmp_path):
+    """Shards are written to per-attempt temp names and renamed in: no
+    ``*.tmp`` leftovers after a clean export, and a stale temp file from a
+    crashed prior attempt neither corrupts the export nor reaches readers."""
+    import os
+
+    from bigquack_spark.sinks.arrow import export_arrow_shards, read_arrow_shards
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "arrow_atomic")
+    os.makedirs(path)
+    # stale temp from a crashed attempt of some earlier incarnation
+    with open(os.path.join(path, "shard-00000.arrows.999.tmp"), "wb") as fh:
+        fh.write(b"garbage from a dead task attempt")
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").repartition(3)
+    manifest = export_arrow_shards(emb, path)
+    assert manifest["n_records"] == emb.count()
+    fresh_tmp = [f for f in os.listdir(path) if f.endswith(".tmp") and ".999." not in f]
+    assert fresh_tmp == []  # every published shard was renamed into place
+    back = read_arrow_shards(spark, path)
+    assert back.count() == emb.count()
+
+
+def test_exactly_once_sink_migrates_legacy_flat_layout(spark, tmp_path):
+    """r3-advice upgrade window: a target populated by the pre-r3 flat
+    ``part-*`` layout must remain readable after the sink switched to
+    ``batch_id=N`` partition directories (mixed-depth leaves would raise
+    'Conflicting directory structures' in Spark partition discovery)."""
+    import json
+    import os
+
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+    from tests.conftest import SF_SMOKE
+
+    target = str(tmp_path / "legacy_sink")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(30)
+    # old layout: batches appended flat at the root, offset file present
+    batch.write.mode("append").parquet(target)
+    with open(os.path.join(target, "_COMMITTED_BATCH"), "w") as fh:
+        json.dump({"next_batch_id": 1}, fh)
+
+    sink = ExactlyOnceBatchSink(target)  # init migrates the flat files
+    assert sink.next_batch_id == 1
+    assert not any(
+        f.startswith("part-") and os.path.isfile(os.path.join(target, f))
+        for f in os.listdir(target)
+    )
+    sink(batch, batch_id=1)  # resume appends a partition dir
+    assert spark.read.parquet(target).count() == 60
