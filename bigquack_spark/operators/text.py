@@ -254,6 +254,17 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     nearby fingerprints — the robust-to-edits triage key that whole-doc
     hashing (q53) lacks.  Pure per-row array projection; adds columns
     ``fps`` (array<bigint>), ``n_fps``."""
+    wins = winnow_windows(text_col)
+    fps = F.array_distinct(wins)
+    return df.withColumns({"fps": fps, "n_fps": F.size(fps).cast("bigint")})
+
+
+def winnow_windows(text_col: str = "text") -> Column:
+    """The positional winnowing sequence behind :func:`winnow_fingerprints`:
+    one ``array<bigint>`` element per winnowing window, IN ORDER (index i =
+    the fingerprint selected at window position i), duplicates preserved.
+    Callers that only triage docs use the deduplicated ``fps``; span-level
+    consumers (q247's MOSS-style pair report) need the positions."""
     toks = F.split(F.lower(text_col), r"\s+")
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("bigint")
@@ -269,12 +280,10 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             ) * b + F.get(h, i + 3),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    wins = F.when(
+    return F.when(
         F.size(roll) >= w,
         F.transform(
             F.sequence(F.lit(0), F.size(roll) - w),
             lambda i: F.array_min(F.slice(roll, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    fps = F.array_distinct(wins)
-    return df.withColumns({"fps": fps, "n_fps": F.size(fps).cast("bigint")})

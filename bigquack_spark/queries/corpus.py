@@ -1154,3 +1154,68 @@ def q223_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+ORDER_EPOCHS = 2   # training epochs to materialize
+ORDER_SHARDS = 8   # dataloader shards per epoch
+
+
+@query(
+    "q248_training_order",
+    oracle=f"""
+    WITH e AS (
+      SELECT d.doc_id, CAST(r.range AS INTEGER) AS epoch
+      FROM documents d, range({ORDER_EPOCHS}) r
+    ),
+    k AS (
+      SELECT doc_id, epoch,
+             md5('order-v1|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+               AS okey
+      FROM e
+    ),
+    sh AS (
+      SELECT doc_id, epoch, okey,
+             CAST(CAST('0x' || substr(okey, 1, 6) AS BIGINT) % {ORDER_SHARDS} AS INTEGER)
+               AS shard
+      FROM k
+    )
+    SELECT epoch, shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY okey, doc_id) - 1
+                AS BIGINT) AS pos,
+           doc_id
+    FROM sh
+    """,
+)
+def q248_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle: the reproducible
+    global permutation a dataloader needs per epoch, WITHOUT a global
+    sort.  Each (epoch, doc) gets an md5 order key; the doc lands in
+    shard = hash(key) % ORDER_SHARDS and takes its rank WITHIN the shard
+    — the dataloader reads shards round-robin, and the hash key makes
+    every epoch an independent, seeded, bit-reproducible reshuffle (the
+    property numpy-permutation-on-the-driver cannot provide at corpus
+    scale).  Plan: the only shuffle is the (epoch, shard)-partitioned
+    window — {ORDER_EPOCHS}x{ORDER_SHARDS} bounded partitions, each
+    ~1/{ORDER_SHARDS} of an epoch, NEVER a single global-order partition
+    (q59's noted limit, solved the way it prescribes).  At 100 TB raise
+    ORDER_SHARDS to target-file-count; everything stays
+    partition-parallel."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id"], rebalance=True)
+    e = d.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(ORDER_EPOCHS - 1)))
+    )
+    keyed = e.withColumn(
+        "okey",
+        F.md5(F.concat_ws("|", F.lit("order-v1"), F.col("epoch"), F.col("doc_id"))),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("okey", 1, 6), 16, 10).cast("bigint") % ORDER_SHARDS)
+        .cast("int"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        "doc_id",
+    )

@@ -1660,3 +1660,197 @@ def q240_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= MAXSIM_TOP_K)
         .select("qid", F.col("doc_id").alias("neighbor_id"), "maxsim", "rank")
     )
+
+
+SPAN_DF_CAP = 10     # a fingerprint shared by > this many docs is boilerplate, not a span
+SPAN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
+
+
+@query(
+    "q247_shared_span_pairs",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS hh
+      FROM tk
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
+               list_transform(range(1, len(hh) - 2),
+                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
+                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
+             ELSE [] END AS roll
+      FROM h
+    ),
+    wnd AS (
+      SELECT doc_id,
+             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
+               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
+             ELSE [] END AS wins
+      FROM r
+    ),
+    flat AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(wins)) AS BIGINT) AS n_fps,
+             u.fp AS fp,
+             CAST(u.p AS INTEGER) AS pos
+      FROM wnd,
+           UNNEST(list_transform(list_distinct(wins),
+                  f -> struct_pack(fp := f, p := list_position(wins, f) - 1))) AS t(u)
+    ),
+    keep AS (SELECT fp FROM flat GROUP BY fp HAVING count(*) <= {SPAN_DF_CAP}),
+    f2 AS (SELECT flat.* FROM flat JOIN keep USING (fp))
+    SELECT doc_a, doc_b, n_shared, a_first, a_last, b_first, b_last, containment
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(min(a.pos) AS INTEGER) AS a_first,
+             CAST(max(a.pos) AS INTEGER) AS a_last,
+             CAST(min(b.pos) AS INTEGER) AS b_first,
+             CAST(max(b.pos) AS INTEGER) AS b_last,
+             round(count(*) / CAST(least(min(a.n_fps), min(b.n_fps)) AS DOUBLE), 6)
+               AS containment
+      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    WHERE n_shared >= {SPAN_MIN_SHARED}
+    """,
+)
+def q247_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-span pair report (Schleimer et al. §5 — the
+    pairwise consumer of q139's winnowing fingerprints): for every document
+    pair sharing >= SPAN_MIN_SHARED winnowed fingerprints, emit the match
+    count, the positional EXTENT of the matched region on each side
+    (first/last window index of the first occurrence of each shared
+    fingerprint), and containment vs the smaller document — the
+    plagiarism/near-copy span evidence that pair-level Jaccard (q117)
+    collapses to one number.  Scale shape: fingerprints shared by more
+    than SPAN_DF_CAP documents are boilerplate (q173's finding) and are
+    dropped BEFORE the pair join, so per-fingerprint fan-out is capped at
+    C(SPAN_DF_CAP,2) pairs — the join is bucket-bounded exactly like the
+    LSH band join (dedup.py:180), never all-pairs.  Position extraction is
+    an in-array array_position projection — no extra shuffle beyond the
+    (fp)-keyed cap count and the capped pair join itself."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    w = d.withColumn("wins", X.winnow_windows("text"))
+    flat = w.select(
+        "doc_id",
+        F.size(F.array_distinct("wins")).cast("bigint").alias("n_fps"),
+        F.explode(
+            F.expr(
+                "transform(array_distinct(wins), "
+                "f -> struct(f AS fp, CAST(array_position(wins, f) - 1 AS INT) AS pos))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_fps", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
+    keep = flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= SPAN_DF_CAP
+    )
+    f2 = flat.join(keep.select("fp"), "fp")
+    a = f2.select(
+        F.col("fp"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_fps").alias("nfa"),
+        F.col("pos").alias("pa"),
+    )
+    b = f2.select(
+        F.col("fp"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_fps").alias("nfb"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("pa").cast("int").alias("a_first"),
+            F.max("pa").cast("int").alias("a_last"),
+            F.min("pb").cast("int").alias("b_first"),
+            F.max("pb").cast("int").alias("b_last"),
+            F.round(
+                F.count(F.lit(1)) / F.least(F.min("nfa"), F.min("nfb")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("n_shared") >= SPAN_MIN_SHARED)
+    )
+    return pairs
+
+
+@query(
+    "q249_lang_agreement_kappa",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_lang_hits_sql(lg)} AS h_{lg}' for lg in sorted(X.LANG_MARKERS))}
+      FROM documents
+    ),
+    pred AS (SELECT lang AS declared, {_lang_case_sql()} AS predicted FROM h),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN declared = predicted THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM pred
+    ),
+    d AS (SELECT declared AS l, count(*) AS nd FROM pred GROUP BY 1),
+    p AS (SELECT predicted AS l, count(*) AS np FROM pred GROUP BY 1),
+    x AS (
+      SELECT CAST(sum(COALESCE(nd, 0) * COALESCE(np, 0)) AS BIGINT) AS cx
+      FROM d FULL JOIN p USING (l)
+    )
+    SELECT n AS n_docs,
+           round(agree / CAST(n AS DOUBLE), 6) AS po,
+           round(cx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round((agree / CAST(n AS DOUBLE) - cx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - cx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+    FROM s, x
+    """,
+)
+def q249_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared ``lang`` metadata and the n-gram
+    classifier's prediction (q52) — chance-corrected agreement, the
+    label-quality scalar a curation pipeline tracks per source/partner feed
+    (q155's confusion matrix reduced to one auditable number: kappa near 0
+    means the declared labels are no better than guessing the marginal
+    mix).  po = observed agreement, pe = expected agreement from the
+    marginals, kappa = (po-pe)/(1-pe), all derived from exact BIGINT
+    counts so both engines divide the same integers.  Plan: one
+    zero-shuffle classification projection, two tiny marginal aggregates
+    full-outer-joined on the bounded language set, one row out — state is
+    O(|langs|) regardless of corpus size."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"], rebalance=True)
+    pred = X.lang_id(d).select(
+        F.col("lang").alias("declared"), F.col("predicted_lang").alias("predicted")
+    )
+    s = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("declared") == F.col("predicted")).cast("int")).cast("bigint").alias("agree"),
+    )
+    decl = pred.groupBy(F.col("declared").alias("l")).agg(F.count(F.lit(1)).alias("nd"))
+    prm = pred.groupBy(F.col("predicted").alias("l")).agg(F.count(F.lit(1)).alias("np"))
+    cross = (
+        decl.join(prm, "l", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("nd"), F.lit(0)) * F.coalesce(F.col("np"), F.lit(0))
+            ).cast("bigint").alias("cx")
+        )
+    )
+    nD = F.col("n").cast("double")
+    po = F.col("agree") / nD
+    pe = F.col("cx") / (nD * nD)
+    return (
+        s.crossJoin(cross)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )

@@ -1264,3 +1264,38 @@ def test_lsh_tune_selects_steepest_split():
 
     with _pytest.raises(ValueError):
         lsh_tune(threshold=1.5, num_hashes=16)
+
+
+def test_shared_span_pairs_finds_planted_copy(spark, tmp_path):
+    """q247's MOSS pair report on a planted copy: a 30-token run copied
+    from doc 1 into doc 2 must surface the (1,2) pair with a sane extent,
+    while the unrelated doc 3 pairs with nobody (winnowing guarantee:
+    shared runs >= k+w-1 tokens share fingerprints; unrelated token
+    streams share none)."""
+    import pandas as pd
+
+    from bigquack_spark.queries import QUERIES
+
+    rng = [f"tok{i}" for i in range(200)]
+    base = " ".join(rng[:60])                      # doc 1: tokens 0..59
+    copied = " ".join(rng[20:50])                  # 30-token run from doc 1
+    other = " ".join(rng[100:130])
+    tail = " ".join(rng[130:160])
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, other + " " + copied + " " + tail, " ".join(rng[160:200])],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = QUERIES["q247_shared_span_pairs"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.n_shared >= 3
+    assert 0 <= r.a_first <= r.a_last
+    assert 0 <= r.b_first <= r.b_last
+    # doc 2's matched extent sits inside the copied region, which starts
+    # after its 30-token unrelated prefix
+    assert r.b_first >= 20
+    assert not any(3 in p for p in pairs)
