@@ -1299,3 +1299,43 @@ def test_shared_span_pairs_finds_planted_copy(spark, tmp_path):
     # after its 30-token unrelated prefix
     assert r.b_first >= 20
     assert not any(3 in p for p in pairs)
+
+
+def test_shred_json_matches_per_query_extraction(spark, tmp_path):
+    """Shred-at-ingest (the q20 parse-wall remedy): the typed column equals
+    get_json_object per row, the raw column drops unless retained, and the
+    q20 aggregate over the shredded table matches the re-parsing original."""
+    from bigquack_spark.operators.jsonshred import shred_ingest, shred_json
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    shredded = shred_json(e, "props", "k INT")
+    assert "props" not in shredded.columns and "k" in shredded.columns
+    diff = (
+        e.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("want"))
+        .join(shredded.select("event_id", "k"), "event_id")
+        .filter(~(F.col("k").eqNullSafe(F.col("want"))))
+        .count()
+    )
+    assert diff == 0
+
+    kept = shred_json(e, "props", "k INT", keep_raw=True)
+    assert "props" in kept.columns
+
+    dst = str(tmp_path / "events_shredded")
+    manifest = shred_ingest(spark, f"{SF_SMOKE}/events.parquet", dst, "props", "k INT")
+    assert manifest["n_rows"] == e.count()
+    want = (
+        e.groupBy("event_type")
+        .agg(F.sum(F.get_json_object("props", "$.k").cast("int")).alias("s"))
+        .collect()
+    )
+    got = (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("s"))
+        .collect()
+    )
+    assert sorted((r.event_type, r.s) for r in got) == sorted(
+        (r.event_type, r.s) for r in want
+    )
