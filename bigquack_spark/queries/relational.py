@@ -2240,3 +2240,79 @@ def q175_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(modes, "l_returnflag").select(
         "l_returnflag", "mode_qty", "p50_disc", "p90_disc"
     )
+
+
+@query(
+    "q250_join_ivm",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q250_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the sibling q212's
+    single-table rollup lacks: the orders x lineitem revenue-per-priority
+    view is maintained from deltas on BOTH base tables via the bilinear
+    decomposition (O_old ∪ ΔO) ⋈ (L_old ∪ ΔL) =
+    O_old⋈L_old ∪ ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL (the four terms are
+    disjoint, so their partial aggregates merge algebraically).  The
+    deltas are deterministic md5-free integer splits chosen so all three
+    delta terms are NON-empty (lineitem's split intentionally misaligns
+    with orders' — late-arriving lines exercise the O_old⋈ΔL term).  The
+    oracle is the FULL recomputed join aggregate, so the hash-match is
+    the join-IVM theorem verified on real data, on the exact cents
+    lattice where merging is bitwise.  At 100 TB: the daily cost is
+    three delta-sized joins (ΔO⋈L_old prunes L_old by the delta's key
+    set — a broadcast semi-join or bucketed-layout lookup, never a
+    history rescan) plus one view-sized merge shuffle; the full-view
+    recompute this replaces is the orders⋈lineitem shuffle the bucketed
+    bench block prices at the 100x tier."""
+    from bigquack_spark.operators.ivm import merge_agg_partials
+
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = t(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    o_old = o.filter(F.col("o_orderkey") % 10 < 8)
+    o_new = o.filter(F.col("o_orderkey") % 10 >= 8)
+    l_split = (F.col("l_orderkey") + F.col("l_linenumber")) % 10 < 8
+    l_old = li.filter(l_split)
+    l_new = li.filter(~l_split)
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+    def partial(orders_df, lines_df):
+        return (
+            lines_df.join(
+                orders_df, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(cents).cast("long").alias("revenue_cents"),
+            )
+        )
+
+    view_old = partial(o_old, l_old)          # yesterday's materialized view
+    delta_terms = [
+        partial(o_new, l_old),                # new orders x existing lines
+        partial(o_old, l_new),                # late-arriving lines x old orders
+        partial(o_new, l_new),                # new x new
+    ]
+    merged = merge_agg_partials(
+        [view_old, *delta_terms],
+        keys=["o_orderpriority"],
+        spec={"n_items": "count", "revenue_cents": "sum"},
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    )

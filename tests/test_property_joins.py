@@ -158,3 +158,48 @@ def test_bloom_semi_join_exact_under_fp_pressure(spark, big, keys):
     got = sorted(r.k for r in bloom_semi_join(bdf, "k", kdf, "ok", num_bits=64).collect())
     want = sorted(x for x in big if x in set(keys))
     assert got == want
+
+
+orders_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"])),
+    min_size=0, max_size=15,
+)
+lines_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 4), st.integers(-50, 200)),
+    min_size=0, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(orders=orders_rows, lines=lines_rows, omod=st.integers(1, 9), lmod=st.integers(1, 9))
+def test_join_ivm_decomposition_matches_full_recompute(spark, orders, lines, omod, lmod):
+    """q250's bilinear decomposition, property-tested: for ANY split of
+    orders and lineitems into old/delta (including empty sides and
+    misaligned splits), view_old + the three delta-term partials merged
+    algebraically must equal the full join aggregate."""
+    from bigquack_spark.operators.ivm import merge_agg_partials
+
+    o_dedup = list({k: (k, p) for k, p in orders}.values())
+    o = spark.createDataFrame(o_dedup, schema="okey long, prio string")
+    li = spark.createDataFrame(lines, schema="lkey long, ln long, cents long")
+    o_old = o.filter(F.col("okey") % 10 < omod)
+    o_new = o.filter(F.col("okey") % 10 >= omod)
+    l_split = (F.col("lkey") + F.col("ln")) % 10 < lmod
+    l_old, l_new = li.filter(l_split), li.filter(~l_split)
+
+    def partial(od, ld):
+        return (
+            ld.join(od, F.col("lkey") == F.col("okey"))
+            .groupBy("prio")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("c"))
+        )
+
+    merged = merge_agg_partials(
+        [partial(o_old, l_old), partial(o_new, l_old),
+         partial(o_old, l_new), partial(o_new, l_new)],
+        keys=["prio"], spec={"n": "count", "c": "sum"},
+    )
+    got = sorted((r.prio, r.n, r.c) for r in merged.collect())
+    want = sorted((r.prio, r.n, r.c) for r in partial(o, li).collect())
+    assert got == want
