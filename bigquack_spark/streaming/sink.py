@@ -266,3 +266,176 @@ class SketchRollupSink:
             .groupBy(key_col)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
         )
+
+
+class JoinViewSink:
+    """Streaming incremental maintenance of a JOIN view — the streaming
+    twin of the batch join-IVM (queries/relational.q250): the
+    revenue-per-priority aggregate over orders ⋈ lineitem is kept current
+    while BOTH base tables grow, without ever recomputing the full join.
+
+    Update rule (the sequenced form of q250's bilinear decomposition):
+    every delta — a lineitem micro-batch from the stream, or an orders
+    batch via :meth:`add_orders` — joins the OTHER side's CURRENT
+    accumulated state, and the resulting partial aggregate is added into
+    the view.  Because updates are serialized, each cross term
+    (ΔO⋈L_so_far, O_so_far⋈ΔL, and ΔO⋈ΔL via whichever side lands
+    second) is counted exactly once — the textbook delta-join rule
+    (ΔV = ΔL ⋈ O ∪ L ⋈ ΔO applied in sequence).
+
+    Crash/replay safety is BY CONSTRUCTION, not by hoping merges don't
+    double-apply: the view is an event-sourced snapshot chain
+    ``view-R = f(view-(R-1), Δ_R)`` where every write OVERWRITES its own
+    revision directory, so replaying any revision converges (same input
+    snapshot, same delta, same output).  The committed revision pointers
+    are persisted atomically LAST; a crash anywhere before that simply
+    re-runs the revision.  Delta inputs land in per-revision overwrite
+    directories (ExactlyOnceBatchSink's layout), and each SIDE has its
+    own committed revision counter: accumulated state reads are filtered
+    to ``rev <= committed``, so an UNCOMMITTED delta directory left by a
+    crashed update of one side can never leak into the join state that a
+    recovery-time update of the OTHER side reads (the interleaved-recovery
+    double-count hazard — the crashed delta's cross term would otherwise
+    be counted once via state and again when that delta is replayed).
+
+    At 100 TB: per update the work is one delta-sized join against the
+    big side (prunable by the delta's key set — broadcast semi-join or
+    bucketed layout) plus a view-cardinality merge; the view snapshot is
+    key-cardinality rows (5 priorities here), so the snapshot chain costs
+    nothing.  State dirs: ``orders/rev=R``, ``lines/rev=R``, ``view-R``."""
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        self.orders_dir = os.path.join(base_dir, "orders")
+        self.lines_dir = os.path.join(base_dir, "lines")
+        self._state_file = os.path.join(base_dir, "_STATE")
+        os.makedirs(base_dir, exist_ok=True)
+        (
+            self.rev,
+            self.orders_rev,
+            self.lines_rev,
+            self.next_stream_batch,
+        ) = self._load_state()
+
+    def _load_state(self) -> tuple[int, int, int, int]:
+        try:
+            with open(self._state_file) as fh:
+                s = json.load(fh)
+            return s["rev"], s["orders_rev"], s["lines_rev"], s["next_stream_batch"]
+        except (OSError, ValueError, KeyError):
+            return 0, 0, 0, 0
+
+    def _persist_state(self) -> None:
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "rev": self.rev,
+                    "orders_rev": self.orders_rev,
+                    "lines_rev": self.lines_rev,
+                    "next_stream_batch": self.next_stream_batch,
+                },
+                fh,
+            )
+        os.replace(tmp, self._state_file)  # atomic on POSIX
+
+    def _view_path(self, rev: int) -> str:
+        return os.path.join(self.base, f"view-{rev}")
+
+    @staticmethod
+    def _partial(lines: DataFrame, orders: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+        return (
+            lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(cents).cast("long").alias("revenue_cents"),
+            )
+        )
+
+    def _accumulated(self, spark, root: str, committed: int) -> DataFrame | None:
+        """COMMITTED accumulated state of one side: revision dirs beyond the
+        side's committed counter (a crashed, never-committed update) are
+        excluded by partition-pruned filter — see the class docstring's
+        interleaved-recovery hazard."""
+        from pyspark.sql import functions as F
+
+        try:
+            subdirs = [d for d in os.listdir(root) if d.startswith("rev=")]
+        except OSError:
+            return None
+        if not subdirs or committed <= 0:
+            return None
+        return spark.read.parquet(root).filter(F.col("rev") <= committed).drop("rev")
+
+    def _advance(self, spark, delta_partial: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        new_rev = self.rev + 1
+        prev = self._view_path(self.rev)
+        if self.rev > 0 and os.path.exists(prev):
+            merged = (
+                spark.read.parquet(prev)
+                .unionByName(delta_partial)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_items").cast("long").alias("n_items"),
+                    F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+                )
+            )
+        else:
+            merged = delta_partial
+        # overwrite-own-revision: replaying this revision converges
+        merged.write.mode("overwrite").parquet(self._view_path(new_rev))
+        self.rev = new_rev
+        self._persist_state()
+        stale = self._view_path(new_rev - 2)
+        if new_rev >= 2 and os.path.exists(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def add_orders(self, orders_delta: DataFrame) -> None:
+        """Ingest an orders batch: joins the COMMITTED accumulated lineitem
+        state (the ΔO⋈L term), then becomes part of the orders state for
+        every later lineitem batch.  Retry semantics: a crashed add_orders
+        left its delta at ``orders/rev=orders_rev+1`` uncommitted; the next
+        add_orders (retry or replacement) overwrites that same directory."""
+        spark = orders_delta.sparkSession
+        rev_dir = os.path.join(self.orders_dir, f"rev={self.orders_rev + 1}")
+        orders_delta.write.mode("overwrite").parquet(rev_dir)
+        lines = self._accumulated(spark, self.lines_dir, self.lines_rev)
+        if lines is None:
+            lines = spark.createDataFrame(
+                [], "l_orderkey long, l_extendedprice double, l_discount double"
+            )
+        delta = self._partial(lines, spark.read.parquet(rev_dir))
+        self.orders_rev += 1
+        self._advance(spark, delta)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch handler for the lineitem stream: offset-gated
+        (replayed batch ids are no-ops), joins the COMMITTED accumulated
+        orders state (the O⋈ΔL term, which also covers ΔO⋈ΔL for orders
+        that arrived first — update sequencing makes the terms disjoint)."""
+        if batch_id < self.next_stream_batch:
+            return  # replayed batch: already folded into the view
+        spark = batch_df.sparkSession
+        rev_dir = os.path.join(self.lines_dir, f"rev={self.lines_rev + 1}")
+        batch_df.write.mode("overwrite").parquet(rev_dir)
+        orders = self._accumulated(spark, self.orders_dir, self.orders_rev)
+        if orders is None:
+            orders = spark.createDataFrame([], "o_orderkey long, o_orderpriority string")
+        delta = self._partial(spark.read.parquet(rev_dir), orders)
+        self.lines_rev += 1
+        self.next_stream_batch = batch_id + 1
+        self._advance(spark, delta)
+
+    def view(self, spark) -> DataFrame:
+        """The current committed view snapshot."""
+        return spark.read.parquet(self._view_path(self.rev))

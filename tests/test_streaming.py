@@ -869,3 +869,147 @@ def test_scd2_enrich_stream_matches_batch_asof(spark, tmp_path):
     }
     assert got == want
     assert 1 in got.values() and 2 in got.values()  # both eras actually hit
+
+
+def test_join_view_sink_interleaved_parity_and_replay(spark, tmp_path):
+    """JoinViewSink (streaming twin of q250): with orders and lineitem
+    deltas arriving interleaved, the maintained view must equal the full
+    join recompute over everything ingested so far AFTER EVERY UPDATE;
+    replayed stream batch ids are no-ops; a crash between the snapshot
+    write and the state persist converges on replay."""
+    import os
+
+    from bigquack_spark.streaming.sink import JoinViewSink
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lines = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o1 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    l1 = lines.filter(F.col("l_orderkey") % 2 == 0)
+    l2 = lines.filter(F.col("l_orderkey") % 2 != 0)
+
+    def full_recompute(o_acc, l_acc):
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+        return sorted(
+            (r.o_orderpriority, r.n_items, r.revenue_cents)
+            for r in l_acc.join(o_acc, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(cents).cast("long").alias("revenue_cents"),
+            )
+            .collect()
+        )
+
+    def view_rows(sink):
+        return sorted(
+            (r.o_orderpriority, r.n_items, r.revenue_cents)
+            for r in sink.view(spark).collect()
+        )
+
+    base = str(tmp_path / "jv")
+    sink = JoinViewSink(base)
+    sink.add_orders(o1)                      # orders first: view still empty join
+    sink(l1, batch_id=0)                     # O1 x L1
+    assert view_rows(sink) == full_recompute(o1, l1)
+    sink.add_orders(o2)                      # ΔO joins accumulated L1
+    assert view_rows(sink) == full_recompute(orders, l1)
+    sink(l2, batch_id=1)                     # ΔL joins accumulated O1+O2
+    assert view_rows(sink) == full_recompute(orders, lines)
+
+    # replayed stream batch: no-op
+    before = view_rows(sink)
+    sink(l2, batch_id=1)
+    assert view_rows(sink) == before
+
+    # crash window: snapshot for the next revision was written but the
+    # state pointer never persisted — a fresh sink re-runs the revision
+    # and OVERWRITES the same snapshot (event-sourced idempotence)
+    l3 = lines.limit(50)
+    rev_before = sink.rev
+    recovered = JoinViewSink(base)
+    assert recovered.rev == rev_before
+    # simulate the half-done attempt: delta landed, view snapshot landed,
+    # but _STATE still points at rev_before
+    rev_dir = os.path.join(base, "lines", f"rev={sink.lines_rev + 1}")
+    l3.write.mode("overwrite").parquet(rev_dir)
+    spark.read.parquet(sink._view_path(rev_before)).write.mode("overwrite").parquet(
+        sink._view_path(rev_before + 1)
+    )  # a bogus half-written snapshot replay must overwrite
+    recovered2 = JoinViewSink(base)
+    recovered2(l3, batch_id=2)
+    want = full_recompute(orders, lines.unionByName(l3))
+    assert view_rows(recovered2) == want
+
+
+def test_join_view_sink_interleaved_recovery_no_double_count(spark, tmp_path):
+    """The interleaved-recovery hazard the per-side revision counters
+    close: an add_orders crashes AFTER writing its delta directory but
+    BEFORE committing; a stream batch then lands FIRST during recovery.
+    The uncommitted orders delta must not leak into the orders state that
+    batch joins (it would be counted again when the orders update is
+    retried) — the view must equal the full recompute at every step."""
+    import os
+
+    from bigquack_spark.streaming.sink import JoinViewSink
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lines = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 != 0)
+    l1 = lines.filter(F.col("l_orderkey") % 2 == 0)
+    l2 = lines.filter(F.col("l_orderkey") % 2 != 0)
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+    def full(o_acc, l_acc):
+        return sorted(
+            (r.o_orderpriority, r.n_items, r.revenue_cents)
+            for r in l_acc.join(o_acc, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(cents).cast("long").alias("revenue_cents"),
+            )
+            .collect()
+        )
+
+    base = str(tmp_path / "jv2")
+    sink = JoinViewSink(base)
+    sink.add_orders(o1)
+    sink(l1, batch_id=0)
+
+    # crash during add_orders(o2): delta dir written, nothing committed
+    stale = os.path.join(base, "orders", f"rev={sink.orders_rev + 1}")
+    o2.write.mode("overwrite").parquet(stale)
+
+    # recovery: a stream batch lands FIRST — must join o1 ONLY
+    recovered = JoinViewSink(base)
+    recovered(l2, batch_id=1)
+    got = sorted(
+        (r.o_orderpriority, r.n_items, r.revenue_cents)
+        for r in recovered.view(spark).collect()
+    )
+    assert got == full(o1, lines)
+
+    # the caller retries the orders update; counted exactly once
+    recovered.add_orders(o2)
+    got = sorted(
+        (r.o_orderpriority, r.n_items, r.revenue_cents)
+        for r in recovered.view(spark).collect()
+    )
+    assert got == full(orders, lines)
