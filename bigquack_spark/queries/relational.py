@@ -2316,3 +2316,34 @@ def q250_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").cast("long").alias("n_items"),
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM {nation} n, LATERAL (
+      SELECT c_name, c_acctbal FROM {customer}
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+"""
+
+
+@query(
+    "q251_lateral_topn",
+    oracle=_LATERAL_TOPN_SQL.format(nation="nation", customer="customer"),
+)
+def q251_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-group idiom written the way an analyst migrating SQL writes
+    it, exercised as delegated-SQL surface (SURVEY §2.5, the q216
+    precedent: the reference accepts whatever SQL the engine accepts, and
+    Spark 4 accepts correlated LATERAL).  The SQL text is IDENTICAL on
+    both engines modulo table names.  Catalyst rewrites the correlated
+    limit into the same window-rank shape q07 declares directly (one
+    shuffle on the correlation key, rank, filter) — asserting users don't
+    pay a nested-loop penalty for writing the lateral form."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("q251_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q251_customer")
+    return spark.sql(
+        _LATERAL_TOPN_SQL.format(nation="q251_nation", customer="q251_customer")
+    )
