@@ -312,6 +312,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q241_threshold_sweep",  # broadcast 1-row pair-total aggregate
         "q242_sample_bias_audit",  # broadcast 1-row population/sample totals
         "q245_ks_test",  # broadcast 1-row sample-size totals
+        "q249_lang_agreement_kappa",  # broadcast 1-row agreement x 1-row marginal-product aggregates
     }
     offenders = []
     for name, spec in QUERIES.items():
