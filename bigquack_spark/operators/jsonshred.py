@@ -35,11 +35,9 @@ def shred_json(
     semantics, same as per-query extraction).  Pure projection — rides
     the scan, no shuffle."""
     parsed = F.from_json(F.col(json_col), schema)
-    out = df.withColumn("__shred", parsed)
-    field_names = [f.split()[0] for f in schema.split(",")]
-    for name in field_names:
-        out = out.withColumn(name, F.col(f"__shred.{name}"))
-    out = out.drop("__shred")
+    # struct-star expansion promotes every parsed field, robust to nested
+    # types in the schema string (a naive comma-split is not)
+    out = df.withColumn("__shred", parsed).select("*", F.col("__shred.*")).drop("__shred")
     return out if keep_raw else out.drop(json_col)
 
 
