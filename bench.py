@@ -217,6 +217,7 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
     (zero join-input exchanges, plan-asserted).  The bucketed write cost is
     reported too — that's the amortized price, paid once per layout, not
     per query."""
+    prev_bcast = None
     try:
         from pyspark.sql import functions as F
 
@@ -247,13 +248,7 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
             )
 
         def timed(df):
-            df.write.mode("overwrite").format("noop").save()
-            samples = []
-            for _ in range(WARM_RUNS):
-                s = time.monotonic()
-                df.write.mode("overwrite").format("noop").save()
-                samples.append(time.monotonic() - s)
-            return round(statistics.median(samples), 4)
+            return _timed_noop(df, runs=WARM_RUNS)
 
         plain = join_agg(lineitem, orders)
         bucketed = join_agg(spark.table("bench_b_lineitem"), spark.table("bench_b_orders"))
@@ -279,12 +274,19 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
             "plain_plan_excerpt": _join_plan_excerpt(pplan),
             "bucketed_plan_excerpt": _join_plan_excerpt(bplan),
         }
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
-        for tbl in ("bench_b_orders", "bench_b_lineitem"):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         return result
     except Exception:
         return None
+    finally:
+        # restore even when a tier fails mid-block (r4 review: a leaked
+        # broadcast-off would silently poison every later block's numbers)
+        if prev_bcast is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        for tbl in ("bench_b_orders", "bench_b_lineitem"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:
+                pass
 
 
 def _json_wall_block(spark, trend_dir: str) -> dict | None:
@@ -308,26 +310,21 @@ def _json_wall_block(spark, trend_dir: str) -> dict | None:
                 F.avg("value").alias("avg_value"),
             )
 
-        def timed(df):
-            df.write.mode("overwrite").format("noop").save()
-            samples = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                df.write.mode("overwrite").format("noop").save()
-                samples.append(time.monotonic() - t0)
-            return round(statistics.median(samples), 4)
-
         variants = {
-            "get_json_object": timed(agg(F.get_json_object("props", "$.k").cast("int"))),
-            "from_json_narrow_schema": timed(
+            "get_json_object": _timed_noop(
+                agg(F.get_json_object("props", "$.k").cast("int"))
+            ),
+            "from_json_narrow_schema": _timed_noop(
                 agg(F.from_json("props", "k INT").getField("k"))
             ),
-            "variant_parse_json": timed(
+            "variant_parse_json": _timed_noop(
                 agg(F.expr("cast(variant_get(parse_json(props), '$.k') as int)"))
             ),
-            "scan_agg_without_parse": timed(agg(F.length("props"))),
+            "scan_agg_without_parse": _timed_noop(agg(F.length("props"))),
         }
-        shred_dir = os.path.join("/tmp", "spark_graft_scale", "events_shredded")
+        # keyed to the tier dir (r4 review: a fixed path collides across
+        # factors/concurrent runs and can time a mismatched dataset)
+        shred_dir = trend_dir.rstrip("/") + "_events_shredded"
         t0 = time.monotonic()
         (
             e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
@@ -337,7 +334,7 @@ def _json_wall_block(spark, trend_dir: str) -> dict | None:
         )
         shred_write_sec = round(time.monotonic() - t0, 4)
         es = spark.read.parquet(shred_dir)
-        shredded_sec = timed(
+        shredded_sec = _timed_noop(
             es.groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum("k").cast("bigint").alias("k_sum"),
@@ -393,9 +390,9 @@ def _aqe_block(spark, trend_dir: str) -> dict | None:
     and AQE's actual WINS need what a static local bench lacks: real skew
     (see skew_mitigation — splitting measurably helps there) and
     runtime-variable partition sizes."""
-    try:
-        from bigquack_spark.session import pin
+    from bigquack_spark.session import pin
 
+    try:
         names = [
             "q20_events_json_extract",
             "q21_events_hourly",
@@ -404,23 +401,12 @@ def _aqe_block(spark, trend_dir: str) -> dict | None:
         ]
 
         def run_tier():
-            out = {}
-            for n in names:
-                df = QUERIES[n].fn(spark, trend_dir)
-                df.write.mode("overwrite").format("noop").save()
-                samples = []
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    df.write.mode("overwrite").format("noop").save()
-                    samples.append(time.monotonic() - t0)
-                out[n] = round(statistics.median(samples), 4)
-            return out
+            return {n: _timed_noop(QUERIES[n].fn(spark, trend_dir)) for n in names}
 
         pin("spark.sql.adaptive.enabled", "false")
         off = run_tier()
         pin("spark.sql.adaptive.enabled", "true")
         on = run_tier()
-        pin("spark.sql.adaptive.enabled", "false")  # restore bench posture
         return {
             "note": (
                 "AQE off-vs-on at 100x, median of 3: the re-plan barrier that "
@@ -434,6 +420,8 @@ def _aqe_block(spark, trend_dir: str) -> dict | None:
         }
     except Exception:
         return None
+    finally:
+        pin("spark.sql.adaptive.enabled", "false")  # bench posture, even on failure
 
 
 def _skew_block(spark, trend_dir: str) -> dict | None:
@@ -445,9 +433,19 @@ def _skew_block(spark, trend_dir: str) -> dict | None:
     sized to the tier), and operators.joins.salted_join.  q119 is the
     detector that tells a pipeline WHICH keys are hot; this block is the
     measured payoff of acting on it."""
+    prev_bcast = None
+    dim = None
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    from bigquack_spark.session import pin
+
     try:
         from bigquack_spark.operators.joins import salted_join
-        from bigquack_spark.session import pin
 
         from pyspark.sql import functions as F
 
@@ -479,32 +477,16 @@ def _skew_block(spark, trend_dir: str) -> dict | None:
                 F.sum(F.length("props")).alias("pb"),
             )
 
-        def timed(df):
-            df.write.mode("overwrite").format("noop").save()
-            samples = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                df.write.mode("overwrite").format("noop").save()
-                samples.append(time.monotonic() - t0)
-            return round(statistics.median(samples), 4)
-
         pin("spark.sql.adaptive.enabled", "false")
-        plain_sec = timed(join_agg(skewed, dim))
+        plain_sec = _timed_noop(join_agg(skewed, dim))
 
         pin("spark.sql.adaptive.enabled", "true")
-        skew_confs = {
-            "spark.sql.adaptive.skewJoin.enabled": "true",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        }
         for k, v in skew_confs.items():
             spark.conf.set(k, v)
-        aqe_sec = timed(join_agg(skewed, dim))
+        aqe_sec = _timed_noop(join_agg(skewed, dim))
 
         pin("spark.sql.adaptive.enabled", "false")
-        salted_sec = timed(
+        salted_sec = _timed_noop(
             salted_join(skewed, dim, "skey", salt_buckets=32)
             .groupBy("seg")
             .agg(
@@ -513,10 +495,6 @@ def _skew_block(spark, trend_dir: str) -> dict | None:
                 F.sum(F.length("props")).alias("pb"),
             )
         )
-        dim.unpersist()
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
-        for k in skew_confs:
-            spark.conf.unset(k)
         return {
             "note": (
                 "10M-row join with 50% of rows on ONE key, broadcast disabled "
@@ -533,6 +511,22 @@ def _skew_block(spark, trend_dir: str) -> dict | None:
         }
     except Exception:
         return None
+    finally:
+        # restore even on failure (r4 review: leaked broadcast-off/AQE-skew
+        # confs would silently poison every later block's numbers)
+        pin("spark.sql.adaptive.enabled", "false")
+        if prev_bcast is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        for k in skew_confs:
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+        if dim is not None:
+            try:
+                dim.unpersist()
+            except Exception:
+                pass
 
 
 def _sf_label(path: str) -> float:
@@ -541,6 +535,19 @@ def _sf_label(path: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _timed_noop(df, runs: int = 3) -> float:
+    """THE timing protocol, shared by every block (r4 review: five copies
+    had already diverged): one noop-sink warm-up (codegen + JIT), then the
+    median of ``runs`` timed noop executions, rounded to 0.1 ms."""
+    df.write.mode("overwrite").format("noop").save()
+    samples = []
+    for _ in range(runs):
+        start = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        samples.append(time.monotonic() - start)
+    return round(statistics.median(samples), 4)
 
 
 #: Per-query scan-split overrides for the 10x crossover tier, each pair
@@ -579,16 +586,13 @@ def run_spark(
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes", str(split_overrides[name])
             )
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()  # warm-up: codegen + JIT
-        samples = []
-        for _ in range(runs or WARM_RUNS):
-            start = time.monotonic()
-            df.write.mode("overwrite").format("noop").save()
-            samples.append(time.monotonic() - start)
-        timings[name] = round(statistics.median(samples), 4)
-        if prev_split is not None:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        try:
+            timings[name] = _timed_noop(
+                QUERIES[name].fn(spark, sf_dir), runs=runs or WARM_RUNS
+            )
+        finally:
+            if prev_split is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     return timings
 
 

@@ -35,9 +35,21 @@ def shred_json(
     semantics, same as per-query extraction).  Pure projection — rides
     the scan, no shuffle."""
     parsed = F.from_json(F.col(json_col), schema)
+    shredded = df.withColumn("__shred", parsed)
+    # collision guard (r4 review finding): a shred field that shadows an
+    # existing column would emit duplicate names — every later select on
+    # the written table dies with AMBIGUOUS_REFERENCE.  Fail loudly now.
+    field_names = [f.name for f in shredded.schema["__shred"].dataType.fields]
+    existing = set(df.columns) if keep_raw else set(df.columns) - {json_col}
+    clash = sorted(existing & set(field_names))
+    if clash:
+        raise ValueError(
+            f"shred_json: schema fields {clash} collide with existing columns; "
+            f"rename them in the shred schema or drop the originals first"
+        )
     # struct-star expansion promotes every parsed field, robust to nested
     # types in the schema string (a naive comma-split is not)
-    out = df.withColumn("__shred", parsed).select("*", F.col("__shred.*")).drop("__shred")
+    out = shredded.select("*", F.col("__shred.*")).drop("__shred")
     return out if keep_raw else out.drop(json_col)
 
 

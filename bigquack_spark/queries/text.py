@@ -594,10 +594,18 @@ def q138_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q139_winnowing_fingerprint",
-    oracle=f"""
-    WITH tk AS (
+def _winnow_sql() -> str:
+    """The tk/h/r/wnd winnowing CTE chain shared by the q139/q173/q247
+    oracles (r4 review: three hand-copied blocks with hardcoded offsets
+    could silently desync from WINNOW_K/WINNOW_W).  Every offset here is
+    DERIVED from the operator's constants: the rolling fold unrolls k
+    terms, the roll index range spans len(hh)-k+1 windows, and each
+    winnow window takes list_min over w consecutive rolling hashes."""
+    k, w, b = X.WINNOW_K, X.WINNOW_W, X.WINNOW_BASE
+    fold = "hh[i]"
+    for j in range(1, k):
+        fold = f"({fold})*{b} + hh[i+{j}]"
+    return f"""tk AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
     ),
     h AS (
@@ -607,20 +615,25 @@ def q138_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT doc_id,
-             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
-               list_transform(range(1, len(hh) - 2),
-                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
-                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
+             CASE WHEN len(hh) >= {k} THEN
+               list_transform(range(1, len(hh) - {k - 2}), i -> {fold})
              ELSE [] END AS roll
       FROM h
     ),
     wnd AS (
       SELECT doc_id,
-             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
-               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
+             CASE WHEN len(roll) >= {w} THEN
+               list_transform(range(1, len(roll) - {w - 2}),
+                              i -> list_min(roll[i:i+{w - 1}]))
              ELSE [] END AS wins
       FROM r
-    )
+    )"""
+
+
+@query(
+    "q139_winnowing_fingerprint",
+    oracle=f"""
+    WITH {_winnow_sql()}
     SELECT doc_id,
            CAST(len(list_distinct(wins)) AS BIGINT) AS n_fps,
            md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
@@ -691,30 +704,7 @@ BOILER_MIN_DOCS = 20  # fingerprint shared by >= this many docs = boilerplate
 @query(
     "q173_boilerplate_spans",
     oracle=f"""
-    WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
-    ),
-    h AS (
-      SELECT doc_id,
-             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS hh
-      FROM tk
-    ),
-    r AS (
-      SELECT doc_id,
-             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
-               list_transform(range(1, len(hh) - 2),
-                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
-                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
-             ELSE [] END AS roll
-      FROM h
-    ),
-    wnd AS (
-      SELECT doc_id,
-             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
-               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
-             ELSE [] END AS wins
-      FROM r
-    ),
+    WITH {_winnow_sql()},
     fp AS (
       SELECT doc_id, unnest(list_distinct(wins)) AS f FROM wnd
     ),
@@ -1669,30 +1659,7 @@ SPAN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
 @query(
     "q247_shared_span_pairs",
     oracle=f"""
-    WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
-    ),
-    h AS (
-      SELECT doc_id,
-             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS hh
-      FROM tk
-    ),
-    r AS (
-      SELECT doc_id,
-             CASE WHEN len(hh) >= {X.WINNOW_K} THEN
-               list_transform(range(1, len(hh) - 2),
-                 i -> ((hh[i]*{X.WINNOW_BASE} + hh[i+1])*{X.WINNOW_BASE}
-                       + hh[i+2])*{X.WINNOW_BASE} + hh[i+3])
-             ELSE [] END AS roll
-      FROM h
-    ),
-    wnd AS (
-      SELECT doc_id,
-             CASE WHEN len(roll) >= {X.WINNOW_W} THEN
-               list_transform(range(1, len(roll) - 2), i -> list_min(roll[i:i+3]))
-             ELSE [] END AS wins
-      FROM r
-    ),
+    WITH {_winnow_sql()},
     flat AS (
       SELECT doc_id,
              CAST(len(list_distinct(wins)) AS BIGINT) AS n_fps,

@@ -38,6 +38,14 @@ def export_arrow_shards(df: DataFrame, path: str) -> dict:
     import pyarrow as pa
 
     os.makedirs(path, exist_ok=True)
+    # sweep orphaned temp files from prior crashed/preempted attempts —
+    # nothing else ever removes them, and this export owns the directory
+    for stale in os.listdir(path):
+        if stale.startswith("shard-") and stale.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(path, stale))
+            except OSError:
+                pass
 
     def write_partition(batches):
         from pyspark import TaskContext

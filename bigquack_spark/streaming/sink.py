@@ -51,7 +51,13 @@ class ExactlyOnceBatchSink:
         fail even with a valid offset file.  Absorb legacy flat part-files
         into a ``batch_id=-1`` partition directory (they predate offset
         tracking, so no real batch id claims them; -1 sorts before every
-        genuine batch and can never collide with one)."""
+        genuine batch and can never collide with one).  Gated on the offset
+        file: every genuine pre-r3 sink target carries _COMMITTED_BATCH, so
+        a plain parquet dataset someone points this sink at by mistake is
+        left untouched rather than restructured by a constructor side
+        effect (r4 review finding)."""
+        if not os.path.isfile(self._offset_file):
+            return  # never a legacy sink target: do not touch foreign layouts
         try:
             legacy = [
                 f
@@ -325,20 +331,6 @@ class JoinViewSink:
         except (OSError, ValueError, KeyError):
             return 0, 0, 0, 0
 
-    def _persist_state(self) -> None:
-        tmp = self._state_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "rev": self.rev,
-                    "orders_rev": self.orders_rev,
-                    "lines_rev": self.lines_rev,
-                    "next_stream_batch": self.next_stream_batch,
-                },
-                fh,
-            )
-        os.replace(tmp, self._state_file)  # atomic on POSIX
-
     def _view_path(self, rev: int) -> str:
         return os.path.join(self.base, f"view-{rev}")
 
@@ -373,7 +365,22 @@ class JoinViewSink:
             return None
         return spark.read.parquet(root).filter(F.col("rev") <= committed).drop("rev")
 
-    def _advance(self, spark, delta_partial: DataFrame) -> None:
+    def _advance(
+        self,
+        spark,
+        delta_partial: DataFrame,
+        *,
+        orders_rev: int | None = None,
+        lines_rev: int | None = None,
+        next_stream_batch: int | None = None,
+    ) -> None:
+        """Write the next view snapshot, then commit ALL counters (the
+        side-specific ones passed by the caller) in one atomic persist.
+        In-memory counters mutate ONLY after both succeed: if the snapshot
+        or the persist raises, this sink object still holds the committed
+        state, so a retried/replayed update re-runs the revision instead
+        of (a) skipping it via a prematurely-bumped offset gate or (b)
+        leaking the uncommitted delta dir into _accumulated()."""
         from pyspark.sql import functions as F
 
         new_rev = self.rev + 1
@@ -392,8 +399,23 @@ class JoinViewSink:
             merged = delta_partial
         # overwrite-own-revision: replaying this revision converges
         merged.write.mode("overwrite").parquet(self._view_path(new_rev))
-        self.rev = new_rev
-        self._persist_state()
+        committed = {
+            "rev": new_rev,
+            "orders_rev": self.orders_rev if orders_rev is None else orders_rev,
+            "lines_rev": self.lines_rev if lines_rev is None else lines_rev,
+            "next_stream_batch": (
+                self.next_stream_batch if next_stream_batch is None else next_stream_batch
+            ),
+        }
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(committed, fh)
+        os.replace(tmp, self._state_file)  # atomic on POSIX
+        # in-memory counters mutate only after the durable commit succeeded
+        self.rev = committed["rev"]
+        self.orders_rev = committed["orders_rev"]
+        self.lines_rev = committed["lines_rev"]
+        self.next_stream_batch = committed["next_stream_batch"]
         stale = self._view_path(new_rev - 2)
         if new_rev >= 2 and os.path.exists(stale):
             import shutil
@@ -415,8 +437,7 @@ class JoinViewSink:
                 [], "l_orderkey long, l_extendedprice double, l_discount double"
             )
         delta = self._partial(lines, spark.read.parquet(rev_dir))
-        self.orders_rev += 1
-        self._advance(spark, delta)
+        self._advance(spark, delta, orders_rev=self.orders_rev + 1)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch handler for the lineitem stream: offset-gated
@@ -432,9 +453,9 @@ class JoinViewSink:
         if orders is None:
             orders = spark.createDataFrame([], "o_orderkey long, o_orderpriority string")
         delta = self._partial(spark.read.parquet(rev_dir), orders)
-        self.lines_rev += 1
-        self.next_stream_batch = batch_id + 1
-        self._advance(spark, delta)
+        self._advance(
+            spark, delta, lines_rev=self.lines_rev + 1, next_stream_batch=batch_id + 1
+        )
 
     def view(self, spark) -> DataFrame:
         """The current committed view snapshot."""

@@ -1339,3 +1339,14 @@ def test_shred_json_matches_per_query_extraction(spark, tmp_path):
     assert sorted((r.event_type, r.s) for r in got) == sorted(
         (r.event_type, r.s) for r in want
     )
+
+
+def test_shred_json_rejects_column_collision(spark):
+    """r4 review finding: a shred-schema field shadowing an existing column
+    must raise instead of silently emitting duplicate column names."""
+    from bigquack_spark.operators.jsonshred import shred_json
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    with pytest.raises(ValueError, match="collide"):
+        shred_json(e, "props", "value INT, k INT")

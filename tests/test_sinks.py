@@ -503,8 +503,9 @@ def test_arrow_shards_publish_atomically(spark, tmp_path):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").repartition(3)
     manifest = export_arrow_shards(emb, path)
     assert manifest["n_records"] == emb.count()
-    fresh_tmp = [f for f in os.listdir(path) if f.endswith(".tmp") and ".999." not in f]
-    assert fresh_tmp == []  # every published shard was renamed into place
+    # every published shard was renamed into place AND the stale temp from
+    # the crashed attempt was swept (r4 review: nothing else removes them)
+    assert not any(f.endswith(".tmp") for f in os.listdir(path))
     back = read_arrow_shards(spark, path)
     assert back.count() == emb.count()
 

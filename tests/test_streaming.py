@@ -1013,3 +1013,85 @@ def test_join_view_sink_interleaved_recovery_no_double_count(spark, tmp_path):
         for r in recovered.view(spark).collect()
     )
     assert got == full(orders, lines)
+
+
+def test_join_view_sink_failed_update_keeps_committed_state(spark, tmp_path, monkeypatch):
+    """r4 review finding: a failed update must leave BOTH the durable state
+    and the sink object's in-memory counters at the last committed values —
+    a prematurely bumped offset gate would silently skip the retried batch,
+    and a prematurely bumped side counter would leak the uncommitted delta
+    dir into the other side's accumulated state."""
+    from bigquack_spark.streaming import sink as sink_mod
+    from bigquack_spark.streaming.sink import JoinViewSink
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lines = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    l1 = lines.filter(F.col("l_orderkey") % 2 == 0)
+    l2 = lines.filter(F.col("l_orderkey") % 2 != 0)
+
+    base = str(tmp_path / "jv3")
+    sink = JoinViewSink(base)
+    sink.add_orders(orders)
+    sink(l1, batch_id=0)
+    committed = (sink.rev, sink.orders_rev, sink.lines_rev, sink.next_stream_batch)
+
+    real_dump = sink_mod.json.dump
+
+    def exploding_dump(*a, **k):
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(sink_mod.json, "dump", exploding_dump)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        sink(l2, batch_id=1)
+    monkeypatch.setattr(sink_mod.json, "dump", real_dump)
+
+    # in-memory AND durable state both still at the last commit
+    assert (sink.rev, sink.orders_rev, sink.lines_rev, sink.next_stream_batch) == committed
+    assert (
+        JoinViewSink(base).rev,
+        JoinViewSink(base).next_stream_batch,
+    ) == (committed[0], committed[3])
+
+    # the retried batch is NOT skipped and converges
+    sink(l2, batch_id=1)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    want = sorted(
+        (r.o_orderpriority, r.n_items, r.revenue_cents)
+        for r in lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .collect()
+    )
+    got = sorted(
+        (r.o_orderpriority, r.n_items, r.revenue_cents)
+        for r in sink.view(spark).collect()
+    )
+    assert got == want
+
+
+def test_exactly_once_sink_leaves_foreign_parquet_untouched(spark, tmp_path):
+    """r4 review finding: constructing the sink against a plain parquet
+    dataset (no _COMMITTED_BATCH — never a legacy sink target) must not
+    restructure it from a constructor side effect."""
+    import os
+
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    target = str(tmp_path / "foreign")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(20).write.parquet(target)
+    before = sorted(os.listdir(target))
+    ExactlyOnceBatchSink(target)
+    assert sorted(os.listdir(target)) == before  # untouched
+    assert spark.read.parquet(target).count() == 20
