@@ -203,3 +203,59 @@ def test_join_ivm_decomposition_matches_full_recompute(spark, orders, lines, omo
     got = sorted((r.prio, r.n, r.c) for r in merged.collect())
     want = sorted((r.prio, r.n, r.c) for r in partial(o, li).collect())
     assert got == want
+
+
+TOKENS = st.integers(min_value=0, max_value=500)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_toks=st.lists(TOKENS, min_size=0, max_size=30),
+    b_toks=st.lists(TOKENS, min_size=0, max_size=30),
+    run=st.lists(TOKENS, min_size=7, max_size=15),  # >= k+w-1 = 7
+    a_pos=st.integers(0, 30),
+    b_pos=st.integers(0, 30),
+)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    spark, a_toks, b_toks, run, a_pos, b_pos
+):
+    """Schleimer et al.'s winnowing guarantee, property-tested on the
+    actual operator: ANY two documents sharing a token run of length
+    >= k+w-1 (= 7 at the current constants) MUST share at least one
+    winnowed fingerprint, wherever the run sits in either document."""
+    from bigquack_spark.operators.text import winnow_fingerprints
+
+    a_pos = min(a_pos, len(a_toks))
+    b_pos = min(b_pos, len(b_toks))
+    doc_a = " ".join(str(t) for t in a_toks[:a_pos] + run + a_toks[a_pos:])
+    doc_b = " ".join(str(t) for t in b_toks[:b_pos] + run + b_toks[b_pos:])
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    rows = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    assert rows[1] & rows[2], "shared run >= k+w-1 must share a fingerprint"
+
+
+def test_training_order_is_per_epoch_permutation(spark):
+    """q248 invariants: every epoch contains every document exactly once;
+    within each (epoch, shard) positions are a contiguous 0..n-1 range;
+    and the two epochs produce genuinely different orders (independent
+    seeded shuffles)."""
+    from collections import Counter
+
+    from bigquack_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q248_training_order"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    by_epoch = Counter(r.epoch for r in rows)
+    assert set(by_epoch) == {0, 1} and all(v == docs for v in by_epoch.values())
+    for e in (0, 1):
+        per_doc = Counter(r.doc_id for r in rows if r.epoch == e)
+        assert all(v == 1 for v in per_doc.values())  # permutation
+    shard_pos = {}
+    for r in rows:
+        shard_pos.setdefault((r.epoch, r.shard), []).append(r.pos)
+    for key, poss in shard_pos.items():
+        assert sorted(poss) == list(range(len(poss))), key  # contiguous ranks
+    order0 = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 0]
+    order1 = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 1]
+    assert order0 != order1  # epochs reshuffle independently
