@@ -23,7 +23,8 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 _SCHEMA = (
     "query_id string, batch_id bigint, num_input_rows bigint, "
-    "process_rate double, duration_ms bigint, event_time_watermark string"
+    "process_rate double, duration_ms bigint, event_time_watermark string, "
+    "rows_dropped_by_watermark bigint, observed string"
 )
 
 
@@ -40,6 +41,20 @@ class ProgressCapture(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        dropped = 0
+        for op in p.stateOperators or []:
+            try:
+                dropped += int(op.numRowsDroppedByWatermark or 0)
+            except (AttributeError, TypeError):
+                pass
+        observed = {}
+        try:
+            for name, row in (p.observedMetrics or {}).items():
+                observed[name] = row.asDict() if hasattr(row, "asDict") else dict(row)
+        except (AttributeError, TypeError):
+            pass
+        import json as _json
+
         self._rows.append(
             {
                 "query_id": str(p.id),
@@ -48,6 +63,14 @@ class ProgressCapture(StreamingQueryListener):
                 "process_rate": float(p.processedRowsPerSecond or 0.0),
                 "duration_ms": int(p.durationMs.get("triggerExecution", 0)),
                 "event_time_watermark": (p.eventTime or {}).get("watermark"),
+                # the late-data loss ledger: rows the watermark silently
+                # discarded this batch (summed over stateful operators) —
+                # the number a pipeline owner alerts on before consumers
+                # notice gaps
+                "rows_dropped_by_watermark": dropped,
+                # df.observe(...) custom metrics, serialized to one JSON
+                # string per batch (scalar column, sink-portable)
+                "observed": _json.dumps(observed, default=str) if observed else None,
             }
         )
 
@@ -80,6 +103,8 @@ class ProgressCapture(StreamingQueryListener):
                 r["process_rate"],
                 r["duration_ms"],
                 r["event_time_watermark"],
+                r.get("rows_dropped_by_watermark", 0),
+                r.get("observed"),
             )
             for r in self._rows
         ]

@@ -1095,3 +1095,78 @@ def test_exactly_once_sink_leaves_foreign_parquet_untouched(spark, tmp_path):
     ExactlyOnceBatchSink(target)
     assert sorted(os.listdir(target)) == before  # untouched
     assert spark.read.parquet(target).count() == 20
+
+
+def test_progress_capture_records_watermark_drops_and_observed(spark, tmp_path):
+    """r4 metrics extension: ProgressCapture surfaces (a) the late-data
+    loss ledger (stateful operators' numRowsDroppedByWatermark summed per
+    batch) and (b) df.observe custom metrics, serialized per batch — the
+    two signals a pipeline owner alerts on before consumers see gaps."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+    import time
+
+    from bigquack_spark.streaming.metrics import ProgressCapture
+
+    src = str(tmp_path / "pc_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "pc_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(str(tmp_path / name)) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(str(tmp_path / name), part), os.path.join(src, f"{name}.parquet")
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    write_batch("b1", [(1, t0, 1.0), (2, t0.replace(hour=3), 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    agg = (
+        spark.readStream.schema(schema).parquet(src)
+        .observe("ingest", F.count(F.lit(1)).alias("rows"), F.sum("value").alias("v"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def drain():
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cap = ProgressCapture.attach(spark)
+    try:
+        drain()  # watermark advances to 02:50
+        # late event behind the watermark -> dropped by the state operator
+        write_batch("b2", [(3, t0.replace(minute=30), 9.0), (4, t0.replace(hour=6), 1.0)])
+        drain()
+        deadline = time.monotonic() + 30
+        prev = None
+        while time.monotonic() < deadline:
+            cur = cap.metrics()
+            if cur and cur == prev and sum(m["num_input_rows"] for m in cur) >= 4:
+                break
+            prev = cur
+            time.sleep(0.5)
+    finally:
+        cap.detach()
+
+    rows = cap.metrics()
+    assert rows
+    # the late hour-0 event was silently discarded — the ledger shows it
+    assert sum(m["rows_dropped_by_watermark"] for m in rows) >= 1
+    # df.observe custom metrics captured and JSON-decodable
+    observed = [json.loads(m["observed"]) for m in rows if m.get("observed")]
+    assert any("ingest" in o and o["ingest"].get("rows", 0) > 0 for o in observed)
+    df = cap.to_df(spark)
+    assert "rows_dropped_by_watermark" in df.columns and "observed" in df.columns
