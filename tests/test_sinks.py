@@ -536,3 +536,52 @@ def test_exactly_once_sink_migrates_legacy_flat_layout(spark, tmp_path):
     )
     sink(batch, batch_id=1)  # resume appends a partition dir
     assert spark.read.parquet(target).count() == 60
+
+
+def test_webdataset_shard_export_roundtrip(spark, tmp_path):
+    """Tar-shard export (the WebDataset delivery format): distributed
+    per-partition writers, suffix-typed members (.txt/.json per the
+    convention), deterministic archives, manifest counts verified on
+    read, truncation detected loudly."""
+    import json as _json
+    import os
+    import tarfile
+
+    from bigquack_spark.sinks.wds import export_webdataset_shards, read_webdataset_shards
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .repartition(3)
+    )
+    path = str(tmp_path / "wds")
+    manifest = export_webdataset_shards(docs, path, key_col="doc_id")
+    assert manifest["n_samples"] == docs.count()
+    assert len(manifest["shards"]) >= 2  # genuinely distributed writers
+    assert manifest["columns"] == {"text": "txt", "n_chars": "json"}
+    assert not any(f.endswith(".tmp") for f in os.listdir(path))
+
+    # member-level spot check: suffix-typed, deterministic mtime
+    first = sorted(manifest["shards"])[0]
+    with tarfile.open(os.path.join(path, first)) as tar:
+        members = tar.getmembers()
+        assert all(m.mtime == 0 for m in members)
+        assert any(m.name.endswith(".txt") for m in members)
+        assert any(m.name.endswith(".json") for m in members)
+
+    back = read_webdataset_shards(spark, path)
+    got = sorted((int(r["__key__"]), r["text"], int(r["n_chars"])) for r in back.collect())
+    want = sorted((r.doc_id, r.text, r.n_chars) for r in docs.collect())
+    assert got == want
+
+    # truncated shard must fail loudly
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        m = _json.load(fh)
+    m["shards"][first] += 1
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(m, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="manifest says"):
+        read_webdataset_shards(spark, path)
