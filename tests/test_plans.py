@@ -466,3 +466,23 @@ def test_q152_integrity_dims_broadcast_no_bnlj(spark):
     plan = plan_of(spark, "q152_referential_integrity")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q248_training_order_no_global_sort(spark):
+    """The per-epoch permutation must stay partition-parallel: rank windows
+    are (epoch, shard)-partitioned, never a single global-order partition
+    (q59's documented trap, which q248 exists to avoid)."""
+    plan = plan_of(spark, "q248_training_order")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(epoch" in plan  # the bounded window key
+
+
+def test_q251_lateral_rewrites_to_window_group_limit(spark):
+    """Catalyst must rewrite the correlated LATERAL ORDER BY/LIMIT into the
+    WindowGroupLimit + equi-join shape — the docstring's claim that the
+    analyst-style formulation costs the same as the declarative rank.  A
+    regression to a nested-loop per-row subquery would show as BNLJ."""
+    plan = plan_of(spark, "q251_lateral_topn")
+    assert "WindowGroupLimit" in plan  # map-side partial top-k
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
