@@ -286,3 +286,56 @@ def bloom_semi_join(
     return pruned.join(
         kd.select(F.col("__bk").alias(big_on)), on=big_on, how="left_semi"
     )
+
+
+class JoinExplosionError(RuntimeError):
+    """Raised by :func:`guarded_join` when the exact pre-computed output
+    cardinality exceeds the caller's budget."""
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    max_output_rows: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an EXACT output-cardinality pre-check — the guard a
+    100 TB pipeline wants in front of any join on a key whose uniqueness
+    nobody has actually verified (the classic incident: a 'dimension' with
+    duplicate keys quietly turns a 1:N join into N:M and the job runs for
+    hours before dying in shuffle spill).
+
+    The estimate is not a sample or a sketch: per-key row counts on both
+    sides (one map-side-combined aggregate each, shuffling only
+    key-cardinality rows) joined and summed give the EXACT inner-join
+    output size — sum over matching keys of n_left * n_right — at a cost
+    of two cheap aggregates, orders of magnitude below the join it
+    protects.  If the total exceeds ``max_output_rows``, raises
+    :class:`JoinExplosionError` naming the worst keys (the q119-shaped
+    evidence: the fix is usually dedup on the offending side or
+    salted_join), BEFORE any wide shuffle of payload rows is scheduled.
+    For outer joins the inner-match total is still the explosion term and
+    is what's checked.
+
+    Returns the joined DataFrame unchanged when within budget."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+    per_key = lc.join(rc, keys).select(
+        *keys, (F.col("__nl").cast("decimal(38,0)") * F.col("__nr")).alias("__out")
+    )
+    total_row = per_key.agg(F.sum("__out").alias("t")).first()
+    total = int(total_row["t"] or 0)
+    if total > max_output_rows:
+        worst = per_key.orderBy(F.desc("__out")).limit(3).collect()
+        detail = ", ".join(
+            "(" + ", ".join(f"{k}={r[k]}" for k in keys) + f" -> {int(r['__out'])} rows)"
+            for r in worst
+        )
+        raise JoinExplosionError(
+            f"join on {keys} would produce {total} rows "
+            f"(budget {max_output_rows}); worst keys: {detail}.  "
+            f"Dedup the offending side, pre-aggregate, or salt the key."
+        )
+    return left.join(right, keys, how)

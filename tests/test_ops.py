@@ -1350,3 +1350,40 @@ def test_shred_json_rejects_column_collision(spark):
     e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     with pytest.raises(ValueError, match="collide"):
         shred_json(e, "props", "value INT, k INT")
+
+
+def test_guarded_join_passes_and_blocks():
+    """guarded_join: exact cardinality pre-check lets a sane join through
+    unchanged and blocks an N:M explosion BEFORE it runs, naming the
+    offending keys."""
+    import pytest as _pytest
+
+    from bigquack_spark.operators.joins import JoinExplosionError, guarded_join
+    from tests.conftest import SF_SMOKE
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    ok = guarded_join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+        max_output_rows=10_000_000,
+    )
+    assert ok.count() == lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).count()
+
+    # duplicate 'dimension' keys -> N:M explosion, caught pre-join
+    dup_dim = orders.select(F.col("o_custkey").alias("k")).limit(200)
+    fact = lineitem.select(F.col("l_quantity").alias("v")).withColumn(
+        "k", F.lit(1)
+    )
+    hot_dim = dup_dim.withColumn("k", F.lit(1))  # every dim row on one key
+    with _pytest.raises(JoinExplosionError, match="worst keys"):
+        guarded_join(fact, hot_dim, on="k", max_output_rows=1000)
