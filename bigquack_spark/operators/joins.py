@@ -106,6 +106,17 @@ def salted_aggregate(
     (keys + random salt) so a hot key's rows spread over ``salt_buckets``
     reducers, then combine the partials on the true keys.
 
+    Scope, measured (SCALING.md round-4): for simple algebraic aggregates
+    plain ``groupBy`` already neutralizes key skew — Spark's map-side
+    partial aggregation collapses the hot key to one row per task BEFORE
+    the shuffle, and the salted form's second exchange measured ~20%
+    SLOWER on a 50%-hot key at the 100x tier.  Reach for this operator
+    when the per-key partial state itself is large (collect_list-class
+    accumulation, exact per-key distinct sets) so a single reducer would
+    hold the hot key's full state; for skewed JOINS use
+    :func:`salted_join` (measured 2x); for distinct counts use the HLL
+    sketch partials (operators/ivm.py).
+
     Only algebraic aggregates compose this way; ``aggs`` maps output name ->
     ``(partial_expr, combiner)`` where ``combiner`` is a Column -> Column
     aggregate re-combining the per-salt partials (``F.sum`` for sum AND
