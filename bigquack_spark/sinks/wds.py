@@ -65,6 +65,17 @@ def export_webdataset_shards(
             else "txt" if f.dataType.simpleString() == "string" else "json"
         )
         kinds[f.name] = (suffixes or {}).get(f.name, kind)
+    # member suffix IS the column identity on read-back: two columns sharing
+    # one suffix would write duplicate tar member names (silent overwrite)
+    # and collapse into one column on read — fail loudly, demand explicit
+    # per-column suffixes (the WebDataset convention: one extension per field)
+    dupes = {s for s in kinds.values() if list(kinds.values()).count(s) > 1}
+    if dupes:
+        clash = sorted(c for c, s in kinds.items() if s in dupes)
+        raise ValueError(
+            f"export_webdataset_shards: columns {clash} map to the same member "
+            f"suffix; pass suffixes={{col: unique_ext}} to disambiguate"
+        )
 
     def write_partition(batches):
         import tarfile

@@ -585,3 +585,33 @@ def test_webdataset_shard_export_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="manifest says"):
         read_webdataset_shards(spark, path)
+
+
+def test_webdataset_rejects_suffix_collision_and_honors_override(spark, tmp_path):
+    """Two same-typed columns would share a member suffix (duplicate tar
+    member names, silent overwrite): the export must refuse unless the
+    caller disambiguates with explicit suffixes — and with the override,
+    both columns round-trip."""
+    import pytest as _pytest
+
+    from bigquack_spark.sinks.wds import export_webdataset_shards, read_webdataset_shards
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text", "lang")  # two string columns
+        .limit(50)
+        .coalesce(1)
+    )
+    path = str(tmp_path / "wds_clash")
+    with _pytest.raises(ValueError, match="same member suffix"):
+        export_webdataset_shards(docs, path, key_col="doc_id")
+
+    manifest = export_webdataset_shards(
+        docs, path, key_col="doc_id", suffixes={"text": "txt", "lang": "lang"}
+    )
+    assert manifest["columns"] == {"text": "txt", "lang": "lang"}
+    back = read_webdataset_shards(spark, path)
+    got = sorted((int(r["__key__"]), r["text"], r["lang"]) for r in back.collect())
+    want = sorted((r.doc_id, r.text, r.lang) for r in docs.collect())
+    assert got == want
