@@ -327,10 +327,19 @@ def guarded_join(
     evidence: the fix is usually dedup on the offending side or
     salted_join), BEFORE any wide shuffle of payload rows is scheduled.
     For outer joins the inner-match total is still the explosion term and
-    is what's checked.
+    is what's checked.  Semi/anti joins cannot explode (output is bounded
+    by the left side's rows), so the guard is bypassed for
+    ``how='left_semi'/'left_anti'`` rather than spuriously raising on a
+    join that is safe by construction.
+
+    Note the pre-check evaluates both inputs' lineage a second time; with
+    non-deterministic sources (sampling, rand(), now()) the checked total
+    can diverge from the actual join — ``.cache()`` such inputs first.
 
     Returns the joined DataFrame unchanged when within budget."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how in ("left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"):
+        return left.join(right, keys, how)
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
     per_key = lc.join(rc, keys).select(

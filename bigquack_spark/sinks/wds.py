@@ -76,6 +76,15 @@ def export_webdataset_shards(
             f"export_webdataset_shards: columns {clash} map to the same member "
             f"suffix; pass suffixes={{col: unique_ext}} to disambiguate"
         )
+    # read_webdataset_shards splits member names on the LAST dot, so a
+    # suffix containing '.' (e.g. 'seg.json') can never match on read and
+    # the column would silently vanish from every sample — reject it here
+    dotted = sorted(c for c, s in kinds.items() if "." in s)
+    if dotted:
+        raise ValueError(
+            f"export_webdataset_shards: suffixes for columns {dotted} contain "
+            f"'.'; member suffixes must be a single extension without dots"
+        )
 
     def write_partition(batches):
         import tarfile
@@ -91,12 +100,23 @@ def export_webdataset_shards(
         import io
         import time as _time
 
+        seen_keys = set()
         for batch in batches:
             rows = batch.to_pylist()
             if tar is None and rows:
                 tar = tarfile.open(tmp, "w")
             for row in rows:
                 key = f"{row[key_col]:012d}" if isinstance(row[key_col], int) else str(row[key_col])
+                # duplicate keys would write duplicate member names that only
+                # surface as a misleading manifest-vs-tar mismatch on read
+                if key in seen_keys:
+                    tar.close()
+                    os.remove(tmp)
+                    raise ValueError(
+                        f"export_webdataset_shards: duplicate {key_col}={key!r} "
+                        f"in partition {pid}; sample keys must be unique"
+                    )
+                wrote_member = False
                 for c in cols:
                     v = row[c]
                     if v is None:
@@ -112,7 +132,13 @@ def export_webdataset_shards(
                     info.size = len(payload)
                     info.mtime = 0  # deterministic archives: content-addressable
                     tar.addfile(info, io.BytesIO(payload))
-                n += 1
+                    wrote_member = True
+                # an all-NULL row writes zero members; counting it would make
+                # the manifest overcount and read-back raise a false
+                # truncation error on a valid export
+                if wrote_member:
+                    seen_keys.add(key)
+                    n += 1
         if tar is not None:
             tar.close()
             os.replace(tmp, final)

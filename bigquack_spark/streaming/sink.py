@@ -458,5 +458,11 @@ class JoinViewSink:
         )
 
     def view(self, spark) -> DataFrame:
-        """The current committed view snapshot."""
+        """The current committed view snapshot.  Before any update has
+        committed (rev=0) no view directory exists yet — return an empty
+        frame with the view schema instead of a PATH_NOT_FOUND read."""
+        if self.rev == 0:
+            return spark.createDataFrame(
+                [], "o_orderpriority string, n_items long, revenue_cents long"
+            )
         return spark.read.parquet(self._view_path(self.rev))

@@ -1387,3 +1387,19 @@ def test_guarded_join_passes_and_blocks():
     hot_dim = dup_dim.withColumn("k", F.lit(1))  # every dim row on one key
     with _pytest.raises(JoinExplosionError, match="worst keys"):
         guarded_join(fact, hot_dim, on="k", max_output_rows=1000)
+
+
+def test_guarded_join_bypasses_semi_anti():
+    """r4 advice: semi/anti joins are bounded by the left side's rows and
+    cannot explode — the guard must NOT spuriously raise on them even when
+    the inner-join cardinality of the same inputs would blow the budget."""
+    from bigquack_spark.operators.joins import guarded_join
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    left = spark.range(100).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    right = spark.range(100).select(F.lit(1).alias("k"))  # inner would be 10k
+    semi = guarded_join(left, right, on="k", max_output_rows=500, how="left_semi")
+    assert semi.count() == 100
+    anti = guarded_join(left, right, on="k", max_output_rows=500, how="left_anti")
+    assert anti.count() == 0

@@ -615,3 +615,45 @@ def test_webdataset_rejects_suffix_collision_and_honors_override(spark, tmp_path
     got = sorted((int(r["__key__"]), r["text"], r["lang"]) for r in back.collect())
     want = sorted((r.doc_id, r.text, r.lang) for r in docs.collect())
     assert got == want
+
+
+def test_webdataset_all_null_rows_and_duplicate_keys(spark, tmp_path):
+    """r4 advice: a row whose payload columns are all NULL writes zero tar
+    members and must NOT count toward the manifest (it would read back as
+    a false truncation error on a valid export); duplicate keys within a
+    partition must fail loudly at WRITE time, naming the key, instead of
+    surfacing later as the same misleading manifest mismatch."""
+    import pytest as _pytest
+
+    from bigquack_spark.sinks.wds import export_webdataset_shards, read_webdataset_shards
+
+    rows = [(1, "alpha"), (2, None), (3, "gamma")]  # row 2 is all-NULL payload
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    path = str(tmp_path / "wds_nulls")
+    manifest = export_webdataset_shards(df, path, key_col="doc_id")
+    assert manifest["n_samples"] == 2  # the all-NULL row is not a sample
+    back = read_webdataset_shards(spark, path)  # must not raise
+    got = sorted((int(r["__key__"]), r["text"]) for r in back.collect())
+    assert got == [(1, "alpha"), (3, "gamma")]
+
+    dup = spark.createDataFrame(
+        [(7, "a"), (7, "b")], "doc_id long, text string"
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="duplicate doc_id=.*000.*7"):
+        export_webdataset_shards(dup, str(tmp_path / "wds_dup"), key_col="doc_id")
+
+
+def test_webdataset_rejects_dotted_suffix(spark, tmp_path):
+    """r4 advice: read splits member names on the LAST dot, so a suffix
+    containing '.' can never match on read (the column silently vanishes)
+    — the export must reject it up front."""
+    import pytest as _pytest
+
+    from bigquack_spark.sinks.wds import export_webdataset_shards
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="contain"):
+        export_webdataset_shards(
+            df, str(tmp_path / "wds_dot"), key_col="doc_id",
+            suffixes={"text": "seg.json"},
+        )

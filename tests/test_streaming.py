@@ -1170,3 +1170,14 @@ def test_progress_capture_records_watermark_drops_and_observed(spark, tmp_path):
     assert any("ingest" in o and o["ingest"].get("rows", 0) > 0 for o in observed)
     df = cap.to_df(spark)
     assert "rows_dropped_by_watermark" in df.columns and "observed" in df.columns
+
+
+def test_join_view_sink_empty_before_first_update(spark, tmp_path):
+    """r4 advice: view() before any update (rev=0) must return an empty
+    frame with the view schema, not fail on a never-written view-0 path."""
+    from bigquack_spark.streaming.sink import JoinViewSink
+
+    sink = JoinViewSink(str(tmp_path / "jv_empty"))
+    v = sink.view(spark)
+    assert v.count() == 0
+    assert v.columns == ["o_orderpriority", "n_items", "revenue_cents"]
