@@ -65,7 +65,12 @@ def shred_ingest(
     at ``dst_path``.  Returns {n_rows, columns}.  Fully distributed (plain
     Spark parquet write); run once per dataset revision, then point every
     JSON-touching query at the shredded table."""
+    from pyspark.sql import Observation
+
     df = shred_json(spark.read.parquet(src_path), json_col, schema, keep_raw=keep_raw)
+    # row count rides the write itself via df.observe (r4 verdict #4): at
+    # 100 TB the old read-back count was a second full scan for a metric
+    obs = Observation("shred_ingest")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     df.write.mode("overwrite").parquet(dst_path)
-    back = spark.read.parquet(dst_path)
-    return {"n_rows": back.count(), "columns": back.columns}
+    return {"n_rows": int(obs.get["n_rows"]), "columns": df.columns}

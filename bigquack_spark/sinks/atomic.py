@@ -29,6 +29,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class WriteStreamType(enum.Enum):
@@ -74,8 +75,15 @@ class AtomicWriter:
             return offset
         if offset > self.next_offset:
             raise ValueError(f"offset gap: expected {self.next_offset}, got {offset}")
-        df.write.mode("append").parquet(self._dest)
-        self.rows_written += df.count()
+        # batch count rides the append via df.observe — the old df.count()
+        # re-executed the batch's whole lineage a second time per offset
+        from pyspark.sql import Observation
+
+        obs = Observation(f"atomic_write_{offset}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+            self._dest
+        )
+        self.rows_written += int(obs.get["n"])
         self.next_offset += 1
         return offset
 

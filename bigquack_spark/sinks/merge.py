@@ -98,10 +98,27 @@ def merge_upsert(
     kept = target.join(removed_keys, key_cols, "left_anti")
     merged = kept.unionByName(upserts)
 
+    # rows_after rides the staging write via df.observe (no post-write
+    # re-read of staging); upsert/delete counts come from ONE aggregate
+    # over changes instead of two separate recomputes of its lineage
+    from pyspark.sql import Observation
+
+    obs = Observation("merge_rows_after")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     staging = f"{target_path}.merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(staging)
+    rows_after = int(obs.get["n"])
     rows_before = target.count()
-    rows_after = spark.read.parquet(staging).count()
+    if delete_col:
+        chg = changes.agg(
+            F.sum(F.col(delete_col).cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("t"),
+        ).first()
+        n_deletes = int(chg["d"] or 0)
+        n_upserts = int(chg["t"]) - n_deletes
+    else:
+        n_deletes = 0
+        n_upserts = changes.count()
     # swap: stage-then-swap window, txn-log-atomic on Delta/Iceberg
     backup = f"{target_path}.old-{uuid.uuid4().hex[:12]}"
     os.rename(target_path, backup)
@@ -110,6 +127,6 @@ def merge_upsert(
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,
-        "upserts": upserts.count(),
-        "deletes": deletes.count(),
+        "upserts": n_upserts,
+        "deletes": n_deletes,
     }

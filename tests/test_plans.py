@@ -486,3 +486,50 @@ def test_q251_lateral_rewrites_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan  # map-side partial top-k
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q247_pair_join_capped_no_cartesian(spark):
+    """Shared-span pair report (r4 verdict #5): the fp-keyed pair join must
+    be equi-keyed (never a cartesian/BNLJ), and the boilerplate cap — the
+    thing that bounds per-fingerprint fan-out to C(SPAN_DF_CAP,2) pairs —
+    must sit in the plan as a document-frequency filter BEFORE the join."""
+    from bigquack_spark.queries.text import SPAN_DF_CAP
+
+    plan = plan_of(spark, "q247_shared_span_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert f"<= {SPAN_DF_CAP})" in plan  # the df-cap filter is present
+
+
+def test_q250_ivm_merge_is_union_not_join(spark):
+    """Join-IVM (r4 verdict #5): the plan may contain EXACTLY the four
+    bilinear-term joins (view_old + three delta terms); the partial-merge
+    itself must be a Union + re-aggregate, never another join of the merged
+    view against the base tables (a full-recompute regression)."""
+    import re
+
+    plan = plan_of(spark, "q250_join_ivm")
+    joins = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin",
+        plan,
+    )
+    assert len(joins) == 4, joins
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan  # the merge path
+
+
+def test_wds_export_preserves_partitioning(spark, tmp_path):
+    """Tar-shard export (r4 verdict #5): one shard per INPUT partition —
+    the writer must never collapse to a single writer (repartition(1) /
+    coalesce) behind the caller's back; shard count IS the parallelism."""
+    from bigquack_spark.sinks.wds import export_webdataset_shards
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .repartition(4)
+    )
+    manifest = export_webdataset_shards(docs, str(tmp_path / "wds_par"), key_col="doc_id")
+    assert len(manifest["shards"]) == 4
