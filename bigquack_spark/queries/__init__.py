@@ -107,14 +107,21 @@ _DRIVER_VERIFIED = {
     "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
 }
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
-# Round 4: the events family (31 never-checked names, the only §2.5 surface
-# still missing driver rows) must fit entirely inside the ~50-row window, so
-# it leads the unchecked section; the ~20 remaining slots go to the other
-# stragglers in registration order, and everything driver-green rotates back.
+# Round 5: the 50 names never driver-checked after r4 (the r3/r4 late
+# additions + stragglers) exactly fill the ~50-row window, so anything NEW
+# this round is pinned BEHIND them — a new name in front would push a debt
+# name out of the window (r4 verdict #1).  New-in-r5 names wait for r6.
+_WINDOW_BACK = {
+    "q252_column_profile_approx",
+    "q253_lineage_capture",
+    "q254_small_file_compaction_plan",
+    "q255_schema_drift",
+    "q256_freshness_lag",
+}
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
-_unchecked.sort(key=lambda n: 0 if QUERIES[n].fn.__module__.endswith(".events") else 1)
+_unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)
 _checked = [n for n in QUERIES if n in _DRIVER_VERIFIED]
 _ordered = {n: QUERIES[n] for n in _unchecked + _checked}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _DRIVER_VERIFIED, _unchecked, _checked, _ordered
+del _DRIVER_VERIFIED, _WINDOW_BACK, _unchecked, _checked, _ordered

@@ -73,6 +73,97 @@ def q118_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_approx(df: DataFrame, cols: list[tuple[str, str | None]]) -> DataFrame:
+    """The pure-approximate column profile (the 100x-tier shape of q118):
+    one scan, one aggregate, approx_count_distinct (HyperLogLog++, O(1)
+    mergeable state per column) instead of exact DISTINCT — no per-column
+    Expand fan-out, no distinct shuffle of key values, so the reduce stage
+    carries K sketches instead of the columns' value sets.  This is the
+    profile a 100 TB pre-flight actually runs; q118 keeps the exact form.
+    Sketch estimates are engine-specific, so this frame is bench/ops
+    surface — q252 wraps it with tolerance booleans for the driver diff.
+    rsd stays at Spark's 0.05 default: register count drives the per-row
+    update cost (5 columns at rsd=0.02 measured 1.49 s vs 0.59 s at 0.05
+    on 15M rows), and a profile wants magnitude, not the last 2%."""
+    aggs = []
+    for c, num in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct_approx, min_num, max_num)"
+    )
+
+
+def _q252_oracle() -> str:
+    parts = []
+    for c, num in _PROFILE_COLS:
+        min_expr = f"min({num})" if num else "CAST(NULL AS DOUBLE)"
+        max_expr = f"max({num})" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+            f" abs(CAST(approx_count_distinct({c}) AS DOUBLE)"
+            f"     - CAST(count(DISTINCT {c}) AS DOUBLE))"
+            f"   <= 0.05 * CAST(count(DISTINCT {c}) AS DOUBLE)"
+            f"   AS distinct_within_5pct,"
+            f" {min_expr} AS min_num, {max_expr} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q252_column_profile_approx", oracle=_q252_oracle())
+def q252_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate column profile (r4 verdict #3: q118's exact per-column
+    DISTINCT is its 100x cost driver).  The deployable shape is
+    :func:`profile_approx` — HLL sketches, no distinct Expand — and its
+    wall is measured against exact q118 at the 100x bench tier
+    (bench_full trend_100x.profile_approx_block).  Raw sketch estimates
+    can never hash-match across engines, so this driver-diffed variant
+    carries the q62-style contract instead: each engine asserts ITS OWN
+    sketch lands within 5% of ITS OWN exact distinct count, and the
+    boolean verdicts (plus exact n_rows/n_nulls/min/max) are what get
+    diffed.  Spark rsd=0.02 and DuckDB's HLL both sit far inside 5% at
+    every SF, so the booleans are stably true; a sketch regression in
+    either engine flips a row red."""
+    o = t(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            (
+                F.abs(
+                    F.approx_count_distinct(c, rsd=0.02).cast("double")
+                    - F.countDistinct(c).cast("double")
+                )
+                <= 0.05 * F.countDistinct(c).cast("double")
+            ).alias(f"{c}__within"),
+            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__within, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, distinct_within_5pct, min_num, max_num)"
+    )
+
+
 _SKEW_TOP_K = 20
 
 

@@ -1403,3 +1403,23 @@ def test_guarded_join_bypasses_semi_anti():
     assert semi.count() == 100
     anti = guarded_join(left, right, on="k", max_output_rows=500, how="left_anti")
     assert anti.count() == 0
+
+
+def test_profile_approx_estimates_and_schema():
+    """profile_approx (the 100x-tier shape of q118, r4 verdict #3): same
+    long-form schema with n_distinct_approx, and every sketch estimate
+    lands within 3x rsd of the exact distinct count at test SF."""
+    from bigquack_spark.queries.quality import _PROFILE_COLS, profile_approx
+    from bigquack_spark.session import get_spark
+    from tests.conftest import SF_SMOKE
+
+    spark = get_spark()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    prof = {r["col_name"]: r for r in profile_approx(orders, _PROFILE_COLS).collect()}
+    assert set(prof) == {c for c, _ in _PROFILE_COLS}
+    n = orders.count()
+    for c, _ in _PROFILE_COLS:
+        exact = orders.select(c).distinct().count()
+        row = prof[c]
+        assert row["n_rows"] == n
+        assert abs(row["n_distinct_approx"] - exact) <= max(2, 0.15 * exact)
