@@ -113,10 +113,7 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
 # name out of the window (r4 verdict #1).  New-in-r5 names wait for r6.
 _WINDOW_BACK = {
     "q252_column_profile_approx",
-    "q253_lineage_capture",
-    "q254_small_file_compaction_plan",
-    "q255_schema_drift",
-    "q256_freshness_lag",
+    "q253_freshness_lag",
 }
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)

@@ -1048,3 +1048,73 @@ def q244_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("bucket_checksum"),
         )
     )
+
+
+_STALE_SEC = 86400  # a source whose newest event trails the watermark by a day
+
+
+@query(
+    "q253_freshness_lag",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY event_type, CAST(ts AS DATE) ORDER BY epoch_us(ts)
+             )) / 1000000.0 AS gap_sec
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             max(us) AS max_us,
+             quantile_cont(gap_sec, 0.95) AS p95_gap_sec
+      FROM g GROUP BY event_type
+    ),
+    w AS (SELECT max(max_us) AS wm FROM per_type)
+    SELECT per_type.event_type, per_type.n_events,
+           CAST((w.wm - per_type.max_us) // 1000000 AS BIGINT) AS lag_sec,
+           per_type.p95_gap_sec AS p95_gap_sec,
+           CAST((w.wm - per_type.max_us) // 1000000 AS BIGINT) >= {_STALE_SEC}
+             AS stale_24h
+    FROM per_type, w
+    """,
+)
+def q253_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-freshness report — the pipeline-ops twin of q119's skew
+    report: per event_type, how far its newest event trails the table
+    watermark (max ts over all types; deterministic, unlike now()), the
+    p95 gap between consecutive events as the arrival-cadence yardstick,
+    and a stale flag at {_STALE_SEC} s.  The gap window is partitioned
+    (event_type, day) — day bounds keep every window partition
+    batch-sized at 100 TB where a bare per-type window would funnel a
+    whole source through one task; the lost cross-midnight boundary gaps
+    are noise at p95.  One window shuffle + one per-type aggregate; the
+    watermark rides in as a broadcast 1-row aggregate off the already-
+    reduced per-type frame (q119's ReusedExchange shape, never a second
+    scan)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["event_type", "ts"])
+    base = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us")
+    g = base.withColumn(
+        "gap_sec", (F.col("us") - F.lag("us").over(w)) / F.lit(1000000.0)
+    )
+    per_type = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("us").alias("max_us"),
+        F.expr("percentile(gap_sec, 0.95)").alias("p95_gap_sec"),
+    )
+    wm = per_type.agg(F.max("max_us").alias("wm"))
+    lag_sec = F.expr("(wm - max_us) div 1000000").cast("bigint")
+    return per_type.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_events",
+        lag_sec.alias("lag_sec"),
+        "p95_gap_sec",
+        (lag_sec >= _STALE_SEC).alias("stale_24h"),
+    )
