@@ -114,6 +114,11 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
 _WINDOW_BACK = {
     "q252_column_profile_approx",
     "q253_freshness_lag",
+    "q254_small_file_compaction_plan",
+    "q255_schema_drift",
+    "q256_tombstone_purge_audit",
+    "q257_out_of_order_rate",
+    "q258_dq_expectations",
 }
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)

@@ -1118,3 +1118,398 @@ def q253_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95_gap_sec",
         (lag_sec >= _STALE_SEC).alias("stale_24h"),
     )
+
+
+# --- round-5 pipeline-ops additions -----------------------------------------
+
+_COMPACT_TARGET = 1 << 20  # 1 MiB target output file (test-scale constant)
+_BYTES_PER_ROW = 256  # deterministic byte proxy for the synthetic manifest
+
+
+@query(
+    "q254_small_file_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT l_returnflag,
+             year(l_shipdate) * 12 + month(l_shipdate) AS file_month,
+             CAST(count(*) * {_BYTES_PER_ROW} AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ),
+    small AS (
+      SELECT l_returnflag, file_month, bytes,
+             CAST(sum(bytes) OVER (
+               PARTITION BY l_returnflag ORDER BY file_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - bytes AS BIGINT) AS cum_before
+      FROM files WHERE bytes < {_COMPACT_TARGET}
+    )
+    SELECT l_returnflag,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           CAST(sum(bytes) AS DOUBLE) / {_COMPACT_TARGET} AS fill_pct
+    FROM small GROUP BY 1, 2
+    """,
+)
+def q254_small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the declarative math behind
+    sinks/compact.py's OPTIMIZE loop: bin-pack every undersized file into
+    target-size rewrite groups by cumulative-sum bucketing (next-fit over
+    the manifest's natural order), so each bin lands within one target of
+    full and untouched big files are skipped.  The manifest here is
+    synthesized deterministically from lineitem — one "file" per
+    (returnflag, ship-month) with a {_BYTES_PER_ROW} B/row proxy — because
+    the bench container has no real multi-file table; the plan math is
+    byte-for-byte what compact.py's planner runs on real directory
+    listings.  Scale posture: the packing window runs over file METADATA
+    (one row per file, millions at 100 TB, never data rows), partitioned
+    by the layout key (returnflag here; table partition in deployments) so
+    no single task orders the whole manifest."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
+    files = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("file_month"),
+    ).agg((F.count(F.lit(1)) * _BYTES_PER_ROW).alias("bytes"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("file_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small = files.filter(F.col("bytes") < _COMPACT_TARGET).withColumn(
+        "cum_before", F.sum("bytes").over(w) - F.col("bytes")
+    )
+    return small.groupBy(
+        "l_returnflag",
+        F.expr(f"cum_before div {_COMPACT_TARGET}").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        (F.sum("bytes").cast("double") / _COMPACT_TARGET).alias("fill_pct"),
+    )
+
+
+@query(
+    "q255_schema_drift",
+    oracle="""
+    WITH snap AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+             event_type,
+             CASE WHEN event_id % 2 = 0 THEN props
+                  WHEN event_type = 'click'
+                    THEN '{"k_v2": ' || json_extract_string(props, '$.k') || '}'
+                  WHEN event_type = 'error'
+                    THEN '{"k": "v' || json_extract_string(props, '$.k') || '"}'
+                  ELSE props END AS props
+      FROM events WHERE props IS NOT NULL
+    ),
+    kv AS (
+      SELECT half, event_type, unnest(json_keys(props)) AS key, props FROM snap
+    ),
+    typed AS (
+      SELECT half, event_type, key,
+             json_type(json_extract(props, '$.' || key)) IN
+               ('INTEGER', 'UBIGINT', 'BIGINT', 'DOUBLE') AS is_num
+      FROM kv
+    ),
+    agg AS (
+      SELECT event_type, key,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(sum(CASE WHEN half = 0 AND is_num THEN 1 ELSE 0 END) AS BIGINT) AS num_early,
+             CAST(sum(CASE WHEN half = 1 AND is_num THEN 1 ELSE 0 END) AS BIGINT) AS num_late
+      FROM typed GROUP BY 1, 2
+    )
+    SELECT event_type, key, n_early, n_late,
+           CASE WHEN n_early = 0 THEN NULL
+                ELSE CAST(num_early AS DOUBLE) / n_early END AS num_rate_early,
+           CASE WHEN n_late = 0 THEN NULL
+                ELSE CAST(num_late AS DOUBLE) / n_late END AS num_rate_late,
+           CASE WHEN n_early = 0 THEN 'added'
+                WHEN n_late = 0 THEN 'removed'
+                WHEN (num_early * 2 >= n_early) <> (num_late * 2 >= n_late)
+                  THEN 'type_changed'
+                ELSE 'stable' END AS status
+    FROM agg
+    """,
+)
+def q255_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detector over a JSON property bag — q177's profile
+    diffed across two snapshots into added / removed / type_changed /
+    stable verdicts per (event_type, key), the producer-contract alarm a
+    daily pipeline run fires before bad data propagates.  The synthetic
+    events table is drift-free, so the "late" snapshot injects the three
+    real failure modes deterministically (q124's technique): clicks rename
+    k -> k_v2 (added+removed), errors stringify the value (type_changed,
+    caught by the majority-numeric flip), everything else passes through
+    (stable).  One scan: the snapshot split is an event_id-parity
+    projection, keys explode map-side bounded by producer schema width
+    (q177's argument), and the final aggregate is (type, key)-keyed —
+    drift state is schema-sized, never data-sized."""
+    e = t(spark, sf_dir, "events", columns=["event_id", "event_type", "props"])
+    e = e.filter(F.col("props").isNotNull())
+    kval = F.get_json_object("props", "$.k")
+    half = (F.col("event_id") % 2).cast("int")
+    props2 = (
+        F.when(half == 0, F.col("props"))
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit('{"k_v2": '), kval, F.lit("}")),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(F.lit('{"k": "v'), kval, F.lit('"}')),
+        )
+        .otherwise(F.col("props"))
+    )
+    snap = e.select("event_type", half.alias("half"), props2.alias("props"))
+    kv = snap.select(
+        "half",
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "sval"),
+    )
+    is_num = (
+        F.col("sval").cast("bigint").isNotNull()
+        | F.col("sval").cast("double").isNotNull()
+    )
+    agg = kv.groupBy("event_type", "key").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_early"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(F.when((F.col("half") == 0) & is_num, 1).otherwise(0)).cast("long").alias("num_early"),
+        F.sum(F.when((F.col("half") == 1) & is_num, 1).otherwise(0)).cast("long").alias("num_late"),
+    )
+    maj_early = F.col("num_early") * 2 >= F.col("n_early")
+    maj_late = F.col("num_late") * 2 >= F.col("n_late")
+    return agg.select(
+        "event_type",
+        "key",
+        "n_early",
+        "n_late",
+        F.when(F.col("n_early") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("num_early").cast("double") / F.col("n_early"))
+        .alias("num_rate_early"),
+        F.when(F.col("n_late") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("num_late").cast("double") / F.col("n_late"))
+        .alias("num_rate_late"),
+        F.when(F.col("n_early") == 0, "added")
+        .when(F.col("n_late") == 0, "removed")
+        .when(maj_early != maj_late, "type_changed")
+        .otherwise("stable")
+        .alias("status"),
+    )
+
+
+_TOMBSTONE_MOD = 97  # deterministic erasure cohort: custkey % 97 == 0
+
+
+@query(
+    "q256_tombstone_purge_audit",
+    oracle=f"""
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(sum(CASE WHEN c_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purge_pct
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % {_TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q256_tombstone_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: given a tombstone cohort (custkey %
+    {_TOMBSTONE_MOD} == 0 — deterministic stand-in for a deletion-request
+    table), count the rows a purge would remove from every table the key
+    reaches: customer directly, orders through its FK, lineitem through
+    the orders join — the blast-radius report reviewed before running the
+    actual cascade (sinks/merge.py's delete path).  customer and orders
+    are single-scan conditional aggregates (the tombstone test rides the
+    scan, no join); lineitem takes the one orderkey-keyed shuffle join the
+    FK chain requires (q81's single-shuffle family), with the orders side
+    projected to (orderkey, custkey).  At 100 TB every branch is one scan
+    + one metadata-sized result; the real tombstone table would broadcast
+    or bloom-filter onto the fact scans (q169's shape)."""
+    c = t(spark, sf_dir, "customer", columns=["c_custkey"])
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = t(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def audit(df: DataFrame, name: str, dead) -> DataFrame:
+        purged = F.sum(F.when(dead, 1).otherwise(0)).cast("long")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            purged.alias("n_purged"),
+            (purged.cast("double") / F.count(F.lit(1))).alias("purge_pct"),
+        )
+
+    dead_c = F.col("c_custkey") % _TOMBSTONE_MOD == 0
+    dead_o = F.col("o_custkey") % _TOMBSTONE_MOD == 0
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        audit(c, "customer", dead_c)
+        .unionAll(audit(o, "orders", dead_o))
+        .unionAll(audit(joined, "lineitem", dead_o))
+    )
+
+
+_ARRIVAL_BLOCK = 4096  # watermark window: bounded per-(type, block) running max
+_LATE_SHIFT = 2 * _ARRIVAL_BLOCK  # displaced rows arrive two blocks late
+
+
+@query(
+    "q257_out_of_order_rate",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             event_id + CASE WHEN event_id % 13 = 0 THEN {_LATE_SHIFT} ELSE 0 END AS arr
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, us,
+             max(us) OVER (
+               PARTITION BY event_type, arr // {_ARRIVAL_BLOCK}
+               ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS rm
+      FROM a
+    ),
+    c AS (
+      SELECT event_type, us,
+             CASE WHEN rm > us THEN (rm - us) / 1000000.0 END AS late_sec
+      FROM b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(late_sec) AS BIGINT) AS n_late,
+           CAST(count(late_sec) AS DOUBLE) / count(*) AS late_rate,
+           max(late_sec) AS max_late_sec,
+           quantile_cont(late_sec, 0.95) AS p95_late_sec
+    FROM c GROUP BY event_type
+    """,
+)
+def q257_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival report — the measurement that sizes a
+    streaming watermark (streaming/events.py's withWatermark delay): per
+    event_type, how many events arrive carrying an event time OLDER than
+    the running max already seen (= would be dropped by a zero-delay
+    watermark), and the p95/max lateness in seconds (= the delay to
+    configure).  The synthetic events table arrives perfectly ordered, so
+    a deterministic reorder displaces every 13th event two arrival blocks
+    later — the repeatable stand-in for real transport-induced disorder.
+    The running max is bounded per (event_type, {_ARRIVAL_BLOCK}-row
+    arrival block), exactly a micro-batch watermark's granularity: every
+    window partition is batch-sized at any scale (cross-block lateness
+    beyond one block is invisible, matching how a per-batch watermark
+    actually advances).  One window shuffle + one per-type aggregate."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    a = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 13 == 0, _LATE_SHIFT).otherwise(0)
+        ).alias("arr"),
+    )
+    w = (
+        Window.partitionBy("event_type", F.expr(f"arr div {_ARRIVAL_BLOCK}"))
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = a.withColumn("rm", F.max("us").over(w))
+    c = b.select(
+        "event_type",
+        "us",
+        F.when(F.col("rm") > F.col("us"), (F.col("rm") - F.col("us")) / F.lit(1000000.0)).alias("late_sec"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("late_sec").alias("n_late"),
+        (F.count("late_sec").cast("double") / F.count(F.lit(1))).alias("late_rate"),
+        F.max("late_sec").alias("max_late_sec"),
+        F.expr("percentile(late_sec, 0.95)").alias("p95_late_sec"),
+    )
+
+
+#: (rule name, failure predicate) — one predicate string shared verbatim by
+#: both engines (Spark F.expr and DuckDB SQL), so a rule edit can't drift.
+_DQ_RULES = [
+    ("quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("discount_in_0_10pct", "l_discount < 0 OR l_discount > 0.1"),
+    ("tax_in_0_8pct", "l_tax < 0 OR l_tax > 0.08"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("returnflag_enum", "l_returnflag NOT IN ('R', 'A', 'N')"),
+    ("linestatus_enum", "l_linestatus NOT IN ('O', 'F')"),
+    ("shipdate_not_null", "l_shipdate IS NULL"),
+]
+
+
+def _q258_oracle() -> str:
+    fails = ",\n".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i, (_, pred) in enumerate(_DQ_RULES)
+    )
+    rows = [
+        "SELECT 'pk_unique' AS rule, n AS n_checked, n - n_pk AS n_failed,"
+        " CAST(n - n_pk AS DOUBLE) / n AS fail_rate, n - n_pk = 0 AS passed FROM m"
+    ]
+    rows += [
+        f"SELECT '{name}', n, f{i}, CAST(f{i} AS DOUBLE) / n, f{i} = 0 FROM m"
+        for i, (name, _) in enumerate(_DQ_RULES)
+    ]
+    return (
+        "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(count(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT) AS n_pk,\n"
+        f"{fails}\nFROM lineitem)\n" + "\nUNION ALL ".join(rows)
+    )
+
+
+@query("q258_dq_expectations", oracle=_q258_oracle())
+def q258_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ / dbt-test
+    pattern): every ingest contract on lineitem — primary-key uniqueness,
+    domain ranges, enum membership, completeness — checked in ONE scan as
+    conditional aggregates over a shared pass, then unpivoted to a
+    per-rule scorecard (rule, n_checked, n_failed, fail_rate, passed).
+    The rule table is a shared constant interpolated into both engines'
+    predicates, so a rule edit cannot drift between the Spark run and the
+    oracle.  pk_uniqueness folds l_linenumber (1..7) into the orderkey via
+    an injective *8 pack so it rides the same aggregate as the range
+    rules instead of a second distinct pass.  At 100 TB this is one
+    full scan, partial-aggregated map-side, with a 1-row reduce — the
+    cheapest possible shape for N rules (adding a rule adds a column,
+    not a pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ).alias("n_pk"),
+    ]
+    for i, (_, pred) in enumerate(_DQ_RULES):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"f{i}")
+        )
+    m = li.agg(*aggs)
+    tuples = [
+        "'pk_unique', n, n - n_pk, CAST(n - n_pk AS DOUBLE) / n, n - n_pk = 0"
+    ] + [
+        f"'{name}', n, f{i}, CAST(f{i} AS DOUBLE) / n, f{i} = 0"
+        for i, (name, _) in enumerate(_DQ_RULES)
+    ]
+    n_rows = len(tuples)
+    return m.selectExpr(
+        f"stack({n_rows}, {', '.join(tuples)}) AS "
+        "(rule, n_checked, n_failed, fail_rate, passed)"
+    )

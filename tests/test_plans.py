@@ -313,6 +313,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q242_sample_bias_audit",  # broadcast 1-row population/sample totals
         "q245_ks_test",  # broadcast 1-row sample-size totals
         "q249_lang_agreement_kappa",  # broadcast 1-row agreement x 1-row marginal-product aggregates
+        "q253_freshness_lag",  # broadcast 1-row watermark aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
@@ -533,3 +534,35 @@ def test_wds_export_preserves_partitioning(spark, tmp_path):
     )
     manifest = export_webdataset_shards(docs, str(tmp_path / "wds_par"), key_col="doc_id")
     assert len(manifest["shards"]) == 4
+
+
+def test_q254_compaction_window_is_partitioned(spark):
+    """Compaction planner: the cumulative-sum packing window must stay
+    partitioned by the layout key (l_returnflag) — a global-order window
+    would funnel the whole file manifest through one task."""
+    plan = plan_of(spark, "q254_small_file_compaction_plan")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_q255_drift_single_scan(spark):
+    """Schema drift: both snapshot halves come off ONE events scan (the
+    split is an event_id-parity projection, not a self-union of two
+    reads)."""
+    plan = plan_of(spark, "q255_schema_drift")
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_q257_watermark_window_is_block_bounded(spark):
+    """Out-of-order rate: the running-max window must be partitioned by
+    (event_type, arrival block), never a global or whole-type order."""
+    plan = plan_of(spark, "q257_out_of_order_rate")
+    assert "SinglePartition" not in plan
+
+
+def test_q258_dq_suite_single_scan(spark):
+    """DQ expectations: all rules (ranges, enums, pk-uniqueness) ride ONE
+    lineitem scan — adding a rule adds a column, not a pass."""
+    plan = plan_of(spark, "q258_dq_expectations")
+    assert plan.count("Scan parquet") == 1
