@@ -1423,3 +1423,77 @@ def test_profile_approx_estimates_and_schema():
         row = prof[c]
         assert row["n_rows"] == n
         assert abs(row["n_distinct_approx"] - exact) <= max(2, 0.15 * exact)
+
+
+def test_q254_packing_invariants():
+    """Compaction plan semantics: bins conserve bytes and files (every
+    undersized file lands in exactly one bin), every bin except a
+    partition's last is at least target-full (next-fit guarantee), and no
+    bin exceeds target + max small-file size."""
+    from bigquack_spark.queries.quality import (
+        _BYTES_PER_ROW,
+        _COMPACT_TARGET,
+        q254_small_file_compaction_plan,
+    )
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    bins = q254_small_file_compaction_plan(spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    files = (
+        li.groupBy(
+            "l_returnflag",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        )
+        .agg((F.count(F.lit(1)) * _BYTES_PER_ROW).alias("bytes"))
+        .filter(F.col("bytes") < _COMPACT_TARGET)
+        .collect()
+    )
+    assert sum(b["n_files"] for b in bins) == len(files)
+    assert sum(b["bin_bytes"] for b in bins) == sum(f["bytes"] for f in files)
+    max_small = max(f["bytes"] for f in files)
+    by_flag: dict[str, list] = {}
+    for b in bins:
+        by_flag.setdefault(b["l_returnflag"], []).append(b)
+    for flag, group in by_flag.items():
+        group.sort(key=lambda b: b["bin_id"])
+        for b in group:
+            assert b["bin_bytes"] <= _COMPACT_TARGET + max_small
+        for b in group[:-1]:  # every bin but the last is at least full
+            assert b["bin_bytes"] >= _COMPACT_TARGET
+
+
+def test_q257_lateness_bounds():
+    """Out-of-order semantics: only the displaced cohort (event_id % 13)
+    can be late, so the late rate stays under 1/13 + block-boundary slack,
+    and every lateness is positive and below the max event-time span."""
+    from bigquack_spark.queries.quality import q257_out_of_order_rate
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    rows = q257_out_of_order_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert r["late_rate"] <= 1 / 13 + 0.01
+        if r["n_late"]:
+            assert 0 < r["p95_late_sec"] <= r["max_late_sec"]
+
+
+def test_q258_scorecard_matches_data():
+    """The synthetic lineitem satisfies every range/enum/completeness
+    contract but genuinely VIOLATES pk uniqueness (the generator reuses
+    (orderkey, linenumber) pairs) — the scorecard must report exactly
+    that: one failing rule, with n_failed equal to an independently
+    computed duplicate count."""
+    from bigquack_spark.queries.quality import q258_dq_expectations
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    rows = {r["rule"]: r for r in q258_dq_expectations(spark, SF_SMOKE).collect()}
+    assert len(rows) == 8
+    failing = {name for name, r in rows.items() if not r["passed"]}
+    assert failing == {"pk_unique"}, failing
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    dups = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["pk_unique"]["n_failed"] == dups > 0
