@@ -119,6 +119,7 @@ _WINDOW_BACK = {
     "q256_tombstone_purge_audit",
     "q257_out_of_order_rate",
     "q258_dq_expectations",
+    "q259_l_diversity",
 }
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)

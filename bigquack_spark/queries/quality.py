@@ -1513,3 +1513,51 @@ def q258_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({n_rows}, {', '.join(tuples)}) AS "
         "(rule, n_checked, n_failed, fail_rate, passed)"
     )
+
+
+_L_DIVERSITY = 3  # a QI group with fewer distinct sensitive values is risky
+
+
+@query(
+    "q259_l_diversity",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS diversity,
+             CAST(count(*) AS BIGINT) AS group_rows
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT diversity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_rows) AS BIGINT) AS n_rows,
+           diversity < {_L_DIVERSITY} AS is_risky
+    FROM groups GROUP BY diversity
+    """,
+)
+def q259_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of q163's
+    k-anonymity: a quasi-identifier group can be large (k-anonymous) yet
+    leak its members' sensitive attribute if everyone in it shares one
+    value.  Per QI group (nation, account-balance band) count the DISTINCT
+    sensitive values (market segment), then histogram the groups by that
+    diversity with an l={_L_DIVERSITY} risk flag — the release gate reads
+    the risky mass straight off the lowest rows.  Two cascaded aggregates:
+    the first shuffles the QI vocabulary (map-side combined), the second
+    the diversity histogram (≤|segments| rows); the balance band uses the
+    exact cents lattice (q87's money rule) so band edges are
+    engine-exact."""
+    c = t(spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal", "c_mktsegment"])
+    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+    groups = c.groupBy("c_nationkey", band.alias("bal_band")).agg(
+        F.countDistinct("c_mktsegment").alias("diversity"),
+        F.count(F.lit(1)).alias("group_rows"),
+    )
+    return (
+        groups.groupBy("diversity")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_rows").alias("n_rows"),
+        )
+        .withColumn("is_risky", F.col("diversity") < _L_DIVERSITY)
+    )

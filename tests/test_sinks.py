@@ -657,3 +657,73 @@ def test_webdataset_rejects_dotted_suffix(spark, tmp_path):
             df, str(tmp_path / "wds_dot"), key_col="doc_id",
             suffixes={"text": "seg.json"},
         )
+
+
+def test_quarantine_routes_rows_single_pass(spark, tmp_path):
+    """Row-level quarantine: bad rows land under quarantined=true with the
+    violated rule names, good rows stay clean, counts come from the write
+    pass (df.observe) and agree with a read-back recount."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        write_with_quarantine,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # deterministically corrupt two disjoint slices so both rules fire,
+    # one row violating both
+    df = li.withColumn(
+        "l_discount",
+        F.when(F.col("l_orderkey") % 50 == 0, F.lit(0.9)).otherwise(F.col("l_discount")),
+    ).withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 100 == 0, F.lit("X")).otherwise(F.col("l_returnflag")),
+    )
+    rules = [
+        ("discount_in_0_10pct", "l_discount < 0 OR l_discount > 0.1"),
+        ("returnflag_enum", "l_returnflag NOT IN ('R', 'A', 'N')"),
+    ]
+    base = str(tmp_path / "routed")
+    m = write_with_quarantine(df, base, rules)
+
+    n_bad_disc = df.filter("l_discount > 0.1").count()
+    n_bad_flag = df.filter("l_returnflag = 'X'").count()
+    n_bad = df.filter("l_discount > 0.1 OR l_returnflag = 'X'").count()
+    assert m["n_rows"] == df.count()
+    assert m["n_quarantined"] == n_bad > 0
+    assert m["per_rule"] == {
+        "discount_in_0_10pct": n_bad_disc,
+        "returnflag_enum": n_bad_flag,
+    }
+
+    good = read_accepted(spark, base)
+    bad = read_quarantined(spark, base)
+    assert good.count() == m["n_rows"] - n_bad
+    assert good.filter("l_discount > 0.1 OR l_returnflag = 'X'").count() == 0
+    assert set(good.columns) == set(li.columns)
+    assert bad.count() == n_bad
+    # every reject carries the exact rules it violated
+    both = bad.filter("l_orderkey % 100 = 0 AND l_discount > 0.1")
+    if both.count():
+        assert set(
+            r["violated_rules"] for r in both.select("violated_rules").distinct().collect()
+        ) == {"discount_in_0_10pct,returnflag_enum"}
+    only_flag = bad.filter("l_returnflag = 'X' AND l_discount <= 0.1")
+    assert all(
+        r["violated_rules"] == "returnflag_enum"
+        for r in only_flag.select("violated_rules").collect()
+    )
+
+
+def test_quarantine_rejects_bad_rule_names(spark, tmp_path):
+    from bigquack_spark.sinks.quarantine import tag_violations
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    with pytest.raises(ValueError, match="','"):
+        tag_violations(li, [("a,b", "l_discount > 1")])
+    with pytest.raises(ValueError, match="at least one rule"):
+        tag_violations(li, [])
