@@ -15,6 +15,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class ExactlyOnceBatchSink:
@@ -466,3 +467,61 @@ class JoinViewSink:
                 [], "o_orderpriority string, n_items long, revenue_cents long"
             )
         return spark.read.parquet(self._view_path(self.rev))
+
+
+class QuarantineIngestSink:
+    """Streaming twin of ``sinks/quarantine.write_with_quarantine``: every
+    micro-batch is routed through the rule predicates and BOTH streams land
+    in one distributed write — accepted rows under
+    ``batch_id=N/quarantined=false/``, rejects (with their
+    ``violated_rules`` evidence) under ``quarantined=true/`` — under
+    ExactlyOnceBatchSink's offset protocol (per-batch overwrite dirs +
+    durable committed-id gate), so crash replay converges and a committed
+    batch is never re-run.  Per-batch accept/reject counts ride the write
+    via ``df.observe`` and accumulate in ``self.stats`` for the pipeline's
+    progress ledger (never a post-write re-read).
+
+    Usage mirrors ExactlyOnceBatchSink::
+
+        sink = QuarantineIngestSink(target_dir, rules)
+        (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True)
+            .start().awaitTermination())
+    """
+
+    def __init__(self, target: str, rules: list[tuple[str, str]]):
+        from bigquack_spark.sinks.quarantine import tag_violations  # noqa: F401
+
+        if not rules:
+            raise ValueError("QuarantineIngestSink: at least one rule required")
+        self.rules = rules
+        self._inner = ExactlyOnceBatchSink(target)
+        self.target = target
+        self.stats = {"n_rows": 0, "n_quarantined": 0}
+
+    @property
+    def next_batch_id(self) -> int:
+        return self._inner.next_batch_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        from bigquack_spark.sinks.quarantine import QUARANTINE_COL, tag_violations
+
+        if batch_id < self._inner.next_batch_id:
+            return  # replayed batch: already durable — exactly-once
+        tagged = tag_violations(batch_df, self.rules)
+        obs = Observation(f"quarantine_batch_{batch_id}")
+        tagged = tagged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(QUARANTINE_COL).cast("long")).alias("n_quarantined"),
+        )
+        tagged.write.mode("overwrite").partitionBy(QUARANTINE_COL).parquet(
+            os.path.join(self.target, f"batch_id={batch_id}")
+        )
+        got = obs.get
+        self.stats["n_rows"] += int(got["n_rows"])
+        self.stats["n_quarantined"] += int(got["n_quarantined"] or 0)
+        self._inner.next_batch_id = batch_id + 1
+        self._inner._persist()

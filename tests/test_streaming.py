@@ -1181,3 +1181,62 @@ def test_join_view_sink_empty_before_first_update(spark, tmp_path):
     v = sink.view(spark)
     assert v.count() == 0
     assert v.columns == ["o_orderpriority", "n_items", "revenue_cents"]
+
+
+def test_quarantine_ingest_sink_routes_and_replays_once(spark, tmp_path):
+    """Streaming quarantine: micro-batches route bad rows to the
+    quarantined partition with rule evidence, counts accumulate from the
+    write pass, and a crash-replayed batch (offset rollback) is a no-op
+    for both data and stats."""
+    from bigquack_spark.sinks.quarantine import read_accepted, read_quarantined
+    from bigquack_spark.streaming.sink import QuarantineIngestSink
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    rules = [("v_nonneg", "v < 0"), ("k_enum", "k NOT IN ('a', 'b')")]
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -1.0), (3, "zz", 5.0)], "id bigint, k string, v double"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        sink = QuarantineIngestSink(target, rules)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sink
+
+    sink = run()
+    assert sink.stats == {"n_rows": 3, "n_quarantined": 2}
+    good = read_accepted(spark, target)
+    assert [r.id for r in good.collect()] == [1]
+    bad = {r.id: r.violated_rules for r in read_quarantined(spark, target).collect()}
+    assert bad == {2: "v_nonneg", 3: "k_enum"}
+
+    # crash window: offset file lost, same batch replays -> converges
+    import os
+    import shutil
+
+    os.remove(os.path.join(target, "_COMMITTED_BATCH"))
+
+    shutil.rmtree(ckpt)
+    sink2 = run()
+    assert sink2.stats == {"n_rows": 3, "n_quarantined": 2}
+    assert read_accepted(spark, target).count() == 1
+    assert read_quarantined(spark, target).count() == 2
+
+    # committed replay: a second run with intact offsets is a pure no-op
+    import pyspark.sql.functions as SF
+
+    sink3 = QuarantineIngestSink(target, rules)
+    df = spark.createDataFrame([(9, "a", 1.0)], "id bigint, k string, v double")
+    sink3(df, batch_id=0)  # id 0 already committed
+    assert sink3.stats == {"n_rows": 0, "n_quarantined": 0}
+    assert read_accepted(spark, target).filter(SF.col("id") == 9).count() == 0
