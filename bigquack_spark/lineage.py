@@ -1,0 +1,107 @@
+"""Plan-derived source lineage — what a query actually reads, from Spark
+itself rather than from documentation.
+
+The reference logs only row counts (bigquack.go:127-137); a governed
+deployment needs the other half of the audit: WHICH tables a result came
+from, which columns left each scan, and which predicates were pushed into
+it.  Catalyst already knows all of this — the executed plan's FileScan
+nodes carry location, pruned read schema, and pushed filters — so lineage
+capture is a plan walk, not instrumentation: zero cost in the data path,
+impossible to drift from what actually executed (the same property
+planlint.py relies on).
+
+Used for: audit manifests next to exported shards, impact analysis for
+q256-style erasure requests (which outputs touched a table), and
+verifying scan contracts (columns pruned / filters pushed) in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+#: Render confs that truncate plan strings by default; raised while the
+#: lineage snapshot is taken, then restored.
+_RENDER_CONFS = {
+    "spark.sql.debug.maxToStringFields": "10000",
+    "spark.sql.maxMetadataStringLength": "100000",
+}
+
+_SCAN_RE = re.compile(
+    r"FileScan (?P<fmt>\w+) \[(?P<cols>[^\]]*)\].*?"
+    r"Location: \w+\((?:\d+ paths?)\)\[(?P<paths>[^\]]*)\].*?"
+    r"PushedFilters: \[(?P<filters>[^\]]*)\]",
+)
+_ATTR_ID_RE = re.compile(r"#\d+L?\b")
+
+
+def _plan_string(df: DataFrame) -> str:
+    spark = df.sparkSession
+    old = {k: spark.conf.get(k, None) for k in _RENDER_CONFS}
+    try:
+        for k, v in _RENDER_CONFS.items():
+            spark.conf.set(k, v)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def capture_lineage(df: DataFrame) -> dict[str, Any]:
+    """Walk ``df``'s executed plan and return its source-level lineage::
+
+        {
+          "output_columns": [...],
+          "sources": [
+            {"table": "lineitem", "format": "parquet",
+             "paths": [".../lineitem.parquet"],
+             "columns": ["l_orderkey", ...],      # pruned read schema
+             "pushed_filters": ["IsNotNull(l_orderkey)", ...]},
+            ...
+          ],
+        }
+
+    One entry per scan (a self-join reads a table twice and reports it
+    twice — that IS the lineage).  Capture is driver-side plan analysis:
+    nothing runs on the cluster.
+    """
+    plan = _plan_string(df)
+    sources = []
+    for m in _SCAN_RE.finditer(plan):
+        paths = [p.strip() for p in m.group("paths").split(",") if p.strip()]
+        cols = [
+            _ATTR_ID_RE.sub("", c).strip()
+            for c in m.group("cols").split(",")
+            if c.strip()
+        ]
+        filters = [f.strip() for f in m.group("filters").split(",")]
+        # filter args contain commas (GreaterThan(x,5)): re-join fragments
+        # until parens balance
+        merged: list[str] = []
+        for frag in filters:
+            if merged and merged[-1].count("(") > merged[-1].count(")"):
+                merged[-1] += "," + frag
+            elif frag:
+                merged.append(frag)
+        table = os.path.basename(paths[0]).replace(".parquet", "") if paths else None
+        sources.append(
+            {
+                "table": table,
+                "format": m.group("fmt"),
+                "paths": paths,
+                "columns": cols,
+                "pushed_filters": merged,
+            }
+        )
+    return {"output_columns": list(df.columns), "sources": sources}
+
+
+def lineage_tables(df: DataFrame) -> set[str]:
+    """Just the distinct source table names — the erasure-impact shape."""
+    return {s["table"] for s in capture_lineage(df)["sources"] if s["table"]}

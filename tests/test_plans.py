@@ -566,3 +566,38 @@ def test_q258_dq_suite_single_scan(spark):
     lineitem scan — adding a rule adds a column, not a pass."""
     plan = plan_of(spark, "q258_dq_expectations")
     assert plan.count("Scan parquet") == 1
+
+
+def test_lineage_capture_q05(spark):
+    """Lineage is read off the executed plan: q05 touches all six TPC-H
+    dims+facts, every scan reports its pruned column set, and the pushed
+    region predicate is visible on the region scan."""
+    from bigquack_spark.lineage import capture_lineage, lineage_tables
+    from bigquack_spark.queries import QUERIES
+
+    df = QUERIES["q05_region_revenue"].fn(spark, SF_SMOKE)
+    lin = capture_lineage(df)
+    assert lineage_tables(df) == {
+        "region", "nation", "customer", "supplier", "orders", "lineitem"
+    }
+    by_table = {s["table"]: s for s in lin["sources"]}
+    assert set(by_table["lineitem"]["columns"]) == {
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    }
+    assert any(
+        f.startswith("LessThan(r_regionkey") for f in by_table["region"]["pushed_filters"]
+    )
+    assert lin["output_columns"] == df.columns
+    # render confs restored after capture
+    assert spark.conf.get("spark.sql.debug.maxToStringFields", None) != "10000"
+
+
+def test_lineage_counts_self_join_twice(spark):
+    from bigquack_spark.lineage import capture_lineage
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = o.select("o_orderkey", "o_custkey")
+    b = o.select("o_orderkey", "o_totalprice")
+    j = a.join(b, "o_orderkey")
+    lin = capture_lineage(j)
+    assert [s["table"] for s in lin["sources"]].count("orders") == 2
