@@ -410,6 +410,47 @@ def _profile_block(spark, trend_dir: str) -> dict | None:
         return None
 
 
+def _quarantine_block(spark, trend_dir: str) -> dict | None:
+    """Measure the quarantine router's one-pass claim (r5: sinks/
+    quarantine.py): routing a batch into accepted+rejected through a
+    partition-flag projection costs ONE scan; the naive split (filter
+    twice, write each side) scans the input twice.  Both variants are
+    timed to the noop sink so the write medium is held constant — the
+    parquet bytes out are identical either way, the difference is scans.
+    Rules mirror the q258 shape on the 100x events table."""
+    try:
+        from bigquack_spark.sinks.quarantine import tag_violations
+
+        ev = spark.read.parquet(os.path.join(trend_dir, "events.parquet"))
+        rules = [
+            ("value_nonneg", "value < 0"),
+            ("type_enum", "event_type NOT IN ('click','view','purchase','signup','error')"),
+            ("props_json", "props IS NOT NULL AND get_json_object(props, '$.k') IS NULL"),
+        ]
+        tagged = tag_violations(ev, rules)
+        one_pass_sec = _timed_noop(tagged)
+        fail = " OR ".join(f"({p})" for _, p in rules)
+        two_pass_sec = round(
+            _timed_noop(ev.filter(f"NOT ({fail})"))
+            + _timed_noop(ev.filter(fail)),
+            4,
+        )
+        return {
+            "note": (
+                "quarantine routing at 100x (15M events, 3 rules incl. a JSON "
+                "probe): one-pass partition-flag routing vs the naive "
+                "filter-twice split, noop sink (write bytes identical either "
+                "way — the delta is input scans).  The router's advantage "
+                "scales with scan cost; at 100 TB the second scan IS the bill."
+            ),
+            "one_pass_sec": one_pass_sec,
+            "two_pass_sec": two_pass_sec,
+            "speedup": round(two_pass_sec / one_pass_sec, 2) if one_pass_sec else None,
+        }
+    except Exception:
+        return None
+
+
 def _aqe_block(spark, trend_dir: str) -> dict | None:
     """Measure the AQE posture instead of asserting it: the bench pins AQE
     off because its per-exchange re-plan barrier costs ~30% on sub-GB
@@ -768,6 +809,7 @@ def main() -> None:
             skew = _skew_block(spark, trend_dir)
             profile = _profile_block(spark, trend_dir)
             aqe = _aqe_block(spark, trend_dir)
+            quarantine = _quarantine_block(spark, trend_dir)
         else:
             tr_spark = {}
             json_wall = None
@@ -775,6 +817,7 @@ def main() -> None:
             skew = None
             profile = None
             aqe = None
+            quarantine = None
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -886,6 +929,7 @@ def main() -> None:
             "skew_mitigation": skew,
             "profile_approx_block": profile,
             "aqe_at_100x": aqe,
+            "quarantine_one_pass_block": quarantine,
         } if trend_dir else None,
         "ratio_trend_1x_10x_100x": ratio_trend,
         "config": {
