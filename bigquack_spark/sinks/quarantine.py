@@ -43,7 +43,12 @@ REASON_COL = "violated_rules"
 def tag_violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Append ``violated_rules`` (comma-joined names of every failed rule;
     NULL for clean rows) and the boolean ``quarantined`` partition flag.
-    Pure projection — zero shuffle, whole-stage codegen."""
+    Pure projection — zero shuffle, whole-stage codegen.
+
+    A predicate must evaluate TRUE to quarantine: a NULL result (SQL
+    three-valued logic, e.g. ``v > 5`` on NULL v) passes the row.  Guard
+    nullable columns explicitly (``v IS NULL OR v > 5``) when NULL itself
+    is a violation."""
     if not rules:
         raise ValueError("tag_violations: at least one rule is required")
     for name, _ in rules:
@@ -66,7 +71,11 @@ def write_with_quarantine(
     ``base_path/quarantined=true/`` the rejects with their
     ``violated_rules`` evidence.  Returns ``{n_rows, n_quarantined,
     accepted_path, quarantined_path, per_rule}`` with every count derived
-    from the write pass itself (df.observe) — no re-read."""
+    from the write pass itself (df.observe) — no re-read.
+
+    ``base_path`` is REPLACED (mode=overwrite): this is the one-batch
+    router.  For continuous ingest use streaming.QuarantineIngestSink,
+    which nests the same layout under exactly-once per-batch dirs."""
     from pyspark.sql import Observation
 
     tagged = tag_violations(df, rules)
