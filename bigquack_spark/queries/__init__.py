@@ -121,6 +121,10 @@ _WINDOW_BACK = {
     "q258_dq_expectations",
     "q259_l_diversity",
 }
+assert _WINDOW_BACK <= set(QUERIES), (
+    "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "
+    f"its window slot: {sorted(_WINDOW_BACK - set(QUERIES))}"
+)
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)
 _checked = [n for n in QUERIES if n in _DRIVER_VERIFIED]
