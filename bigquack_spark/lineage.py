@@ -30,8 +30,10 @@ _RENDER_CONFS = {
     "spark.sql.maxMetadataStringLength": "100000",
 }
 
+# Path scans render "FileScan parquet [cols]"; catalog tables render
+# "FileScan parquet spark_catalog.default.t[cols]" (no space before '[')
 _SCAN_RE = re.compile(
-    r"FileScan (?P<fmt>\w+) \[(?P<cols>[^\]]*)\].*?"
+    r"FileScan (?P<fmt>\w+) (?P<cat>[\w.$]+)?\[(?P<cols>[^\]]*)\].*?"
     r"Location: \w+\((?:\d+ paths?)\)\[(?P<paths>[^\]]*)\].*?"
     r"PushedFilters: \[(?P<filters>[^\]]*)\]",
 )
@@ -89,7 +91,10 @@ def capture_lineage(df: DataFrame) -> dict[str, Any]:
                 merged[-1] += "," + frag
             elif frag:
                 merged.append(frag)
-        table = os.path.basename(paths[0]).replace(".parquet", "") if paths else None
+        if m.group("cat"):  # catalog table: last component of its FQN
+            table = m.group("cat").rstrip(".").rsplit(".", 1)[-1]
+        else:
+            table = os.path.basename(paths[0]).replace(".parquet", "") if paths else None
         sources.append(
             {
                 "table": table,

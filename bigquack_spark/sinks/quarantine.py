@@ -54,6 +54,12 @@ def tag_violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for name, _ in rules:
         if "," in name:
             raise ValueError(f"rule name {name!r} contains ','(the join separator)")
+    clash = {QUARANTINE_COL, REASON_COL} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"tag_violations: input already has column(s) {sorted(clash)} — "
+            "the router would silently overwrite them; rename before routing"
+        )
     tags = F.array_compact(
         F.array(*[F.when(F.expr(pred), F.lit(name)) for name, pred in rules])
     )

@@ -601,3 +601,26 @@ def test_lineage_counts_self_join_twice(spark):
     j = a.join(b, "o_orderkey")
     lin = capture_lineage(j)
     assert [s["table"] for s in lin["sources"]].count("orders") == 2
+
+
+def test_lineage_capture_catalog_table(spark, tmp_path):
+    """Catalog-table scans render without a space before the column list
+    (FileScan parquet spark_catalog.default.t[...]); lineage must still
+    parse them and prefer the catalog name."""
+    from bigquack_spark.lineage import capture_lineage
+
+    spark.sql("DROP TABLE IF EXISTS lineage_probe")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+        .write.mode("overwrite")
+        .saveAsTable("lineage_probe")
+    )
+    try:
+        lin = capture_lineage(spark.table("lineage_probe").filter("r_regionkey > 1"))
+        assert [s["table"] for s in lin["sources"]] == ["lineage_probe"]
+        assert any(
+            f.startswith("GreaterThan(r_regionkey")
+            for f in lin["sources"][0]["pushed_filters"]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineage_probe")

@@ -727,3 +727,16 @@ def test_quarantine_rejects_bad_rule_names(spark, tmp_path):
         tag_violations(li, [("a,b", "l_discount > 1")])
     with pytest.raises(ValueError, match="at least one rule"):
         tag_violations(li, [])
+
+
+def test_quarantine_rejects_column_collision(spark):
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import tag_violations
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").withColumn(
+        "quarantined", F.lit(False)
+    )
+    with pytest.raises(ValueError, match="quarantined"):
+        tag_violations(li, [("r", "l_discount > 1")])
