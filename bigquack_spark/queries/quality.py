@@ -184,7 +184,7 @@ _SKEW_TOP_K = 20
     """,
 )
 def q119_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-skew report: the top-{K} hottest join/agg keys with their share
+    """Key-skew report: the top-20 hottest join/agg keys with their share
     of rows and hotness (ratio vs a perfectly uniform key) — the number you
     read before choosing salt_buckets for salted_aggregate or trusting AQE
     skew-join to cope.  One groupBy(key) shuffle; the totals ride in via a
@@ -1084,7 +1084,7 @@ def q253_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     report: per event_type, how far its newest event trails the table
     watermark (max ts over all types; deterministic, unlike now()), the
     p95 gap between consecutive events as the arrival-cadence yardstick,
-    and a stale flag at {_STALE_SEC} s.  The gap window is partitioned
+    and a stale flag at 86400 s.  The gap window is partitioned
     (event_type, day) — day bounds keep every window partition
     batch-sized at 100 TB where a bare per-type window would funnel a
     whole source through one task; the lost cross-midnight boundary gaps
@@ -1158,7 +1158,7 @@ def q254_small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFra
     the manifest's natural order), so each bin lands within one target of
     full and untouched big files are skipped.  The manifest here is
     synthesized deterministically from lineitem — one "file" per
-    (returnflag, ship-month) with a {_BYTES_PER_ROW} B/row proxy — because
+    (returnflag, ship-month) with a 256 B/row proxy — because
     the bench container has no real multi-file table; the plan math is
     byte-for-byte what compact.py's planner runs on real directory
     listings.  Scale posture: the packing window runs over file METADATA
@@ -1327,7 +1327,7 @@ _TOMBSTONE_MOD = 97  # deterministic erasure cohort: custkey % 97 == 0
 )
 def q256_tombstone_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure impact audit: given a tombstone cohort (custkey %
-    {_TOMBSTONE_MOD} == 0 — deterministic stand-in for a deletion-request
+    97 == 0 — deterministic stand-in for a deletion-request
     table), count the rows a purge would remove from every table the key
     reaches: customer directly, orders through its FK, lineitem through
     the orders join — the blast-radius report reviewed before running the
@@ -1405,7 +1405,7 @@ def q257_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure).  The synthetic events table arrives perfectly ordered, so
     a deterministic reorder displaces every 13th event two arrival blocks
     later — the repeatable stand-in for real transport-induced disorder.
-    The running max is bounded per (event_type, {_ARRIVAL_BLOCK}-row
+    The running max is bounded per (event_type, 4096-row
     arrival block), exactly a micro-batch watermark's granularity: every
     window partition is batch-sized at any scale (cross-block lateness
     beyond one block is invisible, matching how a per-batch watermark
@@ -1541,7 +1541,7 @@ def q259_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak its members' sensitive attribute if everyone in it shares one
     value.  Per QI group (nation, account-balance band) count the DISTINCT
     sensitive values (market segment), then histogram the groups by that
-    diversity with an l={_L_DIVERSITY} risk flag — the release gate reads
+    diversity with an l=3 risk flag — the release gate reads
     the risky mass straight off the lowest rows.  Two cascaded aggregates:
     the first shuffles the QI vocabulary (map-side combined), the second
     the diversity histogram (≤|segments| rows); the balance band uses the
