@@ -120,6 +120,7 @@ _WINDOW_BACK = {
     "q257_out_of_order_rate",
     "q258_dq_expectations",
     "q259_l_diversity",
+    "q260_acf_daily_revenue",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1602,3 +1602,83 @@ def q246_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias("retention"),
         )
     )
+
+
+_ACF_MAX_LAG = 14
+#: One expression string shared VERBATIM by both engines over DOUBLE casts
+#: of exact integer power sums (the q87 rule): identical inputs + identical
+#: IEEE ops = identical doubles, no float-accumulation drift.
+_ACF_EXPR = (
+    "(n * sxy - sx * sy) / "
+    "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+@query(
+    "q260_acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + l.lag
+    ),
+    sums AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs, {_ACF_EXPR} AS acf
+    FROM sums
+    """,
+)
+def q260_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..14 — the diagnostic read before picking q219's seasonal period or
+    trusting q195's backtest horizon (a weekly cycle shows as an acf
+    spike at lag 7).  The series is first reduced to one row per day
+    (cents lattice), so everything after the first aggregate is
+    calendar-sized: the 14-row lag grid broadcast-joins the series onto
+    itself (day+lag equi-join, never a window over the raw fact table),
+    and per-lag Pearson terms are EXACT integer power sums — decimal
+    accumulation (the q186 overflow rule), cast to DOUBLE only for the
+    final shared-expression arithmetic, so both engines emit identical
+    IEEE values."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select("day", F.col("rev").cast("decimal(19,0)").alias("x"))
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("rev").cast("decimal(19,0)").alias("y")
+    )
+    pairs = a.join(F.broadcast(lags), how="cross").join(
+        b, F.col("bday") == F.col("day") + F.col("lag")
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return sums.select(
+        "lag", "n_pairs", F.expr(_ACF_EXPR).alias("acf")
+    )

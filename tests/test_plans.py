@@ -314,6 +314,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q245_ks_test",  # broadcast 1-row sample-size totals
         "q249_lang_agreement_kappa",  # broadcast 1-row agreement x 1-row marginal-product aggregates
         "q253_freshness_lag",  # broadcast 1-row watermark aggregate
+        "q260_acf_daily_revenue",  # broadcast 14-row lag grid onto the daily series
     }
     offenders = []
     for name, spec in QUERIES.items():
@@ -624,3 +625,12 @@ def test_lineage_capture_catalog_table(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS lineage_probe")
+
+
+def test_q260_acf_series_sized_after_first_aggregate(spark):
+    """ACF: the lag fan-out happens AFTER the daily reduction — the raw
+    fact table is scanned once per side and never windowed; the lag grid
+    rides in as a bounded broadcast."""
+    plan = plan_of(spark, "q260_acf_daily_revenue")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
