@@ -121,6 +121,7 @@ _WINDOW_BACK = {
     "q258_dq_expectations",
     "q259_l_diversity",
     "q260_acf_daily_revenue",
+    "q261_benford_audit",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1561,3 +1561,62 @@ def q259_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_risky", F.col("diversity") < _L_DIVERSITY)
     )
+
+
+#: Shared first-digit + Benford-expectation expressions (identical IEEE
+#: math on both engines; x is the positive cents-lattice total).
+_BENFORD_DIGIT = "CAST(floor(x / power(10.0, floor(log10(x)))) AS BIGINT)"
+_BENFORD_EXP = "log10(1.0 + 1.0 / d)"
+
+
+@query(
+    "q261_benford_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT {_BENFORD_DIGIT} AS d FROM v
+    ),
+    counts AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT counts.d AS digit, counts.n_obs,
+           {_BENFORD_EXP} AS expected_share,
+           CAST(counts.n_obs AS DOUBLE) / tot.n AS observed_share,
+           power(CAST(counts.n_obs AS DOUBLE) / tot.n - {_BENFORD_EXP}, 2)
+             / {_BENFORD_EXP} AS chi2_term
+    FROM counts, tot
+    """,
+)
+def q261_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the money column — the classic
+    fabricated-data tripwire: naturally-occurring amounts put ~30.1% of
+    first digits at 1, while generated or tampered figures drift toward
+    uniform.  Per digit: observed vs Benford-expected share and the
+    chi-square term (sum them for the test statistic; TPC-H's uniform
+    price generator rightly FAILS Benford — the audit exists to measure
+    exactly that kind of synthetic signature).  One scan to a 9-row
+    digit histogram (map-side combined); the total rides back as a
+    broadcast 1-row aggregate off the reduced frame; first-digit and
+    expectation expressions are shared constants evaluated identically
+    in both engines on the exact cents lattice."""
+    o = t(spark, sf_dir, "orders", columns=["o_totalprice"])
+    v = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    counts = v.select(F.expr(_BENFORD_DIGIT).alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    obs_share = F.col("n_obs").cast("double") / F.col("n")
+    exp_share = F.expr(_BENFORD_EXP)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n_obs",
+        exp_share.alias("expected_share"),
+        obs_share.alias("observed_share"),
+        (F.pow(obs_share - exp_share, 2) / exp_share).alias("chi2_term"),
+    )
