@@ -1497,3 +1497,19 @@ def test_q258_scorecard_matches_data():
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     dups = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
     assert rows["pk_unique"]["n_failed"] == dups > 0
+
+
+def test_q261_benford_flags_synthetic_prices():
+    """TPC-H's uniform price generator must FAIL the Benford audit — the
+    chi-square statistic over the 9 digit terms sits far above the 5%
+    critical value (15.5 at 8 dof).  Shares still sum to 1 exactly."""
+    from bigquack_spark.queries.quality import q261_benford_audit
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    rows = q261_benford_audit(spark, SF_SMOKE).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-12
+    n = sum(r["n_obs"] for r in rows)
+    chi2 = n * sum(r["chi2_term"] for r in rows)
+    assert chi2 > 15.5, chi2
