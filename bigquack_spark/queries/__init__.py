@@ -122,6 +122,7 @@ _WINDOW_BACK = {
     "q259_l_diversity",
     "q260_acf_daily_revenue",
     "q261_benford_audit",
+    "q262_phash_near_dup",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1465,3 +1465,104 @@ def q243_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary(keys("cdc_chunk"), "cdc").unionByName(
         summary(keys("fixed_chunk"), "fixed")
     )
+
+
+_PHASH_HAMMING_T = 8  # near-dup verdict: <= 8 of 64 bits differ
+_PHASH_BANDS = [(1, 4), (5, 4), (9, 4), (13, 4)]  # four 16-bit hex bands
+
+
+@query(
+    "q262_phash_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 1000000 AS BIGINT), upper(text)
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    m AS (
+      SELECT id,
+             substr(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                    1, 16) AS ph
+      FROM corpus
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT id, ph, {i} AS b, substr(ph, {s}, {l}) AS key FROM m"
+          for i, (s, l) in enumerate(_PHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS media_a, b.id AS media_b,
+                      a.ph AS pha, b.ph AS phb
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+    ),
+    d AS (
+      SELECT media_a, media_b,
+             bit_count(xor(CAST('0x' || substr(pha, 1, 8) AS BIGINT),
+                           CAST('0x' || substr(phb, 1, 8) AS BIGINT)))
+           + bit_count(xor(CAST('0x' || substr(pha, 9, 8) AS BIGINT),
+                           CAST('0x' || substr(phb, 9, 8) AS BIGINT))) AS dist
+      FROM cand
+    )
+    SELECT media_a, media_b, CAST(dist AS BIGINT) AS hamming_dist
+    FROM d WHERE dist <= {_PHASH_HAMMING_T}
+    """,
+)
+def q262_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection on perceptual-hash digests — the
+    multimodal twin of q36's text LSH: band the 64-bit pHash (q60's
+    oracle-diffed digest; a real pHash slots in behind the same column)
+    (computed over the q30-normalized text; the drift-free corpus gets a
+    deterministic variant injection — case-flipped copies, = re-encoded
+    images — so verified pairs exist) into four 16-bit exact-match keys, self-join per band for candidates
+    (Hamming-LSH: any pair within distance 3 per band region shares a
+    band with high probability; exact dups always collide), then verify
+    with popcount(xor) on two 32-bit halves and keep dist <= 8 of 64.
+    Never all-pairs: the join key is the band value, so work scales with
+    band-bucket sizes (bounded by duplicate-group size on this corpus —
+    random digests collide a 16-bit band at 2^-16).  One digest scan,
+    one band-keyed shuffle, bit math in whole-stage codegen."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance=True)
+    # the synthetic corpus has no duplicates, so a deterministic variant
+    # set (case-flipped copies, identical after q30 normalization) stands
+    # in for re-encoded images — the q124/q255 injection technique
+    corpus = d.select(F.col("doc_id").cast("long").alias("id"), "text").unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).cast("long").alias("id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    m = corpus.select(
+        "id",
+        F.substring(F.sha2(norm, 256), 1, 16).alias("ph"),
+    )
+    bands = None
+    for i, (s, l) in enumerate(_PHASH_BANDS):
+        part = m.select(
+            "id", "ph", F.lit(i).alias("b"), F.substring("ph", s, l).alias("key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(
+        F.col("id").alias("media_a"), F.col("ph").alias("pha"), "b", "key"
+    )
+    bb = bands.select(
+        F.col("id").alias("media_b"), F.col("ph").alias("phb"), "b", "key"
+    )
+    cand = (
+        a.join(bb, ["b", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "pha", "phb")
+        .distinct()
+    )
+    half = lambda c, s: F.expr(f"cast(conv(substr({c}, {s}, 8), 16, 10) as bigint)")
+    dist = (
+        F.bit_count(half("pha", 1).bitwiseXOR(half("phb", 1)))
+        + F.bit_count(half("pha", 9).bitwiseXOR(half("phb", 9)))
+    )
+    return (
+        cand.select("media_a", "media_b", dist.cast("long").alias("hamming_dist"))
+        .filter(F.col("hamming_dist") <= _PHASH_HAMMING_T)
+    )

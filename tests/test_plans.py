@@ -635,3 +635,12 @@ def test_q260_acf_series_sized_after_first_aggregate(spark):
     plan = plan_of(spark, "q260_acf_daily_revenue")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q262_phash_banding_no_pairwise(spark):
+    """pHash near-dup: candidates come from band-keyed equi-joins only —
+    a media x media product must never plan (q36's contract, multimodal
+    twin)."""
+    plan = plan_of(spark, "q262_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
