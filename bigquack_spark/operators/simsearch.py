@@ -461,3 +461,55 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def assign_to_cells(vectors: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment against a FROZEN quantizer table:
+    (id, vec array<double>, cell int).  The tiny centroid table broadcasts;
+    the argmin is a per-id window over n_lists candidate rows — bounded
+    fan-out, ties broken by cell id (matches MLlib's lowest-index rule)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .select("id", "vec", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "cell")
+    )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF maintenance: assign new vectors to the index's
+    FROZEN coarse quantizer and append them into their cell partitions —
+    the serve-path ingest that avoids a full rebuild per batch (the
+    standard IVF contract: centroids are never refit here; a periodic
+    :func:`build_ivf_index` rebuild absorbs quantizer drift when cell
+    sizes skew).  At 100 TB the append touches ONLY the new batch: one
+    broadcast-assign projection + one partitioned append, no read of the
+    existing index.  Returns the number of vectors appended (count rides
+    the write via df.observe).  Exactly-once is the caller's offset
+    protocol (streaming.ExactlyOnceBatchSink's shape) — a replayed batch
+    would append duplicate ids."""
+    from pyspark.sql import Observation
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col)
+    obs = Observation("ivf_append")
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
+    return int(obs.get["n"])

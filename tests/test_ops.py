@@ -1513,3 +1513,35 @@ def test_q261_benford_flags_synthetic_prices():
     n = sum(r["n_obs"] for r in rows)
     chi2 = n * sum(r["chi2_term"] for r in rows)
     assert chi2 > 15.5, chi2
+
+
+def test_ivf_incremental_append_equals_full_assignment(spark, tmp_path):
+    """Incremental IVF maintenance: appending a second batch against the
+    FROZEN quantizer must serve exactly the results of assigning the
+    whole corpus to those same centroids in one shot — and the append
+    must not have touched (re-read or re-fit) the first batch."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "ivf_inc")
+    assert S.build_ivf_index(first, path, n_lists=4, seed=42) == 4
+    n_new = S.append_to_ivf_index(spark, path, second)
+    assert n_new == second.count()
+    index = spark.read.parquet(f"{path}/index")
+    assert index.count() == emb.count()
+    assert index.select("id").distinct().count() == emb.count()
+    served = S.probe_ivf_index(spark, path, queries, k=5, n_probes=2)
+
+    # reference: one-shot assignment of the FULL corpus to the same
+    # frozen centroids (also validates assign_to_cells == MLlib transform
+    # on the first batch — same nearest-centroid rule)
+    ref_path = str(tmp_path / "ivf_ref")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    S.assign_to_cells(emb, centroids).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{ref_path}/index")
+    centroids.write.mode("overwrite").parquet(f"{ref_path}/centroids")
+    want = S.probe_ivf_index(spark, ref_path, queries, k=5, n_probes=2)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, want.collect()))
