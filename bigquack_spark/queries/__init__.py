@@ -123,6 +123,7 @@ _WINDOW_BACK = {
     "q260_acf_daily_revenue",
     "q261_benford_audit",
     "q262_phash_near_dup",
+    "q263_negative_sampling_table",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1821,3 +1821,74 @@ def q249_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
         )
     )
+
+
+#: 3/4-power smoothing on an integer lattice: n^0.75 = sqrt(sqrt(n^3)) —
+#: sqrt is IEEE-correctly-rounded on both engines and n^3 stays exact in a
+#: double below 2^53, so the scaled weight is the SAME BIGINT everywhere.
+_NEG_W = "CAST(round(1000000 * sqrt(sqrt(CAST(n AS DOUBLE) * n * n))) AS BIGINT)"
+
+
+@query(
+    "q263_negative_sampling_table",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM tk WHERE token <> '' GROUP BY token
+    ),
+    w AS (
+      SELECT token, n, {_NEG_W} AS w_scaled FROM counts
+    ),
+    cum AS (
+      SELECT token, n, w_scaled,
+             CAST(sum(w_scaled) OVER (
+               ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_hi
+      FROM w
+    ),
+    tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS total FROM w)
+    SELECT cum.token, cum.n,
+           cum.cum_hi - cum.w_scaled AS cum_lo_scaled,
+           cum.cum_hi AS cum_hi_scaled,
+           CAST(cum.w_scaled AS DOUBLE) / tot.total AS p_smoothed
+    FROM cum, tot
+    """,
+)
+def q263_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style negative-sampling table: unigram counts smoothed by
+    the 3/4 power (flattens the Zipf head so frequent tokens aren't
+    over-sampled), with exact cumulative ranges for inverse-CDF sampling
+    — draw u ~ U[0, total) and binary-search cum ranges.  Everything
+    stays on an integer lattice: the smoothed weight is
+    round(1e6 * sqrt(sqrt(n^3))) (sqrt is IEEE-correctly-rounded, n^3
+    exact in a double below 2^53), so the cumulative sums are EXACT
+    BIGINTs with no float-accumulation-order drift between engines; the
+    only doubles are final ratios of identical integers.  One (token)
+    shuffle to vocab counts; the cumulative window runs over the VOCAB
+    (metadata-sized — q254's argument), ordered by (n desc, token) for a
+    deterministic range layout."""
+    d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
+    tk = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    counts = (
+        tk.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = counts.withColumn("w_scaled", F.expr(_NEG_W))
+    win = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.withColumn("cum_hi", F.sum("w_scaled").over(win))
+    tot = w.agg(F.sum("w_scaled").cast("long").alias("total"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        (F.col("cum_hi") - F.col("w_scaled")).alias("cum_lo_scaled"),
+        F.col("cum_hi").alias("cum_hi_scaled"),
+        (F.col("w_scaled").cast("double") / F.col("total")).alias("p_smoothed"),
+    )

@@ -1545,3 +1545,24 @@ def test_ivf_incremental_append_equals_full_assignment(spark, tmp_path):
     centroids.write.mode("overwrite").parquet(f"{ref_path}/centroids")
     want = S.probe_ivf_index(spark, ref_path, queries, k=5, n_probes=2)
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_q263_sampling_ranges_partition_the_total():
+    """Negative-sampling table: cumulative ranges must tile [0, total)
+    contiguously in the (n desc, token) order with widths equal to the
+    smoothed weights — the property inverse-CDF sampling depends on."""
+    from bigquack_spark.queries.text import q263_negative_sampling_table
+    from bigquack_spark.session import get_spark
+
+    spark = get_spark()
+    rows = q263_negative_sampling_table(spark, SF_SMOKE).collect()
+    rows.sort(key=lambda r: r["cum_lo_scaled"])
+    assert rows[0]["cum_lo_scaled"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_hi_scaled"] == b["cum_lo_scaled"]  # contiguous tiling
+    total = rows[-1]["cum_hi_scaled"]
+    assert abs(sum(r["p_smoothed"] for r in rows) - 1.0) < 1e-9
+    # smoothing flattens: the head token's smoothed share is below its raw share
+    n_tot = sum(r["n"] for r in rows)
+    head = max(rows, key=lambda r: r["n"])
+    assert head["p_smoothed"] < head["n"] / n_tot
