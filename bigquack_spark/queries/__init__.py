@@ -124,6 +124,7 @@ _WINDOW_BACK = {
     "q261_benford_audit",
     "q262_phash_near_dup",
     "q263_negative_sampling_table",
+    "q264_temporal_split_audit",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

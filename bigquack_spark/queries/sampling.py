@@ -568,3 +568,84 @@ def q242_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2_term"),
         F.round(F.col("n_samp").cast("double") / F.col("n_pop"), 6).alias("observed_rate"),
     )
+
+
+_EMBARGO_DAYS = 7  # gap between train cutoff and test start
+
+
+@query(
+    "q264_temporal_split_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+    marked AS (
+      SELECT e.user_id,
+             CASE WHEN e.day < b.lo + (b.hi - b.lo) * 7 // 10 THEN 'train'
+                  WHEN e.day >= b.lo + (b.hi - b.lo) * 7 // 10 + {_EMBARGO_DAYS}
+                    THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM e, b
+    ),
+    sizes AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM marked GROUP BY split
+    ),
+    overlap AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT user_id FROM marked WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM marked WHERE split = 'test'
+      )
+    )
+    SELECT sizes.split, sizes.n_events, sizes.n_users,
+           CASE WHEN sizes.split = 'test' THEN overlap.n END AS n_users_also_in_train,
+           CASE WHEN sizes.split = 'test'
+             THEN CAST(overlap.n AS DOUBLE) / sizes.n_users END AS user_leakage_rate
+    FROM sizes, overlap
+    """,
+)
+def q264_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split audit — the time-series complement of
+    q83's random split and q190's near-dup leakage: cut at the 70% point
+    of the observed day span, hold a 7-day embargo gap (rows
+    there belong to NEITHER side — the forecasting-embargo rule that
+    stops horizon-h labels leaking across the cut), and report per-split
+    sizes plus the entity-level leakage a row-level split ignores: how
+    many test users also appear in train (for user-behavior models that
+    overlap IS leakage; the fix is q83-style entity hashing).  One scan
+    to (user, day); bounds ride back off the reduced frame; the overlap
+    is a distinct-key intersection, shuffled on user_id only."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts"])
+    days = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    b = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cut = F.col("lo") + F.expr("(hi - lo) * 7 div 10")
+    marked = days.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.when(F.col("day") < cut, "train")
+        .when(F.col("day") >= cut + _EMBARGO_DAYS, "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    sizes = marked.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tr = marked.filter(F.col("split") == "train").select("user_id").distinct()
+    te = marked.filter(F.col("split") == "test").select("user_id").distinct()
+    overlap = tr.intersect(te).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    is_test = F.col("split") == "test"
+    return sizes.crossJoin(F.broadcast(overlap)).select(
+        "split",
+        "n_events",
+        "n_users",
+        F.when(is_test, F.col("n")).alias("n_users_also_in_train"),
+        F.when(is_test, F.col("n").cast("double") / F.col("n_users")).alias(
+            "user_leakage_rate"
+        ),
+    )

@@ -317,6 +317,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q260_acf_daily_revenue",  # broadcast 14-row lag grid onto the daily series
         "q261_benford_audit",  # broadcast 1-row total onto the 9-row digit histogram
         "q263_negative_sampling_table",  # broadcast 1-row total onto the vocab table
+        "q264_temporal_split_audit",  # broadcast 1-row day bounds + 1-row overlap count
     }
     offenders = []
     for name, spec in QUERIES.items():
