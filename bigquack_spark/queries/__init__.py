@@ -125,6 +125,7 @@ _WINDOW_BACK = {
     "q262_phash_near_dup",
     "q263_negative_sampling_table",
     "q264_temporal_split_audit",
+    "q265_srm_check",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1682,3 +1682,73 @@ def q260_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "lag", "n_pairs", F.expr(_ACF_EXPR).alias("acf")
     )
+
+
+#: Deterministic arm assignment (q194's hashing discipline) with an
+#: injected exposure-logging defect: half of arm-B's users (a modulo
+#: cohort of the hash) never log — the trigger-path bug class SRM exists
+#: to catch.
+_SRM_ARM = "CASE WHEN abs(hash_int) % 2 = 0 THEN 'A' ELSE 'B' END"
+_SRM_LOGGED = "NOT (abs(hash_int) % 2 = 1 AND abs(hash_int) % 4 = 1)"
+
+
+@query(
+    "q265_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    h AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hash_int
+      FROM u
+    ),
+    marked AS (
+      SELECT {_SRM_ARM} AS arm FROM h WHERE {_SRM_LOGGED}
+    ),
+    counts AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_obs FROM marked GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT counts.arm, counts.n_obs,
+           CAST(tot.n AS DOUBLE) / 2 AS n_expected,
+           power(counts.n_obs - CAST(tot.n AS DOUBLE) / 2, 2)
+             / (CAST(tot.n AS DOUBLE) / 2) AS chi2_term,
+           power(counts.n_obs - CAST(tot.n AS DOUBLE) / 2, 2)
+             / (CAST(tot.n AS DOUBLE) / 2) > 3.841 AS srm_flag
+    FROM counts, tot
+    """,
+)
+def q265_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate run BEFORE
+    q194's readout is trusted: under a 50/50 deterministic assignment the
+    per-arm chi-square term against n/2 should sit below the 5% critical
+    value (3.841 at 1 dof; the per-arm term alone is conservative).  A
+    deterministic exposure-logging defect is injected (half of arm-B's
+    users never log — the classic trigger-path bug), so the deficit
+    FIRES the flag from the driver's sf0.01 tier up: an experimenter who
+    sees this ships no readout.
+    Assignment reuses q194's hash discipline (md5 of a salted user key —
+    replay-stable on both engines); the whole check reduces to two
+    integers + one broadcast total."""
+    e = t(spark, sf_dir, "events", columns=["user_id"])
+    u = e.select("user_id").distinct()
+    h = u.select(
+        F.expr(
+            "cast(conv(substr(md5(concat('exp1|', cast(user_id as string))), 1, 8),"
+            " 16, 10) as bigint)"
+        ).alias("hash_int")
+    )
+    marked = h.filter(F.expr(_SRM_LOGGED)).select(F.expr(_SRM_ARM).alias("arm"))
+    counts = marked.groupBy("arm").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.col("n").cast("double") / 2
+    chi2 = F.pow(F.col("n_obs") - exp, 2) / exp
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_obs",
+        exp.alias("n_expected"),
+        chi2.alias("chi2_term"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
