@@ -126,6 +126,7 @@ _WINDOW_BACK = {
     "q263_negative_sampling_table",
     "q264_temporal_split_audit",
     "q265_srm_check",
+    "q266_churn_labels",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1752,3 +1752,94 @@ def q265_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_term"),
         (chi2 > 3.841).alias("srm_flag"),
     )
+
+
+_CHURN_LABEL_DAYS = 28  # label window: churned = silent for its full span
+
+
+@query(
+    "q266_churn_labels",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type, CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ),
+    b AS (SELECT max(day) - {_CHURN_LABEL_DAYS} AS cutoff FROM e),
+    obs AS (
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS n_events_obs,
+             CAST(max(e.day) AS BIGINT) AS last_day_obs,
+             CAST(b.cutoff - max(e.day) AS BIGINT) AS recency_days,
+             CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases_obs,
+             CAST(sum(e.v_cents) AS BIGINT) AS value_cents_obs
+      FROM e, b WHERE e.day < b.cutoff GROUP BY e.user_id, b.cutoff
+    ),
+    fut AS (
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events_label
+      FROM e, b WHERE e.day >= b.cutoff GROUP BY e.user_id
+    )
+    SELECT obs.user_id, obs.n_events_obs, obs.last_day_obs, obs.recency_days,
+           obs.n_purchases_obs, obs.value_cents_obs,
+           COALESCE(fut.n_events_label, 0) AS n_events_label,
+           fut.user_id IS NULL AS churned
+    FROM obs LEFT JOIN fut ON obs.user_id = fut.user_id
+    """,
+)
+def q266_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free churn-label generation — the row-level training-set twin
+    of q206's aggregate retention curve: features come ONLY from the
+    observation era (before the cutoff = max day - 28), the
+    label ONLY from the 28-day window after it (churned = zero
+    events there), so no feature can see label-era data by construction
+    (the q264 temporal discipline applied to supervised labels).  Feature
+    block: activity count, recency, purchase count, exact-cents value.
+    Plan: one scan feeds both eras (the cutoff rides in as a broadcast
+    1-row aggregate), two user-keyed aggregates, one left join on
+    user_id — label state is |users|-sized, never event-sized."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    days = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    b = days.agg((F.max("day") - _CHURN_LABEL_DAYS).alias("cutoff"))
+    marked = days.crossJoin(F.broadcast(b))
+    obs = (
+        marked.filter(F.col("day") < F.col("cutoff"))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_obs"),
+            F.max("day").alias("last_day_obs"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases_obs"),
+            F.sum("v_cents").cast("long").alias("value_cents_obs"),
+        )
+        .select(
+            "user_id",
+            "n_events_obs",
+            "last_day_obs",
+            (F.col("cutoff") - F.col("last_day_obs")).cast("long").alias("recency_days"),
+            "n_purchases_obs",
+            "value_cents_obs",
+        )
+    )
+    fut = (
+        marked.filter(F.col("day") >= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events_label"))
+        .select(F.col("user_id").alias("fuid"), "n_events_label")
+    )
+    return obs.join(fut, obs.user_id == fut.fuid, "left").select(
+        "user_id",
+        "n_events_obs",
+        "last_day_obs",
+        "recency_days",
+        "n_purchases_obs",
+        "value_cents_obs",
+        F.coalesce("n_events_label", F.lit(0)).cast("long").alias("n_events_label"),
+        F.col("fuid").isNull().alias("churned"),
+    )

@@ -319,6 +319,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q263_negative_sampling_table",  # broadcast 1-row total onto the vocab table
         "q264_temporal_split_audit",  # broadcast 1-row day bounds + 1-row overlap count
         "q265_srm_check",  # broadcast 1-row total onto the 2-row arm counts
+        "q266_churn_labels",  # broadcast 1-row cutoff onto the event scan
     }
     offenders = []
     for name, spec in QUERIES.items():
