@@ -127,6 +127,7 @@ _WINDOW_BACK = {
     "q264_temporal_split_audit",
     "q265_srm_check",
     "q266_churn_labels",
+    "q267_session_concurrency",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

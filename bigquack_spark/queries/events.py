@@ -1682,3 +1682,115 @@ def q238_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type", "first_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "q267_session_concurrency",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, day,
+             sum(new_s) OVER (PARTITION BY user_id, day ORDER BY us, user_id
+                              ROWS UNBOUNDED PRECEDING) AS sid, us
+      FROM ev
+    ),
+    intervals AS (
+      SELECT day, min(us) AS s_us, max(us) AS e_us
+      FROM sess GROUP BY day, user_id, sid
+    ),
+    endpoints AS (
+      SELECT day, s_us AS us, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT day, e_us, -1 FROM intervals
+    ),
+    sweep AS (
+      SELECT day, us,
+             sum(delta) OVER (PARTITION BY day ORDER BY us, delta
+                              ROWS UNBOUNDED PRECEDING) AS active,
+             lead(us) OVER (PARTITION BY day ORDER BY us, delta) AS next_us
+      FROM endpoints
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) / 2 AS n_sessions,
+           CAST(max(active) AS BIGINT) AS max_concurrency,
+           CAST(COALESCE(sum(CASE WHEN active >= 2 THEN next_us - us END), 0)
+                // 1000000 AS BIGINT) AS sec_at_2plus
+    FROM sweep GROUP BY day
+    """,
+)
+def q267_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra sweep line: per day, the peak number of CONCURRENT
+    user sessions and the seconds spent with >= 2 overlapping — the load
+    shape capacity planning reads, and an operator family (interval
+    overlap aggregation) nothing else in the registry exercises.
+    Sessions are q22's 30-min-gap rule bounded per (user, day) (q253's
+    midnight-clip argument keeps every window partition batch-sized);
+    each becomes two endpoints (+1 start, -1 end — ends sort before
+    starts at a shared instant, so touching sessions don't count as
+    concurrent), the running endpoint sum IS the live concurrency, and
+    segment durations to the next endpoint accumulate the time-at-depth.
+    Every window is day-partitioned; per-day state is sessions-in-a-day
+    sized."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    wu = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    new_s = F.when(
+        F.lag("us").over(wu).isNull()
+        | ((F.col("us") - F.lag("us").over(wu)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id", "day")
+            .orderBy("us", "user_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = sess.groupBy("day", "user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    endpoints = intervals.select(
+        "day", F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select("day", F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    ws = Window.partitionBy("day").orderBy("us", "delta")
+    sweep = endpoints.select(
+        "day",
+        "us",
+        F.sum("delta")
+        .over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("active"),
+        F.lead("us").over(ws).alias("next_us"),
+    )
+    return sweep.groupBy("day").agg(
+        (F.count(F.lit(1)) / 2).alias("n_sessions"),
+        F.max("active").cast("long").alias("max_concurrency"),
+        F.coalesce(
+            F.sum(F.when(F.col("active") >= 2, F.col("next_us") - F.col("us"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_gap_us"),
+    ).select(
+        "day",
+        "n_sessions",
+        "max_concurrency",
+        F.expr("_gap_us div 1000000").cast("long").alias("sec_at_2plus"),
+    )
