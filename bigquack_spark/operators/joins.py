@@ -338,7 +338,9 @@ def guarded_join(
 
     Returns the joined DataFrame unchanged when within budget."""
     keys = [on] if isinstance(on, str) else list(on)
-    if how in ("left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"):
+    # Spark resolves join-type strings case-insensitively and ignores
+    # underscores ("LEFT_SEMI" == "leftsemi"); normalize before matching
+    if how.lower().replace("_", "") in ("leftsemi", "semi", "leftanti", "anti"):
         return left.join(right, keys, how)
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))

@@ -472,6 +472,20 @@ def assign_to_cells(vectors: DataFrame, centroids: DataFrame,
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # loud dimension gate: zip_with pads a short/long vector with NULLs,
+    # d2 goes NULL, and NULLS-FIRST ordering would silently dump every
+    # mismatched vector into the lowest cell — corrupting the index with
+    # no error (e.g. an embedding-model change mid-stream).  One extra
+    # action over the NEW batch only; the index is never read.
+    dim = len(centroids.select("centroid").first()["centroid"])
+    n_bad = v.filter(F.size("vec") != dim).limit(1).count()
+    if n_bad:
+        bad = v.filter(F.size("vec") != dim).select("id", F.size("vec")).first()
+        raise ValueError(
+            f"assign_to_cells: vector id={bad[0]} has dimension {bad[1]}, "
+            f"quantizer expects {dim} — rebuild the index for the new "
+            "embedding space instead of appending"
+        )
     d2 = F.aggregate(
         F.zip_with(F.col("vec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -1539,12 +1539,16 @@ def q262_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.substring(F.sha2(norm, 256), 1, 16).alias("ph"),
     )
-    bands = None
-    for i, (s, l) in enumerate(_PHASH_BANDS):
-        part = m.select(
-            "id", "ph", F.lit(i).alias("b"), F.substring("ph", s, l).alias("key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # ONE scan per join side: the four band keys project into an array
+    # and posexplode — a unionAll of four selects would re-scan the
+    # corpus (and recompute the digest) once per branch, 8x total with
+    # the self-join (the minhash_bands_portable shape, operators/dedup)
+    band_arr = F.array(
+        *[F.substring("ph", st, ln) for st, ln in _PHASH_BANDS]
+    )
+    bands = m.select(
+        "id", "ph", F.posexplode(band_arr).alias("b", "key")
+    )
     a = bands.select(
         F.col("id").alias("media_a"), F.col("ph").alias("pha"), "b", "key"
     )

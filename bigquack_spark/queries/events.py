@@ -1688,7 +1688,8 @@ def q238_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q267_session_concurrency",
     oracle=f"""
     WITH ev AS (
-      SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS day,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 86400000000 AS day,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_s
@@ -1698,7 +1699,7 @@ def q238_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, day,
-             sum(new_s) OVER (PARTITION BY user_id, day ORDER BY us, user_id
+             sum(new_s) OVER (PARTITION BY user_id, day ORDER BY us, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid, us
       FROM ev
     ),
@@ -1758,7 +1759,7 @@ def q267_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id", "day")
-            .orderBy("us", "user_id")
+            .orderBy("us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -110,12 +110,15 @@ def merge_upsert(
     rows_after = int(obs.get["n"])
     rows_before = target.count()
     if delete_col:
+        # count each branch by its own predicate: a NULL flag row is
+        # ignored by BOTH branches (the filters drop it under 3-valued
+        # logic), so total - deletes would overcount upserts
         chg = changes.agg(
-            F.sum(F.col(delete_col).cast("long")).alias("d"),
-            F.count(F.lit(1)).alias("t"),
+            F.sum(F.when(F.col(delete_col), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(~F.col(delete_col), 1).otherwise(0)).alias("u"),
         ).first()
         n_deletes = int(chg["d"] or 0)
-        n_upserts = int(chg["t"]) - n_deletes
+        n_upserts = int(chg["u"] or 0)
     else:
         n_deletes = 0
         n_upserts = changes.count()

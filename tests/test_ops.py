@@ -1401,6 +1401,9 @@ def test_guarded_join_bypasses_semi_anti():
     right = spark.range(100).select(F.lit(1).alias("k"))  # inner would be 10k
     semi = guarded_join(left, right, on="k", max_output_rows=500, how="left_semi")
     assert semi.count() == 100
+    # Spark accepts case/underscore variants; the bypass must too
+    semi2 = guarded_join(left, right, on="k", max_output_rows=500, how="LEFT_SEMI")
+    assert semi2.count() == 100
     anti = guarded_join(left, right, on="k", max_output_rows=500, how="left_anti")
     assert anti.count() == 0
 
@@ -1566,3 +1569,17 @@ def test_q263_sampling_ranges_partition_the_total():
     n_tot = sum(r["n"] for r in rows)
     head = max(rows, key=lambda r: r["n"])
     assert head["p_smoothed"] < head["n"] / n_tot
+
+
+def test_ivf_append_rejects_dimension_mismatch(spark, tmp_path):
+    """A batch from a different embedding space must fail LOUDLY — the
+    NULL-distance path would otherwise dump every vector into cell 0."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_dim")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    wrong = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.slice("embedding", 1, 3).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        S.append_to_ivf_index(spark, path, wrong)

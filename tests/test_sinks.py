@@ -740,3 +740,22 @@ def test_quarantine_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="quarantined"):
         tag_violations(li, [("r", "l_discount > 1")])
+
+
+def test_merge_counts_ignore_null_delete_flags(spark, tmp_path):
+    """A NULL delete flag row is applied by NEITHER branch (3-valued
+    logic drops it from both filters) — the returned counts must say so
+    instead of attributing it to upserts."""
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string").write.parquet(target)
+    changes = spark.createDataFrame(
+        [(1, "a2", False), (2, None, True), (3, "c", None)],
+        "k bigint, v string, is_delete boolean",
+    )
+    rep = merge_upsert(spark, target, changes, key_cols=["k"], delete_col="is_delete")
+    assert rep["upserts"] == 1
+    assert rep["deletes"] == 1
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2"}  # 2 deleted, 3 ignored (NULL flag)
