@@ -128,6 +128,7 @@ _WINDOW_BACK = {
     "q265_srm_check",
     "q266_churn_labels",
     "q267_session_concurrency",
+    "q268_pk_dedup_survivorship",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

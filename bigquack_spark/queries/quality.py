@@ -1620,3 +1620,74 @@ def q261_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs_share.alias("observed_share"),
         (F.pow(obs_share - exp_share, 2) / exp_share).alias("chi2_term"),
     )
+
+
+@query(
+    "q268_pk_dedup_survivorship",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             l_quantity, l_shipdate,
+             count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS n_versions,
+             row_number() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_shipdate DESC,
+                        round(l_extendedprice * 100) DESC,
+                        l_quantity DESC, l_suppkey DESC, l_partkey DESC
+             ) AS rn,
+             min(l_quantity) OVER (PARTITION BY l_orderkey, l_linenumber) AS q_min,
+             max(l_quantity) OVER (PARTITION BY l_orderkey, l_linenumber) AS q_max
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(n_versions AS BIGINT) AS n_versions,
+           l_shipdate AS surv_shipdate,
+           price_cents AS surv_price_cents,
+           q_max - q_min AS qty_spread
+    FROM ranked WHERE rn = 1 AND n_versions > 1
+    """,
+)
+def q268_pk_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship resolution over the REAL duplicate primary keys the
+    q258 expectation suite exposed (the synthetic generator reuses
+    (orderkey, linenumber) pairs): per duplicated key, keep the row a
+    latest-then-richest policy selects — (shipdate desc, price desc,
+    quantity/supplier/part tiebreaks: a deterministic TOTAL order, the
+    tie-stable-argmax rule the oracle needs) — and report the version
+    count plus the quantity disagreement the merge papered over.  This
+    is the repair half of a DQ finding: q258 detects, q268 resolves (the
+    MDM survivorship pattern).  One key-partitioned window pass (count /
+    rank / spread share the same partition), no joins; survivor state is
+    |dup keys|-sized."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pk = Window.partitionBy("l_orderkey", "l_linenumber")
+    order = pk.orderBy(
+        F.desc("l_shipdate"),
+        F.desc(price_cents),
+        F.desc("l_quantity"),
+        F.desc("l_suppkey"),
+        F.desc("l_partkey"),
+    )
+    ranked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price_cents.alias("price_cents"),
+        "l_quantity",
+        "l_shipdate",
+        F.count(F.lit(1)).over(pk).alias("n_versions"),
+        F.row_number().over(order).alias("rn"),
+        F.min("l_quantity").over(pk).alias("q_min"),
+        F.max("l_quantity").over(pk).alias("q_max"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_versions") > 1)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("n_versions").cast("long").alias("n_versions"),
+        F.col("l_shipdate").alias("surv_shipdate"),
+        F.col("price_cents").alias("surv_price_cents"),
+        (F.col("q_max") - F.col("q_min")).alias("qty_spread"),
+    )
