@@ -129,6 +129,7 @@ _WINDOW_BACK = {
     "q266_churn_labels",
     "q267_session_concurrency",
     "q268_pk_dedup_survivorship",
+    "q269_stale_overwrite_audit",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

@@ -1691,3 +1691,82 @@ def q268_pk_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_cents").alias("surv_price_cents"),
         (F.col("q_max") - F.col("q_min")).alias("qty_spread"),
     )
+
+
+@query(
+    "q269_stale_overwrite_audit",
+    oracle=f"""
+    WITH upd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             event_id + CASE WHEN event_id % 13 = 0 THEN {_LATE_SHIFT} ELSE 0 END AS arr
+      FROM events
+    ),
+    by_event AS (
+      SELECT user_id, v_cents AS v_event FROM (
+        SELECT user_id, v_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM upd
+      ) WHERE rn = 1
+    ),
+    by_arrival AS (
+      SELECT user_id, v_cents AS v_arrival FROM (
+        SELECT user_id, v_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY arr DESC, event_id DESC) AS rn
+        FROM upd
+      ) WHERE rn = 1
+    )
+    SELECT by_event.user_id, by_event.v_event, by_arrival.v_arrival,
+           by_event.v_event <> by_arrival.v_arrival AS stale_overwrite
+    FROM by_event JOIN by_arrival ON by_event.user_id = by_arrival.user_id
+    WHERE by_event.v_event <> by_arrival.v_arrival
+    """,
+)
+def q269_stale_overwrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-overwrite audit for a last-writer-wins CDC sink: when
+    updates arrive OUT OF ORDER (q257's deterministic late-arrival
+    reorder), an arrival-order LWW apply ends up holding a different
+    value than the event-time-correct one for every key whose true
+    latest update was overtaken in transit — exactly the keys a naive
+    upsert consumer silently corrupts (the defect sinks/merge.py's
+    keyed MERGE avoids by carrying event time).  Reports each corrupted
+    key with both values.  Two rank windows over the same user
+    partition + one user-keyed join; key state is |users|-sized.  The
+    tie rule is the row_number rank-CTE form on both engines (the
+    min-ORDER-BY pitfall)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    upd = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 13 == 0, _LATE_SHIFT).otherwise(0)
+        ).alias("arr"),
+    )
+
+    def last_by(col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc(col), F.desc("event_id"))
+        return (
+            upd.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("v_cents").alias(alias))
+        )
+
+    by_event = last_by("us", "v_event")
+    by_arrival = last_by("arr", "v_arrival").withColumnRenamed("user_id", "uid")
+    return (
+        by_event.join(by_arrival, by_event.user_id == F.col("uid"))
+        .filter(F.col("v_event") != F.col("v_arrival"))
+        .select(
+            "user_id",
+            "v_event",
+            "v_arrival",
+            (F.col("v_event") != F.col("v_arrival")).alias("stale_overwrite"),
+        )
+    )
