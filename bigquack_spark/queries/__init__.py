@@ -130,6 +130,7 @@ _WINDOW_BACK = {
     "q267_session_concurrency",
     "q268_pk_dedup_survivorship",
     "q269_stale_overwrite_audit",
+    "q270_bot_cadence_flags",
 }
 assert _WINDOW_BACK <= set(QUERIES), (
     "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "

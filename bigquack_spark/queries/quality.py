@@ -1770,3 +1770,77 @@ def q269_stale_overwrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v_event") != F.col("v_arrival")).alias("stale_overwrite"),
         )
     )
+
+
+@query(
+    "q270_bot_cadence_flags",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS sg,
+             CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS sgg_d,
+             CAST(sum(gap_us) AS DOUBLE) AS sg_d
+      FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           sg_d / n_gaps / 1000000.0 AS mean_gap_sec,
+           (n_gaps * sgg_d - sg_d * sg_d) * n_gaps
+             / ((n_gaps - 1) * sg_d * sg_d) AS cv2,
+           (n_gaps * sgg_d - sg_d * sg_d) * n_gaps * 100
+             < (n_gaps - 1) * sg_d * sg_d AS robotic_cadence
+    FROM s WHERE n_gaps >= 5
+    """,
+)
+def q270_bot_cadence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot cadence detector — a curation gate for
+    behavior-derived training data: a human's inter-event gaps are
+    bursty (squared coefficient of variation cv2 well above 1); a
+    script's are metronomic (cv2 near 0).  Per user with >= 5 gaps:
+    mean gap, cv2, and a robotic flag at cv2 < 0.01.  All statistics
+    build from EXACT integer power sums of microsecond gaps (the
+    q87/q260 rule — DuckDB's HUGEINT product mirrors Spark's decimal
+    accumulation) cast to double only for one shared final expression,
+    so both engines emit identical IEEE values.  One per-user window for
+    gaps + one user-keyed aggregate; state is |users|-sized.  The
+    per-user window is unbounded by day here because the output grain
+    needs whole-history cadence; for 100 TB event logs, bound it per
+    (user, day) as q253 does and roll the power sums up — they are
+    exactly mergeable."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    s = (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").cast("double").alias("sg_d"),
+            F.sum(
+                F.col("gap_us").cast("decimal(19,0)") * F.col("gap_us").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("sgg_d"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    var_num = (F.col("n_gaps") * F.col("sgg_d") - F.col("sg_d") * F.col("sg_d"))
+    denom = (F.col("n_gaps") - 1) * F.col("sg_d") * F.col("sg_d")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        (F.col("sg_d") / F.col("n_gaps") / F.lit(1000000.0)).alias("mean_gap_sec"),
+        (var_num * F.col("n_gaps") / denom).alias("cv2"),
+        (var_num * F.col("n_gaps") * 100 < denom).alias("robotic_cadence"),
+    )
