@@ -107,39 +107,24 @@ _DRIVER_VERIFIED = {
     "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
 }
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
-# Round 5: the 50 names never driver-checked after r4 (the r3/r4 late
-# additions + stragglers) exactly fill the ~50-row window, so anything NEW
-# this round is pinned BEHIND them — a new name in front would push a debt
-# name out of the window (r4 verdict #1).  New-in-r5 names wait for r6.
-_WINDOW_BACK = {
-    "q252_column_profile_approx",
-    "q253_freshness_lag",
-    "q254_small_file_compaction_plan",
-    "q255_schema_drift",
-    "q256_tombstone_purge_audit",
-    "q257_out_of_order_rate",
-    "q258_dq_expectations",
-    "q259_l_diversity",
-    "q260_acf_daily_revenue",
-    "q261_benford_audit",
-    "q262_phash_near_dup",
-    "q263_negative_sampling_table",
-    "q264_temporal_split_audit",
-    "q265_srm_check",
-    "q266_churn_labels",
-    "q267_session_concurrency",
-    "q268_pk_dedup_survivorship",
-    "q269_stale_overwrite_audit",
-    "q270_bot_cadence_flags",
-}
-assert _WINDOW_BACK <= set(QUERIES), (
-    "typo in _WINDOW_BACK — a misspelled name would silently fail to yield "
-    f"its window slot: {sorted(_WINDOW_BACK - set(QUERIES))}"
-)
+# Round 6: the r5 window consumed the whole r3/r4 debt, so the only names
+# without a driver row are the 19 new-in-r5 queries (q252-q270) — they sort
+# first automatically (no CORRECTNESS row yet).  Anything NEW in r6 is
+# pinned BEHIND them so a new name can't push a debt name out of the ~50-row
+# window (the rule that has kept the debt monotone-shrinking since r4).
+def _qnum(name: str) -> int:
+    # every registry name is "qNNN_slug"; parse defensively anyway
+    try:
+        return int(name[1:].split("_", 1)[0])
+    except ValueError:
+        return 0
+
+
+_WINDOW_BACK = {n for n in QUERIES if _qnum(n) >= 271}
 _unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)
 _checked = [n for n in QUERIES if n in _DRIVER_VERIFIED]
 _ordered = {n: QUERIES[n] for n in _unchecked + _checked}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _DRIVER_VERIFIED, _WINDOW_BACK, _unchecked, _checked, _ordered
+del _DRIVER_VERIFIED, _WINDOW_BACK, _unchecked, _checked, _ordered, _qnum
