@@ -110,3 +110,64 @@ def capture_lineage(df: DataFrame) -> dict[str, Any]:
 def lineage_tables(df: DataFrame) -> set[str]:
     """Just the distinct source table names — the erasure-impact shape."""
     return {s["table"] for s in capture_lineage(df)["sources"] if s["table"]}
+
+
+#: File name every lineage-emitting sink writes next to its data/manifest.
+LINEAGE_FILE = "_LINEAGE.json"
+
+
+def write_lineage_manifest(
+    out_dir: str,
+    output: str,
+    sources: list[dict],
+    output_columns: list[str],
+    rows: int | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Persist the write-side half of the audit (r5 verdict #4): which
+    inputs produced THIS output.  Written atomically (temp + rename) as
+    ``_LINEAGE.json`` inside ``out_dir`` so a governed deployment can
+    resolve erasure blast radius from manifests alone — no plan re-run, no
+    table scans.  ``sources`` is ``capture_lineage(df)["sources"]`` taken
+    from the DataFrame that was written; ``rows`` should come from the
+    write pass itself (df.observe / sink counts), never a re-read."""
+    import json
+
+    manifest = {
+        "output": output,
+        "output_columns": output_columns,
+        "inputs": sources,
+        "input_tables": sorted({s["table"] for s in sources if s.get("table")}),
+    }
+    if rows is not None:
+        manifest["rows"] = int(rows)
+    if extra:
+        manifest.update(extra)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, LINEAGE_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, LINEAGE_FILE))
+    return manifest
+
+
+def blast_radius(roots: list[str], table: str) -> list[str]:
+    """Erasure impact from manifests ALONE (the q256 shape, write side):
+    walk ``roots`` for ``_LINEAGE.json`` files and return the outputs whose
+    recorded inputs include ``table``.  Pure metadata — never opens a data
+    file, so it costs the same at 100 TB as at 100 rows."""
+    import json
+
+    hits = []
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if LINEAGE_FILE not in filenames:
+                continue
+            try:
+                with open(os.path.join(dirpath, LINEAGE_FILE)) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if table in m.get("input_tables", []):
+                hits.append(m.get("output", dirpath))
+    return sorted(hits)

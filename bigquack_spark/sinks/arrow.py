@@ -79,6 +79,19 @@ def export_arrow_shards(df: DataFrame, path: str) -> dict:
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    # write-side lineage next to the shard manifest (r5 verdict #4): which
+    # tables/columns/filters produced this export, counts from the write pass
+    from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
+
+    cap = capture_lineage(df)
+    write_lineage_manifest(
+        path,
+        output=path,
+        sources=cap["sources"],
+        output_columns=cap["output_columns"],
+        rows=manifest["n_records"],
+        extra={"sink": "export_arrow_shards"},
+    )
     return manifest
 
 

@@ -47,6 +47,8 @@ class AtomicWriter:
         self.rows_written = 0
         self.finalized = False
         self._schema = None
+        self._lineage_sources: list[dict] = []  # merged across batches
+        self._output_columns: list[str] = []
         if stream_type is WriteStreamType.PENDING:
             self._dest = f"{target}.staging-{uuid.uuid4().hex[:12]}"
         else:
@@ -75,6 +77,20 @@ class AtomicWriter:
             return offset
         if offset > self.next_offset:
             raise ValueError(f"offset gap: expected {self.next_offset}, got {offset}")
+        # write-side lineage (r5 verdict #4): record which sources feed this
+        # batch BEFORE executing — a driver-side plan walk, zero data cost.
+        # Failures here must never block the write protocol itself.
+        try:
+            from bigquack_spark.lineage import capture_lineage
+
+            cap = capture_lineage(df)
+            self._output_columns = cap["output_columns"]
+            seen = {(s["table"], tuple(s["paths"])) for s in self._lineage_sources}
+            for s in cap["sources"]:
+                if (s["table"], tuple(s["paths"])) not in seen:
+                    self._lineage_sources.append(s)
+        except Exception:  # pragma: no cover - defensive
+            pass
         # batch count rides the append via df.observe — the old df.count()
         # re-executed the batch's whole lineage a second time per offset
         from pyspark.sql import Observation
@@ -105,6 +121,18 @@ class AtomicWriter:
         if os.path.isdir(self.target):
             with open(marker, "w") as fh:
                 json.dump({"rows": self.rows_written, "batches": self.next_offset}, fh)
+            # output->input edge, written at publish so PENDING streams that
+            # never commit leave no lineage record (nothing became visible)
+            from bigquack_spark.lineage import write_lineage_manifest
+
+            write_lineage_manifest(
+                self.target,
+                output=self.target,
+                sources=self._lineage_sources,
+                output_columns=self._output_columns,
+                rows=self.rows_written,
+                extra={"batches": self.next_offset, "sink": "AtomicWriter"},
+            )
         return self.rows_written
 
     def close(self) -> None:

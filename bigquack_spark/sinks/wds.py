@@ -156,6 +156,18 @@ def export_webdataset_shards(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    # write-side lineage next to the shard manifest (r5 verdict #4)
+    from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
+
+    cap = capture_lineage(df)
+    write_lineage_manifest(
+        path,
+        output=path,
+        sources=cap["sources"],
+        output_columns=cap["output_columns"],
+        rows=manifest["n_samples"],
+        extra={"sink": "export_webdataset_shards"},
+    )
     return manifest
 
 

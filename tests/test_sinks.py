@@ -759,3 +759,93 @@ def test_merge_counts_ignore_null_delete_flags(spark, tmp_path):
     assert rep["deletes"] == 1
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: "a2"}  # 2 deleted, 3 ignored (NULL flag)
+
+
+def test_write_side_lineage_manifests_and_blast_radius(spark, tmp_path):
+    """r5 verdict #4: every publishing sink emits _LINEAGE.json recording
+    output->input edges, and erasure impact (q256's blast radius) is
+    resolvable from the manifests ALONE — no plan re-run, no data read."""
+    import json
+    import os
+
+    from bigquack_spark.lineage import LINEAGE_FILE, blast_radius
+    from bigquack_spark.sinks.arrow import export_arrow_shards
+    from bigquack_spark.sinks.wds import export_webdataset_shards
+    from tests.conftest import SF_SMOKE
+
+    # sink 1: AtomicWriter fed from lineitem
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter("l_quantity > 10")
+        .select("l_orderkey", "l_quantity")
+    )
+    t1 = str(tmp_path / "atomic_out")
+    with AtomicWriter(t1, WriteStreamType.PENDING) as w:
+        w.write(li)
+    m1 = json.load(open(os.path.join(t1, LINEAGE_FILE)))
+    assert m1["input_tables"] == ["lineitem"]
+    assert m1["rows"] == li.count()
+    assert m1["output_columns"] == ["l_orderkey", "l_quantity"]
+    src = m1["inputs"][0]
+    assert set(src["columns"]) == {"l_orderkey", "l_quantity"}  # pruned scan
+    assert any("l_quantity" in f for f in src["pushed_filters"])  # pushed
+
+    # sink 2: arrow shards fed from orders
+    t2 = str(tmp_path / "arrow_out")
+    export_arrow_shards(
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey"), t2
+    )
+    m2 = json.load(open(os.path.join(t2, LINEAGE_FILE)))
+    assert m2["input_tables"] == ["orders"]
+
+    # sink 3: webdataset shards fed from documents
+    t3 = str(tmp_path / "wds_out")
+    export_webdataset_shards(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(5)
+        .coalesce(1),
+        t3,
+        key_col="doc_id",
+    )
+    m3 = json.load(open(os.path.join(t3, LINEAGE_FILE)))
+    assert m3["input_tables"] == ["documents"]
+
+    # blast radius from manifests alone
+    roots = [str(tmp_path)]
+    assert blast_radius(roots, "lineitem") == [t1]
+    assert blast_radius(roots, "orders") == [t2]
+    assert blast_radius(roots, "documents") == [t3]
+    assert blast_radius(roots, "customer") == []
+
+
+def test_atomic_writer_lineage_merges_batches_and_pending_leaves_none(
+    spark, tmp_path
+):
+    """Two batches from different tables merge into one edge set; an
+    aborted PENDING stream publishes nothing and leaves no lineage."""
+    import json
+    import os
+
+    from bigquack_spark.lineage import LINEAGE_FILE
+    from tests.conftest import SF_SMOKE
+
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").select("n_nationkey")
+    r = spark.read.parquet(f"{SF_SMOKE}/region.parquet").select(
+        "r_regionkey"
+    ).withColumnRenamed("r_regionkey", "n_nationkey")
+    t = str(tmp_path / "multi")
+    w = AtomicWriter(t, WriteStreamType.PENDING)
+    w.write(n)
+    w.write(r)
+    w.finalize()
+    m = json.load(open(os.path.join(t, LINEAGE_FILE)))
+    assert m["input_tables"] == ["nation", "region"]
+    assert m["batches"] == 2
+
+    t2 = str(tmp_path / "aborted")
+    w2 = AtomicWriter(t2, WriteStreamType.PENDING)
+    w2.write(n)
+    w2.close()  # abort, never finalized
+    assert not os.path.exists(os.path.join(t2, LINEAGE_FILE))
+    assert not os.path.exists(t2)
