@@ -124,3 +124,116 @@ def read_quarantined(spark: SparkSession, base_path: str) -> DataFrame:
     """The triage stream, evidence retained."""
     df = spark.read.parquet(base_path)
     return df.filter(_flag_is(df, "true")).drop(QUARANTINE_COL)
+
+
+def requarantine(
+    spark: SparkSession,
+    base_path: str,
+    rules: list[Rule],
+    repair,
+) -> dict:
+    """Close the triage loop (r5 verdict #5): read the parked rows, apply
+    ``repair`` (a ``DataFrame -> DataFrame`` transform; the input carries
+    ``violated_rules`` so repairs can target their evidence), re-route the
+    result through :func:`tag_violations`, and publish — rows the repair
+    fixed land under ``quarantined=false/`` alongside the originally
+    accepted data, rows still violating go back to ``quarantined=true/``
+    with freshly derived evidence.  Returns ``{n_redriven, n_repaired,
+    n_still_quarantined, per_rule}``; repeated calls converge (a second
+    run over unrepairable rows changes nothing, and never duplicates
+    already-published rows).
+
+    Crash safety (the merge-swap self-heal pattern): the quarantine set is
+    first SNAPSHOTTED to a staging dir with a generation marker, then the
+    live ``quarantined=true/`` partition is cleared — from that point the
+    staged copy is the single source of truth and any rerun rolls FORWARD
+    from it: repaired files are republished under a ``redrive-<gen>-``
+    prefix (stale partials from a crashed publish are swept by prefix
+    before re-publishing), so no crash point loses rows or double-lands
+    them.  One data pass over the quarantine set per drive — by posture a
+    tiny fraction of the table, so re-driving costs triage-scale, not
+    table-scale."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import Observation
+
+    staging = base_path.rstrip("/") + ".redrive-staging"
+    marker = os.path.join(staging, "_REDRIVE_ID")
+    data_dir = os.path.join(staging, "data")
+    qdir = os.path.join(base_path, f"{QUARANTINE_COL}=true")
+    empty = {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0, "per_rule": {}}
+
+    if not os.path.exists(marker):
+        # fresh drive: snapshot, then clear the live quarantine partition
+        if not os.path.isdir(qdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(qdir)
+        ):
+            return empty
+        shutil.rmtree(staging, ignore_errors=True)  # pre-marker residue only
+        read_quarantined(spark, base_path).write.parquet(data_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex[:12])
+        os.replace(tmp, marker)
+    with open(marker) as fh:
+        gen = fh.read().strip()
+    shutil.rmtree(qdir, ignore_errors=True)  # idempotent on roll-forward
+
+    staged = spark.read.parquet(data_dir)
+    repaired = repair(staged)
+    if REASON_COL in repaired.columns:
+        repaired = repaired.drop(REASON_COL)
+    want = {f.name: f.dataType for f in staged.drop(REASON_COL).schema.fields}
+    have = {f.name: f.dataType for f in repaired.schema.fields}
+    if want != have:
+        raise ValueError(
+            "requarantine: repair changed the row schema — repaired rows "
+            f"must publish alongside accepted data; expected {want}, got {have}"
+        )
+    tagged = tag_violations(repaired, rules)
+    obs = Observation(f"requarantine_{gen}")
+    metrics = [
+        F.count(F.lit(1)).alias("n_redriven"),
+        F.sum(F.col(QUARANTINE_COL).cast("long")).alias("n_still"),
+    ] + [
+        F.sum(F.expr(pred).cast("long")).alias(f"rule_{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    routed = os.path.join(staging, "routed")
+    shutil.rmtree(routed, ignore_errors=True)
+    tagged.observe(obs, *metrics).write.partitionBy(QUARANTINE_COL).parquet(routed)
+    got = obs.get
+
+    # publish, roll-forward idempotent: (1) sweep this generation's partial
+    # files, (2) land repaired files under the generation prefix, (3) move
+    # the still-bad partition back, (4) drop staging (the commit point)
+    dst_false = os.path.join(base_path, f"{QUARANTINE_COL}=false")
+    os.makedirs(dst_false, exist_ok=True)
+    for name in os.listdir(dst_false):
+        if name.startswith(f"redrive-{gen}-"):
+            os.remove(os.path.join(dst_false, name))
+    src_false = os.path.join(routed, f"{QUARANTINE_COL}=false")
+    if os.path.isdir(src_false):
+        for name in os.listdir(src_false):
+            if name.startswith("part-"):
+                shutil.copy(
+                    os.path.join(src_false, name),
+                    os.path.join(dst_false, f"redrive-{gen}-{name}"),
+                )
+    src_true = os.path.join(routed, f"{QUARANTINE_COL}=true")
+    if os.path.isdir(src_true) and any(
+        f.startswith("part-") for f in os.listdir(src_true)
+    ):
+        os.rename(src_true, qdir)
+    shutil.rmtree(staging, ignore_errors=True)
+    n_redriven = int(got["n_redriven"])
+    n_still = int(got["n_still"] or 0)
+    return {
+        "n_redriven": n_redriven,
+        "n_repaired": n_redriven - n_still,
+        "n_still_quarantined": n_still,
+        "per_rule": {
+            name: int(got[f"rule_{i}"] or 0) for i, (name, _) in enumerate(rules)
+        },
+    }

@@ -525,3 +525,89 @@ class QuarantineIngestSink:
         self.stats["n_quarantined"] += int(got["n_quarantined"] or 0)
         self._inner.next_batch_id = batch_id + 1
         self._inner._persist()
+
+    def redrive(self, spark, repair) -> dict:
+        """Re-drive every parked row (r5 verdict #5, streaming layout):
+        read all ``batch_id=*/quarantined=true`` rows, apply ``repair``
+        (sees ``violated_rules``), re-route through the rules, and publish
+        the result as the NEXT batch under the exactly-once protocol —
+        repaired rows under its ``quarantined=false/``, still-bad rows
+        under its ``quarantined=true/`` — then clear the consumed source
+        partitions.  Run while the stream is idle (between triggers).
+
+        Crash safety rides the batch-id protocol plus a staged snapshot:
+        the quarantine set is snapshotted to ``.redrive-staging-<id>``
+        FIRST; consumed partitions are only cleared after the snapshot is
+        durable; the routed batch overwrites its own ``batch_id=<id>`` dir
+        (idempotent recompute from the snapshot); the committed-id persist
+        is the commit point.  A rerun at any crash point rolls forward
+        from the snapshot — no row is lost or double-landed."""
+        import shutil
+
+        from bigquack_spark.sinks.quarantine import (
+            QUARANTINE_COL,
+            REASON_COL,
+            tag_violations,
+        )
+
+        # adopt an in-flight drive (crash before commit) or start fresh
+        staging = None
+        for name in sorted(os.listdir(self.target)):
+            if name.startswith(".redrive-staging-"):
+                sid = int(name.rsplit("-", 1)[1])
+                path = os.path.join(self.target, name)
+                if sid == self._inner.next_batch_id and os.path.exists(
+                    os.path.join(path, "data", "_SUCCESS")
+                ):
+                    staging = path  # complete snapshot: roll forward from it
+                else:
+                    # committed (sid < next) or torn mid-snapshot (no
+                    # _SUCCESS; source partitions still intact) — discard
+                    shutil.rmtree(path, ignore_errors=True)
+        batch_id = self._inner.next_batch_id
+        if staging is None:
+            staging = os.path.join(self.target, f".redrive-staging-{batch_id}")
+            df = spark.read.parquet(self.target)
+            q = df.filter(
+                F.lower(F.col(QUARANTINE_COL).cast("string")) == "true"
+            ).drop(QUARANTINE_COL, "batch_id")
+            if not q.take(1):
+                return {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0}
+            q.write.parquet(os.path.join(staging, "data"))
+        # clear consumed partitions (every true-dir except the drive's own)
+        for name in os.listdir(self.target):
+            if name.startswith("batch_id=") and name != f"batch_id={batch_id}":
+                shutil.rmtree(
+                    os.path.join(self.target, name, f"{QUARANTINE_COL}=true"),
+                    ignore_errors=True,
+                )
+        staged = spark.read.parquet(os.path.join(staging, "data"))
+        repaired = repair(staged)
+        if REASON_COL in repaired.columns:
+            repaired = repaired.drop(REASON_COL)
+        tagged = tag_violations(repaired, self.rules)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"redrive_batch_{batch_id}")
+        tagged = tagged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(QUARANTINE_COL).cast("long")).alias("n_still"),
+        )
+        tagged.write.mode("overwrite").partitionBy(QUARANTINE_COL).parquet(
+            os.path.join(self.target, f"batch_id={batch_id}")
+        )
+        got = obs.get
+        self._inner.next_batch_id = batch_id + 1
+        self._inner._persist()  # commit point
+        shutil.rmtree(staging, ignore_errors=True)
+        n = int(got["n"])
+        n_still = int(got["n_still"] or 0)
+        self.stats["n_quarantined"] = max(
+            0, self.stats["n_quarantined"] - (n - n_still)
+        )
+        return {
+            "n_redriven": n,
+            "n_repaired": n - n_still,
+            "n_still_quarantined": n_still,
+        }

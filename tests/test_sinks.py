@@ -849,3 +849,120 @@ def test_atomic_writer_lineage_merges_batches_and_pending_leaves_none(
     w2.close()  # abort, never finalized
     assert not os.path.exists(os.path.join(t2, LINEAGE_FILE))
     assert not os.path.exists(t2)
+
+
+def test_requarantine_repairs_and_converges(spark, tmp_path):
+    """r5 verdict #5: the triage loop closes — a repair transform re-drives
+    parked rows; fixed rows publish alongside accepted data, unfixable rows
+    go back with fresh evidence; a second drive is a no-op (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0"), ("k_enum", "k NOT IN ('a', 'b')")]
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -1.0), (3, "zz", 5.0), (4, "a", -2.0)],
+        "id bigint, k string, v double",
+    )
+    write_with_quarantine(df, base, rules)
+    assert read_accepted(spark, base).count() == 1
+    assert read_quarantined(spark, base).count() == 3
+
+    def repair(q):  # fix negative v (abs); unknown k stays broken
+        return q.withColumn("v", F.abs(F.col("v")))
+
+    got = requarantine(spark, base, rules, repair)
+    assert got == {
+        "n_redriven": 3,
+        "n_repaired": 2,
+        "n_still_quarantined": 1,
+        "per_rule": {"v_nonneg": 0, "k_enum": 1},
+    }
+    acc = read_accepted(spark, base)
+    assert sorted(r.id for r in acc.collect()) == [1, 2, 4]
+    bad = {r.id: r.violated_rules for r in read_quarantined(spark, base).collect()}
+    assert bad == {3: "k_enum"}
+
+    # convergence: nothing new to fix; accepted count must not change
+    got2 = requarantine(spark, base, rules, repair)
+    assert got2["n_repaired"] == 0 and got2["n_still_quarantined"] == 1
+    assert read_accepted(spark, base).count() == 3
+    assert read_quarantined(spark, base).count() == 1
+
+
+def test_requarantine_crash_rolls_forward_without_dup_or_loss(spark, tmp_path):
+    """Crash injection: (a) repair raises after the snapshot+clear — rerun
+    rolls forward from the staged copy; (b) a stale partial publish from
+    this generation is swept by prefix before re-publishing."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, -2.0), (3, -3.0)], "id bigint, v double"
+    )
+    write_with_quarantine(df, base, rules)
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(q):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        requarantine(spark, base, rules, exploding)
+    # quarantine partition cleared, snapshot holds the rows
+    staging = base + ".redrive-staging"
+    assert os.path.exists(os.path.join(staging, "_REDRIVE_ID"))
+
+    # (b) plant a stale partial publish under this generation's prefix
+    with open(os.path.join(staging, "_REDRIVE_ID")) as fh:
+        gen = fh.read().strip()
+    false_dir = os.path.join(base, "quarantined=false")
+    a_part = next(f for f in os.listdir(false_dir) if f.startswith("part-"))
+    shutil.copy(
+        os.path.join(false_dir, a_part),
+        os.path.join(false_dir, f"redrive-{gen}-{a_part}"),
+    )
+
+    def repair(q):
+        return q.withColumn("v", F.abs(F.col("v")))
+
+    got = requarantine(spark, base, rules, repair)
+    assert got["n_redriven"] == 2 and got["n_repaired"] == 2
+    # no loss (both repaired rows landed) and no dup (planted partial swept)
+    assert sorted(r.id for r in read_accepted(spark, base).collect()) == [1, 2, 3]
+    assert read_quarantined(spark, base).count() == 0
+    assert not os.path.exists(staging)
+
+
+def test_requarantine_rejects_schema_changing_repair(spark, tmp_path):
+    import pytest
+
+    from bigquack_spark.sinks.quarantine import requarantine, write_with_quarantine
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    df = spark.createDataFrame([(1, -1.0)], "id bigint, v double")
+    write_with_quarantine(df, base, rules)
+    with pytest.raises(ValueError, match="schema"):
+        requarantine(
+            spark, base, rules, lambda q: q.withColumn("v", q.v.cast("string"))
+        )
