@@ -408,6 +408,11 @@ def build_ivf_index(
     assigned, centroids = fitted
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time occupancy snapshot — the baseline ivf_cell_drift compares
+    # against (n_lists rows; negligible next to the index write)
+    assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_build")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/build_stats")
     return n_lists
 
 
@@ -527,3 +532,58 @@ def append_to_ivf_index(
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
     return int(obs.get["n"])
+
+
+def ivf_cell_drift(
+    spark,
+    path: str,
+    share_ratio_threshold: float = 1.5,
+) -> DataFrame:
+    """Quantizer drift monitor (r5 verdict #6): ``append_to_ivf_index`` is
+    frozen-quantizer by design, so the cell-size distribution skews as the
+    appended data drifts from the build-time corpus.  This audit compares
+    each cell's CURRENT occupancy share against its build-time share
+    (persisted by :func:`build_ivf_index` as ``build_stats``) and
+    recommends a rebuild once any cell's share grew past
+    ``share_ratio_threshold`` x its build share — the hot-cell signal that
+    degrades probe latency first (a probe reads whole cells, so one
+    bloated cell costs every query that lands in it).
+
+    Output: one row per cell with (cell, n_build, n_now, build_share,
+    now_share, share_ratio, hot) plus the index-wide ``rebuild``
+    recommendation on every row.  Cost posture: the current counts come
+    from a groupBy over the index's PARTITION column only — file listing +
+    footer row counts, no vector data pages — and the build stats are
+    n_lists rows; the comparison join broadcasts.  Same shape at 100 TB."""
+    now = (
+        spark.read.parquet(f"{path}/index")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_now"))
+    )
+    build = spark.read.parquet(f"{path}/build_stats")
+    # full outer: a cell can be empty at build (never: kmeans) or now; keep
+    # both sides visible — a cell that appeared from nowhere is pure drift
+    j = now.join(F.broadcast(build), "cell", "full_outer").select(
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("n_build", F.lit(0)).alias("n_build"),
+        F.coalesce("n_now", F.lit(0)).alias("n_now"),
+    )
+    tot = j.select(
+        F.sum("n_build").alias("tb"), F.sum("n_now").alias("tn")
+    )
+    out = (
+        j.crossJoin(F.broadcast(tot))  # 1-row scalar bounds
+        .withColumn("build_share", F.col("n_build") / F.col("tb"))
+        .withColumn("now_share", F.col("n_now") / F.col("tn"))
+        .withColumn(
+            "share_ratio",
+            F.when(F.col("build_share") > 0, F.col("now_share") / F.col("build_share")),
+        )
+        .withColumn(
+            "hot",
+            F.coalesce(F.col("share_ratio") > share_ratio_threshold, F.lit(True)),
+        )
+        .drop("tb", "tn")
+    )
+    w_all = Window.partitionBy()
+    return out.withColumn("rebuild", F.max(F.col("hot").cast("int")).over(w_all) > 0)

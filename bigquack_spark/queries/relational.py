@@ -2347,3 +2347,280 @@ def q251_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_TOPN_SQL.format(nation="q251_nation", customer="q251_customer")
     )
+
+
+@query(
+    "q276_cdc_completeness",
+    oracle="""
+WITH shards AS (
+  SELECT o_orderkey % 8 AS shard, o_orderkey AS seq FROM orders
+),
+per AS (
+  SELECT CAST(shard AS INTEGER) AS shard,
+         CAST(count(*) AS BIGINT) AS n_seen,
+         CAST(min(seq) AS BIGINT) AS lo, CAST(max(seq) AS BIGINT) AS hi
+  FROM shards GROUP BY shard
+)
+SELECT shard, n_seen, lo, hi,
+       CAST((hi - lo) // 8 + 1 AS BIGINT) AS n_expected,
+       CAST((hi - lo) // 8 + 1 - n_seen AS BIGINT) AS n_missing,
+       (hi - lo) // 8 + 1 = n_seen AS complete
+FROM per
+""",
+)
+def q276_cdc_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC completeness audit: a change feed sharded by key (8 shards,
+    key % 8) must deliver a contiguous per-shard sequence — the consumer's
+    only cheap invariant.  Per shard: rows seen vs the count implied by
+    the (min, max) sequence envelope; any shortfall is silently dropped
+    changes (the reference's serial pump, bigquack.go:114-117, drops
+    nothing but also checks nothing).  Scale shape: one groupBy on the
+    shard key — count/min/max all come from map-side partials, so the
+    exchange carries 8 rows regardless of feed size; the synthetic orders
+    keyspace is dense per shard, so the audit reports complete=true, and
+    any gap the generator ever grows would pin a nonzero n_missing."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey"])
+    per = (
+        o.select((F.col("o_orderkey") % 8).alias("shard"), F.col("o_orderkey").alias("seq"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+        )
+    )
+    n_expected = ((F.col("hi") - F.col("lo")) / 8).cast("long") + 1
+    return per.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        n_expected.cast("long").alias("n_expected"),
+        (n_expected - F.col("n_seen")).cast("long").alias("n_missing"),
+        (n_expected == F.col("n_seen")).alias("complete"),
+    )
+
+
+@query(
+    "q277_sample_stratified_alloc",
+    oracle="""
+WITH strata AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT) * CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+),
+sd AS (
+  SELECT c_mktsegment, n_h,
+         sqrt(greatest(s2 / n_h - (s1 / n_h) * (s1 / n_h), 0.0)) / 100.0 AS sd_h
+  FROM strata
+)
+SELECT c_mktsegment, n_h, round(sd_h, 6) AS sd_acctbal,
+       round(n_h * sd_h / SUM(n_h * sd_h) OVER (), 6) AS neyman_share,
+       CAST(floor(1000 * n_h * sd_h / SUM(n_h * sd_h) OVER ()) AS BIGINT)
+         AS alloc_of_1000
+FROM sd
+""",
+)
+def q277_sample_stratified_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation for stratified sampling: sample budget per
+    stratum proportional to N_h x S_h (stratum size x stddev) — the
+    allocation that minimizes estimator variance for a fixed budget, the
+    design step before any down-sampled training run.  Stddev comes from
+    integer power sums on cents (the q87/q260 exact-cross-engine rule:
+    decimal-safe integer products, sums cast to double, ONE shared
+    expression) so Spark and DuckDB agree bit-for-bit.  Scale shape: one
+    scan, map-side partial sums, a 5-row exchange, 1-row window total."""
+    c = t(spark, sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    strata = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents.cast("decimal(19,0)")).cast("double").alias("s1"),
+        F.sum((cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)"))).cast("double").alias("s2"),
+    )
+    sd_h = (
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n_h")
+                - (F.col("s1") / F.col("n_h")) * (F.col("s1") / F.col("n_h")),
+                F.lit(0.0),
+            )
+        )
+        / 100.0
+    )
+    w_all = Window.partitionBy()
+    sd = strata.select(
+        "c_mktsegment", F.col("n_h").cast("long").alias("n_h"), sd_h.alias("sd_h")
+    )
+    weight = F.col("n_h") * F.col("sd_h")
+    return sd.select(
+        "c_mktsegment",
+        "n_h",
+        F.round(F.col("sd_h"), 6).alias("sd_acctbal"),
+        F.round(weight / F.sum(weight).over(w_all), 6).alias("neyman_share"),
+        F.floor(1000 * weight / F.sum(weight).over(w_all)).cast("long").alias("alloc_of_1000"),
+    )
+
+
+@query(
+    "q279_join_skew_probe",
+    oracle="""
+WITH freq AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_key_rows
+  FROM freq
+)
+SELECT n_keys, n_rows, max_key_rows,
+       round(max_key_rows * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_factor,
+       max_key_rows * n_keys >= 2 * n_rows AS needs_salting,
+       CAST(CASE WHEN max_key_rows * n_keys >= 2 * n_rows
+                 THEN least(32, (max_key_rows * n_keys) // n_rows)
+                 ELSE 1 END AS BIGINT) AS suggested_salt
+FROM stats
+""",
+)
+def q279_join_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew probe — the pre-flight a 100 TB join planner runs
+    before picking a strategy: per-key frequency of the join column, the
+    hottest key's share vs the uniform expectation (skew_factor =
+    max_key_rows / mean_rows_per_key), and a suggested salting fan-out
+    when the hot key exceeds 2x uniform (capped at 32, the
+    operators.joins.salted_join contract).  This is the measured
+    decision input behind bench_full's skew_mitigation block.  Scale
+    shape: one groupBy (map-side combine), then a 1-row aggregate —
+    the probe's exchange carries one row per distinct key, never data."""
+    li = t(spark, sf_dir, "lineitem", columns=["l_suppkey"])
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    hot = F.col("max_key_rows") * F.col("n_keys")
+    return stats.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        F.round(hot / F.col("n_rows").cast("double"), 6).alias("skew_factor"),
+        (hot >= 2 * F.col("n_rows")).alias("needs_salting"),
+        F.when(hot >= 2 * F.col("n_rows"), F.least(F.lit(32), (hot / F.col("n_rows")).cast("long")))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("suggested_salt"),
+    )
+
+
+@query(
+    "q281_gdpr_erasure_impact",
+    oracle="""
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_hit
+  FROM orders JOIN victims ON o_custkey = c_custkey
+),
+l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN victims ON o_custkey = c_custkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_requests,
+       n_customers_hit, n_orders, n_lineitems,
+       n_orders + n_lineitems + (SELECT CAST(count(*) AS BIGINT) FROM victims)
+         AS total_rows_to_erase
+FROM o, l
+""",
+)
+def q281_gdpr_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request impact sizing (the read-side complement of
+    lineage.blast_radius, which resolves AFFECTED OUTPUTS from write-side
+    manifests): given a deletion cohort (custkey % 97 — a deterministic
+    stand-in for the request table), count the rows each table must
+    drop, fanning out customer -> orders -> lineitem along the foreign
+    keys.  The operator a compliance pipeline runs BEFORE committing to a
+    rewrite, to size it.  Scale shape: the victim set broadcasts (requests
+    are tiny vs the tables); both fact scans stay pruned to key columns;
+    counts ride map-side partials — no wide row ever moves."""
+    c = t(spark, sf_dir, "customer", columns=["c_custkey"])
+    victims = c.filter(F.col("c_custkey") % 97 == 0)
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = t(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    vo = o.join(F.broadcast(victims), o.o_custkey == victims.c_custkey)
+    o_stats = vo.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers_hit"),
+    )
+    l_stats = li.join(
+        F.broadcast(vo.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey")
+    ).agg(F.count(F.lit(1)).alias("n_lineitems"))
+    n_req = victims.agg(F.count(F.lit(1)).alias("n_requests"))
+    return (
+        n_req.crossJoin(o_stats)  # 1-row x 1-row scalar assembly
+        .crossJoin(l_stats)
+        .select(
+            F.col("n_requests").cast("long").alias("n_requests"),
+            F.col("n_customers_hit").cast("long").alias("n_customers_hit"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+            (F.col("n_orders") + F.col("n_lineitems") + F.col("n_requests"))
+            .cast("long")
+            .alias("total_rows_to_erase"),
+        )
+    )
+
+
+@query(
+    "q285_incremental_watermark_gap",
+    oracle="""
+WITH arrivals AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS event_date,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INTEGER) AS arrival_date
+  FROM orders
+),
+lagged AS (
+  SELECT CAST(date_trunc('month', event_date) AS DATE) AS month,
+         arrival_date - event_date AS lag_days
+  FROM arrivals
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lag_days > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN lag_days > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS late_share,
+       CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+       CAST(sum(CASE WHEN lag_days > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_past_3d_watermark
+FROM lagged GROUP BY month
+""",
+)
+def q285_incremental_watermark_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lag audit for incremental pipelines: when arrival trails
+    the event date (deterministic synthetic lag: orderkey % 5 days), a
+    strict high-water-mark consumer (pipeline.transfer_incremental)
+    silently skips late rows.  Per month: late share, worst lag, and the
+    rows a 3-day lagged-watermark window would STILL miss — the number
+    that decides the re-read window a deployment must pair with the
+    watermark (the transfer_incremental docstring's 'lagged predicate
+    window').  Scale shape: pure projection + one groupBy month (partial
+    aggregation; months are few) — no join, no wide shuffle."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    lag_days = (F.col("o_orderkey") % 5).cast("int")
+    lagged = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        lag_days.alias("lag_days"),
+    )
+    late = F.when(F.col("lag_days") > 0, 1).otherwise(0)
+    return lagged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.round(F.sum(late) / F.count(F.lit(1)).cast("double"), 6).alias("late_share"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+        F.sum(F.when(F.col("lag_days") > 3, 1).otherwise(0)).cast("long").alias("n_past_3d_watermark"),
+    )

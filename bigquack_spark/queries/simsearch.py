@@ -890,3 +890,111 @@ def q224_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias("mrr_of_top1"),
         F.round(fold(F.col("ld")) / fold(F.col("li")), 6).alias("ndcg_at_k"),
     )
+
+
+@query(
+    "q271_ivf_cell_drift",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0,
+         CAST(embedding[2] AS DOUBLE) AS e1,
+         CAST(embedding[3] AS DOUBLE) AS e2
+  FROM embeddings
+),
+build AS (
+  SELECT CASE WHEN e0 >= 0 THEN 4 ELSE 0 END
+       + CASE WHEN e1 >= 0 THEN 2 ELSE 0 END
+       + CASE WHEN e2 >= 0 THEN 1 ELSE 0 END AS cell
+  FROM base WHERE vec_id % 2 = 0
+),
+appended AS (
+  SELECT CASE WHEN e0 + 0.12 >= 0 THEN 4 ELSE 0 END
+       + CASE WHEN e1 >= 0 THEN 2 ELSE 0 END
+       + CASE WHEN e2 >= 0 THEN 1 ELSE 0 END AS cell
+  FROM base WHERE vec_id % 2 = 1
+),
+b AS (SELECT cell, count(*) AS n_build FROM build GROUP BY cell),
+n AS (SELECT cell, count(*) AS n_now
+      FROM (SELECT cell FROM build UNION ALL SELECT cell FROM appended)
+      GROUP BY cell),
+j AS (
+  SELECT COALESCE(b.cell, n.cell) AS cell,
+         COALESCE(n_build, 0) AS n_build, COALESCE(n_now, 0) AS n_now
+  FROM b FULL OUTER JOIN n ON b.cell = n.cell
+),
+s AS (
+  SELECT CAST(cell AS INTEGER) AS cell, CAST(n_build AS BIGINT) AS n_build,
+         CAST(n_now AS BIGINT) AS n_now,
+         CAST(n_build AS DOUBLE) / SUM(n_build) OVER () AS build_share,
+         CAST(n_now AS DOUBLE) / SUM(n_now) OVER () AS now_share
+  FROM j
+),
+r AS (
+  SELECT cell, n_build, n_now, build_share, now_share,
+         CASE WHEN build_share > 0 THEN now_share / build_share END AS share_ratio,
+         COALESCE(CASE WHEN build_share > 0
+                       THEN now_share / build_share END > 1.20, TRUE) AS hot
+  FROM s
+)
+SELECT cell, n_build, n_now, build_share, now_share, share_ratio, hot,
+       MAX(CASE WHEN hot THEN 1 ELSE 0 END) OVER () > 0 AS rebuild
+FROM r
+""",
+)
+def q271_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-drift monitor, oracle-diffable shape (r5 verdict #6): the
+    driver-verified twin of ``operators.simsearch.ivf_cell_drift`` (which
+    audits a real KMeans index; pytest-covered).  Here the coarse
+    quantizer is a deterministic sign-grid over the first three embedding
+    dimensions (8 cells) so both engines reproduce assignments exactly:
+    the even-id half is the build-time corpus, the odd-id half is a later
+    append with injected drift (+0.12 on dim 0 — the mean-shift that a
+    changed upstream embedding model produces), and the audit compares
+    each cell's post-append occupancy share against its build share.  A
+    cell past 1.2x its build share is hot; any hot cell recommends a
+    rebuild.  Scale shape: per-cell counts roll up from partials (one
+    exchange of n_cells rows), totals are 1-row broadcasts — at 100 TB
+    the monitor costs one partition-column scan, never a vector read."""
+    from pyspark.sql.window import Window
+
+    base = t(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("e0"),
+        F.col("embedding")[1].cast("double").alias("e1"),
+        F.col("embedding")[2].cast("double").alias("e2"),
+    )
+
+    def grid(e0):
+        return (
+            F.when(e0 >= 0, 4).otherwise(0)
+            + F.when(F.col("e1") >= 0, 2).otherwise(0)
+            + F.when(F.col("e2") >= 0, 1).otherwise(0)
+        )
+
+    build = base.filter(F.col("vec_id") % 2 == 0).select(grid(F.col("e0")).alias("cell"))
+    appended = base.filter(F.col("vec_id") % 2 == 1).select(
+        grid(F.col("e0") + F.lit(0.12)).alias("cell")
+    )
+    b = build.groupBy("cell").agg(F.count(F.lit(1)).alias("n_build"))
+    n = build.unionAll(appended).groupBy("cell").agg(F.count(F.lit(1)).alias("n_now"))
+    j = b.join(n, "cell", "full_outer").select(
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("n_build", F.lit(0)).alias("n_build"),
+        F.coalesce("n_now", F.lit(0)).alias("n_now"),
+    )
+    w_all = Window.partitionBy()
+    s = j.select(
+        "cell", "n_build", "n_now",
+        (F.col("n_build").cast("double") / F.sum("n_build").over(w_all)).alias("build_share"),
+        (F.col("n_now").cast("double") / F.sum("n_now").over(w_all)).alias("now_share"),
+    )
+    ratio = F.when(F.col("build_share") > 0, F.col("now_share") / F.col("build_share"))
+    r = s.select(
+        "cell", "n_build", "n_now", "build_share", "now_share",
+        ratio.alias("share_ratio"),
+        F.coalesce(ratio > 1.20, F.lit(True)).alias("hot"),
+    )
+    return r.withColumn(
+        "rebuild",
+        F.max(F.when(F.col("hot"), 1).otherwise(0)).over(w_all) > 0,
+    )

@@ -1583,3 +1583,34 @@ def test_ivf_append_rejects_dimension_mismatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         S.append_to_ivf_index(spark, path, wrong)
+
+
+def test_ivf_cell_drift_recommends_rebuild_on_drifted_append(spark, tmp_path):
+    """r5 verdict #6: the frozen-quantizer monitor — a same-distribution
+    append keeps every cell near its build share (no rebuild); a drifted
+    append (constant vector = upstream model collapse) balloons one cell
+    past the ratio threshold and flips the recommendation."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf_steady")
+    assert S.build_ivf_index(first, path, n_lists=4, seed=42) == 4
+    S.append_to_ivf_index(spark, path, second)
+    steady = S.ivf_cell_drift(spark, path, share_ratio_threshold=1.5).collect()
+    assert len(steady) == 4
+    assert sum(r.n_build for r in steady) == first.count()
+    assert sum(r.n_now for r in steady) == emb.count()
+    assert all(r.rebuild is False for r in steady)
+
+    path2 = str(tmp_path / "ivf_drifted")
+    assert S.build_ivf_index(first, path2, n_lists=4, seed=42) == 4
+    drifted = second.withColumn(
+        "embedding", F.expr("transform(embedding, x -> float(0.2))")
+    )
+    S.append_to_ivf_index(spark, path2, drifted)
+    rows = S.ivf_cell_drift(spark, path2, share_ratio_threshold=1.5).collect()
+    assert all(r.rebuild is True for r in rows)
+    hot = [r for r in rows if r.hot]
+    assert len(hot) == 1  # the constant vector lands in exactly one cell
+    assert hot[0].share_ratio > 1.5
