@@ -1570,3 +1570,86 @@ def q262_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("media_a", "media_b", dist.cast("long").alias("hamming_dist"))
         .filter(F.col("hamming_dist") <= _PHASH_HAMMING_T)
     )
+
+
+@query(
+    "q272_contamination_overlap",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         array_to_string(toks[i : i + 4], ' ') AS shingle
+  FROM (
+    SELECT doc_id, source, toks,
+           unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+    FROM tk
+  )
+),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+test_docs AS (SELECT doc_id, source FROM tk WHERE doc_id % 2 = 1),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN train_sh USING (shingle)
+  WHERE s.doc_id % 2 = 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+FROM test_docs t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+GROUP BY source
+""",
+)
+def q272_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the eval-integrity gate every
+    training-data pipeline needs: a held-out (odd doc_id) document is
+    contaminated when any of its word 5-grams appears in the training
+    (even doc_id) half.  Exact 5-gram match; per-source contamination
+    rate.  Scale shape: shingles join on the shingle string (equi-join,
+    bucketable), the train side is DISTINCT shingles (heavy-hitter
+    shingles collapse before the join), and the verdict per test doc is
+    an EXISTS (left-semi before the distinct) — never a pairwise doc
+    comparison.  At 100 TB you'd hash the shingles to fixed 8-byte keys
+    (operators.dedup minhash path) and range-bucket the join; the audit
+    shape is unchanged."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    tk = d.select("doc_id", "source", toks.alias("toks"))
+    sh = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 4, F.lit(0))),
+                lambda i: F.array_join(F.slice("toks", i, 5), " "),
+            )
+        ).alias("shingle"),
+    )
+    train_sh = sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 2 == 1)
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    test_docs = tk.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    hit = F.when(F.col("c_doc").isNotNull(), 1).otherwise(0)
+    return (
+        test_docs.join(
+            contaminated.withColumnRenamed("doc_id", "c_doc"),
+            test_docs.doc_id == F.col("c_doc"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+            F.sum(hit).cast("long").alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -1795,3 +1795,52 @@ def q267_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_concurrency",
         F.expr("_gap_us div 1000000").cast("long").alias("sec_at_2plus"),
     )
+
+
+@query(
+    "q280_late_data_impact",
+    oracle="""
+WITH lagged AS (
+  SELECT event_type, CAST(event_id % 7 AS BIGINT) AS lag_min FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN lag_min > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dropped_at_1m,
+       round(sum(CASE WHEN lag_min > 3 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dropped_at_3m,
+       round(sum(CASE WHEN lag_min > 5 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dropped_at_5m,
+       CAST(min(CASE WHEN lag_min <= 1 THEN NULL ELSE lag_min END) AS BIGINT)
+         AS min_excess_lag_min
+FROM lagged GROUP BY event_type
+""",
+)
+def q280_late_data_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit for the streaming pipeline: with arrival
+    lag modeled as a deterministic event_id-keyed delay (0-6 min — the
+    injection idiom of q255/q257), report the share of each event type a
+    watermarked window (streaming/events.py) would DROP at 1/3/5-minute
+    watermarks.  This is the measurement that picks the withWatermark()
+    bound: the smallest lag whose drop share meets the pipeline's
+    completeness SLO.  Scale shape: one scan, per-type partial counters,
+    exchange of n_types rows; the conditional sums all fold map-side."""
+    e = t(spark, sf_dir, "events", columns=["event_id", "event_type"])
+    lagged = e.select(
+        "event_type", (F.col("event_id") % 7).cast("long").alias("lag_min")
+    )
+
+    def dropped(w):
+        return F.round(
+            F.sum(F.when(F.col("lag_min") > w, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dropped(1).alias("dropped_at_1m"),
+        dropped(3).alias("dropped_at_3m"),
+        dropped(5).alias("dropped_at_5m"),
+        F.min(F.when(F.col("lag_min") > 1, F.col("lag_min"))).cast("long").alias("min_excess_lag_min"),
+    )

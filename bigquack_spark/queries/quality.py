@@ -46,31 +46,37 @@ def _q118_oracle() -> str:
 
 @query("q118_column_profile", oracle=_q118_oracle())
 def q118_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profile (completeness, cardinality, numeric range) in
+    """Exact column profile (completeness, cardinality, numeric range) in
     long form — the pre-flight check before any expensive pipeline stage.
-    Spark computes every column's metrics in a single aggregate (one scan,
-    one reduce; multiple DISTINCTs expand map-side) and unpivots to rows;
-    min/max are DOUBLE so both engines emit identical IEEE values instead
-    of engine-specific float strings."""
+    Plan (r6): one single-distinct aggregate PER COLUMN, unioned — each
+    branch is a column-pruned scan feeding Catalyst's two-phase distinct
+    aggregate, so no branch ever carries more than its own column's
+    values, and the branches run as independent parallel stages.  The
+    previous one-scan form put all K DISTINCTs in one aggregate, which
+    Expand-multiplies every row K-fold through a single pipeline —
+    measured 2.3x slower at sf0.1 (0.77 s vs 0.34 s) and ~30% slower at
+    the 100x tier (bench_full profile_approx_block).  Columnar I/O makes
+    the K scans read the same bytes one scan would.  min/max are DOUBLE
+    so both engines emit identical IEEE values.  The 100 TB posture for
+    this shape is still the q252 approx profile (no exact distinct at
+    all); this is the best exact plan."""
     o = t(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for c, num in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__min"),
-            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in _PROFILE_COLS
-    )
-    return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
-        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
-    )
+        parts.append(
+            o.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias("max_num"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def profile_approx(df: DataFrame, cols: list[tuple[str, str | None]]) -> DataFrame:

@@ -998,3 +998,56 @@ def q271_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rebuild",
         F.max(F.when(F.col("hot"), 1).otherwise(0)).over(w_all) > 0,
     )
+
+
+@query(
+    "q282_embedding_norm_audit",
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN nrm < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       CAST(sum(CASE WHEN nrm > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exploding,
+       sum(CASE WHEN nrm < 0.01 OR nrm > 10.0 THEN 1 ELSE 0 END) = 0 AS healthy
+FROM norms GROUP BY label
+""",
+)
+def q282_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health audit: per-label L2-norm profile with degenerate
+    (collapsed to ~0 — a dead encoder) and exploding (>10 — an unnormal-
+    ized or overflowed batch) counters; both failure modes silently
+    poison cosine retrieval (q40/q75) long before accuracy metrics
+    notice.  Per-row norms fold the array in index order (deterministic
+    across engines), rounded to the 6-decimal lattice BEFORE aggregating
+    so group averages agree bitwise.  Scale shape: pure projection +
+    one groupBy label with map-side partials — no shuffle of vectors."""
+    e = t(spark, sf_dir, "embeddings", columns=["label", "embedding"])
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    norms = e.select(F.col("label").cast("int").alias("label"), nrm.alias("nrm"))
+    bad = F.when((F.col("nrm") < 0.01) | (F.col("nrm") > 10.0), 1).otherwise(0)
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") < 0.01, 1).otherwise(0)).cast("long").alias("n_degenerate"),
+        F.sum(F.when(F.col("nrm") > 10.0, 1).otherwise(0)).cast("long").alias("n_exploding"),
+        (F.sum(bad) == 0).alias("healthy"),
+    )

@@ -1892,3 +1892,220 @@ def q263_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_hi").alias("cum_hi_scaled"),
         (F.col("w_scaled").cast("double") / F.col("total")).alias("p_smoothed"),
     )
+
+
+@query(
+    "q275_length_drift_psi",
+    oracle="""
+WITH bucketed AS (
+  SELECT least(n_chars // 100, 9) AS bucket, doc_id % 2 = 0 AS is_ref
+  FROM documents
+),
+counts AS (
+  SELECT CAST(bucket AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+shares AS (
+  SELECT bucket, n_ref, n_cur,
+         (n_ref + 0.5) / SUM(n_ref + 0.5) OVER () AS p,
+         (n_cur + 0.5) / SUM(n_cur + 0.5) OVER () AS q
+  FROM counts
+)
+SELECT bucket, n_ref, n_cur,
+       round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi_total,
+       SUM((p - q) * ln(p / q)) OVER () > 0.1 AS drifted
+FROM shares
+""",
+)
+def q275_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift gate over the document length
+    distribution — the standard go/no-go check before a new crawl batch
+    joins the training mix.  Reference population = even doc_ids, current
+    batch = odd; fixed-width 100-char buckets (ntile would tie-break
+    nondeterministically across engines), Laplace 0.5 smoothing so empty
+    buckets stay finite; PSI > 0.1 flags drift.  The synthetic halves are
+    iid, so the gate reports no drift — the audit's zero is as load-
+    bearing as a hit (q258's pinned-defect rule).  Scale shape: one scan,
+    10-row exchange, window over 10 rows."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    bucketed = d.select(
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).alias("bucket"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    w_all = Window.partitionBy()
+    p = (F.col("n_ref") + 0.5) / F.sum(F.col("n_ref") + 0.5).over(w_all)
+    q = (F.col("n_cur") + 0.5) / F.sum(F.col("n_cur") + 0.5).over(w_all)
+    shares = counts.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        p.alias("p"),
+        q.alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return shares.select(
+        "bucket", "n_ref", "n_cur",
+        F.round(F.col("p"), 6).alias("ref_share"),
+        F.round(F.col("q"), 6).alias("cur_share"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w_all), 6).alias("psi_total"),
+        (F.sum(term).over(w_all) > 0.1).alias("drifted"),
+    )
+
+
+@query(
+    "q278_token_budget_packing",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+           AS bin
+  FROM tk
+)
+SELECT source,
+       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_tokens) / (CAST(count(DISTINCT bin) AS DOUBLE) * 512), 6)
+         AS avg_fill,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM packed GROUP BY source
+""",
+)
+def q278_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency audit: stream each source's documents
+    (doc_id order) into 512-token context windows by exclusive running
+    token count — the deterministic first-fit packing a pretraining
+    loader uses — and report bins used and mean fill rate vs the budget.
+    Fill > 1 means documents straddle bin boundaries (they're split at
+    load time); fill << 1 means padding waste.  Scale shape: the running
+    sum partitions by source (parallel across sources, ordered within —
+    exactly a loader shard), then a per-source aggregate; nothing global."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    tk = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tk.select(
+        "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).alias("bin"),
+    )
+    return packed.groupBy("source").agg(
+        F.countDistinct("bin").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") / (F.countDistinct("bin").cast("double") * 512), 6
+        ).alias("avg_fill"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "q283_doc_mixture_balance",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n, chars,
+       round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+       round(1.0 / COUNT(*) OVER (), 6) AS target_share,
+       round((1.0 / COUNT(*) OVER ()) / (n / CAST(SUM(n) OVER () AS DOUBLE)), 6)
+         AS reweight,
+       n / CAST(SUM(n) OVER () AS DOUBLE) > 2.0 / COUNT(*) OVER ()
+         AS overrepresented
+FROM cells
+""",
+)
+def q283_doc_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture balance audit: per (lang, source) cell share vs a
+    uniform target mixture, with the per-cell reweight factor a sampler
+    would apply and an over-representation flag at 2x target — the
+    dataset-mixing step between curation and training.  Scale shape: one
+    groupBy over the (tiny) cell lattice with map-side partials; the
+    share/target math is a window over the cell rows only."""
+    d = t(spark, sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n") / F.sum("n").over(w_all).cast("double")
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
+    return cells.select(
+        "lang", "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+        F.round(share, 6).alias("share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / share, 6).alias("reweight"),
+        (share > 2 * target).alias("overrepresented"),
+    )
+
+
+@query(
+    "q284_shard_assignment_audit",
+    oracle="""
+WITH sharded AS (
+  SELECT doc_id % 16 AS shard, n_chars FROM documents
+),
+per AS (
+  SELECT CAST(shard AS INTEGER) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM sharded GROUP BY shard
+),
+r AS (
+  SELECT shard, n_docs, total_chars,
+         round(total_chars / (SUM(total_chars) OVER () / 16.0), 6) AS load_ratio,
+         total_chars > 1.2 * (SUM(total_chars) OVER () / 16.0) AS hot
+  FROM per
+)
+SELECT shard, n_docs, total_chars, load_ratio, hot,
+       MAX(CASE WHEN hot THEN 1 ELSE 0 END) OVER () > 0 AS reshard
+FROM r
+""",
+)
+def q284_shard_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-shard balance audit: docs keyed to 16 shards (doc_id % 16 —
+    the deterministic stand-in for a content-hash sharder), per-shard
+    byte load vs the uniform expectation, hot-shard flag at 1.2x and an
+    index-wide reshard recommendation — the q271 drift-monitor shape
+    applied to export shards (a hot shard is the straggler task every
+    epoch).  Scale shape: groupBy on the shard key (16-row exchange),
+    window over 16 rows."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    per = (
+        d.select((F.col("doc_id") % 16).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    w_all = Window.partitionBy()
+    mean_load = F.sum("total_chars").over(w_all) / 16.0
+    hot = F.col("total_chars") > 1.2 * mean_load
+    return per.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.round(F.col("total_chars") / mean_load, 6).alias("load_ratio"),
+        hot.alias("hot"),
+        (F.max(F.when(hot, 1).otherwise(0)).over(w_all) > 0).alias("reshard"),
+    )
