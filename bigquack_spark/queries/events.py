@@ -1844,3 +1844,163 @@ def q280_late_data_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped(5).alias("dropped_at_5m"),
         F.min(F.when(F.col("lag_min") > 1, F.col("lag_min"))).cast("long").alias("min_excess_lag_min"),
     )
+
+
+@query(
+    "q287_activity_seasonality",
+    oracle="""
+WITH hours AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour_utc
+  FROM events
+),
+per AS (
+  SELECT hour_utc, CAST(count(*) AS BIGINT) AS n FROM hours GROUP BY hour_utc
+),
+shares AS (
+  SELECT hour_utc, n,
+         round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+         round(n / (SUM(n) OVER () / 24.0), 6) AS vs_uniform
+  FROM per
+)
+SELECT hour_utc, n, share, vs_uniform,
+       MAX(vs_uniform) OVER () > 1.5 AS peaky
+FROM shares
+""",
+)
+def q287_activity_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile — the load model behind trigger
+    sizing (streaming micro-batch budgets) and compaction scheduling
+    (run maintenance in the trough).  Hours from integer microsecond
+    epochs, so the result is timezone-proof across engines and sessions
+    (the module rule).  vs_uniform is each hour's load relative to a
+    flat profile; a >1.5x peak hour flags the need for time-aware
+    autoscaling.  Scale shape: projection + 24-group aggregate, window
+    over 24 rows."""
+    e = t(spark, sf_dir, "events", columns=["ts"])
+    hours = e.select(
+        ((F.unix_micros("ts") / 3600000000).cast("long") % 24)
+        .cast("int")
+        .alias("hour_utc")
+    )
+    per = hours.groupBy("hour_utc").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    shares = per.select(
+        "hour_utc",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w_all).cast("double"), 6).alias("share"),
+        F.round(F.col("n") / (F.sum("n").over(w_all) / 24.0), 6).alias("vs_uniform"),
+    )
+    return shares.withColumn("peaky", F.max("vs_uniform").over(w_all) > 1.5)
+
+
+@query(
+    "q291_retention_cohorts",
+    oracle="""
+WITH days AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 - 19723 AS BIGINT) AS day
+  FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) // 7 AS cohort_week FROM days GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT d.user_id, f.cohort_week, d.day // 7 AS active_week
+  FROM days d JOIN firsts f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_week
+)
+SELECT CAST(a.cohort_week AS INTEGER) AS cohort_week,
+       CAST(a.active_week - a.cohort_week AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.active_week, s.cohort_size
+""",
+)
+def q291_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (long form): users grouped by
+    first-seen week, retention = share of the cohort active in each
+    later week — the engagement table every growth dashboard starts
+    from, and the labeling base q266's churn definitions refine.  Weeks
+    from integer epoch days anchored at 2024-01-01 (day 19723) so both
+    engines bucket identically.  Scale shape: first-seen is a per-user
+    min (map-side partials), the activity set is a distinct over
+    (user, week) — both shuffle user-sized state, never raw events;
+    the cohort join broadcasts week-counts."""
+    e = t(spark, sf_dir, "events", columns=["user_id", "ts"])
+    days = e.select(
+        "user_id",
+        ((F.unix_micros("ts") / 86400000000).cast("long") - 19723).alias("day"),
+    )
+    firsts = days.groupBy("user_id").agg(
+        (F.min("day") / 7).cast("long").alias("cohort_week")
+    )
+    activity = (
+        days.join(firsts, "user_id")
+        .select("user_id", "cohort_week", (F.col("day") / 7).cast("long").alias("active_week"))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "active_week", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("cohort_week").cast("int").alias("cohort_week"),
+            (F.col("active_week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias("retention"),
+        )
+    )
+
+
+@query(
+    "q292_window_dedup_rate",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT (user_id, win)) AS BIGINT) AS n_keys
+  FROM keyed GROUP BY event_type
+)
+SELECT event_type, n_events, n_keys,
+       CAST(n_events - n_keys AS BIGINT) AS n_window_dups,
+       round((n_events - n_keys) / CAST(n_events AS DOUBLE), 6) AS dup_rate
+FROM per
+""",
+)
+def q292_window_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup sizing audit: share of events that are repeats of
+    the same (user, 5-minute window) key per event type — the number
+    that sizes dropDuplicatesWithinWatermark state and decides whether
+    at-least-once delivery needs a dedup stage at all.  Windows are
+    integer epoch buckets (timezone-proof).  Scale shape: one scan; the
+    distinct-key count shuffles only the key triple; counts fold
+    map-side."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    keyed = e.select(
+        "event_type", "user_id",
+        (F.unix_micros("ts") / 300000000).cast("long").alias("win"),
+    )
+    per = keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id", "win").alias("n_keys"),
+    )
+    return per.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        (F.col("n_events") - F.col("n_keys")).cast("long").alias("n_window_dups"),
+        F.round(
+            (F.col("n_events") - F.col("n_keys")) / F.col("n_events").cast("double"), 6
+        ).alias("dup_rate"),
+    )

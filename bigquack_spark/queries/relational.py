@@ -2624,3 +2624,124 @@ def q285_incremental_watermark_gap(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("lag_days").cast("long").alias("max_lag_days"),
         F.sum(F.when(F.col("lag_days") > 3, 1).otherwise(0)).cast("long").alias("n_past_3d_watermark"),
     )
+
+
+@query(
+    "q289_fk_orphan_audit",
+    oracle="""
+WITH lo AS (
+  SELECT CAST(count(*) AS BIGINT) AS li_rows,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS li_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS o_rows,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS o_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT li_rows, li_orphans,
+       round(1.0 - li_orphans / CAST(li_rows AS DOUBLE), 6) AS li_fk_coverage,
+       o_rows, o_orphans,
+       round(1.0 - o_orphans / CAST(o_rows AS DOUBLE), 6) AS o_fk_coverage,
+       li_orphans = 0 AND o_orphans = 0 AS referentially_intact
+FROM lo, oc
+""",
+)
+def q289_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit along the fact chain: lineitem rows
+    whose order vanished and orders whose customer vanished — the
+    invariant that erasure pipelines (q281's rewrite) and CDC consumers
+    (q269) can silently break, checked as left-join null counts so one
+    pass yields both the orphan count and the coverage share.  The
+    synthetic generator is FK-clean, so the audit pins intact=true; any
+    future orphan surfaces as a nonzero.  Scale shape: two key-pruned
+    shuffles (orders/customer keys only — at 100 TB the dimension side
+    broadcasts or buckets); counts fold map-side."""
+    li = t(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    c = t(spark, sf_dir, "customer", columns=["c_custkey"])
+    lo = li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left").agg(
+        F.count(F.lit(1)).alias("li_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("li_orphans"),
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey, "left").agg(
+        F.count(F.lit(1)).alias("o_rows"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("o_orphans"),
+    )
+    return lo.crossJoin(oc).select(  # 1-row x 1-row scalar assembly
+        F.col("li_rows").cast("long").alias("li_rows"),
+        F.col("li_orphans").cast("long").alias("li_orphans"),
+        F.round(1.0 - F.col("li_orphans") / F.col("li_rows").cast("double"), 6).alias("li_fk_coverage"),
+        F.col("o_rows").cast("long").alias("o_rows"),
+        F.col("o_orphans").cast("long").alias("o_orphans"),
+        F.round(1.0 - F.col("o_orphans") / F.col("o_rows").cast("double"), 6).alias("o_fk_coverage"),
+        ((F.col("li_orphans") == 0) & (F.col("o_orphans") == 0)).alias("referentially_intact"),
+    )
+
+
+@query(
+    "q290_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+snap_b AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS price_cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                      AND a.price_cents <> b.price_cents
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                      AND a.price_cents = b.price_cents
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+""",
+)
+def q290_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff — the reconciliation primitive behind CDC
+    validation and WAP publish gates: full-outer join two snapshot
+    versions on the key and classify every row added / removed / changed
+    / unchanged.  Snapshot B is derived deterministically (the q255/q262
+    injection idiom: %11 price bump = changes, %13 dropped = removes,
+    %17 re-keyed = adds) so both engines diff identical inputs and the
+    expected nonzeros are pinned.  Prices compare on the cents lattice
+    (the q87 rule).  Scale shape: ONE key-partitioned full-outer join —
+    at 100 TB both snapshots bucket on the key and the diff is
+    co-located, no second pass for the counts (they fold map-side)."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snap_a = o.select(F.col("o_orderkey").alias("k"), cents.alias("price_cents"))
+    snap_b = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (cents + F.when(F.col("o_orderkey") % 11 == 0, 100).otherwise(0)).alias("price_cents"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("k"), cents.alias("price_cents")
+            )
+        )
+    )
+    a = snap_a.select(F.col("k").alias("a_k"), F.col("price_cents").alias("a_price"))
+    b = snap_b.select(F.col("k").alias("b_k"), F.col("price_cents").alias("b_price"))
+    j = a.join(b, a.a_k == b.b_k, "full_outer")
+    both = F.col("a_k").isNotNull() & F.col("b_k").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("a_k").isNull(), 1).otherwise(0)).cast("long").alias("n_added"),
+        F.sum(F.when(F.col("b_k").isNull(), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(F.when(both & (F.col("a_price") != F.col("b_price")), 1).otherwise(0)).cast("long").alias("n_changed"),
+        F.sum(F.when(both & (F.col("a_price") == F.col("b_price")), 1).otherwise(0)).cast("long").alias("n_unchanged"),
+    )

@@ -1051,3 +1051,53 @@ def q282_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nrm") > 10.0, 1).otherwise(0)).cast("long").alias("n_exploding"),
         (F.sum(bad) == 0).alias("healthy"),
     )
+
+
+@query(
+    "q288_label_balance",
+    oracle="""
+WITH per AS (
+  SELECT CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+),
+shares AS (
+  SELECT label, n, n / CAST(SUM(n) OVER () AS DOUBLE) AS share FROM per
+)
+SELECT label, n, round(share, 6) AS share,
+       round(-SUM(share * ln(share)) OVER (), 6) AS entropy_nats,
+       round(exp(-SUM(share * ln(share)) OVER ()), 6) AS effective_classes,
+       round(MAX(n) OVER () / CAST(MIN(n) OVER () AS DOUBLE), 6) AS imbalance,
+       MAX(n) OVER () / CAST(MIN(n) OVER () AS DOUBLE) > 3.0 AS needs_rebalance
+FROM shares
+""",
+)
+def q288_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit over the embedding labels: per-class share,
+    Shannon entropy and the effective class count exp(H) (10 balanced
+    classes -> ~10; one dominant class -> ~1), plus max/min imbalance
+    with a 3x rebalance flag — the check that decides between plain and
+    stratified sampling (q277) before training a probe.  Scale shape:
+    one groupBy on the label (map-side partials), windows over the
+    class rows only."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings", columns=["label"])
+    per = e.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    shares = per.select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(w_all).cast("double")).alias("share"),
+    )
+    ent = -F.sum(F.col("share") * F.log(F.col("share"))).over(w_all)
+    imb = F.max("n").over(w_all) / F.min("n").over(w_all).cast("double")
+    return shares.select(
+        "label", "n",
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(F.exp(ent), 6).alias("effective_classes"),
+        F.round(imb, 6).alias("imbalance"),
+        (imb > 3.0).alias("needs_rebalance"),
+    )

@@ -2109,3 +2109,54 @@ def q284_shard_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot.alias("hot"),
         (F.max(F.when(hot, 1).otherwise(0)).over(w_all) > 0).alias("reshard"),
     )
+
+
+@query(
+    "q286_vocab_oov_audit",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM tk WHERE doc_id % 2 = 0),
+test AS (SELECT source, tok FROM tk WHERE doc_id % 2 = 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM test LEFT JOIN vocab v USING (tok)
+GROUP BY source
+""",
+)
+def q286_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: token-occurrence share of the held-out
+    (odd doc_id) half not covered by the training (even) half's
+    vocabulary, per source — the coverage check run before freezing a
+    tokenizer, and q272's complement (contamination wants NO overlap;
+    vocabulary wants ALL).  Scale shape: the vocabulary is a distinct on
+    the token (heavy hitters collapse map-side), the coverage probe is a
+    left join on the token string — bucketable, and at 100 TB the vocab
+    side fits a broadcast after frequency pruning."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
+    tk = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    vocab = tk.filter(F.col("doc_id") % 2 == 0).select("tok").distinct()
+    test = tk.filter(F.col("doc_id") % 2 == 1).select("source", "tok")
+    oov = F.when(F.col("v_tok").isNull(), 1).otherwise(0)
+    return (
+        test.join(
+            vocab.withColumnRenamed("tok", "v_tok"),
+            test.tok == F.col("v_tok"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
+        )
+    )
