@@ -2004,3 +2004,58 @@ def q292_window_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") - F.col("n_keys")) / F.col("n_events").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q293_latency_percentiles",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cents
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       round(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) / 100.0, 2) AS p50,
+       round(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) / 100.0, 2) AS p95,
+       round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) / 100.0, 2) AS p99,
+       round(max(CASE WHEN rn = n THEN v END) / 100.0, 2) AS p100
+FROM ranked GROUP BY event_type
+""",
+)
+def q293_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (p50/p95/p99/max) — the SLO
+    readout — computed by explicit rank selection on the cents lattice
+    so both engines pick the identical order statistic (engine quantile
+    functions differ in interpolation; row_number doesn't).  Ties on the
+    value cost nothing: equal cents at the target rank yield the same
+    cents whatever their internal order.  Scale shape: one per-type sort
+    (the exact-percentile floor); at 100 TB this becomes
+    approx_percentile on the same lattice — the q252-style approx twin —
+    while this exact form stays the audit of record at validation scale."""
+    e = t(spark, sf_dir, "events", columns=["event_type", "value"])
+    cents = e.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    wc = Window.partitionBy("event_type")
+    ranked = cents.select(
+        "event_type", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(q):
+        tgt = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.round(F.max(F.when(F.col("rn") == tgt, F.col("v"))) / 100.0, 2)
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        at(0.50).alias("p50"),
+        at(0.95).alias("p95"),
+        at(0.99).alias("p99"),
+        F.round(F.max(F.when(F.col("rn") == F.col("n"), F.col("v"))) / 100.0, 2).alias("p100"),
+    )

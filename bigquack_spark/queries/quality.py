@@ -1850,3 +1850,95 @@ def q270_bot_cadence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_num * F.col("n_gaps") / denom).alias("cv2"),
         (var_num * F.col("n_gaps") * 100 < denom).alias("robotic_cadence"),
     )
+
+
+@query(
+    "q296_outlier_fences",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, v,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+),
+quart AS (
+  SELECT o_orderpriority,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS q1,
+         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS q3
+  FROM ranked GROUP BY o_orderpriority
+),
+fenced AS (
+  SELECT o_orderpriority, n_rows, q1, q3,
+         q3 + 3 * (q3 - q1) // 2 AS hi_fence
+  FROM quart
+)
+SELECT f.o_orderpriority, f.n_rows,
+       round(f.q1 / 100.0, 2) AS q1,
+       round(f.q3 / 100.0, 2) AS q3,
+       round(f.hi_fence / 100.0, 2) AS hi_fence,
+       CAST(sum(CASE WHEN c.v > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(sum(CASE WHEN c.v > f.hi_fence THEN 1 ELSE 0 END)
+             / CAST(f.n_rows AS DOUBLE), 6) AS outlier_rate
+FROM fenced f JOIN cents c USING (o_orderpriority)
+GROUP BY f.o_orderpriority, f.n_rows, f.q1, f.q3, f.hi_fence
+""",
+)
+def q296_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per segment: exact quartiles by rank
+    selection on the cents lattice (the q293 rule — engine quantile
+    functions interpolate differently; order statistics don't), upper
+    fence at Q3 + 1.5 IQR in integer arithmetic, then the outlier count
+    per priority class — the pre-clipping audit before value columns
+    feed a model.  Scale shape: one per-segment sort for the quartiles,
+    then the fence re-scan folds map-side against the broadcast 5-row
+    fence table; at 100 TB the quartiles become approx_percentile and
+    the second pass disappears into the same scan."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    cents = o.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("v")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = cents.select(
+        "o_orderpriority", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(q):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("v"))
+        )
+
+    quart = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        at(0.25).alias("q1"),
+        at(0.75).alias("q3"),
+    )
+    fenced = quart.withColumn(
+        "hi_fence", F.col("q3") + (3 * (F.col("q3") - F.col("q1")) / 2).cast("long")
+    )
+    out = F.when(F.col("v") > F.col("hi_fence"), 1).otherwise(0)
+    return (
+        cents.join(F.broadcast(fenced), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_rows", "q1", "q3", "hi_fence")
+        .agg(
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.round(F.sum(out) / F.col("n_rows").cast("double"), 6).alias("outlier_rate"),
+        )
+        .select(
+            "o_orderpriority", "n_rows",
+            F.round(F.col("q1") / 100.0, 2).alias("q1"),
+            F.round(F.col("q3") / 100.0, 2).alias("q3"),
+            F.round(F.col("hi_fence") / 100.0, 2).alias("hi_fence"),
+            "n_outliers", "outlier_rate",
+        )
+    )

@@ -2745,3 +2745,75 @@ def q290_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(both & (F.col("a_price") != F.col("b_price")), 1).otherwise(0)).cast("long").alias("n_changed"),
         F.sum(F.when(both & (F.col("a_price") == F.col("b_price")), 1).otherwise(0)).cast("long").alias("n_unchanged"),
     )
+
+
+@query(
+    "q294_revenue_concentration",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         count(*) OVER () AS n_cust,
+         sum(rev) OVER () AS total
+  FROM per_cust
+),
+cum AS (
+  SELECT rn, n_cust, total,
+         sum(rev) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_rev
+  FROM ranked
+)
+SELECT pct.p AS top_pct,
+       CAST(ceil(pct.p * n_cust / 100.0) AS BIGINT) AS n_top,
+       round(max(CASE WHEN rn = CAST(ceil(pct.p * n_cust / 100.0) AS BIGINT)
+                      THEN cum_rev END) / CAST(max(total) AS DOUBLE), 6)
+         AS revenue_share
+FROM cum CROSS JOIN (SELECT unnest([1, 5, 10, 25]) AS p) pct
+GROUP BY pct.p, n_cust
+""",
+)
+def q294_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) points: the revenue share captured
+    by the top 1/5/10/25% of customers — the skew readout that drives
+    both business dashboards and engineering choices (a heavy-hitter
+    customer set is exactly the hot-key set q279 probes for).  Exact on
+    the cents lattice; customers ranked (revenue desc, custkey) so ties
+    are stable cross-engine.  Scale shape: one per-customer aggregate
+    (entity-sized), one global rank/cumsum over customers (not orders);
+    the 4-point percentile grid is a broadcast cross join."""
+    o = t(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(Window.orderBy(F.desc("rev"), "o_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    cum = ranked.select(
+        "rn", "n_cust", "total",
+        F.sum("rev").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_rev"),
+    )
+    pct = spark.createDataFrame([(1,), (5,), (10,), (25,)], "p int")
+    tgt = F.ceil(F.col("p") * F.col("n_cust") / 100.0).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(pct))  # 4-row grid broadcast
+        .groupBy(F.col("p").alias("top_pct"), F.col("n_cust"))
+        .agg(
+            F.max(F.when(F.col("rn") == tgt, F.col("cum_rev"))).alias("top_rev"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "top_pct",
+            F.ceil(F.col("top_pct") * F.col("n_cust") / 100.0).cast("long").alias("n_top"),
+            F.round(F.col("top_rev") / F.col("total").cast("double"), 6).alias("revenue_share"),
+        )
+    )

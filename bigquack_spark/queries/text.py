@@ -2160,3 +2160,56 @@ def q286_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "q295_repetitiveness_audit",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT source, array_to_string(toks[i : i + 3], ' ') AS gram
+  FROM (
+    SELECT source, toks,
+           unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+    FROM tk
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+       round(1.0 - count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6)
+         AS repetition_ratio,
+       1.0 - count(DISTINCT gram) / CAST(count(*) AS DOUBLE) > 0.5
+         AS boilerplate_heavy
+FROM sh GROUP BY source
+""",
+)
+def q295_repetitiveness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repetitiveness audit: per-source 4-gram repetition ratio
+    (1 - distinct/total) — the compression-proxy signal that flags
+    template/boilerplate-dominated sources before they flood a training
+    mix (the corpus-level cousin of q173's per-doc boilerplate spans).
+    Scale shape: grams explode map-side; the distinct count shuffles
+    gram strings once per source — at 100 TB the grams hash to 8 bytes
+    and the distinct becomes approx_count_distinct, same audit shape."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, 4), " "),
+            )
+        ).alias("gram"),
+    )
+    rep = 1.0 - F.countDistinct("gram") / F.count(F.lit(1)).cast("double")
+    return sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct_grams"),
+        F.round(rep, 6).alias("repetition_ratio"),
+        (rep > 0.5).alias("boilerplate_heavy"),
+    )
