@@ -2650,10 +2650,13 @@ FROM lo, oc
 """,
 )
 def q289_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit along the fact chain: lineitem rows
-    whose order vanished and orders whose customer vanished — the
-    invariant that erasure pipelines (q281's rewrite) and CDC consumers
-    (q269) can silently break, checked as left-join null counts so one
+    """ROW-level referential-integrity impact along the fact chain —
+    q152's complement, not its repeat: q152 reports orphan KEYS per FK
+    edge (how many distinct keys are broken); this reports orphan ROWS
+    and the row-coverage share (how much DATA an inner join would drop —
+    the blast-radius number an erasure rewrite q281 or CDC consumer q269
+    needs).  One key can orphan a million rows; the two numbers diverge
+    exactly when it matters.  Checked as left-join null counts so one
     pass yields both the orphan count and the coverage share.  The
     synthetic generator is FK-clean, so the audit pins intact=true; any
     future orphan surfaces as a nonzero.  Scale shape: two key-pruned
