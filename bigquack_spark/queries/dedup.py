@@ -1620,15 +1620,16 @@ def q272_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
     toks = F.split(F.lower(F.col("text")), r"\s+")
     tk = d.select("doc_id", "source", toks.alias("toks"))
-    sh = tk.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - 4, F.lit(0))),
-                lambda i: F.array_join(F.slice("toks", i, 5), " "),
-            )
-        ).alias("shingle"),
-    )
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (it would
+    # fabricate shingles for a <5-token doc); DuckDB's range is empty there
+    grams = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.array_join(F.slice("toks", i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = tk.select("doc_id", F.explode(grams).alias("shingle"))
     train_sh = sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
     contaminated = (
         sh.filter(F.col("doc_id") % 2 == 1)

@@ -2197,15 +2197,16 @@ def q295_repetitiveness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the distinct becomes approx_count_distinct, same audit shape."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance=True)
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    sh = d.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, 4), " "),
-            )
-        ).alias("gram"),
-    )
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (it would
+    # fabricate grams for a <4-token doc); DuckDB's range is empty there
+    grams = F.when(
+        F.size(toks) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i, 4), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("source", F.explode(grams).alias("gram"))
     rep = 1.0 - F.countDistinct("gram") / F.count(F.lit(1)).cast("double")
     return sh.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
