@@ -2059,3 +2059,123 @@ def q293_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).alias("p99"),
         F.round(F.max(F.when(F.col("rn") == F.col("n"), F.col("v"))) / 100.0, 2).alias("p100"),
     )
+
+
+@query(
+    "q273_user_activity_gini",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n_events,
+         row_number() OVER (ORDER BY n_events, user_id) AS i,
+         count(*) OVER () AS n,
+         sum(n_events) OVER () AS total
+  FROM per_user
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(total) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * n_events) / (max(n) * CAST(max(total) AS DOUBLE))
+             - (max(n) + 1) / CAST(max(n) AS DOUBLE), 6) AS gini,
+       2.0 * sum(i * n_events) / (max(n) * CAST(max(total) AS DOUBLE))
+         - (max(n) + 1) / CAST(max(n) AS DOUBLE) > 0.6 AS concentrated
+FROM ranked
+""",
+)
+def q273_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration Gini over per-user event counts — q294's
+    Lorenz points collapsed to the single scalar dashboards track, and
+    the upstream signal for q279's salting decision (a high Gini on the
+    user key IS join skew).  Exact: the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n runs on integer ranks and
+    counts, one final double division.  Scale shape: per-user counts are
+    entity-sized; the rank/cumsum orders USERS, never events."""
+    e = t(spark, sf_dir, "events", columns=["user_id"])
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "n_events",
+        F.row_number().over(Window.orderBy("n_events", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("n_events").over(w_all).alias("total"),
+    )
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("n_events"))
+        / (F.max("n") * F.max("total").cast("double"))
+        - (F.max("n") + 1) / F.max("n").cast("double")
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
+        (gini > 0.6).alias("concentrated"),
+    )
+
+
+@query(
+    "q274_interarrival_cadence",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT event_type, t_us - prev_us AS gap_us
+  FROM seq WHERE prev_us IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS median_gap_us,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p95_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM ranked GROUP BY event_type
+""",
+)
+def q274_interarrival_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival cadence (median/p95/min gap in exact
+    microseconds): the throughput fingerprint that sizes streaming
+    trigger intervals and complements q270's per-user bot cadence with a
+    feed-level view — a collapsing min gap means a replay/burst upstream.
+    Exact integer epochs end to end; percentiles by rank selection (the
+    q293 rule).  Scale shape: one per-type ordered window for the lag,
+    then per-type rank selection — both partition by event_type, so
+    parallelism is type-wide and state is per-partition-run bounded."""
+    e = t(spark, sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    seq = e.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t_us")
+    ).withColumn("prev_us", F.lag("t_us").over(w))
+    gaps = seq.filter(F.col("prev_us").isNotNull()).select(
+        "event_type", (F.col("t_us") - F.col("prev_us")).alias("gap_us")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wc = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type", "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(q):
+        tgt = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == tgt, F.col("gap_us"))).cast("long")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        at(0.50).alias("median_gap_us"),
+        at(0.95).alias("p95_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    )

@@ -2820,3 +2820,53 @@ def q294_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_rev") / F.col("total").cast("double"), 6).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "q297_new_vs_returning_revenue",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderkey) AS first_key
+  FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+         o.o_orderkey = f.first_key AS is_first,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f USING (o_custkey)
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(sum(CASE WHEN is_first THEN 0 ELSE cents END) AS BIGINT)
+         AS returning_cents,
+       round(sum(CASE WHEN is_first THEN cents ELSE 0 END)
+             / CAST(sum(cents) AS DOUBLE), 6) AS new_share
+FROM tagged GROUP BY month
+""",
+)
+def q297_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month — the acquisition/
+    retention decomposition behind q291's cohort matrix: a customer's
+    FIRST order (min orderkey — deterministic tie-break; orderkeys are
+    assigned in entry order) counts as acquisition revenue, everything
+    after as retention.  Cents lattice exact.  Scale shape: the firsts
+    table is an entity-sized min aggregate that joins back on the
+    customer key (bucketable/broadcastable); monthly rollup folds
+    map-side."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("first_key"))
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        (F.col("o_orderkey") == F.col("first_key")).alias("is_first"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_cents = F.when(F.col("is_first"), F.col("cents")).otherwise(0)
+    return tagged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(first_cents).cast("long").alias("new_cents"),
+        F.sum(F.col("cents") - first_cents).cast("long").alias("returning_cents"),
+        F.round(F.sum(first_cents) / F.sum("cents").cast("double"), 6).alias("new_share"),
+    )
