@@ -320,6 +320,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q264_temporal_split_audit",  # broadcast 1-row day bounds + 1-row overlap count
         "q265_srm_check",  # broadcast 1-row total onto the 2-row arm counts
         "q266_churn_labels",  # broadcast 1-row cutoff onto the event scan
+        "q281_gdpr_erasure_impact",  # 1-row x 1-row x 1-row scalar assembly
+        "q289_fk_orphan_audit",  # 1-row x 1-row scalar assembly
+        "q294_revenue_concentration",  # broadcast 4-row percentile grid
     }
     offenders = []
     for name, spec in QUERIES.items():
