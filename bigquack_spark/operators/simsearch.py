@@ -562,8 +562,11 @@ def ivf_cell_drift(
     )
     build = spark.read.parquet(f"{path}/build_stats")
     # full outer: a cell can be empty at build (never: kmeans) or now; keep
-    # both sides visible — a cell that appeared from nowhere is pure drift
-    j = now.join(F.broadcast(build), "cell", "full_outer").select(
+    # both sides visible — a cell that appeared from nowhere is pure drift.
+    # No broadcast hint: Spark can't broadcast a full-outer equi-join (the
+    # hint is silently ignored) — both sides are n_lists rows here, so the
+    # sort-merge exchange carries tens of rows at any corpus size.
+    j = now.join(build, "cell", "full_outer").select(
         F.col("cell").cast("int").alias("cell"),
         F.coalesce("n_build", F.lit(0)).alias("n_build"),
         F.coalesce("n_now", F.lit(0)).alias("n_now"),

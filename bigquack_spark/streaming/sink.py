@@ -526,22 +526,40 @@ class QuarantineIngestSink:
         self._inner.next_batch_id = batch_id + 1
         self._inner._persist()
 
+    #: redrive id -> partition dir: negative ids so a re-drive can never
+    #: consume an ENGINE batch id (batch_id=-1 is the legacy-migration dir)
+    @staticmethod
+    def _redrive_dir(rid: int) -> str:
+        return f"batch_id={-(2 + rid)}"
+
     def redrive(self, spark, repair) -> dict:
         """Re-drive every parked row (r5 verdict #5, streaming layout):
         read all ``batch_id=*/quarantined=true`` rows, apply ``repair``
         (sees ``violated_rules``), re-route through the rules, and publish
-        the result as the NEXT batch under the exactly-once protocol —
-        repaired rows under its ``quarantined=false/``, still-bad rows
-        under its ``quarantined=true/`` — then clear the consumed source
-        partitions.  Run while the stream is idle (between triggers).
+        the result as its own exactly-once batch — repaired rows under its
+        ``quarantined=false/``, still-bad rows under its
+        ``quarantined=true/`` — then clear the consumed source partitions.
+        Run while the stream is idle (between triggers).
 
-        Crash safety rides the batch-id protocol plus a staged snapshot:
-        the quarantine set is snapshotted to ``.redrive-staging-<id>``
-        FIRST; consumed partitions are only cleared after the snapshot is
-        durable; the routed batch overwrites its own ``batch_id=<id>`` dir
-        (idempotent recompute from the snapshot); the committed-id persist
-        is the commit point.  A rerun at any crash point rolls forward
-        from the snapshot — no row is lost or double-landed."""
+        Re-drives live in their OWN id namespace: output lands under
+        ``batch_id=-(2+rid)`` with a separate ``_REDRIVE_COMMITTED``
+        counter, so the streaming engine's foreachBatch sequence is never
+        consumed — the next genuine micro-batch still writes (r6 review
+        fix: publishing at ``next_batch_id`` made the engine's next real
+        batch look like a replay and silently dropped it).
+
+        Crash safety: the quarantine set is snapshotted FIRST to
+        ``.redrive-staging-r<rid>``, then the exact list of consumed
+        partitions is recorded inside the snapshot (``consumed.json`` —
+        the adoption gate), and only then are those partitions cleared — a
+        rerun rolls forward from the snapshot, clears exactly the recorded
+        partitions (quarantined rows that ARRIVED after the snapshot are
+        untouched and wait for the next drive; r6 review fix: the previous
+        next-batch-id adoption check could discard the only copy of the
+        snapshot after the stream advanced), recomputes the routed batch
+        into the same dir (overwrite-idempotent), and commits by bumping
+        the counter.  A repair that changes the row schema is rejected
+        before anything publishes (same gate as requarantine)."""
         import shutil
 
         from bigquack_spark.sinks.quarantine import (
@@ -550,23 +568,24 @@ class QuarantineIngestSink:
             tag_violations,
         )
 
-        # adopt an in-flight drive (crash before commit) or start fresh
-        staging = None
-        for name in sorted(os.listdir(self.target)):
+        marker = os.path.join(self.target, "_REDRIVE_COMMITTED")
+        try:
+            with open(marker) as fh:
+                rid = json.load(fh)["next_redrive_id"]
+        except (OSError, ValueError, KeyError):
+            rid = 0
+        staging = os.path.join(self.target, f".redrive-staging-r{rid}")
+        consumed_path = os.path.join(staging, "consumed.json")
+        # sweep residue: staging of committed drives (rid moved past them)
+        # and torn snapshots (no consumed.json yet — their source
+        # partitions are still intact, so a fresh snapshot is safe)
+        for name in os.listdir(self.target):
             if name.startswith(".redrive-staging-"):
-                sid = int(name.rsplit("-", 1)[1])
                 path = os.path.join(self.target, name)
-                if sid == self._inner.next_batch_id and os.path.exists(
-                    os.path.join(path, "data", "_SUCCESS")
-                ):
-                    staging = path  # complete snapshot: roll forward from it
-                else:
-                    # committed (sid < next) or torn mid-snapshot (no
-                    # _SUCCESS; source partitions still intact) — discard
+                if path != staging or not os.path.exists(consumed_path):
                     shutil.rmtree(path, ignore_errors=True)
-        batch_id = self._inner.next_batch_id
-        if staging is None:
-            staging = os.path.join(self.target, f".redrive-staging-{batch_id}")
+        own_dir = self._redrive_dir(rid)
+        if not os.path.exists(consumed_path):
             df = spark.read.parquet(self.target)
             q = df.filter(
                 F.lower(F.col(QUARANTINE_COL).cast("string")) == "true"
@@ -574,32 +593,57 @@ class QuarantineIngestSink:
             if not q.take(1):
                 return {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0}
             q.write.parquet(os.path.join(staging, "data"))
-        # clear consumed partitions (every true-dir except the drive's own)
-        for name in os.listdir(self.target):
-            if name.startswith("batch_id=") and name != f"batch_id={batch_id}":
-                shutil.rmtree(
-                    os.path.join(self.target, name, f"{QUARANTINE_COL}=true"),
-                    ignore_errors=True,
+            consumed = sorted(
+                name
+                for name in os.listdir(self.target)
+                if name.startswith("batch_id=")
+                and name != own_dir
+                and os.path.isdir(
+                    os.path.join(self.target, name, f"{QUARANTINE_COL}=true")
                 )
+            )
+            tmp = consumed_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(consumed, fh)
+            os.replace(tmp, consumed_path)  # snapshot becomes adoptable
+        with open(consumed_path) as fh:
+            consumed = json.load(fh)
+        # clear exactly the partitions the snapshot covered (idempotent)
+        for name in consumed:
+            shutil.rmtree(
+                os.path.join(self.target, name, f"{QUARANTINE_COL}=true"),
+                ignore_errors=True,
+            )
         staged = spark.read.parquet(os.path.join(staging, "data"))
         repaired = repair(staged)
         if REASON_COL in repaired.columns:
             repaired = repaired.drop(REASON_COL)
+        # schema gate (r6 review fix): a type-changing repair would wedge
+        # every later read of the mixed-schema target
+        want = {f.name: f.dataType for f in staged.drop(REASON_COL).schema.fields}
+        have = {f.name: f.dataType for f in repaired.schema.fields}
+        if want != have:
+            raise ValueError(
+                "redrive: repair changed the row schema — repaired rows must "
+                f"publish alongside existing batches; expected {want}, got {have}"
+            )
         tagged = tag_violations(repaired, self.rules)
         from pyspark.sql import Observation
 
-        obs = Observation(f"redrive_batch_{batch_id}")
+        obs = Observation(f"redrive_{rid}")
         tagged = tagged.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(QUARANTINE_COL).cast("long")).alias("n_still"),
         )
         tagged.write.mode("overwrite").partitionBy(QUARANTINE_COL).parquet(
-            os.path.join(self.target, f"batch_id={batch_id}")
+            os.path.join(self.target, own_dir)
         )
         got = obs.get
-        self._inner.next_batch_id = batch_id + 1
-        self._inner._persist()  # commit point
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"next_redrive_id": rid + 1}, fh)
+        os.replace(tmp, marker)  # commit point
         shutil.rmtree(staging, ignore_errors=True)
         n = int(got["n"])
         n_still = int(got["n_still"] or 0)

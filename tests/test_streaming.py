@@ -1294,14 +1294,26 @@ def test_streaming_quarantine_redrive_converges_and_survives_crash(spark, tmp_pa
     bad = {r.id: r.violated_rules for r in read_quarantined(spark, target).collect()}
     assert bad == {3: "k_enum"}
     assert not any(n.startswith(".redrive-staging-") for n in os.listdir(target))
-
-    # replay of the redrive batch id through the sink is a no-op
+    # redrive output lives in its OWN id namespace (batch_id=-2), so the
+    # engine's foreachBatch sequence was not consumed...
+    assert os.path.isdir(os.path.join(target, "batch_id=-2"))
     nb = sink.next_batch_id
+    # ...a genuine engine replay is still a no-op...
     sink(spark.createDataFrame([(9, "a", 1.0)], schema), nb - 1)
     assert read_accepted(spark, target).count() == 3
+    # ...and the engine's NEXT real micro-batch still lands (the r6 review
+    # bug: publishing the redrive at next_batch_id dropped this one)
+    sink(spark.createDataFrame([(10, "b", 2.0)], schema), nb)
+    assert sorted(r.id for r in read_accepted(spark, target).collect()) == [1, 2, 4, 10]
 
     # a second drive over only-unrepairable rows converges (no dup, no loss)
     got2 = sink.redrive(spark, repair)
     assert got2 == {"n_redriven": 1, "n_repaired": 0, "n_still_quarantined": 1}
-    assert read_accepted(spark, target).count() == 3
+    assert read_accepted(spark, target).count() == 4
     assert read_quarantined(spark, target).count() == 1
+
+    # schema gate: a type-changing repair is rejected before publishing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema"):
+        sink.redrive(spark, lambda q: q.withColumn("v", q.v.cast("string")))
