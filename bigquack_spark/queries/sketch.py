@@ -117,3 +117,61 @@ def q157_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms.alias("cms_est"),
         (cms - F.col("exact_cnt")).alias("overcount"),
     ).orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
+@query(
+    "q298_hll_merge_audit",
+    oracle="""
+WITH halves AS (
+  SELECT o_custkey, o_orderkey % 2 = 0 AS half FROM orders
+)
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS merged_close_to_oneshot,
+       TRUE AS merged_within_5pct
+FROM halves
+""",
+)
+def q298_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY audit — the property that makes sketches the
+    100 TB answer (q252's posture): per-partition partial sketches must
+    union to exactly the one-shot whole-corpus sketch, so distinct
+    counts roll up from map-side partials without ever shuffling values.
+    Spark 4's hll_sketch_agg/hll_union_agg prove it here: the corpus
+    splits into two halves (orderkey parity), each half sketches
+    independently, the union's estimate must land within 1% of the
+    one-shot sketch's estimate (Datasketches HLL promotes sketch mode on
+    union — coupon-list exactness can give way to the register estimator
+    — so bit-equality is NOT guaranteed; statistical equivalence is the
+    contract) and within 5% of the exact count.  Sketch estimates are
+    engine-specific, so the driver diffs the q62-style boolean verdicts
+    plus the exact count.  Scale shape: this is the audit that licenses
+    every q252-style rollup — partials merge, the exchange carries
+    sketch bytes, never values."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    halves = o.select(
+        "o_custkey", (F.col("o_orderkey") % 2 == 0).alias("half")
+    )
+    per_half = halves.groupBy("half").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = per_half.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    oneshot = halves.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("est_oneshot"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    return (
+        oneshot.crossJoin(F.broadcast(merged))  # 1-row x 1-row scalar assembly
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("est_merged").cast("double") - F.col("est_oneshot"))
+                <= 0.01 * F.col("est_oneshot")
+            ).alias("merged_close_to_oneshot"),
+            (
+                F.abs(F.col("est_merged").cast("double") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("merged_within_5pct"),
+        )
+    )

@@ -2214,3 +2214,78 @@ def q295_repetitiveness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rep, 6).alias("repetition_ratio"),
         (rep > 0.5).alias("boilerplate_heavy"),
     )
+
+
+@query(
+    "q299_length_anova",
+    oracle="""
+WITH g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s2
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT g.*,
+         SUM(n) OVER () AS big_n,
+         SUM(s1) OVER () AS t,
+         COUNT(*) OVER () AS k
+  FROM g
+),
+parts AS (
+  SELECT lang, n, s1, s2, big_n, t, k,
+         n * (s1 / n - t / big_n) * (s1 / n - t / big_n) AS ssb_term,
+         s2 - s1 * s1 / n AS ssw_term
+  FROM tot
+)
+SELECT lang, n, round(s1 / n, 6) AS mean_chars,
+       round(SUM(ssb_term) OVER () / (k - 1), 6) AS ms_between,
+       round(SUM(ssw_term) OVER () / (big_n - k), 6) AS ms_within,
+       round((SUM(ssb_term) OVER () / (k - 1))
+             / (SUM(ssw_term) OVER () / (big_n - k)), 6) AS f_stat,
+       (SUM(ssb_term) OVER () / (k - 1))
+         / (SUM(ssw_term) OVER () / (big_n - k)) > 3.0 AS lengths_differ
+FROM parts
+""",
+)
+def q299_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA on document length by language — does a facet of the
+    corpus have a materially different length profile (the signal that a
+    per-language truncation budget q199 or packing budget q278 is
+    warranted)?  F-statistic from exact integer power sums per group
+    (the q87/q260/q277 rule: decimal-safe sums cast to double, ONE shared
+    expression string), so both engines derive identical doubles; the
+    window math runs over k=|langs| rows.  Scale shape: one scan, per-
+    group partials, a |langs|-row exchange — the full ANOVA at 100 TB
+    costs the same aggregate every q50-family audit already pays."""
+    d = t(spark, sf_dir, "documents", columns=["lang", "n_chars"])
+    dec = "decimal(38,0)"
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("n_chars").cast(dec) * F.col("n_chars").cast(dec))).cast("double").alias("s2"),
+    )
+    w_all = Window.partitionBy()
+    tot = g.select(
+        "lang", F.col("n").cast("long").alias("n"), "s1", "s2",
+        F.sum("n").over(w_all).alias("big_n"),
+        F.sum("s1").over(w_all).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    mean_dev = F.col("s1") / F.col("n") - F.col("t") / F.col("big_n")
+    parts = tot.select(
+        "lang", "n", "s1", "big_n", "k",
+        (F.col("n") * mean_dev * mean_dev).alias("ssb_term"),
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("ssw_term"),
+    )
+    ms_between = F.sum("ssb_term").over(w_all) / (F.col("k") - 1)
+    ms_within = F.sum("ssw_term").over(w_all) / (F.col("big_n") - F.col("k"))
+    return parts.select(
+        "lang", "n",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean_chars"),
+        F.round(ms_between, 6).alias("ms_between"),
+        F.round(ms_within, 6).alias("ms_within"),
+        F.round(ms_between / ms_within, 6).alias("f_stat"),
+        (ms_between / ms_within > 3.0).alias("lengths_differ"),
+    )

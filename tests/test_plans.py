@@ -323,6 +323,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q281_gdpr_erasure_impact",  # 1-row x 1-row x 1-row scalar assembly
         "q289_fk_orphan_audit",  # 1-row x 1-row scalar assembly
         "q294_revenue_concentration",  # broadcast 4-row percentile grid
+        "q298_hll_merge_audit",  # 1-row x 1-row sketch-estimate assembly
     }
     offenders = []
     for name, spec in QUERIES.items():
