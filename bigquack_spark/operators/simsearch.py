@@ -552,9 +552,13 @@ def ivf_cell_drift(
     Output: one row per cell with (cell, n_build, n_now, build_share,
     now_share, share_ratio, hot) plus the index-wide ``rebuild``
     recommendation on every row.  Cost posture: the current counts come
-    from a groupBy over the index's PARTITION column only — file listing +
-    footer row counts, no vector data pages — and the build stats are
-    n_lists rows; the comparison join broadcasts.  Same shape at 100 TB."""
+    from a groupBy over the index's PARTITION column only — the scan's
+    read schema is EMPTY (plan-contract-tested in tests/test_plans.py),
+    so no vector data page is ever decoded and the audit's cost scales
+    with file count, not vector bytes; the comparison and window tail run
+    over n_lists-sized frames (a sort-merge join of two tiny sides —
+    Spark cannot broadcast a full-outer join), which do not grow with
+    the corpus."""
     now = (
         spark.read.parquet(f"{path}/index")
         .groupBy("cell")

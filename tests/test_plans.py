@@ -652,3 +652,30 @@ def test_q262_phash_banding_no_pairwise(spark):
     plan = plan_of(spark, "q262_phash_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_cell_drift_reads_no_vector_pages(spark, tmp_path):
+    """Plan contract for the drift monitor's cost claim: its occupancy
+    scan over the index must carry an EMPTY read schema (cell is a
+    partition column), so no vector data page is ever decoded — the
+    audit's cost scales with file count, not vector bytes."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_contract")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    df = S.ivf_cell_drift(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the index scan must read zero data columns; build_stats reads its
+    # two tiny columns
+    index_scans = [m for m in re.finditer(r"FileScan parquet \[(?P<cols>[^\]]*)\]", plan)]
+    assert index_scans, plan
+    assert any(
+        "vec" not in m.group("cols") and "id" not in m.group("cols")
+        for m in index_scans
+    ), plan
+    assert not df.filter(F.col("n_now") < F.col("n_build")).take(1)
