@@ -2238,15 +2238,19 @@ parts AS (
          n * (s1 / n - t / big_n) * (s1 / n - t / big_n) AS ssb_term,
          s2 - s1 * s1 / n AS ssw_term
   FROM tot
+),
+ms AS (
+  SELECT lang, n, s1, k,
+         CASE WHEN k > 1 THEN SUM(ssb_term) OVER () / (k - 1) END AS msb,
+         CASE WHEN big_n > k THEN SUM(ssw_term) OVER () / (big_n - k) END AS msw
+  FROM parts
 )
 SELECT lang, n, round(s1 / n, 6) AS mean_chars,
-       round(SUM(ssb_term) OVER () / (k - 1), 6) AS ms_between,
-       round(SUM(ssw_term) OVER () / (big_n - k), 6) AS ms_within,
-       round((SUM(ssb_term) OVER () / (k - 1))
-             / (SUM(ssw_term) OVER () / (big_n - k)), 6) AS f_stat,
-       (SUM(ssb_term) OVER () / (k - 1))
-         / (SUM(ssw_term) OVER () / (big_n - k)) > 3.0 AS lengths_differ
-FROM parts
+       round(msb, 6) AS ms_between,
+       round(msw, 6) AS ms_within,
+       round(CASE WHEN msw > 0 THEN msb / msw END, 6) AS f_stat,
+       CASE WHEN msw > 0 THEN msb / msw > 3.0 END AS lengths_differ
+FROM ms
 """,
 )
 def q299_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,13 +2283,22 @@ def q299_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * mean_dev * mean_dev).alias("ssb_term"),
         (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("ssw_term"),
     )
-    ms_between = F.sum("ssb_term").over(w_all) / (F.col("k") - 1)
-    ms_within = F.sum("ssw_term").over(w_all) / (F.col("big_n") - F.col("k"))
+    # degenerate-input guard (r6 review): Spark's x/0 yields NULL where
+    # DuckDB's double division yields inf — make both engines emit NULL
+    # explicitly when k = 1 (no between-group df) or ms_within = 0
+    ms_between = F.when(
+        F.col("k") > 1, F.sum("ssb_term").over(w_all) / (F.col("k") - 1)
+    )
+    ms_within = F.when(
+        F.col("big_n") > F.col("k"),
+        F.sum("ssw_term").over(w_all) / (F.col("big_n") - F.col("k")),
+    )
+    f_stat = F.when(ms_within > 0, ms_between / ms_within)
     return parts.select(
         "lang", "n",
         F.round(F.col("s1") / F.col("n"), 6).alias("mean_chars"),
         F.round(ms_between, 6).alias("ms_between"),
         F.round(ms_within, 6).alias("ms_within"),
-        F.round(ms_between / ms_within, 6).alias("f_stat"),
-        (ms_between / ms_within > 3.0).alias("lengths_differ"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.when(ms_within > 0, ms_between / ms_within > 3.0).alias("lengths_differ"),
     )

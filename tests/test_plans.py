@@ -670,11 +670,13 @@ def test_ivf_cell_drift_reads_no_vector_pages(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
 
-    # the index scan must read zero data columns; build_stats reads its
-    # two tiny columns
+    # EVERY scan must be lattice-only: the index scan reads just the
+    # partition column and build_stats its two tiny columns — if any scan
+    # pulls vec/id data pages the contract is broken (all(), not any():
+    # the build_stats scan alone would satisfy any() even on a regression)
     index_scans = [m for m in re.finditer(r"FileScan parquet \[(?P<cols>[^\]]*)\]", plan)]
     assert index_scans, plan
-    assert any(
+    assert all(
         "vec" not in m.group("cols") and "id" not in m.group("cols")
         for m in index_scans
     ), plan
