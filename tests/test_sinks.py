@@ -966,3 +966,32 @@ def test_requarantine_rejects_schema_changing_repair(spark, tmp_path):
         requarantine(
             spark, base, rules, lambda q: q.withColumn("v", q.v.cast("string"))
         )
+
+
+def test_requarantine_empty_quarantine_is_noop(spark, tmp_path):
+    """A drive over a clean table returns zeros, writes nothing, and
+    leaves no staging residue."""
+    import os
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    write_with_quarantine(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"),
+        base,
+        rules,
+    )
+    got = requarantine(spark, base, rules, lambda q: q)
+    assert got == {
+        "n_redriven": 0,
+        "n_repaired": 0,
+        "n_still_quarantined": 0,
+        "per_rule": {},
+    }
+    assert read_accepted(spark, base).count() == 2
+    assert not os.path.exists(base + ".redrive-staging")

@@ -1362,3 +1362,20 @@ def test_streaming_shred_then_quarantine_ingest_posture(spark, tmp_path):
     assert [(r.id, r.k, r.tag) for r in good.collect()] == [(1, 7, "a")]
     bad = {r.id: r.violated_rules for r in read_quarantined(spark, target).collect()}
     assert bad == {2: "k_nonneg", 3: "k_nonneg"}
+
+
+def test_streaming_redrive_with_nothing_parked_is_noop(spark, tmp_path):
+    import os
+
+    from bigquack_spark.streaming.sink import QuarantineIngestSink
+
+    target = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    sink = QuarantineIngestSink(target, rules)
+    sink(spark.createDataFrame([(1, 1.0)], "id bigint, v double"), 0)
+    got = sink.redrive(spark, lambda q: q)
+    assert got == {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0}
+    # no redrive batch dir, no committed marker bump, no staging residue
+    assert not os.path.isdir(os.path.join(target, "batch_id=-2"))
+    assert not any(n.startswith(".redrive-staging-") for n in os.listdir(target))
+    assert sink.next_batch_id == 1
