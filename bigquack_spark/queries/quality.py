@@ -54,8 +54,8 @@ def q118_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, and the branches run as independent parallel stages.  The
     previous one-scan form put all K DISTINCTs in one aggregate, which
     Expand-multiplies every row K-fold through a single pipeline —
-    measured 2.3x slower at sf0.1 (0.77 s vs 0.34 s) and ~30% slower at
-    the 100x tier (bench_full profile_approx_block).  Columnar I/O makes
+    measured 2.3x slower at sf0.1 (0.77 s vs 0.34 s) and ~20% slower at
+    the 100x tier (bench_full profile_approx_block; run-to-run 13-27%).  Columnar I/O makes
     the K scans read the same bytes one scan would.  min/max are DOUBLE
     so both engines emit identical IEEE values.  The 100 TB posture for
     this shape is still the q252 approx profile (no exact distinct at

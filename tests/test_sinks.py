@@ -971,8 +971,6 @@ def test_requarantine_rejects_schema_changing_repair(spark, tmp_path):
 def test_requarantine_empty_quarantine_is_noop(spark, tmp_path):
     """A drive over a clean table returns zeros, writes nothing, and
     leaves no staging residue."""
-    import os
-
     from bigquack_spark.sinks.quarantine import (
         read_accepted,
         requarantine,

@@ -1377,5 +1377,6 @@ def test_streaming_redrive_with_nothing_parked_is_noop(spark, tmp_path):
     assert got == {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0}
     # no redrive batch dir, no committed marker bump, no staging residue
     assert not os.path.isdir(os.path.join(target, "batch_id=-2"))
+    assert not os.path.exists(os.path.join(target, "_REDRIVE_COMMITTED"))
     assert not any(n.startswith(".redrive-staging-") for n in os.listdir(target))
     assert sink.next_batch_id == 1
