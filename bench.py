@@ -950,12 +950,13 @@ def main() -> None:
                 "at this duration; see TREND_PART_OVERRIDES comment."
             ),
             "q118_note": (
-                "q118 keeps the tier default 32 partitions (1.99 s @32 vs "
-                "4.02 s @4 — real reduce work, not floor-bound like q119); "
-                "its exact-vs-approx decomposition is pinned in "
-                "profile_approx_block (exact 2.4 s, no-Expand union 2.1 s, "
-                "approx ~0.9 s): the ratio is the exact distinct itself, and "
-                "the deployment remedy is the q252 approx profile."
+                "q118 keeps the tier default 32 partitions (@4 partitions "
+                "it roughly doubles — real reduce work, not floor-bound "
+                "like q119); its exact-vs-approx decomposition is measured "
+                "in profile_approx_block (see its expand/union/approx "
+                "keys for this run's numbers): the ratio is the exact "
+                "distinct itself, and the deployment remedy is the q252 "
+                "approx profile."
             ),
             "queries": tr_spark,
             "duckdb_queries": tr_duck,

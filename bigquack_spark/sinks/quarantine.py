@@ -152,7 +152,21 @@ def requarantine(
     before re-publishing), so no crash point loses rows or double-lands
     them.  One data pass over the quarantine set per drive — by posture a
     tiny fraction of the table, so re-driving costs triage-scale, not
-    table-scale."""
+    table-scale.
+
+    The marker binds the snapshot to the dataset generation it was taken
+    from: it records the ``quarantined=true/`` file list (name, size) at
+    snapshot time.  On resume, a live partition that no longer matches
+    means the dataset was REBUILT underneath a crashed drive
+    (``write_with_quarantine`` is mode=overwrite) — the stale snapshot is
+    discarded and the drive re-snapshots from the live data instead of
+    deleting the new dataset's quarantine rows.  An absent/empty live
+    partition is the normal mid-drive crash state and rolls forward.
+
+    Like the streaming twin (streaming/sink.py ``redrive``), run this
+    while no concurrent writer is mutating ``base_path`` — the router and
+    re-driver coordinate through the filesystem, not a lock service."""
+    import json
     import shutil
     import uuid
 
@@ -164,6 +178,32 @@ def requarantine(
     qdir = os.path.join(base_path, f"{QUARANTINE_COL}=true")
     empty = {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0, "per_rule": {}}
 
+    def _qdir_fingerprint() -> list[list]:
+        if not os.path.isdir(qdir):
+            return []
+        return sorted(
+            [name, os.path.getsize(os.path.join(qdir, name))]
+            for name in os.listdir(qdir)
+            if name.endswith(".parquet")
+        )
+
+    if os.path.exists(marker):
+        # resume path — adoption gate (the batch twin of the streaming
+        # redrive's consumed.json gate): adopt the staged snapshot only if
+        # the live partition is gone/empty (mid-drive crash) or still
+        # byte-identical to what was snapshotted (crash before the clear).
+        # Anything else means the dataset was rebuilt under the crashed
+        # drive — the snapshot is stale; drop it and re-snapshot below.
+        try:
+            with open(marker) as fh:
+                recorded = json.load(fh)
+            live = _qdir_fingerprint()
+            if live and live != recorded["fingerprint"]:
+                shutil.rmtree(staging, ignore_errors=True)
+        except (json.JSONDecodeError, KeyError):
+            # unreadable marker: never adopt — re-snapshot from live data
+            shutil.rmtree(staging, ignore_errors=True)
+
     if not os.path.exists(marker):
         # fresh drive: snapshot, then clear the live quarantine partition
         if not os.path.isdir(qdir) or not any(
@@ -171,13 +211,16 @@ def requarantine(
         ):
             return empty
         shutil.rmtree(staging, ignore_errors=True)  # pre-marker residue only
+        fingerprint = _qdir_fingerprint()
         read_quarantined(spark, base_path).write.parquet(data_dir)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(uuid.uuid4().hex[:12])
+            json.dump(
+                {"gen": uuid.uuid4().hex[:12], "fingerprint": fingerprint}, fh
+            )
         os.replace(tmp, marker)
     with open(marker) as fh:
-        gen = fh.read().strip()
+        gen = json.load(fh)["gen"]
     shutil.rmtree(qdir, ignore_errors=True)  # idempotent on roll-forward
 
     staged = spark.read.parquet(data_dir)

@@ -933,8 +933,10 @@ def test_requarantine_crash_rolls_forward_without_dup_or_loss(spark, tmp_path):
     assert os.path.exists(os.path.join(staging, "_REDRIVE_ID"))
 
     # (b) plant a stale partial publish under this generation's prefix
+    import json as _json
+
     with open(os.path.join(staging, "_REDRIVE_ID")) as fh:
-        gen = fh.read().strip()
+        gen = _json.load(fh)["gen"]
     false_dir = os.path.join(base, "quarantined=false")
     a_part = next(f for f in os.listdir(false_dir) if f.startswith("part-"))
     shutil.copy(
@@ -951,6 +953,61 @@ def test_requarantine_crash_rolls_forward_without_dup_or_loss(spark, tmp_path):
     assert sorted(r.id for r in read_accepted(spark, base).collect()) == [1, 2, 3]
     assert read_quarantined(spark, base).count() == 0
     assert not os.path.exists(staging)
+
+
+def test_requarantine_refuses_stale_snapshot_after_rebuild(spark, tmp_path):
+    """r6 advice (quarantine.py adoption gate): a crashed drive leaves
+    .redrive-staging behind; the dataset is then REBUILT (write_with_quarantine
+    is mode=overwrite).  The next drive must NOT adopt the stale snapshot —
+    that would delete the new dataset's quarantine rows unstagged (silent
+    loss) and republish rows from the old dataset.  The marker's file-list
+    fingerprint detects the rebuild and the drive re-snapshots live data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    old = spark.createDataFrame(
+        [(101, 1.0), (102, -2.0), (103, -3.0)], "id bigint, v double"
+    )
+    write_with_quarantine(old, base, rules)
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(q):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        requarantine(spark, base, rules, exploding)
+    assert os.path.exists(base + ".redrive-staging")  # crashed drive residue
+
+    # dataset rebuilt underneath the crashed drive — different rows entirely
+    new = spark.createDataFrame(
+        [(201, 4.0), (202, -5.0), (203, -6.0)], "id bigint, v double"
+    )
+    write_with_quarantine(new, base, rules)
+
+    def repair(q):
+        return q.withColumn("v", F.abs(F.col("v")))
+
+    got = requarantine(spark, base, rules, repair)
+    # drives the NEW dataset's 2 parked rows — not the stale snapshot's
+    assert got["n_redriven"] == 2 and got["n_repaired"] == 2
+    assert sorted(r.id for r in read_accepted(spark, base).collect()) == [
+        201,
+        202,
+        203,
+    ]
+    assert read_quarantined(spark, base).count() == 0
+    assert not os.path.exists(base + ".redrive-staging")
 
 
 def test_requarantine_rejects_schema_changing_repair(spark, tmp_path):
