@@ -43,14 +43,21 @@ from bigquack_spark.queries import relational  # noqa: E402,F401
 # never been driver-checked, with no manual reorder.
 
 
-def _driver_verified_from_disk() -> set[str]:
+def _driver_rounds_from_disk() -> dict[str, int]:
+    """name -> LATEST round with a green driver row, read from every
+    CORRECTNESS_r*.json at import time.  The round number drives staleness
+    ordering: with zero never-checked debt (achieved r6), each round's
+    window re-verifies the names whose last driver row is oldest."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set()
+    rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnum = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -59,10 +66,10 @@ def _driver_verified_from_disk() -> set[str]:
                     row.get("hash_match") is True
                     or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
                 ):
-                    names.add(name)
+                    rounds[name] = max(rounds.get(name, 0), rnum)
         except (OSError, ValueError):
             continue  # a malformed record must never break the import
-    return names
+    return rounds
 
 #: Names with green driver rows in CORRECTNESS_r01.json / r02 — they go to
 #: the BACK of the window so never-checked families get their turn.
@@ -106,12 +113,18 @@ _DRIVER_VERIFIED = {
     "q155_lang_confusion", "q173_boilerplate_spans", "q193_zipf_fit",
     "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
 }
-_DRIVER_VERIFIED = _DRIVER_VERIFIED | _driver_verified_from_disk()
-# Round 6: the r5 window consumed the whole r3/r4 debt, so the only names
-# without a driver row are the 19 new-in-r5 queries (q252-q270) — they sort
-# first automatically (no CORRECTNESS row yet).  Anything NEW in r6 is
-# pinned BEHIND them so a new name can't push a debt name out of the ~50-row
-# window (the rule that has kept the debt monotone-shrinking since r4).
+_ROUNDS = _driver_rounds_from_disk()
+_DRIVER_VERIFIED = _DRIVER_VERIFIED | set(_ROUNDS)
+# Round 7: the never-checked debt reached ZERO at r6 close (cumulative
+# 295/295), so the window now ROTATES onto the stalest driver rows — the
+# q01-q50 names last checked in r1, five rounds of diffs ago (r6 verdict
+# #5).  Ordering: (1) any old name that somehow lost its driver row
+# (highest priority, should be empty), (2) every driver-verified name
+# sorted by its LATEST green round ascending (stalest first; qnum breaks
+# ties), (3) new-in-r7 names (qnum >= 300) pinned BEHIND the
+# re-verification so a new name can't displace a stale row from the
+# ~50-row window — they become the natural front of r8's window once the
+# rotation has caught the old rows up.
 def _qnum(name: str) -> int:
     # every registry name is "qNNN_slug"; parse defensively anyway
     try:
@@ -120,11 +133,14 @@ def _qnum(name: str) -> int:
         return 0
 
 
-_WINDOW_BACK = {n for n in QUERIES if _qnum(n) >= 271}
-_unchecked = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
-_unchecked.sort(key=lambda n: 1 if n in _WINDOW_BACK else 0)
-_checked = [n for n in QUERIES if n in _DRIVER_VERIFIED]
-_ordered = {n: QUERIES[n] for n in _unchecked + _checked}
+_WINDOW_BACK = {n for n in QUERIES if _qnum(n) >= 300}
+_debt = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in _WINDOW_BACK]
+_checked = sorted(
+    (n for n in QUERIES if n in _DRIVER_VERIFIED),
+    key=lambda n: (_ROUNDS.get(n, 1), _qnum(n)),
+)
+_new = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n in _WINDOW_BACK]
+_ordered = {n: QUERIES[n] for n in _debt + _checked + _new}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _DRIVER_VERIFIED, _WINDOW_BACK, _unchecked, _checked, _ordered, _qnum
+del _DRIVER_VERIFIED, _ROUNDS, _WINDOW_BACK, _debt, _checked, _new, _ordered, _qnum
