@@ -10,6 +10,7 @@ from bigquack_spark.operators import (  # noqa: F401
     dedup,
     graph,
     joins,
+    maintenance,
     multimodal,
     reconcile,
     simsearch,

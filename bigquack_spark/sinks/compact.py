@@ -19,11 +19,12 @@ Design constraints for scale:
   read and re-written as a DataFrame job with an explicit output-file
   budget (``ceil(bytes / target_file_bytes)``) — no row ever passes
   through driver memory.
-- **Stage-then-swap.** New files land in a staging directory first; the
-  swap window (delete olds, move news) is the FileOutputCommitter-style
-  compromise plain parquet allows.  On a production object store the same
-  operator targets a Delta/Iceberg table where the txn log makes the swap
-  atomic (SURVEY §2.2 K4 analogue).
+- **Stage-then-swap, crash-safe.** New files land in a staging directory,
+  are checksum-verified against the source, and a generation marker makes
+  the swap roll forward from any crash point (the full protocol lives in
+  operators/maintenance.py, which executes every compaction since r7).  On
+  a production object store the same operator targets a Delta/Iceberg
+  table where the txn log makes the swap atomic (SURVEY §2.2 K4 analogue).
 - **Idempotent.** A partition already at its file budget is skipped, so
   re-running compaction converges (second run plans zero work).
 """
@@ -32,8 +33,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -94,36 +93,29 @@ def compact(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     min_files: int = 2,
     cluster_cols: list[str] | None = None,
+    verify: bool = False,
 ) -> dict:
     """Rewrite undersized partitions of ``path`` into ~target-sized files.
 
     Returns a report ``{partitions_compacted, files_before, files_after,
-    bytes_rewritten}``.  Row content is preserved exactly (same rows, same
-    schema); only the physical file layout changes.  With ``cluster_cols``
-    the rewrite also range-clusters each partition (sinks/clustered.py
-    semantics): one maintenance pass fixes file count AND file order, so
-    footer min/max prune scans afterwards.
-    """
-    report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0, "bytes_rewritten": 0}
-    for plan in plan_compaction(path, target_file_bytes, min_files):
-        staging = f"{plan.directory}/.compact-{uuid.uuid4().hex[:12]}"
-        df = spark.read.parquet(*(os.path.join(plan.directory, f) for f in plan.files))
-        if cluster_cols:
-            df = df.repartitionByRange(plan.n_out, *cluster_cols).sortWithinPartitions(
-                *cluster_cols
-            )
-        else:
-            df = df.coalesce(plan.n_out)
-        df.write.mode("overwrite").parquet(staging)
-        new_files = [f for f in os.listdir(staging) if _is_data_file(f)]
-        # swap: olds out, news in (txn-log-atomic on Delta/Iceberg; see module doc)
-        for f in plan.files:
-            os.remove(os.path.join(plan.directory, f))
-        for f in new_files:
-            shutil.move(os.path.join(staging, f), os.path.join(plan.directory, f"compacted-{f}"))
-        shutil.rmtree(staging, ignore_errors=True)
-        report["partitions_compacted"] += 1
-        report["files_before"] += len(plan.files)
-        report["files_after"] += len(new_files)
-        report["bytes_rewritten"] += plan.bytes
-    return report
+    bytes_rewritten, ...}``.  Row content is preserved exactly (same rows,
+    same schema); only the physical file layout changes.  With
+    ``cluster_cols`` the rewrite also range-clusters each partition
+    (sinks/clustered.py semantics): one maintenance pass fixes file count
+    AND file order, so footer min/max prune scans afterwards.
+
+    Since r7 this delegates to :func:`bigquack_spark.operators.maintenance.
+    compact_small_files` — the checksum-verified, crash-safe (marker +
+    roll-forward) executor — so the repo has exactly ONE compaction publish
+    protocol.  ``verify=False`` here keeps the historical cheap path for
+    callers that already checksum at a higher level."""
+    from bigquack_spark.operators.maintenance import compact_small_files
+
+    return compact_small_files(
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        min_files=min_files,
+        cluster_cols=cluster_cols,
+        verify=verify,
+    )

@@ -1,0 +1,277 @@
+"""Crash-safe compaction executor (operators/maintenance.py, r6 verdict #1).
+
+The contract under test: compact_small_files consumes plan_compaction's
+plan, rewrites each undersized partition bin-packed, PROVES the staged copy
+checksum-equal to its source before the commit point, and swaps via a
+marker + roll-forward protocol such that NO crash point loses or duplicates
+rows and re-running always converges.
+"""
+
+import os
+import shutil
+
+import pytest
+
+
+def _data_files(path):
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        out += [
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
+
+
+def _checksum(spark, path):
+    from bigquack_spark.operators.reconcile import table_checksum
+
+    df = spark.read.parquet(path)
+    row = table_checksum(df, sorted(df.columns)).collect()[0]
+    return (row.n_rows, row.xor_checksum, row.sum_checksum_mod)
+
+
+def _fragmented(spark, tmp_path, name="t", partitioned=True, n=3000):
+    path = str(tmp_path / name)
+    df = spark.range(n).selectExpr("id", "id % 3 AS k", "repeat('x', 40) AS pad")
+    w = df.repartition(30).write
+    if partitioned:
+        w = w.partitionBy("k")
+    w.parquet(path)
+    return path
+
+
+def test_compact_verified_checksum_equal_and_files_reduced(spark, tmp_path):
+    """The q186 'done' gate: table_checksum equality before/after, with the
+    pre-commit verify pass enabled."""
+    from bigquack_spark.operators.maintenance import compact_small_files
+
+    path = _fragmented(spark, tmp_path)
+    before = _checksum(spark, path)
+    n_before = len(_data_files(path))
+
+    report = compact_small_files(spark, path, target_file_bytes=1 << 30, verify=True)
+    assert report["partitions_compacted"] == 3
+    assert report["verified"] is True
+    assert report["files_before"] == n_before
+    assert report["files_after"] == 3
+
+    assert len(_data_files(path)) == 3
+    assert _checksum(spark, path) == before
+
+    # converges: second run plans zero work
+    again = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert again["partitions_compacted"] == 0
+    assert _checksum(spark, path) == before
+
+
+def test_target_mb_knob(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import compact_small_files
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    report = compact_small_files(spark, path, target_mb=1024)
+    assert report["partitions_compacted"] == 1
+    assert len(_data_files(path)) == 1
+
+
+def test_crash_before_marker_discards_and_recompacts(spark, tmp_path):
+    """Crash point 1: staged write finished, marker never written — the
+    staging dir is pre-commit residue; next run discards it, re-plans, and
+    compacts cleanly."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+
+    class Boom(RuntimeError):
+        pass
+
+    def no_marker(staging, gen, olds):
+        raise Boom()
+
+    real = maintenance._write_marker
+    maintenance._write_marker = no_marker
+    try:
+        with pytest.raises(Boom):
+            maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    finally:
+        maintenance._write_marker = real
+    assert os.path.isdir(os.path.join(path, maintenance.STAGING_DIR))
+    assert _checksum(spark, path) == before  # live layout untouched
+
+    report = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["discarded_stale"] == 1
+    assert report["partitions_compacted"] == 1
+    assert _checksum(spark, path) == before
+    assert len(_data_files(path)) == 1
+
+
+def _crash_after_marker(maintenance, spark, path):
+    """Drive a compaction to the committed-marker state (staging + marker
+    present, swap not started) and return the generation id."""
+    import json
+
+    class Boom(RuntimeError):
+        pass
+
+    def no_swap(leaf, staging, gen, olds):
+        raise Boom()
+
+    real = maintenance._finish_swap
+    maintenance._finish_swap = no_swap
+    try:
+        with pytest.raises(Boom):
+            maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    finally:
+        maintenance._finish_swap = real
+    staging = os.path.join(path, maintenance.STAGING_DIR)
+    with open(os.path.join(staging, maintenance.MARKER)) as fh:
+        return json.load(fh)["gen"]
+
+
+def test_crash_after_marker_rolls_forward(spark, tmp_path):
+    """Crash point 2: marker committed, no swap yet — next run resumes the
+    swap; rows intact, files reduced, staging gone."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+    _crash_after_marker(maintenance, spark, path)
+
+    report = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["resumed"] == 1
+    assert report["partitions_compacted"] == 0  # resume finished the job
+    assert _checksum(spark, path) == before
+    assert len(_data_files(path)) == 1
+    assert not os.path.exists(os.path.join(path, maintenance.STAGING_DIR))
+
+
+def test_crash_mid_swap_rolls_forward(spark, tmp_path):
+    """Crash point 3: some olds removed, some news moved — roll-forward
+    completes without loss or duplication."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+    gen = _crash_after_marker(maintenance, spark, path)
+
+    olds = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    os.remove(os.path.join(path, olds[0]))  # half-done retirement
+    data_dir = os.path.join(path, maintenance.STAGING_DIR, "data")
+    staged = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    os.replace(  # one file already published
+        os.path.join(data_dir, staged[0]),
+        os.path.join(path, f"compacted-{gen}-{staged[0]}"),
+    )
+
+    report = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["resumed"] == 1
+    assert _checksum(spark, path) == before
+    assert not os.path.exists(os.path.join(path, maintenance.STAGING_DIR))
+
+
+def test_crash_after_swap_before_cleanup_is_idempotent(spark, tmp_path):
+    """Crash point 4: swap fully done, staging (with marker) never removed —
+    resume is a no-op republish that must not duplicate rows."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+    gen = _crash_after_marker(maintenance, spark, path)
+
+    staging = os.path.join(path, maintenance.STAGING_DIR)
+    import json
+
+    with open(os.path.join(staging, maintenance.MARKER)) as fh:
+        olds = [tuple(o) for o in json.load(fh)["olds"]]
+    # complete the swap by hand, then "crash" before the staging cleanup
+    for name, _size in olds:
+        os.remove(os.path.join(path, name))
+    data_dir = os.path.join(staging, "data")
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            os.replace(
+                os.path.join(data_dir, name),
+                os.path.join(path, f"compacted-{gen}-{name}"),
+            )
+
+    report = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["resumed"] == 1
+    assert _checksum(spark, path) == before
+    assert len(_data_files(path)) == 1
+    assert not os.path.exists(staging)
+
+
+def test_stale_staging_not_adopted_after_rebuild(spark, tmp_path):
+    """The requarantine r6-advice class, compaction flavor: a crashed swap's
+    staging must NOT be adopted after the table was rebuilt underneath it —
+    republishing the stale copy would resurrect superseded rows."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    _crash_after_marker(maintenance, spark, path)
+
+    # rebuild: entirely different table at the same path.  (Spark's own
+    # mode=overwrite clears the dot-dir too; the dangerous flavor is an
+    # in-place file swap — object-store sync, manual repair — which leaves
+    # the crashed staging behind.)
+    side = str(tmp_path / "side")
+    spark.range(5).selectExpr("id * 1000 AS id", "0L AS k", "'y' AS pad").coalesce(
+        1
+    ).write.parquet(side)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+    for f in os.listdir(side):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(side, f), os.path.join(path, f))
+    rebuilt = _checksum(spark, path)
+
+    report = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["discarded_stale"] == 1
+    assert report["resumed"] == 0
+    assert _checksum(spark, path) == rebuilt  # new data untouched, old gone
+
+
+def test_verify_gate_aborts_before_publish(spark, tmp_path):
+    """A rewrite whose staged copy fails the checksum gate must abort with
+    the live layout untouched (no marker, no swap)."""
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+    n_before = len(_data_files(path))
+
+    calls = {"n": 0}
+    real = maintenance._checksum_row
+
+    def skewed(df):
+        calls["n"] += 1
+        got = real(df)
+        return (got[0] + 1, *got[1:]) if calls["n"] % 2 == 0 else got
+
+    maintenance._checksum_row = skewed
+    try:
+        with pytest.raises(RuntimeError, match="checksum"):
+            maintenance.compact_small_files(
+                spark, path, target_file_bytes=1 << 30, verify=True
+            )
+    finally:
+        maintenance._checksum_row = real
+    assert _checksum(spark, path) == before
+    assert len(_data_files(path)) == n_before
+    assert not os.path.exists(os.path.join(path, maintenance.STAGING_DIR))
+
+
+def test_sinks_compact_delegates_to_crash_safe_executor(spark, tmp_path):
+    """sinks.compact.compact is the same protocol now — one publish path."""
+    from bigquack_spark.sinks.compact import compact
+
+    path = _fragmented(spark, tmp_path, partitioned=False)
+    before = _checksum(spark, path)
+    report = compact(spark, path, target_file_bytes=1 << 30)
+    assert report["partitions_compacted"] == 1
+    assert "resumed" in report  # the maintenance-shaped report
+    assert _checksum(spark, path) == before
