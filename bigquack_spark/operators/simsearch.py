@@ -416,6 +416,29 @@ def build_ivf_index(
     return n_lists
 
 
+#: Atomic-pointer file naming the active generation dir of a rebuilt index.
+CURRENT_PTR = "_CURRENT"
+
+
+def _resolve_index_root(path: str) -> str:
+    """The directory actually holding ``index/ centroids/ build_stats``.
+
+    A freshly built index is flat under ``path``; once
+    :func:`rebuild_ivf_index` has run, ``path/_CURRENT`` names the active
+    ``gen-*`` subdirectory.  Every reader and the appender resolve through
+    this, so a pointer swap retargets them atomically — a probe running
+    mid-rebuild reads a complete old generation or a complete new one,
+    never a torn mix."""
+    import json
+    import os
+
+    ptr = os.path.join(path, CURRENT_PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            return os.path.join(path, json.load(fh)["gen"])
+    return path
+
+
 def probe_ivf_index(
     spark,
     path: str,
@@ -432,6 +455,7 @@ def probe_ivf_index(
     pruning at the scan, so index I/O is bounded by the probed cells, not
     the corpus.  Scoring/ranking matches ivf_topk exactly (round-6 cosine,
     (cosine desc, id) tie order)."""
+    path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -526,6 +550,7 @@ def append_to_ivf_index(
     would append duplicate ids."""
     from pyspark.sql import Observation
 
+    path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col)
     obs = Observation("ivf_append")
@@ -559,6 +584,7 @@ def ivf_cell_drift(
     over n_lists-sized frames (a sort-merge join of two tiny sides —
     Spark cannot broadcast a full-outer join), which do not grow with
     the corpus."""
+    path = _resolve_index_root(path)
     now = (
         spark.read.parquet(f"{path}/index")
         .groupBy("cell")
@@ -594,3 +620,112 @@ def ivf_cell_drift(
     )
     w_all = Window.partitionBy()
     return out.withColumn("rebuild", F.max(F.col("hot").cast("int")).over(w_all) > 0)
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    n_lists: int | None = None,
+    seed: int = 42,
+    keep_previous: bool = True,
+) -> dict:
+    """Act on :func:`ivf_cell_drift`'s recommendation (r6 verdict #2): re-fit
+    the coarse quantizer over the FULL current corpus (build-time vectors
+    plus every frozen-quantizer append), reassign, and publish as a new
+    GENERATION with an atomic pointer swap — closing the drift loop that
+    ``append_to_ivf_index`` deliberately leaves open.
+
+    Publish protocol: the new quantizer+index+build_stats land complete
+    under ``path/gen-<id>/`` (plus a ``_LINEAGE.json`` recording which
+    parquet sources fed the refit), and only then does ``path/_CURRENT``
+    swap to it via tmp+rename.  Probes resolve the pointer per call
+    (:func:`_resolve_index_root`), so no reader ever sees a torn index: a
+    crash before the swap leaves the old generation live and an orphan
+    ``gen-*`` dir that the next rebuild prunes.  The previous generation is
+    retained for readers mid-flight (``keep_previous``); older ones are
+    pruned.
+
+    ``n_lists`` defaults to the current quantizer's size; ``seed`` matches
+    :func:`build_ivf_index`'s default, so rebuilding an UNdrifted index is
+    probe-for-probe identical (KMeans is seeded-deterministic).  Cost
+    posture: one KMeans fit + one partitioned write over the corpus —
+    identical to the original build, which is the whole point: rebuilds
+    are the periodic amortized cost that keeps every probe's per-query
+    cost at corpus/n_lists x n_probes.
+
+    Returns ``{generation, previous, n_lists, n_vectors, pruned}``."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Observation
+
+    from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
+
+    old_root = _resolve_index_root(path)
+    corpus = spark.read.parquet(f"{old_root}/index").select("id", "vec")
+    if n_lists is None:
+        n_lists = spark.read.parquet(f"{old_root}/centroids").count()
+    fitted = _fit_cells(corpus, "id", "vec", n_lists, seed)
+    if fitted is None:
+        raise ValueError(
+            f"rebuild_ivf_index: corpus at {path} has fewer than "
+            f"{n_lists} vectors — drop the index and serve brute-force "
+            "(exact and cheap in that regime) instead of rebuilding"
+        )
+    assigned, centroids = fitted
+
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    gen_dir = os.path.join(path, gen)
+    obs = Observation("ivf_rebuild")
+    assigned.observe(obs, F.count(F.lit(1)).alias("n")).write.partitionBy(
+        "cell"
+    ).parquet(f"{gen_dir}/index")
+    n_vectors = int(obs.get["n"])
+    centroids.write.parquet(f"{gen_dir}/centroids")
+    assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_build")).write.parquet(
+        f"{gen_dir}/build_stats"
+    )
+    lin = capture_lineage(corpus)
+    write_lineage_manifest(
+        gen_dir,
+        output=gen_dir,
+        sources=lin["sources"],
+        output_columns=["id", "vec", "cell"],
+        rows=n_vectors,
+        extra={"operation": "rebuild_ivf_index", "n_lists": n_lists, "seed": seed},
+    )
+
+    # atomic pointer swap — the only moment readers retarget
+    ptr = os.path.join(path, CURRENT_PTR)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"gen": gen}, fh)
+    os.replace(tmp, ptr)
+
+    previous = os.path.basename(old_root) if old_root != path else "(flat)"
+    pruned = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("gen-") or name == gen:
+            continue
+        if keep_previous and name == previous:
+            continue
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        pruned.append(name)
+    if old_root != path or not keep_previous:
+        # the original flat layout is now >=2 generations old (or retention
+        # is off) — retire it so the dir doesn't accrete dead bytes
+        for sub in ("index", "centroids", "build_stats"):
+            flat = os.path.join(path, sub)
+            if os.path.isdir(flat):
+                shutil.rmtree(flat, ignore_errors=True)
+                if sub == "index":
+                    pruned.append("(flat)")
+    return {
+        "generation": gen,
+        "previous": previous,
+        "n_lists": n_lists,
+        "n_vectors": n_vectors,
+        "pruned": pruned,
+    }
