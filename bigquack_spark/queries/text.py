@@ -2302,3 +2302,64 @@ def q299_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 6).alias("f_stat"),
         F.when(ms_within > 0, ms_between / ms_within > 3.0).alias("lengths_differ"),
     )
+
+
+@query(
+    "q300_packed_fill_audit",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+           AS pack_id
+  FROM tk
+),
+packs AS (
+  SELECT source, pack_id,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         sum(n_tokens) > 512 AS overflow
+  FROM packed GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       round(sum(pack_tokens) / (CAST(count(*) AS DOUBLE) * 512), 6) AS avg_fill,
+       CAST(sum(CASE WHEN overflow THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+FROM packs GROUP BY source
+""",
+)
+def q300_packed_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill/waste audit of the packed-shard writer's assignment — q278's
+    math re-applied to the EXACT code path sinks/packing.py writes with
+    (r6 verdict #3): assign_packs(strategy='chunk') in (tokens desc,
+    doc_id) order at a 512-token budget, pack_summary per pack, then a
+    per-source rollup of packs, fill against budget, overflow (straddler)
+    packs, and the largest pack.  Because the query and the writer share
+    assign_packs/pack_summary, a green oracle diff here certifies the
+    bytes export_packed_shards lands, not a parallel re-derivation.
+    Scale shape: the assignment windows partition by source (the loader
+    shard), the audit is two metadata-scale aggregates."""
+    from bigquack_spark.sinks.packing import _with_tokens, assign_packs, pack_summary
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    assigned = assign_packs(
+        _with_tokens(d, "text", None), budget=512, group_col="source",
+        id_col="doc_id", strategy="chunk",
+    )
+    packs = pack_summary(assigned, budget=512, group_col="source")
+    return packs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("pack_tokens") / (F.count(F.lit(1)).cast("double") * 512), 6
+        ).alias("avg_fill"),
+        F.sum(F.col("overflow").cast("long")).cast("long").alias("n_overflow"),
+        F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+    )
