@@ -112,6 +112,68 @@ def lineage_tables(df: DataFrame) -> set[str]:
     return {s["table"] for s in capture_lineage(df)["sources"] if s["table"]}
 
 
+def capture_column_lineage(df: DataFrame) -> dict[str, list[dict[str, Any]]]:
+    """Column-grain lineage (r6 verdict #4): for EACH output column, which
+    source (table, columns) fed it — the resolution table-grain lineage
+    can't give ("which outputs used ``o_custkey``?", the q281 GDPR
+    question).
+
+    No expression walking: each output column is probed as ``df.select(c)``
+    and Catalyst's own column pruning shrinks every scan's read schema to
+    exactly what that column needs — the optimizer computes the dependency
+    closure, this function just reads it off the plan.  That closure
+    includes CONTROL dependencies (filter predicates, join keys): a column
+    that decided which rows survive shaped the output even if its values
+    never appear, which is precisely the conservative answer an erasure
+    impact assessment needs.  Renames/aliases resolve for free (the probe
+    follows the expression, not the name), and a self-join reports each
+    side's scan separately with its own pruned columns.
+
+    Returns ``{output_column: [{table, format, paths, columns,
+    pushed_filters}, ...]}``.  Cost: one driver-side plan compile per
+    output column, nothing executed — metadata-priced at any data scale."""
+    if len(set(df.columns)) != len(df.columns):
+        dupes = sorted({c for c in df.columns if df.columns.count(c) > 1})
+        raise ValueError(
+            f"capture_column_lineage: duplicate output column names {dupes} — "
+            "alias them apart; per-column probes would be ambiguous"
+        )
+    return {c: capture_lineage(df.select(c))["sources"] for c in df.columns}
+
+
+def blast_radius_columns(roots: list[str], table: str, column: str) -> list[str]:
+    """Column-grain erasure impact from manifests alone: outputs whose
+    recorded ``column_lineage`` shows ANY output column depending on
+    ``table.column``.  Manifests written before column lineage existed
+    (no ``column_lineage`` key) are counted conservatively when their
+    table-grain inputs include ``table`` — over-reporting beats missing an
+    erasure obligation."""
+    import json
+
+    hits = []
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if LINEAGE_FILE not in filenames:
+                continue
+            try:
+                with open(os.path.join(dirpath, LINEAGE_FILE)) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            col_lin = m.get("column_lineage")
+            if col_lin is None:
+                if table in m.get("input_tables", []):
+                    hits.append(m.get("output", dirpath))
+                continue
+            if any(
+                s.get("table") == table and column in s.get("columns", [])
+                for sources in col_lin.values()
+                for s in sources
+            ):
+                hits.append(m.get("output", dirpath))
+    return sorted(hits)
+
+
 #: File name every lineage-emitting sink writes next to its data/manifest.
 LINEAGE_FILE = "_LINEAGE.json"
 
@@ -123,6 +185,7 @@ def write_lineage_manifest(
     output_columns: list[str],
     rows: int | None = None,
     extra: dict | None = None,
+    column_lineage: dict | None = None,
 ) -> dict:
     """Persist the write-side half of the audit (r5 verdict #4): which
     inputs produced THIS output.  Written atomically (temp + rename) as
@@ -141,6 +204,8 @@ def write_lineage_manifest(
     }
     if rows is not None:
         manifest["rows"] = int(rows)
+    if column_lineage is not None:
+        manifest["column_lineage"] = column_lineage
     if extra:
         manifest.update(extra)
     os.makedirs(out_dir, exist_ok=True)

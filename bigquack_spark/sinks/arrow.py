@@ -81,9 +81,17 @@ def export_arrow_shards(df: DataFrame, path: str) -> dict:
     os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
     # write-side lineage next to the shard manifest (r5 verdict #4): which
     # tables/columns/filters produced this export, counts from the write pass
-    from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
+    from bigquack_spark.lineage import (
+        capture_column_lineage,
+        capture_lineage,
+        write_lineage_manifest,
+    )
 
     cap = capture_lineage(df)
+    try:
+        col_lin = capture_column_lineage(df)
+    except Exception:  # metadata nicety must never fail a finished write
+        col_lin = None
     write_lineage_manifest(
         path,
         output=path,
@@ -91,6 +99,7 @@ def export_arrow_shards(df: DataFrame, path: str) -> dict:
         output_columns=cap["output_columns"],
         rows=manifest["n_records"],
         extra={"sink": "export_arrow_shards"},
+        column_lineage=col_lin,
     )
     return manifest
 

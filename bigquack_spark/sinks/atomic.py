@@ -49,6 +49,7 @@ class AtomicWriter:
         self._schema = None
         self._lineage_sources: list[dict] = []  # merged across batches
         self._output_columns: list[str] = []
+        self._column_lineage: dict[str, list[dict]] = {}
         if stream_type is WriteStreamType.PENDING:
             self._dest = f"{target}.staging-{uuid.uuid4().hex[:12]}"
         else:
@@ -81,7 +82,7 @@ class AtomicWriter:
         # batch BEFORE executing — a driver-side plan walk, zero data cost.
         # Failures here must never block the write protocol itself.
         try:
-            from bigquack_spark.lineage import capture_lineage
+            from bigquack_spark.lineage import capture_column_lineage, capture_lineage
 
             cap = capture_lineage(df)
             self._output_columns = cap["output_columns"]
@@ -89,6 +90,14 @@ class AtomicWriter:
             for s in cap["sources"]:
                 if (s["table"], tuple(s["paths"])) not in seen:
                     self._lineage_sources.append(s)
+            # column-grain edges, merged across batches by (table, paths)
+            for col, sources in capture_column_lineage(df).items():
+                have = self._column_lineage.setdefault(col, [])
+                keys = {(s["table"], tuple(s["paths"])) for s in have}
+                have.extend(
+                    s for s in sources
+                    if (s["table"], tuple(s["paths"])) not in keys
+                )
         except Exception:  # pragma: no cover - defensive
             pass
         # batch count rides the append via df.observe — the old df.count()
@@ -132,6 +141,7 @@ class AtomicWriter:
                 output_columns=self._output_columns,
                 rows=self.rows_written,
                 extra={"batches": self.next_offset, "sink": "AtomicWriter"},
+                column_lineage=self._column_lineage or None,
             )
         return self.rows_written
 

@@ -157,9 +157,17 @@ def export_webdataset_shards(
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
     # write-side lineage next to the shard manifest (r5 verdict #4)
-    from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
+    from bigquack_spark.lineage import (
+        capture_column_lineage,
+        capture_lineage,
+        write_lineage_manifest,
+    )
 
     cap = capture_lineage(df)
+    try:
+        col_lin = capture_column_lineage(df)
+    except Exception:  # metadata nicety must never fail a finished write
+        col_lin = None
     write_lineage_manifest(
         path,
         output=path,
@@ -167,6 +175,7 @@ def export_webdataset_shards(
         output_columns=cap["output_columns"],
         rows=manifest["n_samples"],
         extra={"sink": "export_webdataset_shards"},
+        column_lineage=col_lin,
     )
     return manifest
 

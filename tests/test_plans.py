@@ -9,6 +9,7 @@ names, Exchange counts for shuffle budgets.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigquack_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
@@ -634,6 +635,72 @@ def test_lineage_capture_catalog_table(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS lineage_probe")
+
+
+def test_column_lineage_rename_alias_exact(spark):
+    """r6 verdict #4: column-grain lineage resolves renames — 'revenue'
+    maps to orders.o_totalprice even though no output name matches — and
+    includes the filter column as a control dependency (it decided which
+    rows survived; an erasure assessment must count it)."""
+    from bigquack_spark.lineage import capture_column_lineage
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    df = o.filter("o_orderstatus = 'O'").select(
+        F.col("o_totalprice").alias("revenue"),
+        F.col("o_custkey").alias("cust"),
+    )
+    lin = capture_column_lineage(df)
+    assert set(lin) == {"revenue", "cust"}
+    rev_cols = {c for s in lin["revenue"] for c in s["columns"]}
+    assert "o_totalprice" in rev_cols
+    assert "o_orderstatus" in rev_cols  # control dependency
+    assert "o_custkey" not in rev_cols  # the other output's source, pruned
+    cust_cols = {c for s in lin["cust"] for c in s["columns"]}
+    assert "o_custkey" in cust_cols and "o_totalprice" not in cust_cols
+
+
+def test_column_lineage_self_join_is_exact_where_table_grain_overreports(spark):
+    """A self-join reads 'orders' twice; table-grain lineage can only say
+    {orders} for every output.  Column-grain: each output depends on ITS
+    side's value column (plus the join key on both scans), never on the
+    other side's payload."""
+    from bigquack_spark.lineage import capture_column_lineage, lineage_tables
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = o.select("o_orderkey", "o_custkey")
+    b = o.select("o_orderkey", "o_totalprice")
+    j = a.join(b, "o_orderkey").select("o_custkey", "o_totalprice")
+    assert lineage_tables(j) == {"orders"}  # the over-report this fixes
+    lin = capture_column_lineage(j)
+    ck = {c for s in lin["o_custkey"] for c in s["columns"]}
+    tp = {c for s in lin["o_totalprice"] for c in s["columns"]}
+    assert "o_custkey" in ck and "o_totalprice" not in ck
+    assert "o_totalprice" in tp and "o_custkey" not in tp
+    assert "o_orderkey" in ck and "o_orderkey" in tp  # join key: both sides
+
+
+def test_column_lineage_derived_expression_maps_to_all_inputs(spark):
+    from bigquack_spark.lineage import capture_column_lineage
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = li.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net")
+    )
+    lin = capture_column_lineage(df)
+    assert {c for s in lin["net"] for c in s["columns"]} == {
+        "l_extendedprice", "l_discount"
+    }
+
+
+def test_column_lineage_rejects_duplicate_output_names(spark):
+    import pytest as _pytest
+
+    from bigquack_spark.lineage import capture_column_lineage
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    dup = o.select(F.col("o_custkey").alias("k"), F.col("o_orderkey").alias("k"))
+    with _pytest.raises(ValueError, match="duplicate"):
+        capture_column_lineage(dup)
 
 
 def test_q260_acf_series_sized_after_first_aggregate(spark):

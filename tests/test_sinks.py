@@ -819,6 +819,56 @@ def test_write_side_lineage_manifests_and_blast_radius(spark, tmp_path):
     assert blast_radius(roots, "customer") == []
 
 
+def test_blast_radius_columns_resolves_the_gdpr_question(spark, tmp_path):
+    """r6 verdict #4: 'which outputs used o_custkey' from manifests alone.
+    Both exports read orders, so table-grain blast_radius over-reports;
+    the recorded column_lineage separates the one that actually depended
+    on o_custkey (including as a pruned-away filter column) from the one
+    that never read it.  Manifests predating column lineage fall back to
+    conservative table-grain inclusion."""
+    import json
+    import os
+
+    from bigquack_spark.lineage import (
+        LINEAGE_FILE,
+        blast_radius,
+        blast_radius_columns,
+        write_lineage_manifest,
+    )
+    from bigquack_spark.sinks.arrow import export_arrow_shards
+    from tests.conftest import SF_SMOKE
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    t_uses = str(tmp_path / "uses_custkey")
+    export_arrow_shards(
+        o.filter("o_custkey % 2 = 0").select("o_orderkey", "o_totalprice"), t_uses
+    )
+    t_not = str(tmp_path / "no_custkey")
+    export_arrow_shards(o.select("o_orderkey", "o_orderstatus"), t_not)
+
+    m = json.load(open(os.path.join(t_uses, LINEAGE_FILE)))
+    assert set(m["column_lineage"]) == {"o_orderkey", "o_totalprice"}
+
+    roots = [str(tmp_path)]
+    assert blast_radius(roots, "orders") == sorted([t_uses, t_not])  # over-report
+    assert blast_radius_columns(roots, "orders", "o_custkey") == [t_uses]
+    assert blast_radius_columns(roots, "orders", "o_orderstatus") == [t_not]
+    assert sorted(blast_radius_columns(roots, "orders", "o_orderkey")) == sorted(
+        [t_uses, t_not]
+    )
+    assert blast_radius_columns(roots, "orders", "o_comment") == []
+
+    # legacy manifest (no column_lineage): conservative inclusion by table
+    t_legacy = str(tmp_path / "legacy_out")
+    write_lineage_manifest(
+        t_legacy,
+        output=t_legacy,
+        sources=[{"table": "orders", "paths": [], "columns": [], "pushed_filters": []}],
+        output_columns=["x"],
+    )
+    assert t_legacy in blast_radius_columns(roots, "orders", "o_comment")
+
+
 def test_atomic_writer_lineage_merges_batches_and_pending_leaves_none(
     spark, tmp_path
 ):
