@@ -72,10 +72,12 @@ def _checksum_row(df: DataFrame) -> tuple:
     return (row.n_rows, row.xor_checksum, row.sum_checksum_mod)
 
 
-def _write_marker(staging: str, gen: str, olds: list[list]) -> None:
+def _write_marker(
+    staging: str, gen: str, olds: list[list], prefix: str = "compacted"
+) -> None:
     tmp = os.path.join(staging, MARKER + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"gen": gen, "olds": olds}, fh)
+        json.dump({"gen": gen, "olds": olds, "prefix": prefix}, fh)
     os.replace(tmp, os.path.join(staging, MARKER))
 
 
@@ -83,7 +85,9 @@ def _resume_partition(leaf: str) -> str:
     """Roll a crashed swap forward (or discard stale/pre-commit staging).
 
     Returns ``"none"`` (nothing to do), ``"discarded"`` (pre-commit residue
-    or stale generation dropped), or ``"resumed"`` (swap completed)."""
+    or stale generation dropped), or ``"resumed"`` (swap completed).
+    Handles both maintenance rewrites (compaction and purge) — the marker
+    records which news prefix the swap publishes under."""
     staging = os.path.join(leaf, STAGING_DIR)
     marker = os.path.join(staging, MARKER)
     if not os.path.isdir(staging):
@@ -95,6 +99,7 @@ def _resume_partition(leaf: str) -> str:
         with open(marker) as fh:
             rec = json.load(fh)
         gen, olds = rec["gen"], [tuple(o) for o in rec["olds"]]
+        prefix = rec.get("prefix", "compacted")
     except (ValueError, KeyError):
         shutil.rmtree(staging, ignore_errors=True)  # unreadable: never adopt
         return "discarded"
@@ -105,17 +110,37 @@ def _resume_partition(leaf: str) -> str:
     for name in os.listdir(leaf):
         if not _is_data_file(name):
             continue
-        if name.startswith(f"compacted-{gen}-"):
+        if name.startswith(f"{prefix}-{gen}-"):
             continue
         if old_names.get(name) == os.path.getsize(os.path.join(leaf, name)):
             continue
         shutil.rmtree(staging, ignore_errors=True)
         return "discarded"
-    _finish_swap(leaf, staging, gen, olds)
+    _finish_swap(leaf, staging, gen, olds, prefix)
     return "resumed"
 
 
-def _finish_swap(leaf: str, staging: str, gen: str, olds: list[tuple]) -> None:
+def _resume_tree(path: str) -> tuple[int, int]:
+    """Roll every crashed swap under ``path`` forward before planning new
+    work.  Returns (resumed, discarded) counts."""
+    resumed = discarded = 0
+    for dirpath, dirnames, _files in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        state = _resume_partition(dirpath)
+        if state == "resumed":
+            resumed += 1
+        elif state == "discarded":
+            discarded += 1
+    return resumed, discarded
+
+
+def _finish_swap(
+    leaf: str,
+    staging: str,
+    gen: str,
+    olds: list[tuple],
+    prefix: str = "compacted",
+) -> None:
     """Steps 4-5 of the protocol — idempotent, resumable at any point."""
     for name, _size in olds:
         p = os.path.join(leaf, name)
@@ -127,7 +152,7 @@ def _finish_swap(leaf: str, staging: str, gen: str, olds: list[tuple]) -> None:
             if _is_data_file(name):
                 os.replace(
                     os.path.join(data_dir, name),
-                    os.path.join(leaf, f"compacted-{gen}-{name}"),
+                    os.path.join(leaf, f"{prefix}-{gen}-{name}"),
                 )
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -211,16 +236,137 @@ def compact_small_files(
         "verified": bool(verify),
     }
     # roll any crashed swap forward FIRST so planning sees the real layout
-    for dirpath, dirnames, _files in os.walk(path):
-        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
-        state = _resume_partition(dirpath)
-        if state == "resumed":
-            report["resumed"] += 1
-        elif state == "discarded":
-            report["discarded_stale"] += 1
+    report["resumed"], report["discarded_stale"] = _resume_tree(path)
     for plan in plan_compaction(path, target_file_bytes, min_files):
         got = _compact_partition(spark, plan, cluster_cols, verify)
         report["partitions_compacted"] += 1
         for k in ("files_before", "files_after", "bytes_rewritten"):
             report[k] += got[k]
+    return report
+
+
+def purge_rows(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    verify: bool = True,
+) -> dict:
+    """Erasure executor (the GDPR DELETE, the destructive half of
+    :func:`bigquack_spark.lineage.blast_radius_columns`'s impact answer):
+    remove every row of the parquet table at ``path`` matching
+    ``predicate``, rewriting ONLY the files that contain a match.
+
+    The Delta/Iceberg DELETE algorithm re-expressed over plain parquet:
+
+    1. **Find** — one scan evaluates the predicate and collects the
+       DISTINCT ``input_file_name()`` set of matching rows (file-count
+       metadata, never row data; a predicate on a partition column prunes
+       the scan to those directories before any file is opened).
+    2. **Rewrite** — per affected leaf directory, the affected files are
+       read once and re-written WITHOUT the matching rows into staging;
+       the staged copy must checksum-equal the kept rows (computed from
+       the same source files) before anything publishes.
+    3. **Swap** — the compaction marker/roll-forward protocol, news
+       published under a ``purged-<gen>-`` prefix.  Any crash rolls
+       forward; a rebuilt-underneath partition discards its stale staging
+       (same adoption gate).  A file whose every row matches is simply
+       retired (no staged successor).
+
+    Untouched files are byte-identical afterwards — at 100 TB an erasure
+    request costs the affected file set, not a table rewrite.  A
+    ``_PURGE-<gen>.json`` at the table root records predicate, deleted
+    count, and rewritten files: the auditable evidence an erasure
+    obligation needs.  Returns ``{n_deleted, files_rewritten,
+    files_retired, partitions_touched, resumed, discarded_stale,
+    generation}`` (generation None when nothing matched).  Like all
+    filesystem-coordinated maintenance here: run while no concurrent
+    writer mutates the table."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    resumed, discarded = _resume_tree(path)
+    report = {
+        "n_deleted": 0,
+        "files_rewritten": 0,
+        "files_retired": 0,
+        "partitions_touched": 0,
+        "resumed": resumed,
+        "discarded_stale": discarded,
+        "generation": None,
+    }
+    df = spark.read.parquet(path)
+    hit_files = [
+        r.f.replace("file://", "").replace("file:", "")
+        for r in df.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    if not hit_files:
+        return report
+    by_leaf: dict[str, list[str]] = {}
+    for f in hit_files:
+        by_leaf.setdefault(os.path.dirname(f), []).append(os.path.basename(f))
+
+    gen = _uuid.uuid4().hex[:12]
+    report["generation"] = gen
+    affected_files: list[str] = []
+    for leaf, names in sorted(by_leaf.items()):
+        names = sorted(names)
+        staging = os.path.join(leaf, STAGING_DIR)
+        shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
+        data_dir = os.path.join(staging, "data")
+        olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        files = [os.path.join(leaf, n) for n in names]
+
+        # basePath keeps partition columns resolvable for the predicate
+        # while still scanning ONLY the affected files; they are dropped
+        # again before writing so staged files match the leaf's raw schema
+        raw_cols = spark.read.parquet(files[0]).columns
+        src = spark.read.option("basePath", path).parquet(*files)
+        part_cols = [c for c in src.columns if c not in raw_cols]
+
+        def kept():
+            return spark.read.option("basePath", path).parquet(*files).filter(
+                f"NOT ({predicate})"
+            ).drop(*part_cols)
+
+        n_src = src.count()
+        n_keep = kept().count()
+        if n_keep:
+            kept().write.parquet(data_dir)
+            if verify:
+                want = _checksum_row(kept())
+                got = _checksum_row(spark.read.parquet(data_dir))
+                if want != got:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise RuntimeError(
+                        f"purge_rows: staged rewrite of {leaf} does not "
+                        f"checksum-match its kept rows (want {want}, got "
+                        f"{got}) — aborted before publish; live layout "
+                        "untouched"
+                    )
+            n_new = sum(1 for f in os.listdir(data_dir) if _is_data_file(f))
+        else:
+            os.makedirs(data_dir, exist_ok=True)  # empty: retire-only swap
+            n_new = 0
+        _write_marker(staging, gen, olds, prefix="purged")  # commit point
+        _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="purged")
+        report["n_deleted"] += n_src - n_keep
+        report["files_rewritten"] += len(names) if n_new else 0
+        report["files_retired"] += 0 if n_new else len(names)
+        report["partitions_touched"] += 1
+        affected_files += files
+
+    audit = {
+        "generation": gen,
+        "predicate": predicate,
+        "n_deleted": report["n_deleted"],
+        "affected_files": sorted(affected_files),
+    }
+    tmp = os.path.join(path, f"_PURGE-{gen}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(audit, fh, indent=1)
+    os.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
     return report

@@ -275,3 +275,150 @@ def test_sinks_compact_delegates_to_crash_safe_executor(spark, tmp_path):
     assert report["partitions_compacted"] == 1
     assert "resumed" in report  # the maintenance-shaped report
     assert _checksum(spark, path) == before
+
+
+# -- purge_rows (erasure executor) -------------------------------------------
+
+
+def _purge_table(spark, tmp_path, name="pt"):
+    path = str(tmp_path / name)
+    df = spark.range(1000).selectExpr(
+        "id", "id % 4 AS k", "CAST(id % 7 AS STRING) AS tag"
+    )
+    df.repartition(6).write.partitionBy("k").parquet(path)
+    return path
+
+
+def test_purge_rows_removes_only_matches_and_untouched_files_are_bit_identical(
+    spark, tmp_path
+):
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = _purge_table(spark, tmp_path)
+    before_bytes = {
+        f: open(f, "rb").read() for f in _data_files(path) if "/k=3/" in f
+    }
+    # mixed predicate: partition column AND a data column — matches SOME
+    # rows of SOME files inside k=1 (ids = 1 mod 28), nothing elsewhere
+    pred = "k = 1 AND tag = '1'"
+    n_match = sum(1 for i in range(1000) if i % 4 == 1 and i % 7 == 1)
+    assert n_match > 0
+    want_kept = sorted(
+        r.id for r in spark.read.parquet(path).filter(f"NOT ({pred})").collect()
+    )
+
+    report = purge_rows(spark, path, pred)
+    assert report["n_deleted"] == n_match
+    assert report["partitions_touched"] >= 1
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == want_kept
+    assert after.filter(pred).count() == 0
+    # k=3 partition never matched: byte-identical files
+    for f, want in before_bytes.items():
+        assert open(f, "rb").read() == want
+
+    # audit evidence at the table root
+    purge_json = [f for f in os.listdir(path) if f.startswith("_PURGE-")]
+    assert len(purge_json) == 1
+    import json
+
+    audit = json.load(open(os.path.join(path, purge_json[0])))
+    assert audit["n_deleted"] == report["n_deleted"]
+    assert audit["predicate"] == pred
+
+    # idempotent: nothing left to purge
+    again = purge_rows(spark, path, pred)
+    assert again["n_deleted"] == 0 and again["generation"] is None
+
+
+def test_purge_rows_retires_whole_partition(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = _purge_table(spark, tmp_path, "pt2")
+    report = purge_rows(spark, path, "k = 2")
+    assert report["n_deleted"] == 250
+    assert report["files_retired"] > 0 and report["files_rewritten"] == 0
+    after = spark.read.parquet(path)
+    assert after.filter("k = 2").count() == 0
+    assert after.count() == 750
+    assert not any("/k=2/" in f for f in _data_files(path))
+
+
+def test_purge_rows_crash_rolls_forward_without_loss_or_double_delete(
+    spark, tmp_path
+):
+    """Crash after the purge marker commits: the next purge_rows call first
+    rolls the swap forward, then finds nothing left to delete — no loss of
+    kept rows, no double-count."""
+    import pytest
+    from bigquack_spark.operators import maintenance
+
+    path = _purge_table(spark, tmp_path, "pt3")
+    want_kept = sorted(
+        r.id for r in spark.read.parquet(path).filter("NOT (tag = '3')").collect()
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real = maintenance._finish_swap
+
+    def crash_once(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()
+        return real(*a, **kw)
+
+    maintenance._finish_swap = crash_once
+    try:
+        with pytest.raises(Boom):
+            maintenance.purge_rows(spark, path, "tag = '3'")
+    finally:
+        maintenance._finish_swap = real
+
+    report = maintenance.purge_rows(spark, path, "tag = '3'")
+    assert report["resumed"] == 1
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == want_kept
+    assert after.filter("tag = '3'").count() == 0
+    # combined deletes across the crashed + resumed runs cover every match
+    total_deleted = 1000 - len(want_kept)
+    assert report["n_deleted"] <= total_deleted
+
+
+def test_purge_rows_verify_gate_aborts_before_publish(spark, tmp_path):
+    import pytest
+    from bigquack_spark.operators import maintenance
+
+    path = _purge_table(spark, tmp_path, "pt4")
+    before = _checksum(spark, path)
+
+    calls = {"n": 0}
+    real = maintenance._checksum_row
+
+    def skewed(df):
+        calls["n"] += 1
+        got = real(df)
+        return (got[0] + 1, *got[1:]) if calls["n"] % 2 == 0 else got
+
+    maintenance._checksum_row = skewed
+    try:
+        with pytest.raises(RuntimeError, match="checksum"):
+            maintenance.purge_rows(spark, path, "tag = '5'")
+    finally:
+        maintenance._checksum_row = real
+    assert _checksum(spark, path) == before
+
+
+def test_purge_rows_noop_on_no_matches(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = _purge_table(spark, tmp_path, "pt5")
+    before = _checksum(spark, path)
+    files_before = sorted(_data_files(path))
+    report = purge_rows(spark, path, "id > 100000")
+    assert report["n_deleted"] == 0 and report["generation"] is None
+    assert sorted(_data_files(path)) == files_before
+    assert _checksum(spark, path) == before
+    assert not any(f.startswith("_PURGE-") for f in os.listdir(path))
