@@ -1942,3 +1942,309 @@ def q296_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers", "outlier_rate",
         )
     )
+
+
+# --- round-7 maintenance-planning additions ---------------------------------
+
+
+@query(
+    "q301_erasure_preflight",
+    oracle="""
+WITH marked AS (
+  SELECT l_returnflag,
+         year(l_shipdate) * 12 + month(l_shipdate) AS ship_month,
+         CASE WHEN l_orderkey % 113 = 0 THEN 1 ELSE 0 END AS is_del
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(is_del) AS BIGINT) AS n_del,
+       round(sum(is_del) / CAST(count(*) AS DOUBLE), 6) AS del_share,
+       CAST(sum(is_del) * 256 AS BIGINT) AS est_bytes_del,
+       CAST(min(CASE WHEN is_del = 1 THEN ship_month END) AS BIGINT) AS first_month,
+       CAST(max(CASE WHEN is_del = 1 THEN ship_month END) AS BIGINT) AS last_month
+FROM marked GROUP BY l_returnflag
+""",
+)
+def q301_erasure_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure pre-flight sizing — the read-only estimate run BEFORE
+    operators/maintenance.purge_rows executes a deletion cohort (here the
+    synthetic cohort l_orderkey % 113 = 0): per returnflag partition, how
+    many rows and estimated bytes the purge touches and the ship-month
+    span those rows occupy (the file-touch span under a month-partitioned
+    layout).  One groupBy with conditional aggregates — the same one-pass
+    shape as q279's skew probe; nothing row-scale leaves the executors."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    is_del = (F.col("l_orderkey") % 113 == 0).cast("int")
+    month = F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    m = li.select("l_returnflag", month.alias("ship_month"), is_del.alias("is_del"))
+    return m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("is_del").cast("long").alias("n_del"),
+        F.round(F.sum("is_del") / F.count(F.lit(1)).cast("double"), 6).alias("del_share"),
+        (F.sum("is_del") * 256).cast("long").alias("est_bytes_del"),
+        F.min(F.when(F.col("is_del") == 1, F.col("ship_month"))).cast("long").alias("first_month"),
+        F.max(F.when(F.col("is_del") == 1, F.col("ship_month"))).cast("long").alias("last_month"),
+    )
+
+
+@query(
+    "q303_storage_tiering",
+    oracle="""
+WITH aged AS (
+  SELECT (SELECT max(epoch_us(o_orderdate)) FROM orders) AS max_us,
+         epoch_us(o_orderdate) AS us
+  FROM orders
+),
+tiered AS (
+  SELECT CASE WHEN (max_us - us) // 86400000000 < 365 THEN 'hot'
+              WHEN (max_us - us) // 86400000000 < 730 THEN 'warm'
+              ELSE 'cold' END AS tier,
+         CASE WHEN (max_us - us) // 86400000000 < 365 THEN 0
+              WHEN (max_us - us) // 86400000000 < 730 THEN 1
+              ELSE 2 END AS tier_rank
+  FROM aged
+),
+cells AS (
+  SELECT tier, tier_rank, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) * 128 AS BIGINT) AS est_bytes
+  FROM tiered GROUP BY tier, tier_rank
+)
+SELECT tier, n_rows, est_bytes,
+       round(n_rows / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS row_share,
+       CAST(SUM(est_bytes) OVER (ORDER BY tier_rank DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS reclaim_bytes_if_ttl_here
+FROM cells
+""",
+)
+def q303_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-tiering audit: classify orders by age (days behind the
+    table's max order date, exact integer micros division) into
+    hot/warm/cold, and report per-tier rows, byte estimate, share, and the
+    bytes reclaimed if the TTL were set at each tier boundary (coldest-
+    first running sum) — the planning query behind moving cold partitions
+    to cheap storage.  Scale shape: one scalar max (broadcast), one
+    groupBy over 3 tiers, a 3-row window."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders", columns=["o_orderdate"])
+    mx = o.agg(F.max(F.unix_micros("o_orderdate")).alias("max_us"))
+    age_days = F.expr("(max_us - us) div 86400000000")
+    tiered = (
+        o.select(F.unix_micros("o_orderdate").alias("us"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(age_days < 365, F.lit("hot"))
+            .when(age_days < 730, F.lit("warm"))
+            .otherwise(F.lit("cold"))
+            .alias("tier"),
+            F.when(age_days < 365, F.lit(0))
+            .when(age_days < 730, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("tier_rank"),
+        )
+    )
+    cells = tiered.groupBy("tier", "tier_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * 128).cast("long").alias("est_bytes"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("tier_rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "tier", "n_rows", "est_bytes",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(w_all).cast("double"), 6)
+        .alias("row_share"),
+        F.sum("est_bytes").over(w_cum).cast("long").alias("reclaim_bytes_if_ttl_here"),
+    )
+
+
+@query(
+    "q304_column_null_profile",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user_id,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_event_type,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_props
+  FROM events
+)
+SELECT col_name, n_rows, n_nulls,
+       round(n_nulls / CAST(n_rows AS DOUBLE), 6) AS null_share
+FROM (
+  SELECT 'user_id' AS col_name, n AS n_rows, nn_user_id AS n_nulls FROM agg
+  UNION ALL SELECT 'event_type', n, nn_event_type FROM agg
+  UNION ALL SELECT 'value', n, nn_value FROM agg
+  UNION ALL SELECT 'props', n, nn_props FROM agg
+)
+""",
+)
+def q304_column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-density profile of the events table — the lightweight always-on
+    sibling of q118's full column profile (no DISTINCT, so no Expand and
+    no per-column value sets through the shuffle: ONE aggregate pass
+    computes every column's null count as a conditional sum, then a
+    4-row unpivot).  This is the profile a drift monitor runs per batch;
+    q118/q252 are the deep profiles run per day."""
+    e = t(spark, sf_dir, "events",
+          columns=["user_id", "event_type", "value", "props"])
+    cols = ["user_id", "event_type", "value", "props"]
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+            for c in cols
+        ],
+    )
+    stack = ", ".join(f"'{c}', nn_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nulls)", "n AS n_rows"
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.round(F.col("n_nulls") / F.col("n_rows").cast("double"), 6).alias("null_share"),
+    )
+
+
+@query(
+    "q305_partition_key_audit",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS cell_rows
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS cell_rows FROM orders GROUP BY o_orderpriority
+),
+mp AS (
+  SELECT CAST(count(*) AS BIGINT) AS cell_rows
+  FROM orders
+  GROUP BY year(o_orderdate) * 12 + month(o_orderdate), o_orderpriority
+)
+SELECT candidate, n_cells, min_cell_rows, max_cell_rows, avg_cell_bytes, small_file_risk
+FROM (
+  SELECT 'month' AS candidate, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(min(cell_rows) AS BIGINT) AS min_cell_rows,
+         CAST(max(cell_rows) AS BIGINT) AS max_cell_rows,
+         round(sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE), 6) AS avg_cell_bytes,
+         sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE) < 1048576.0 AS small_file_risk
+  FROM m
+  UNION ALL
+  SELECT 'priority', CAST(count(*) AS BIGINT), CAST(min(cell_rows) AS BIGINT),
+         CAST(max(cell_rows) AS BIGINT),
+         round(sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE), 6),
+         sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE) < 1048576.0
+  FROM p
+  UNION ALL
+  SELECT 'month_priority', CAST(count(*) AS BIGINT), CAST(min(cell_rows) AS BIGINT),
+         CAST(max(cell_rows) AS BIGINT),
+         round(sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE), 6),
+         sum(cell_rows) * 128 / CAST(count(*) AS DOUBLE) < 1048576.0
+  FROM mp
+)
+""",
+)
+def q305_partition_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key suitability audit — the query run BEFORE choosing a
+    partitionBy layout, closing the loop with q254/compact_small_files
+    (which clean up AFTER a bad choice): for each candidate key (ship
+    month, priority, and their product), the cell count, min/max cell
+    rows, and average cell bytes at a 128 B/row proxy, flagging keys whose
+    average cell would land under 1 MiB (small-file debt by construction).
+    Same per-column-union plan shape as q118: each candidate is one
+    groupBy over the same pruned scan, unioned — columnar pruning makes
+    the three passes read the same two columns."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("k1")
+
+    def audit(name, keys):
+        cells = o.groupBy(*keys).agg(F.count(F.lit(1)).alias("cell_rows"))
+        avg_bytes = F.sum("cell_rows") * 128 / F.count(F.lit(1)).cast("double")
+        return cells.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cell_rows").cast("long").alias("min_cell_rows"),
+            F.max("cell_rows").cast("long").alias("max_cell_rows"),
+            F.round(avg_bytes, 6).alias("avg_cell_bytes"),
+            (avg_bytes < 1048576.0).alias("small_file_risk"),
+        )
+
+    return (
+        audit("month", [month])
+        .unionByName(audit("priority", [F.col("o_orderpriority")]))
+        .unionByName(audit("month_priority", [month, F.col("o_orderpriority")]))
+    )
+
+
+@query(
+    "q306_retention_policy_sizing",
+    oracle="""
+WITH aged AS (
+  SELECT (SELECT max(epoch_us(l_shipdate)) FROM lineitem) AS max_us,
+         epoch_us(l_shipdate) AS us
+  FROM lineitem
+),
+buckets AS (
+  SELECT CAST(least((max_us - us) // 31536000000000, 6) AS BIGINT) AS age_years
+  FROM aged
+),
+cells AS (
+  SELECT age_years, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) * 256 AS BIGINT) AS est_bytes
+  FROM buckets GROUP BY age_years
+)
+SELECT age_years, n_rows, est_bytes,
+       CAST(SUM(est_bytes) OVER (ORDER BY age_years DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS bytes_reclaimed_if_ttl_here,
+       round(SUM(est_bytes) OVER (ORDER BY age_years DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / CAST(SUM(est_bytes) OVER () AS DOUBLE), 6) AS reclaim_share
+FROM cells
+""",
+)
+def q306_retention_policy_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy sizing: bucket lineitem by whole years of age
+    behind the newest ship date (exact integer micros division, capped at
+    6+) and report, for a TTL placed at each boundary, the bytes and share
+    reclaimed (oldest-first running sum) — the number a data-retention
+    review actually asks for.  One scalar max, one groupBy over <=7
+    buckets, a 7-row window."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem", columns=["l_shipdate"])
+    mx = li.agg(F.max(F.unix_micros("l_shipdate")).alias("max_us"))
+    buckets = (
+        li.select(F.unix_micros("l_shipdate").alias("us"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.expr("(max_us - us) div 31536000000000"), F.lit(6)
+            ).cast("long").alias("age_years")
+        )
+    )
+    cells = buckets.groupBy("age_years").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * 256).cast("long").alias("est_bytes"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("age_years"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "age_years", "n_rows", "est_bytes",
+        F.sum("est_bytes").over(w_cum).cast("long").alias("bytes_reclaimed_if_ttl_here"),
+        F.round(
+            F.sum("est_bytes").over(w_cum) / F.sum("est_bytes").over(w_all).cast("double"),
+            6,
+        ).alias("reclaim_share"),
+    )

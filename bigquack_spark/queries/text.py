@@ -2363,3 +2363,68 @@ def q300_packed_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("overflow").cast("long")).cast("long").alias("n_overflow"),
         F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
     )
+
+
+@query(
+    "q302_pack_padding_histogram",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+           AS pack_id
+  FROM tk
+),
+packs AS (
+  SELECT source, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM packed GROUP BY 1, 2
+),
+hist AS (
+  SELECT CAST(least(pack_tokens * 10 // 512, 10) AS BIGINT) AS fill_decile,
+         CAST(count(*) AS BIGINT) AS n_packs,
+         CAST(sum(512 - least(pack_tokens, 512)) AS BIGINT) AS padding_tokens
+  FROM packs GROUP BY 1
+)
+SELECT fill_decile, n_packs, padding_tokens,
+       round(n_packs / CAST(SUM(n_packs) OVER () AS DOUBLE), 6) AS pack_share
+FROM hist
+""",
+)
+def q302_pack_padding_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste distribution of the packed-shard writer (q300's
+    companion): bucket each pack's fill into deciles of the 512-token
+    budget (decile 10 = full-or-overflowing) and report pack counts plus
+    the padding tokens a loader would burn per bucket — the histogram that
+    decides whether to re-pack with a different budget.  Reuses the
+    writer's own assign_packs/pack_summary chunk path, so the audited
+    numbers are the shipped artifact's.  Integer lattice throughout
+    (least/floor on token counts) — engine-exact."""
+    from bigquack_spark.sinks.packing import _with_tokens, assign_packs, pack_summary
+
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    assigned = assign_packs(
+        _with_tokens(d, "text", None), budget=512, group_col="source",
+        id_col="doc_id", strategy="chunk",
+    )
+    packs = pack_summary(assigned, budget=512, group_col="source")
+    hist = packs.groupBy(
+        F.least(F.expr("pack_tokens * 10 div 512"), F.lit(10))
+        .cast("long")
+        .alias("fill_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum(F.lit(512) - F.least("pack_tokens", F.lit(512))).cast("long")
+        .alias("padding_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        "fill_decile", "n_packs", "padding_tokens",
+        F.round(F.col("n_packs") / F.sum("n_packs").over(w_all).cast("double"), 6)
+        .alias("pack_share"),
+    )

@@ -325,6 +325,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q289_fk_orphan_audit",  # 1-row x 1-row scalar assembly
         "q294_revenue_concentration",  # broadcast 4-row percentile grid
         "q298_hll_merge_audit",  # 1-row x 1-row sketch-estimate assembly
+        "q303_storage_tiering",  # broadcast 1-row max-date aggregate
+        "q306_retention_policy_sizing",  # broadcast 1-row max-date aggregate
     }
     offenders = []
     for name, spec in QUERIES.items():
