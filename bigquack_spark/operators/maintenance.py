@@ -370,3 +370,51 @@ def purge_rows(
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
     return report
+
+
+def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
+    """Housekeeping sweep for a maintained table — pure filesystem
+    metadata, no Spark session, so it costs the same at 100 TB as at 100
+    rows:
+
+    1. Roll forward (or discard) any crashed compaction/purge swap
+       (:func:`_resume_tree` — the same protocol the executors run on
+       entry, available here for tables nobody is compacting right now).
+    2. Sweep crashed writers' ``*.tmp`` partials: every writer in this
+       repo publishes via temp + atomic rename, so a surviving ``.tmp``
+       is always an abandoned attempt, never live data.  Quarantine
+       re-drive staging (``*.redrive-staging``) is left alone — it has
+       its own adoption protocol and may hold the only copy of a
+       crashed drive's snapshot.
+    3. Retain only the newest ``keep_purge_manifests`` erasure-audit
+       ``_PURGE-*.json`` files (by mtime) so audit evidence stays bounded.
+
+    Returns ``{resumed, discarded_stale, tmp_swept, purge_manifests_pruned}``."""
+    resumed, discarded = _resume_tree(path)
+    report = {
+        "resumed": resumed,
+        "discarded_stale": discarded,
+        "tmp_swept": 0,
+        "purge_manifests_pruned": 0,
+    }
+    purge_manifests = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.endswith(".redrive-staging")]
+        for name in filenames:
+            p = os.path.join(dirpath, name)
+            if name.endswith(".tmp"):
+                try:
+                    os.remove(p)
+                    report["tmp_swept"] += 1
+                except OSError:
+                    pass
+            elif name.startswith("_PURGE-") and name.endswith(".json"):
+                purge_manifests.append(p)
+    purge_manifests.sort(key=os.path.getmtime, reverse=True)
+    for p in purge_manifests[keep_purge_manifests:]:
+        try:
+            os.remove(p)
+            report["purge_manifests_pruned"] += 1
+        except OSError:
+            pass
+    return report

@@ -422,3 +422,45 @@ def test_purge_rows_noop_on_no_matches(spark, tmp_path):
     assert sorted(_data_files(path)) == files_before
     assert _checksum(spark, path) == before
     assert not any(f.startswith("_PURGE-") for f in os.listdir(path))
+
+
+# -- vacuum ------------------------------------------------------------------
+
+
+def test_vacuum_sweeps_tmps_rolls_forward_and_bounds_purge_history(
+    spark, tmp_path
+):
+    import json
+    import time
+
+    from bigquack_spark.operators import maintenance
+
+    path = _fragmented(spark, tmp_path, "vt", partitioned=False)
+    before = _checksum(spark, path)
+
+    # crashed swap (marker committed) + crashed writer partials + a
+    # quarantine redrive staging that must be left alone
+    _crash_after_marker(maintenance, spark, path)
+    open(os.path.join(path, "shard-00001.tar.42.tmp"), "wb").write(b"junk")
+    open(os.path.join(path, "_MANIFEST.json.tmp"), "w").write("{}")
+    rd = os.path.join(path + ".redrive-staging")
+    os.makedirs(rd)
+    open(os.path.join(rd, "_REDRIVE_ID"), "w").write("{}")
+    for i in range(7):
+        with open(os.path.join(path, f"_PURGE-{i:012x}.json"), "w") as fh:
+            json.dump({"generation": f"{i:012x}"}, fh)
+        os.utime(os.path.join(path, f"_PURGE-{i:012x}.json"), (i, i))
+
+    # vacuum the PARENT so the walk actually visits the redrive staging
+    # dir and must skip it
+    report = maintenance.vacuum(str(tmp_path), keep_purge_manifests=5)
+    assert report["resumed"] == 1
+    assert report["tmp_swept"] == 2
+    assert report["purge_manifests_pruned"] == 2
+    assert _checksum(spark, path) == before  # roll-forward preserved rows
+    assert not any(f.endswith(".tmp") for f in os.listdir(path))
+    left = sorted(f for f in os.listdir(path) if f.startswith("_PURGE-"))
+    assert len(left) == 5
+    # the two OLDEST (mtime 0 and 1) were pruned
+    assert f"_PURGE-{0:012x}.json" not in left and f"_PURGE-{1:012x}.json" not in left
+    assert os.path.exists(os.path.join(rd, "_REDRIVE_ID"))  # untouched
