@@ -141,6 +141,22 @@ def capture_column_lineage(df: DataFrame) -> dict[str, list[dict[str, Any]]]:
     return {c: capture_lineage(df.select(c))["sources"] for c in df.columns}
 
 
+def _iter_manifests(roots: list[str]):
+    """Yield (manifest_dict, dirpath) for every readable ``_LINEAGE.json``
+    under ``roots`` — the one walk both blast-radius grains share."""
+    import json
+
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if LINEAGE_FILE not in filenames:
+                continue
+            try:
+                with open(os.path.join(dirpath, LINEAGE_FILE)) as fh:
+                    yield json.load(fh), dirpath
+            except (OSError, ValueError):
+                continue
+
+
 def blast_radius_columns(roots: list[str], table: str, column: str) -> list[str]:
     """Column-grain erasure impact from manifests alone: outputs whose
     recorded ``column_lineage`` shows ANY output column depending on
@@ -148,29 +164,19 @@ def blast_radius_columns(roots: list[str], table: str, column: str) -> list[str]
     (no ``column_lineage`` key) are counted conservatively when their
     table-grain inputs include ``table`` — over-reporting beats missing an
     erasure obligation."""
-    import json
-
     hits = []
-    for root in roots:
-        for dirpath, _dirnames, filenames in os.walk(root):
-            if LINEAGE_FILE not in filenames:
-                continue
-            try:
-                with open(os.path.join(dirpath, LINEAGE_FILE)) as fh:
-                    m = json.load(fh)
-            except (OSError, ValueError):
-                continue
-            col_lin = m.get("column_lineage")
-            if col_lin is None:
-                if table in m.get("input_tables", []):
-                    hits.append(m.get("output", dirpath))
-                continue
-            if any(
-                s.get("table") == table and column in s.get("columns", [])
-                for sources in col_lin.values()
-                for s in sources
-            ):
+    for m, dirpath in _iter_manifests(roots):
+        col_lin = m.get("column_lineage")
+        if col_lin is None:
+            if table in m.get("input_tables", []):
                 hits.append(m.get("output", dirpath))
+            continue
+        if any(
+            s.get("table") == table and column in s.get("columns", [])
+            for sources in col_lin.values()
+            for s in sources
+        ):
+            hits.append(m.get("output", dirpath))
     return sorted(hits)
 
 
@@ -221,18 +227,8 @@ def blast_radius(roots: list[str], table: str) -> list[str]:
     walk ``roots`` for ``_LINEAGE.json`` files and return the outputs whose
     recorded inputs include ``table``.  Pure metadata — never opens a data
     file, so it costs the same at 100 TB as at 100 rows."""
-    import json
-
-    hits = []
-    for root in roots:
-        for dirpath, _dirnames, filenames in os.walk(root):
-            if LINEAGE_FILE not in filenames:
-                continue
-            try:
-                with open(os.path.join(dirpath, LINEAGE_FILE)) as fh:
-                    m = json.load(fh)
-            except (OSError, ValueError):
-                continue
-            if table in m.get("input_tables", []):
-                hits.append(m.get("output", dirpath))
-    return sorted(hits)
+    return sorted(
+        m.get("output", dirpath)
+        for m, dirpath in _iter_manifests(roots)
+        if table in m.get("input_tables", [])
+    )

@@ -73,11 +73,25 @@ def _checksum_row(df: DataFrame) -> tuple:
 
 
 def _write_marker(
-    staging: str, gen: str, olds: list[list], prefix: str = "compacted"
+    staging: str,
+    gen: str,
+    olds: list[list],
+    prefix: str = "compacted",
+    others: list[list] | None = None,
 ) -> None:
+    """``olds`` are retired by the swap; ``others`` are the leaf's
+    UNAFFECTED data files (name, size), recorded so the resume adoption
+    gate can tell 'this leaf legitimately holds more than the olds'
+    (purge touches a subset of a leaf) from 'the partition was rebuilt
+    underneath the crash' (r7 review finding: without this, resuming a
+    partial-leaf purge discarded the staging that held the only copy of
+    the retired files' kept rows)."""
     tmp = os.path.join(staging, MARKER + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"gen": gen, "olds": olds, "prefix": prefix}, fh)
+        json.dump(
+            {"gen": gen, "olds": olds, "prefix": prefix, "others": others or []},
+            fh,
+        )
     os.replace(tmp, os.path.join(staging, MARKER))
 
 
@@ -100,19 +114,22 @@ def _resume_partition(leaf: str) -> str:
             rec = json.load(fh)
         gen, olds = rec["gen"], [tuple(o) for o in rec["olds"]]
         prefix = rec.get("prefix", "compacted")
+        others = {name: size for name, size in rec.get("others", [])}
     except (ValueError, KeyError):
         shutil.rmtree(staging, ignore_errors=True)  # unreadable: never adopt
         return "discarded"
-    # adoption gate: every live data file must be a recorded old (name+size)
-    # or this generation's published news — anything else means the
-    # partition was rebuilt underneath the crashed swap
+    # adoption gate: every live data file must be a recorded old (name+size,
+    # to retire), a recorded unaffected file (name+size, left alone), or
+    # this generation's published news — anything else means the partition
+    # was rebuilt underneath the crashed swap
     old_names = {name: size for name, size in olds}
     for name in os.listdir(leaf):
         if not _is_data_file(name):
             continue
         if name.startswith(f"{prefix}-{gen}-"):
             continue
-        if old_names.get(name) == os.path.getsize(os.path.join(leaf, name)):
+        size = os.path.getsize(os.path.join(leaf, name))
+        if old_names.get(name) == size or others.get(name) == size:
             continue
         shutil.rmtree(staging, ignore_errors=True)
         return "discarded"
@@ -295,9 +312,16 @@ def purge_rows(
         "discarded_stale": discarded,
         "generation": None,
     }
+    from urllib.parse import unquote, urlparse
+
+    def _local_path(uri: str) -> str:
+        # input_file_name() yields a percent-encoded file:// URI
+        parsed = urlparse(uri)
+        return unquote(parsed.path) if parsed.scheme else uri
+
     df = spark.read.parquet(path)
     hit_files = [
-        r.f.replace("file://", "").replace("file:", "")
+        _local_path(r.f)
         for r in df.filter(predicate)
         .select(F.input_file_name().alias("f"))
         .distinct()
@@ -312,12 +336,24 @@ def purge_rows(
     gen = _uuid.uuid4().hex[:12]
     report["generation"] = gen
     affected_files: list[str] = []
+    # a row is DELETED iff the predicate is TRUE for it (the find step's
+    # filter(predicate) semantics); rows where the predicate evaluates to
+    # NULL (e.g. "user_id = 42" on a NULL user_id) must be KEPT — plain
+    # NOT(predicate) would silently drop them under three-valued logic
+    # (r7 review finding), and the checksum gate could not catch it
+    # because both sides would share the same wrong expression
+    keep_pred = f"NOT coalesce(({predicate}), false)"
     for leaf, names in sorted(by_leaf.items()):
         names = sorted(names)
         staging = os.path.join(leaf, STAGING_DIR)
         shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
         data_dir = os.path.join(staging, "data")
         olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        others = [
+            [n, os.path.getsize(os.path.join(leaf, n))]
+            for n in sorted(os.listdir(leaf))
+            if _is_data_file(n) and n not in set(names)
+        ]
         files = [os.path.join(leaf, n) for n in names]
 
         # basePath keeps partition columns resolvable for the predicate
@@ -329,11 +365,23 @@ def purge_rows(
 
         def kept():
             return spark.read.option("basePath", path).parquet(*files).filter(
-                f"NOT ({predicate})"
+                keep_pred
             ).drop(*part_cols)
 
         n_src = src.count()
-        n_keep = kept().count()
+        # per-file kept counts: files whose every row matched are RETIRED
+        # (no staged successor) — needed for honest accounting (r7 review)
+        kept_per_file = {
+            os.path.basename(_local_path(r.f)): r.n
+            for r in spark.read.option("basePath", path)
+            .parquet(*files)
+            .filter(keep_pred)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_keep = sum(kept_per_file.values())
+        retired_here = [n for n in names if kept_per_file.get(n, 0) == 0]
         if n_keep:
             kept().write.parquet(data_dir)
             if verify:
@@ -347,15 +395,13 @@ def purge_rows(
                         f"{got}) — aborted before publish; live layout "
                         "untouched"
                     )
-            n_new = sum(1 for f in os.listdir(data_dir) if _is_data_file(f))
         else:
             os.makedirs(data_dir, exist_ok=True)  # empty: retire-only swap
-            n_new = 0
-        _write_marker(staging, gen, olds, prefix="purged")  # commit point
+        _write_marker(staging, gen, olds, prefix="purged", others=others)
         _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="purged")
         report["n_deleted"] += n_src - n_keep
-        report["files_rewritten"] += len(names) if n_new else 0
-        report["files_retired"] += 0 if n_new else len(names)
+        report["files_rewritten"] += len(names) - len(retired_here)
+        report["files_retired"] += len(retired_here)
         report["partitions_touched"] += 1
         affected_files += files
 

@@ -401,7 +401,18 @@ def build_ivf_index(
     one partitioned write, and every later probe is partition-pruned I/O
     proportional to corpus/n_lists x n_probes.  Returns the number of
     cells written (0 = corpus smaller than n_lists; no index written —
-    callers fall back to brute force, which is exact there)."""
+    callers fall back to brute force, which is exact there).
+
+    A fresh build over a path that :func:`rebuild_ivf_index` has
+    generation-managed SUPERSEDES the generations: the flat layout is
+    written complete first, then the ``_CURRENT`` pointer is removed so
+    readers resolve the new flat build, then the orphaned ``gen-*``
+    directories are pruned (r7 review finding: without this, probes kept
+    serving the stale generation and the next rebuild deleted the fresh
+    build as an aged flat layout)."""
+    import os
+    import shutil
+
     fitted = _fit_cells(corpus, id_col, vec_col, n_lists, seed)
     if fitted is None:
         return 0
@@ -413,6 +424,12 @@ def build_ivf_index(
     assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_build")).write.mode(
         "overwrite"
     ).parquet(f"{path}/build_stats")
+    ptr = os.path.join(path, CURRENT_PTR)
+    if os.path.exists(ptr):
+        os.remove(ptr)  # flat layout is complete — retarget readers to it
+        for name in os.listdir(path):
+            if name.startswith("gen-"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return n_lists
 
 

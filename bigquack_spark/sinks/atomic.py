@@ -50,6 +50,7 @@ class AtomicWriter:
         self._lineage_sources: list[dict] = []  # merged across batches
         self._output_columns: list[str] = []
         self._column_lineage: dict[str, list[dict]] = {}
+        self._column_lineage_key: tuple | None = None
         if stream_type is WriteStreamType.PENDING:
             self._dest = f"{target}.staging-{uuid.uuid4().hex[:12]}"
         else:
@@ -90,14 +91,32 @@ class AtomicWriter:
             for s in cap["sources"]:
                 if (s["table"], tuple(s["paths"])) not in seen:
                     self._lineage_sources.append(s)
-            # column-grain edges, merged across batches by (table, paths)
-            for col, sources in capture_column_lineage(df).items():
-                have = self._column_lineage.setdefault(col, [])
-                keys = {(s["table"], tuple(s["paths"])) for s in have}
-                have.extend(
-                    s for s in sources
-                    if (s["table"], tuple(s["paths"])) not in keys
-                )
+            # column-grain edges cost one plan compile PER COLUMN — too
+            # much for every micro-batch of a steady pipeline (r7 review).
+            # The cheap table-grain capture above already keys the plan
+            # shape: recompute column lineage only when (columns, source
+            # set) changed since the last batch; merge by (table, paths).
+            key = (
+                tuple(cap["output_columns"]),
+                frozenset(
+                    (
+                        s["table"],
+                        tuple(s["paths"]),
+                        tuple(s["pushed_filters"]),
+                        tuple(s["columns"]),
+                    )
+                    for s in cap["sources"]
+                ),
+            )
+            if key != self._column_lineage_key:
+                self._column_lineage_key = key
+                for col, sources in capture_column_lineage(df).items():
+                    have = self._column_lineage.setdefault(col, [])
+                    keys = {(s["table"], tuple(s["paths"])) for s in have}
+                    have.extend(
+                        s for s in sources
+                        if (s["table"], tuple(s["paths"])) not in keys
+                    )
         except Exception:  # pragma: no cover - defensive
             pass
         # batch count rides the append via df.observe — the old df.count()

@@ -178,27 +178,40 @@ def requarantine(
     qdir = os.path.join(base_path, f"{QUARANTINE_COL}=true")
     empty = {"n_redriven": 0, "n_repaired": 0, "n_still_quarantined": 0, "per_rule": {}}
 
-    def _qdir_fingerprint() -> list[list]:
-        if not os.path.isdir(qdir):
+    fdir = os.path.join(base_path, f"{QUARANTINE_COL}=false")
+
+    def _dir_fingerprint(d: str, skip_prefix: str | None = None) -> list[list]:
+        if not os.path.isdir(d):
             return []
         return sorted(
-            [name, os.path.getsize(os.path.join(qdir, name))]
-            for name in os.listdir(qdir)
+            [name, os.path.getsize(os.path.join(d, name))]
+            for name in os.listdir(d)
             if name.endswith(".parquet")
+            and not (skip_prefix and name.startswith(skip_prefix))
         )
 
     if os.path.exists(marker):
         # resume path — adoption gate (the batch twin of the streaming
-        # redrive's consumed.json gate): adopt the staged snapshot only if
-        # the live partition is gone/empty (mid-drive crash) or still
-        # byte-identical to what was snapshotted (crash before the clear).
-        # Anything else means the dataset was rebuilt under the crashed
-        # drive — the snapshot is stale; drop it and re-snapshot below.
+        # redrive's consumed.json gate).  The quarantine partition alone
+        # cannot arbitrate: empty is BOTH the normal mid-drive state (we
+        # cleared it) and the state after a rebuild that routed zero rows
+        # there (r7 review finding).  So the marker also fingerprints the
+        # ACCEPTED partition, which the drive itself only ever ADDS
+        # redrive-<gen>- files to: any other change to it, or a non-empty
+        # quarantine partition that differs from the snapshot, means the
+        # dataset was rebuilt under the crashed drive — drop the stale
+        # staging and re-snapshot from live data below.
         try:
             with open(marker) as fh:
                 recorded = json.load(fh)
-            live = _qdir_fingerprint()
-            if live and live != recorded["fingerprint"]:
+            live_q = _dir_fingerprint(qdir)
+            live_f = _dir_fingerprint(
+                fdir, skip_prefix=f"redrive-{recorded['gen']}-"
+            )
+            stale = (live_q and live_q != recorded["fingerprint"]) or (
+                live_f != recorded["false_fingerprint"]
+            )
+            if stale:
                 shutil.rmtree(staging, ignore_errors=True)
         except (json.JSONDecodeError, KeyError):
             # unreadable marker: never adopt — re-snapshot from live data
@@ -211,12 +224,18 @@ def requarantine(
         ):
             return empty
         shutil.rmtree(staging, ignore_errors=True)  # pre-marker residue only
-        fingerprint = _qdir_fingerprint()
+        fingerprint = _dir_fingerprint(qdir)
+        false_fingerprint = _dir_fingerprint(fdir)
         read_quarantined(spark, base_path).write.parquet(data_dir)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
-                {"gen": uuid.uuid4().hex[:12], "fingerprint": fingerprint}, fh
+                {
+                    "gen": uuid.uuid4().hex[:12],
+                    "fingerprint": fingerprint,
+                    "false_fingerprint": false_fingerprint,
+                },
+                fh,
             )
         os.replace(tmp, marker)
     with open(marker) as fh:

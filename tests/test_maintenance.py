@@ -464,3 +464,93 @@ def test_vacuum_sweeps_tmps_rolls_forward_and_bounds_purge_history(
     # the two OLDEST (mtime 0 and 1) were pruned
     assert f"_PURGE-{0:012x}.json" not in left and f"_PURGE-{1:012x}.json" not in left
     assert os.path.exists(os.path.join(rd, "_REDRIVE_ID"))  # untouched
+
+
+# -- r7 review regression tests ----------------------------------------------
+
+
+def test_purge_rows_keeps_null_predicate_rows(spark, tmp_path):
+    """r7 review: a row where the predicate evaluates to NULL (SQL
+    three-valued logic) matches nothing and must be KEPT — plain
+    NOT(predicate) would silently drop it, and the checksum gate could not
+    catch it because both sides would share the wrong expression."""
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = str(tmp_path / "pn")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "a")],
+        "id bigint, tag string",
+    )
+    df.coalesce(1).write.parquet(path)
+
+    report = purge_rows(spark, path, "tag = 'a'")
+    assert report["n_deleted"] == 2  # ids 1 and 5 only — never the NULLs
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == [2, 3, 4]
+    assert after.filter("tag IS NULL").count() == 2
+
+
+def test_purge_crash_resume_with_unaffected_file_in_same_leaf(spark, tmp_path):
+    """r7 review: the resume adoption gate must not mistake a leaf's
+    UNAFFECTED files for a rebuild — a crashed partial-leaf purge's staging
+    holds the only copy of the affected file's kept rows."""
+    import pytest
+    from bigquack_spark.operators import maintenance
+
+    path = str(tmp_path / "pl")
+    # two files in one (unpartitioned) leaf: only the first contains matches
+    spark.range(0, 50).selectExpr("id", "id % 10 AS m").coalesce(1).write.parquet(path)
+    spark.range(50, 100).selectExpr("id", "CAST(99 AS BIGINT) AS m").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    want_kept = sorted(
+        r.id for r in spark.read.parquet(path).filter("NOT (m = 3)").collect()
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real = maintenance._finish_swap
+
+    def crash_once(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()
+        return real(*a, **kw)
+
+    maintenance._finish_swap = crash_once
+    try:
+        with pytest.raises(Boom):
+            maintenance.purge_rows(spark, path, "m = 3")
+    finally:
+        maintenance._finish_swap = real
+
+    report = maintenance.purge_rows(spark, path, "m = 3")
+    assert report["resumed"] == 1  # adopted, NOT discarded as a rebuild
+    assert report["discarded_stale"] == 0
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == want_kept
+    assert after.filter("m = 3").count() == 0
+
+
+def test_purge_rows_reports_per_file_retire_within_kept_leaf(spark, tmp_path):
+    """r7 review: a file whose EVERY row matches is retired even when its
+    leaf keeps rows from other files — the report must say so."""
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = str(tmp_path / "pr")
+    spark.range(0, 40).selectExpr("id", "CAST(id < 20 AS INT) AS dead").coalesce(
+        1
+    ).write.parquet(path)
+    spark.range(100, 140).selectExpr("id", "CAST(1 AS INT) AS dead").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    report = purge_rows(spark, path, "dead = 1")
+    # file 1: half survives (rewritten); file 2: all rows match (retired)
+    assert report["files_rewritten"] == 1
+    assert report["files_retired"] == 1
+    assert report["n_deleted"] == 20 + 40
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == list(range(20, 40))

@@ -1742,3 +1742,33 @@ def test_ivf_rebuild_generation_lifecycle(spark, tmp_path):
         ).count()
         == emb.count()
     )
+
+
+def test_fresh_build_supersedes_generations(spark, tmp_path):
+    """r7 review: build_ivf_index over a generation-managed path must be
+    SERVED — the pointer is removed once the flat build is complete and
+    orphan generations are pruned, so probes serve the fresh index and a
+    later rebuild operates on it instead of deleting it."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_fresh")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    r1 = S.rebuild_ivf_index(spark, path)
+    assert os.path.exists(os.path.join(path, S.CURRENT_PTR))
+
+    # fresh wholesale build with a DIFFERENT corpus
+    assert S.build_ivf_index(half, path, n_lists=4, seed=42) == 4
+    assert not os.path.exists(os.path.join(path, S.CURRENT_PTR))
+    assert not any(d.startswith("gen-") for d in os.listdir(path))
+
+    # probes serve the fresh (half) corpus, not the stale generation
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = S.probe_ivf_index(spark, path, queries, k=50, n_probes=4)
+    assert all(r.neighbor_id % 2 == 0 for r in got.collect())
+    # drift monitor and a subsequent rebuild operate on the fresh build
+    assert S.ivf_cell_drift(spark, path).count() == 4
+    r2 = S.rebuild_ivf_index(spark, path)
+    assert r2["n_vectors"] == half.count()
+    assert r2["previous"] == "(flat)" and r1["generation"] not in os.listdir(path)

@@ -1100,3 +1100,52 @@ def test_requarantine_empty_quarantine_is_noop(spark, tmp_path):
     }
     assert read_accepted(spark, base).count() == 2
     assert not os.path.exists(base + ".redrive-staging")
+
+
+def test_requarantine_refuses_stale_snapshot_after_clean_rebuild(spark, tmp_path):
+    """r7 review: the empty-quarantine state is ambiguous (mid-drive crash
+    OR a rebuild that routed zero rows to quarantine).  The marker's
+    accepted-partition fingerprint disambiguates: after a crashed drive,
+    rebuilding the dataset CLEAN must not resurrect the old snapshot's
+    rows into the new dataset."""
+    import pytest
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    write_with_quarantine(
+        spark.createDataFrame(
+            [(101, 1.0), (102, -2.0), (103, -3.0)], "id bigint, v double"
+        ),
+        base,
+        rules,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        requarantine(spark, base, rules, lambda q: (_ for _ in ()).throw(Boom()))
+    assert os.path.exists(base + ".redrive-staging")
+
+    # rebuild with a CLEAN dataset: zero quarantine rows — the live
+    # quarantine partition is empty exactly like the mid-drive state
+    from pyspark.sql import functions as F
+
+    write_with_quarantine(
+        spark.createDataFrame([(201, 4.0), (202, 5.0)], "id bigint, v double"),
+        base,
+        rules,
+    )
+
+    got = requarantine(spark, base, rules, lambda q: q.withColumn("v", F.abs("v")))
+    assert got["n_redriven"] == 0  # nothing parked; old snapshot NOT adopted
+    assert sorted(r.id for r in read_accepted(spark, base).collect()) == [201, 202]
+    assert read_quarantined(spark, base).count() == 0
+    assert not os.path.exists(base + ".redrive-staging")
