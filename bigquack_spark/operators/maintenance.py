@@ -349,10 +349,11 @@ def purge_rows(
         shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
         data_dir = os.path.join(staging, "data")
         olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        name_set = set(names)
         others = [
             [n, os.path.getsize(os.path.join(leaf, n))]
             for n in sorted(os.listdir(leaf))
-            if _is_data_file(n) and n not in set(names)
+            if _is_data_file(n) and n not in name_set
         ]
         files = [os.path.join(leaf, n) for n in names]
 

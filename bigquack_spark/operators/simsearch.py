@@ -406,10 +406,14 @@ def build_ivf_index(
     A fresh build over a path that :func:`rebuild_ivf_index` has
     generation-managed SUPERSEDES the generations: the flat layout is
     written complete first, then the ``_CURRENT`` pointer is removed so
-    readers resolve the new flat build, then the orphaned ``gen-*``
-    directories are pruned (r7 review finding: without this, probes kept
-    serving the stale generation and the next rebuild deleted the fresh
-    build as an aged flat layout)."""
+    readers resolve the new flat build (r7 review finding: without this,
+    probes kept serving the stale generation and the next rebuild deleted
+    the fresh build as an aged flat layout).  The generation the pointer
+    named is RETAINED for readers mid-flight on it (the same grace
+    :func:`rebuild_ivf_index` gives via ``keep_previous``); older orphan
+    generations — including one left by a build that crashed between the
+    pointer removal and its prune — are cleaned up here."""
+    import json
     import os
     import shutil
 
@@ -425,11 +429,14 @@ def build_ivf_index(
         "overwrite"
     ).parquet(f"{path}/build_stats")
     ptr = os.path.join(path, CURRENT_PTR)
+    retained = None
     if os.path.exists(ptr):
+        with open(ptr) as fh:
+            retained = json.load(fh)["gen"]  # grace for mid-flight readers
         os.remove(ptr)  # flat layout is complete — retarget readers to it
-        for name in os.listdir(path):
-            if name.startswith("gen-"):
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    for name in os.listdir(path):
+        if name.startswith("gen-") and name != retained:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return n_lists
 
 

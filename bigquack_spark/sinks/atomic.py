@@ -50,7 +50,7 @@ class AtomicWriter:
         self._lineage_sources: list[dict] = []  # merged across batches
         self._output_columns: list[str] = []
         self._column_lineage: dict[str, list[dict]] = {}
-        self._column_lineage_key: tuple | None = None
+        self._column_lineage_key: str | None = None
         if stream_type is WriteStreamType.PENDING:
             self._dest = f"{target}.staging-{uuid.uuid4().hex[:12]}"
         else:
@@ -93,23 +93,18 @@ class AtomicWriter:
                     self._lineage_sources.append(s)
             # column-grain edges cost one plan compile PER COLUMN — too
             # much for every micro-batch of a steady pipeline (r7 review).
-            # The cheap table-grain capture above already keys the plan
-            # shape: recompute column lineage only when (columns, source
-            # set) changed since the last batch; merge by (table, paths).
-            key = (
-                tuple(cap["output_columns"]),
-                frozenset(
-                    (
-                        s["table"],
-                        tuple(s["paths"]),
-                        tuple(s["pushed_filters"]),
-                        tuple(s["columns"]),
-                    )
-                    for s in cap["sources"]
-                ),
-            )
+            # Key the recompute on the attribute-id-normalized physical
+            # plan string: identical wiring -> identical key (ids vary per
+            # batch, hence the normalization), and any change in how
+            # outputs map to sources changes the plan text (a source-set
+            # key alone missed swapped-alias wiring).  The key is stored
+            # only AFTER a successful capture so a transient failure
+            # retries on the next batch instead of suppressing column
+            # lineage for the whole stream.
+            from bigquack_spark.lineage import _ATTR_ID_RE, _plan_string
+
+            key = _ATTR_ID_RE.sub("", _plan_string(df))
             if key != self._column_lineage_key:
-                self._column_lineage_key = key
                 for col, sources in capture_column_lineage(df).items():
                     have = self._column_lineage.setdefault(col, [])
                     keys = {(s["table"], tuple(s["paths"])) for s in have}
@@ -117,6 +112,7 @@ class AtomicWriter:
                         s for s in sources
                         if (s["table"], tuple(s["paths"])) not in keys
                     )
+                self._column_lineage_key = key
         except Exception:  # pragma: no cover - defensive
             pass
         # batch count rides the append via df.observe — the old df.count()

@@ -131,6 +131,7 @@ def requarantine(
     base_path: str,
     rules: list[Rule],
     repair,
+    adopt_staging: bool = False,
 ) -> dict:
     """Close the triage loop (r5 verdict #5): read the parked rows, apply
     ``repair`` (a ``DataFrame -> DataFrame`` transform; the input carries
@@ -197,10 +198,20 @@ def requarantine(
         # cleared it) and the state after a rebuild that routed zero rows
         # there (r7 review finding).  So the marker also fingerprints the
         # ACCEPTED partition, which the drive itself only ever ADDS
-        # redrive-<gen>- files to: any other change to it, or a non-empty
-        # quarantine partition that differs from the snapshot, means the
-        # dataset was rebuilt under the crashed drive — drop the stale
-        # staging and re-snapshot from live data below.
+        # redrive-<gen>- files to.
+        #
+        # Disposition on mismatch depends on what a discard would cost:
+        # - live quarantine partition NON-EMPTY and different: discard the
+        #   staging silently — the fresh path below re-snapshots the live
+        #   rows; nothing is lost.
+        # - live quarantine partition EMPTY but the accepted partition
+        #   changed: the staged snapshot may be the ONLY copy of the
+        #   parked rows, and a changed accepted partition is ambiguous
+        #   (dataset rebuilt clean vs content-preserving maintenance
+        #   rewriting files).  Refuse to arbitrate destructively: raise
+        #   with remediation (delete the staging if the dataset was
+        #   rebuilt; pass adopt_staging=True if only maintenance rewrote
+        #   the accepted files).
         try:
             with open(marker) as fh:
                 recorded = json.load(fh)
@@ -208,11 +219,25 @@ def requarantine(
             live_f = _dir_fingerprint(
                 fdir, skip_prefix=f"redrive-{recorded['gen']}-"
             )
-            stale = (live_q and live_q != recorded["fingerprint"]) or (
-                live_f != recorded["false_fingerprint"]
-            )
-            if stale:
-                shutil.rmtree(staging, ignore_errors=True)
+            rec_f = recorded.get("false_fingerprint")  # absent: legacy marker
+            q_stale = bool(live_q) and live_q != recorded["fingerprint"]
+            f_stale = rec_f is not None and live_f != rec_f
+            if not adopt_staging:
+                if q_stale:
+                    shutil.rmtree(staging, ignore_errors=True)
+                elif f_stale:
+                    if os.path.isdir(data_dir):
+                        raise RuntimeError(
+                            "requarantine: the accepted partition changed "
+                            "under a crashed re-drive whose staging may hold "
+                            "the only copy of the parked rows — cannot tell "
+                            "a clean rebuild from content-preserving "
+                            f"maintenance.  If the dataset was rebuilt, "
+                            f"delete {staging!r} and re-run; if maintenance "
+                            "only rewrote accepted files, re-run with "
+                            "adopt_staging=True."
+                        )
+                    shutil.rmtree(staging, ignore_errors=True)  # no data: residue
         except (json.JSONDecodeError, KeyError):
             # unreadable marker: never adopt — re-snapshot from live data
             shutil.rmtree(staging, ignore_errors=True)

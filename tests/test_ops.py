@@ -1761,6 +1761,12 @@ def test_fresh_build_supersedes_generations(spark, tmp_path):
     # fresh wholesale build with a DIFFERENT corpus
     assert S.build_ivf_index(half, path, n_lists=4, seed=42) == 4
     assert not os.path.exists(os.path.join(path, S.CURRENT_PTR))
+    # the previously-current generation is retained as a grace period for
+    # mid-flight readers; a later build (no pointer) prunes it
+    assert sorted(d for d in os.listdir(path) if d.startswith("gen-")) == [
+        r1["generation"]
+    ]
+    assert S.build_ivf_index(half, path, n_lists=4, seed=42) == 4
     assert not any(d.startswith("gen-") for d in os.listdir(path))
 
     # probes serve the fresh (half) corpus, not the stale generation

@@ -1135,7 +1135,10 @@ def test_requarantine_refuses_stale_snapshot_after_clean_rebuild(spark, tmp_path
     assert os.path.exists(base + ".redrive-staging")
 
     # rebuild with a CLEAN dataset: zero quarantine rows — the live
-    # quarantine partition is empty exactly like the mid-drive state
+    # quarantine partition is empty exactly like the mid-drive state, and
+    # the staged snapshot is the only copy of the OLD parked rows.  The
+    # drive must refuse to arbitrate destructively (rebuild vs
+    # content-preserving maintenance are indistinguishable by file list)
     from pyspark.sql import functions as F
 
     write_with_quarantine(
@@ -1144,8 +1147,67 @@ def test_requarantine_refuses_stale_snapshot_after_clean_rebuild(spark, tmp_path
         rules,
     )
 
+    with pytest.raises(RuntimeError, match="adopt_staging"):
+        requarantine(spark, base, rules, lambda q: q.withColumn("v", F.abs("v")))
+    # accepted data untouched by the refusal
+    assert sorted(r.id for r in read_accepted(spark, base).collect()) == [201, 202]
+
+    # operator resolution for a rebuild: delete the stale staging, re-run
+    import shutil
+
+    shutil.rmtree(base + ".redrive-staging")
     got = requarantine(spark, base, rules, lambda q: q.withColumn("v", F.abs("v")))
-    assert got["n_redriven"] == 0  # nothing parked; old snapshot NOT adopted
+    assert got["n_redriven"] == 0  # nothing parked; old snapshot gone
     assert sorted(r.id for r in read_accepted(spark, base).collect()) == [201, 202]
     assert read_quarantined(spark, base).count() == 0
     assert not os.path.exists(base + ".redrive-staging")
+
+
+def test_requarantine_adopt_staging_after_accepted_file_relayout(spark, tmp_path):
+    """The other arm of the ambiguity: maintenance renamed/rewrote accepted
+    files (content preserved) under a crashed drive.  adopt_staging=True
+    completes the drive from the snapshot — no parked row is lost."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    write_with_quarantine(
+        spark.createDataFrame(
+            [(1, 1.0), (2, -2.0), (3, -3.0)], "id bigint, v double"
+        ),
+        base,
+        rules,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        requarantine(spark, base, rules, lambda q: (_ for _ in ()).throw(Boom()))
+
+    # content-preserving relayout of the accepted partition (e.g. a
+    # compaction pass renamed the file) while the drive was crashed
+    fdir = os.path.join(base, "quarantined=false")
+    a_part = next(f for f in os.listdir(fdir) if f.endswith(".parquet"))
+    os.rename(os.path.join(fdir, a_part), os.path.join(fdir, f"relayout-{a_part}"))
+
+    with pytest.raises(RuntimeError, match="adopt_staging"):
+        requarantine(spark, base, rules, lambda q: q.withColumn("v", F.abs("v")))
+
+    got = requarantine(
+        spark, base, rules, lambda q: q.withColumn("v", F.abs("v")),
+        adopt_staging=True,
+    )
+    assert got["n_redriven"] == 2 and got["n_repaired"] == 2
+    assert sorted(r.id for r in read_accepted(spark, base).collect()) == [1, 2, 3]
+    assert read_quarantined(spark, base).count() == 0
