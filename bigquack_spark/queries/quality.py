@@ -2248,3 +2248,131 @@ def q306_retention_policy_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reclaim_share"),
     )
+
+
+@query(
+    "q308_compaction_roi",
+    oracle=f"""
+WITH files AS (
+  SELECT l_returnflag,
+         year(l_shipdate) * 12 + month(l_shipdate) AS file_month,
+         CAST(count(*) * {_BYTES_PER_ROW} AS BIGINT) AS bytes
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small,
+       CAST(sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END) AS BIGINT)
+         AS small_bytes,
+       CAST(CASE WHEN sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END) = 0
+                 THEN 0
+                 ELSE (sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END)
+                       + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET} END AS BIGINT)
+         AS est_files_after,
+       CAST(sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN 1 ELSE 0 END)
+            - CASE WHEN sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END) = 0
+                   THEN 0
+                   ELSE (sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END)
+                         + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET} END AS BIGINT)
+         AS files_removed,
+       round((sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN 1 ELSE 0 END)
+              - CASE WHEN sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END) = 0
+                     THEN 0
+                     ELSE (sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END)
+                           + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET} END)
+             / CAST(count(*) AS DOUBLE), 6) AS file_reduction_share
+FROM files GROUP BY l_returnflag
+""",
+)
+def q308_compaction_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction ROI estimator — the before/after arithmetic a scheduler
+    runs to decide WHETHER tonight's compact_small_files pays: over q254's
+    synthetic per-(returnflag, ship-month) file manifest, how many files
+    are undersized, how many target-size files they bin-pack into
+    (ceiling division on the exact byte lattice), and the file-count
+    reduction share — at 100 TB that share IS the scan-task and
+    object-store-listing reduction (measured at the bench tier in
+    bench_full's compaction_block).  One groupBy over file METADATA;
+    everything integer-exact."""
+    li = t(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
+    files = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("file_month"),
+    ).agg((F.count(F.lit(1)) * _BYTES_PER_ROW).alias("bytes"))
+    small = F.when(F.col("bytes") < _COMPACT_TARGET, 1).otherwise(0)
+    small_bytes = F.when(F.col("bytes") < _COMPACT_TARGET, F.col("bytes")).otherwise(0)
+    agg = files.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(small).cast("long").alias("n_small"),
+        F.sum(small_bytes).cast("long").alias("small_bytes"),
+    )
+    est_after = F.when(F.col("small_bytes") == 0, F.lit(0)).otherwise(
+        F.expr(f"(small_bytes + {_COMPACT_TARGET} - 1) div {_COMPACT_TARGET}")
+    )
+    return agg.select(
+        "l_returnflag", "n_files", "n_small", "small_bytes",
+        est_after.cast("long").alias("est_files_after"),
+        (F.col("n_small") - est_after).cast("long").alias("files_removed"),
+        F.round(
+            (F.col("n_small") - est_after) / F.col("n_files").cast("double"), 6
+        ).alias("file_reduction_share"),
+    )
+
+
+@query(
+    "q309_functional_dependency_audit",
+    oracle="""
+SELECT candidate, n_lhs, n_pairs,
+       CAST(n_pairs - n_lhs AS BIGINT) AS violations,
+       n_pairs = n_lhs AS holds
+FROM (
+  SELECT 'o_orderkey->o_custkey' AS candidate,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+         CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS n_pairs
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority',
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate->o_orderstatus',
+         CAST(count(DISTINCT o_orderdate) AS BIGINT),
+         CAST(count(DISTINCT (o_orderdate, o_orderstatus)) AS BIGINT)
+  FROM orders
+)
+""",
+)
+def q309_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — schema inference for a table nobody
+    documented: a candidate A->B holds iff distinct (A,B) pairs equal
+    distinct A values (violations = extra pairs).  Audits the true pk
+    dependency (o_orderkey->o_custkey) beside two expected failures.  The
+    q305/q118 per-candidate union shape: each branch is one two-column
+    distinct aggregate over the same pruned scan; exact integers."""
+    o = t(
+        spark, sf_dir, "orders",
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderpriority",
+            "o_orderdate", "o_orderstatus",
+        ],
+    )
+
+    def branch(name, a, b):
+        return o.agg(
+            F.lit(name).alias("candidate"),
+            F.countDistinct(a).cast("long").alias("n_lhs"),
+            F.countDistinct(a, b).cast("long").alias("n_pairs"),
+        )
+
+    u = (
+        branch("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(branch("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(branch("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus"))
+    )
+    return u.select(
+        "candidate", "n_lhs", "n_pairs",
+        (F.col("n_pairs") - F.col("n_lhs")).cast("long").alias("violations"),
+        (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+    )

@@ -2428,3 +2428,64 @@ def q302_pack_padding_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_packs") / F.sum("n_packs").over(w_all).cast("double"), 6)
         .alias("pack_share"),
     )
+
+
+@query(
+    "q307_length_percentile_bands",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+picks AS (
+  SELECT lang, n,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                  THEN n_chars END) AS p25,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+                  THEN n_chars END) AS p50,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                  THEN n_chars END) AS p75
+  FROM ranked GROUP BY lang, n
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(p25 AS BIGINT) AS p25_chars,
+       CAST(p50 AS BIGINT) AS p50_chars,
+       CAST(p75 AS BIGINT) AS p75_chars,
+       CAST(p75 - p25 AS BIGINT) AS iqr_chars
+FROM picks
+""",
+)
+def q307_length_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentile bands (p25/p50/p75 + IQR)
+    by EXACT order-statistic rank selection on the integer n_chars lattice
+    (the q293/q294/q296 pattern: row_number rank picks, never engine
+    quantile interpolation, so both engines agree bit-for-bit) — the
+    numbers a per-language truncation/packing budget (q199/q278) is set
+    from.  One |lang|-partitioned window over the pruned two-column scan,
+    then a |lang|-row aggregate."""
+    d = t(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")).cast("long"))
+        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+
+    return ranked.groupBy("lang", "n").agg(
+        pick(0.25).cast("long").alias("p25_chars"),
+        pick(0.50).cast("long").alias("p50_chars"),
+        pick(0.75).cast("long").alias("p75_chars"),
+    ).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        "p25_chars", "p50_chars", "p75_chars",
+        (F.col("p75_chars") - F.col("p25_chars")).cast("long").alias("iqr_chars"),
+    )
