@@ -419,6 +419,94 @@ def purge_rows(
     return report
 
 
+STATS_FILE = "_STATS.json"
+
+
+def _table_fingerprint(path: str) -> list[list]:
+    """(relative name, size) of every data file — the staleness key stats
+    manifests are bound to."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for name in filenames:
+            if _is_data_file(name):
+                p = os.path.join(dirpath, name)
+                out.append([os.path.relpath(p, path), os.path.getsize(p)])
+    return sorted(out)
+
+
+def collect_table_stats(spark: SparkSession, path: str) -> dict:
+    """ANALYZE TABLE for a plain-parquet layout: one scan computes row
+    count plus per-column null count, min/max (numeric/date/timestamp
+    columns only — string extremes are collation-sensitive), and an
+    HLL-approximate distinct count, persisted atomically as ``_STATS.json``
+    at the table root.  The manifest records the data-file fingerprint it
+    was computed from, so :func:`stats_are_fresh` answers "can the planner
+    trust these?" from metadata alone — the q304/q305 planning queries'
+    cached sibling.
+
+    Scale posture: every statistic is a conditional aggregate or sketch
+    merged map-side in ONE pass (no DISTINCT expansion — ndv is
+    approx_count_distinct's HLL, the only honest choice at 100 TB); the
+    manifest is column-count-sized.  Returns the manifest dict."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    rangeable = (
+        T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType
+    )
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+        if isinstance(f.dataType, rangeable):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    def _jsonable(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    columns = {}
+    for f in df.schema.fields:
+        c = f.name
+        col = {
+            "type": f.dataType.simpleString(),
+            "null_count": int(row[f"__null__{c}"]),
+            "ndv_approx": int(row[f"__ndv__{c}"]),
+        }
+        if f"__min__{c}" in row:
+            col["min"] = _jsonable(row[f"__min__{c}"])
+            col["max"] = _jsonable(row[f"__max__{c}"])
+        columns[c] = col
+    manifest = {
+        "rows": int(row["__n"]),
+        "columns": columns,
+        "fingerprint": _table_fingerprint(path),
+    }
+    tmp = os.path.join(path, STATS_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(path, STATS_FILE))
+    return manifest
+
+
+def stats_are_fresh(path: str) -> bool:
+    """True iff a ``_STATS.json`` exists and its recorded fingerprint still
+    matches the live data files — pure metadata, no Spark session."""
+    p = os.path.join(path, STATS_FILE)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as fh:
+            recorded = json.load(fh)["fingerprint"]
+    except (OSError, ValueError, KeyError):
+        return False
+    return [list(x) for x in recorded] == _table_fingerprint(path)
+
+
 def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
     """Housekeeping sweep for a maintained table — pure filesystem
     metadata, no Spark session, so it costs the same at 100 TB as at 100

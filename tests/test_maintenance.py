@@ -554,3 +554,49 @@ def test_purge_rows_reports_per_file_retire_within_kept_leaf(spark, tmp_path):
     assert report["n_deleted"] == 20 + 40
     after = spark.read.parquet(path)
     assert sorted(r.id for r in after.collect()) == list(range(20, 40))
+
+
+# -- collect_table_stats -----------------------------------------------------
+
+
+def test_collect_table_stats_and_freshness(spark, tmp_path):
+    import json
+
+    from bigquack_spark.operators.maintenance import (
+        STATS_FILE,
+        collect_table_stats,
+        stats_are_fresh,
+    )
+
+    path = str(tmp_path / "st")
+    spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", -2.0, 7), (3, None, 9.0, 7)],
+        "id bigint, s string, v double, n bigint",
+    ).coalesce(1).write.parquet(path)
+
+    assert stats_are_fresh(path) is False  # nothing collected yet
+    m = collect_table_stats(spark, path)
+    assert m["rows"] == 3
+    assert m["columns"]["s"]["null_count"] == 1
+    assert m["columns"]["n"]["null_count"] == 1
+    assert m["columns"]["v"]["min"] == -2.0 and m["columns"]["v"]["max"] == 9.0
+    assert "min" not in m["columns"]["s"]  # string extremes not recorded
+    assert m["columns"]["id"]["ndv_approx"] == 3  # HLL exact at tiny n
+    assert m["columns"]["n"]["ndv_approx"] == 1
+    on_disk = json.load(open(os.path.join(path, STATS_FILE)))
+    assert on_disk["rows"] == 3
+    assert stats_are_fresh(path) is True
+
+    # appending data invalidates the manifest; recollecting refreshes it
+    spark.createDataFrame([(4, "c", 0.0, 1)], "id bigint, s string, v double, n bigint") \
+        .coalesce(1).write.mode("append").parquet(path)
+    assert stats_are_fresh(path) is False
+    m2 = collect_table_stats(spark, path)
+    assert m2["rows"] == 4
+    assert stats_are_fresh(path) is True
+
+    # maintenance rewrites change the fingerprint too (layout-bound)
+    from bigquack_spark.operators.maintenance import compact_small_files
+
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert stats_are_fresh(path) is False
