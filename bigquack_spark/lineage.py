@@ -138,7 +138,15 @@ def capture_column_lineage(df: DataFrame) -> dict[str, list[dict[str, Any]]]:
             f"capture_column_lineage: duplicate output column names {dupes} — "
             "alias them apart; per-column probes would be ambiguous"
         )
-    return {c: capture_lineage(df.select(c))["sources"] for c in df.columns}
+    # backtick-quote the probe: a column whose NAME contains a dot would
+    # otherwise resolve as a nested-field path and raise (df[c] parses the
+    # same way — only a quoted identifier pins the literal name).
+    def _quoted(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    return {
+        c: capture_lineage(df.select(_quoted(c)))["sources"] for c in df.columns
+    }
 
 
 def _iter_manifests(roots: list[str]):

@@ -457,13 +457,31 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
     rangeable = (
         T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType
     )
+
+    def _hashable(dt) -> bool:
+        # approx_count_distinct fails analysis on any type containing a map
+        # (maps aren't orderable/hashable in Spark SQL) — r7 advisor finding.
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    def _q(name: str):
+        # quoted identifier: a literal dot in the name must not be read as
+        # a nested-field path
+        return F.col("`" + name.replace("`", "``") + "`")
+
     for f in df.schema.fields:
         c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
-        aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+        aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__null__{c}"))
+        if _hashable(f.dataType):
+            aggs.append(F.approx_count_distinct(_q(c)).alias(f"__ndv__{c}"))
         if isinstance(f.dataType, rangeable):
-            aggs.append(F.min(c).alias(f"__min__{c}"))
-            aggs.append(F.max(c).alias(f"__max__{c}"))
+            aggs.append(F.min(_q(c)).alias(f"__min__{c}"))
+            aggs.append(F.max(_q(c)).alias(f"__max__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     def _jsonable(v):
@@ -474,9 +492,11 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
         c = f.name
         col = {
             "type": f.dataType.simpleString(),
-            "null_count": int(row[f"__null__{c}"]),
-            "ndv_approx": int(row[f"__ndv__{c}"]),
+            # conditional sums aggregate to NULL over a zero-row table
+            "null_count": int(row[f"__null__{c}"] or 0),
         }
+        if f"__ndv__{c}" in row:
+            col["ndv_approx"] = int(row[f"__ndv__{c}"] or 0)
         if f"__min__{c}" in row:
             col["min"] = _jsonable(row[f"__min__{c}"])
             col["max"] = _jsonable(row[f"__max__{c}"])

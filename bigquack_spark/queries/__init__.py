@@ -115,16 +115,16 @@ _DRIVER_VERIFIED = {
 }
 _ROUNDS = _driver_rounds_from_disk()
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | set(_ROUNDS)
-# Round 7: the never-checked debt reached ZERO at r6 close (cumulative
-# 295/295), so the window now ROTATES onto the stalest driver rows — the
-# q01-q50 names last checked in r1, five rounds of diffs ago (r6 verdict
-# #5).  Ordering: (1) any old name that somehow lost its driver row
-# (highest priority, should be empty), (2) every driver-verified name
-# sorted by its LATEST green round ascending (stalest first; qnum breaks
-# ties), (3) new-in-r7 names (qnum >= 300) pinned BEHIND the
-# re-verification so a new name can't displace a stale row from the
-# ~50-row window — they become the natural front of r8's window once the
-# rotation has caught the old rows up.
+# Round 8: the ordering is now fully derived — no hand-edited floor (the
+# r7 "_WINDOW_BACK >= 300" constant needed a per-round bump; if forgotten,
+# unverified names would sort last indefinitely — r7 advisor finding).
+# Rule: (1) every name with NO green driver row in any CORRECTNESS_r*.json
+# goes FIRST, in registration order (family-grouped) — this covers both
+# last round's additions that the driver never reached (q300-q309 after
+# r7) and this round's brand-new names; (2) every driver-verified name
+# follows, sorted by its LATEST green round ascending (stalest first;
+# qnum breaks ties).  With ~50 checks per round and debt held near zero,
+# the window is automatically "all unchecked names + the stalest rows".
 def _qnum(name: str) -> int:
     # every registry name is "qNNN_slug"; parse defensively anyway
     try:
@@ -133,14 +133,12 @@ def _qnum(name: str) -> int:
         return 0
 
 
-_WINDOW_BACK = {n for n in QUERIES if _qnum(n) >= 300}
-_debt = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in _WINDOW_BACK]
+_debt = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 _checked = sorted(
     (n for n in QUERIES if n in _DRIVER_VERIFIED),
     key=lambda n: (_ROUNDS.get(n, 1), _qnum(n)),
 )
-_new = [n for n in QUERIES if n not in _DRIVER_VERIFIED and n in _WINDOW_BACK]
-_ordered = {n: QUERIES[n] for n in _debt + _checked + _new}
+_ordered = {n: QUERIES[n] for n in _debt + _checked}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _DRIVER_VERIFIED, _ROUNDS, _WINDOW_BACK, _debt, _checked, _new, _ordered, _qnum
+del _DRIVER_VERIFIED, _ROUNDS, _debt, _checked, _ordered, _qnum

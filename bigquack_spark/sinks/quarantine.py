@@ -222,10 +222,17 @@ def requarantine(
             rec_f = recorded.get("false_fingerprint")  # absent: legacy marker
             q_stale = bool(live_q) and live_q != recorded["fingerprint"]
             f_stale = rec_f is not None and live_f != rec_f
-            if not adopt_staging:
-                if q_stale:
-                    shutil.rmtree(staging, ignore_errors=True)
-                elif f_stale:
+            # adopt_staging= only arbitrates the AMBIGUOUS f_stale case
+            # (maintenance rewrote accepted files vs rebuild).  q_stale is
+            # never ambiguous: a live, different quarantine partition means
+            # the dataset was rebuilt under the crashed drive and the fresh
+            # path below re-snapshots it losslessly — adopting the stale
+            # staging there would republish superseded rows INTO the rebuilt
+            # dataset (r7 advisor finding), so the flag must not bypass it.
+            if q_stale:
+                shutil.rmtree(staging, ignore_errors=True)
+            elif not adopt_staging:
+                if f_stale:
                     if os.path.isdir(data_dir):
                         raise RuntimeError(
                             "requarantine: the accepted partition changed "

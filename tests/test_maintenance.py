@@ -600,3 +600,53 @@ def test_collect_table_stats_and_freshness(spark, tmp_path):
 
     compact_small_files(spark, path, target_file_bytes=1 << 30)
     assert stats_are_fresh(path) is False
+
+
+def test_collect_table_stats_zero_rows_and_map_columns(spark, tmp_path):
+    """r7 advisor (low): a zero-row table must not crash (conditional sums
+    aggregate to NULL over zero rows) and map-typed columns — which
+    approx_count_distinct cannot hash — get null counts but no ndv."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+
+    path = str(tmp_path / "empty_with_map")
+    df = spark.createDataFrame(
+        [], "id bigint, tags map<string,string>, v double"
+    )
+    df.write.parquet(path)
+    m = collect_table_stats(spark, path)
+    assert m["rows"] == 0
+    assert m["columns"]["id"]["null_count"] == 0
+    assert m["columns"]["tags"]["null_count"] == 0
+    assert "ndv_approx" not in m["columns"]["tags"]
+    assert m["columns"]["id"]["ndv_approx"] == 0
+
+    # non-empty with a map column still works end-to-end
+    path2 = str(tmp_path / "rows_with_map")
+    spark.createDataFrame(
+        [(1, {"a": "x"}, 1.5), (2, None, None)],
+        "id bigint, tags map<string,string>, v double",
+    ).write.parquet(path2)
+    m2 = collect_table_stats(spark, path2)
+    assert m2["rows"] == 2
+    assert m2["columns"]["tags"]["null_count"] == 1
+    assert m2["columns"]["v"]["null_count"] == 1
+    assert m2["columns"]["id"]["ndv_approx"] == 2
+    assert "ndv_approx" not in m2["columns"]["tags"]
+
+
+def test_capture_column_lineage_dotted_column_name(spark, tmp_path):
+    """r7 advisor (low): a literal dot in an output column name must probe
+    as the column itself, not a nested-field path."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.lineage import capture_column_lineage
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2.0)], "id bigint, v double").write.parquet(path)
+    df = spark.read.parquet(path).select(
+        F.col("id").alias("user.id"), F.col("v").alias("metric.value")
+    )
+    lin = capture_column_lineage(df)
+    assert set(lin) == {"user.id", "metric.value"}
+    assert any("id" in s["columns"] for s in lin["user.id"])
+    assert any("v" in s["columns"] for s in lin["metric.value"])

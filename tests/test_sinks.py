@@ -1211,3 +1211,58 @@ def test_requarantine_adopt_staging_after_accepted_file_relayout(spark, tmp_path
     assert got["n_redriven"] == 2 and got["n_repaired"] == 2
     assert sorted(r.id for r in read_accepted(spark, base).collect()) == [1, 2, 3]
     assert read_quarantined(spark, base).count() == 0
+
+
+def test_requarantine_adopt_staging_cannot_bypass_rebuilt_quarantine(spark, tmp_path):
+    """r7 advisor (medium): adopt_staging=True is scoped to the
+    maintenance-relayout (f_stale) arm ONLY.  When the live quarantine
+    partition is non-empty and differs from the marker (dataset rebuilt
+    WITH new parked rows under a crashed drive), the flag must not adopt
+    the stale snapshot — the drive re-snapshots the LIVE rows and the
+    superseded ones never republish."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.sinks.quarantine import (
+        read_accepted,
+        read_quarantined,
+        requarantine,
+        write_with_quarantine,
+    )
+
+    base = str(tmp_path / "routed")
+    rules = [("v_nonneg", "v < 0")]
+    write_with_quarantine(
+        spark.createDataFrame(
+            [(1, 1.0), (2, -2.0), (3, -3.0)], "id bigint, v double"
+        ),
+        base,
+        rules,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        requarantine(spark, base, rules, lambda q: (_ for _ in ()).throw(Boom()))
+    assert os.path.exists(base + ".redrive-staging")
+
+    # rebuild the dataset with DIFFERENT quarantine rows: ids 101-103
+    write_with_quarantine(
+        spark.createDataFrame(
+            [(101, 6.0), (102, -7.0), (103, -8.0)], "id bigint, v double"
+        ),
+        base,
+        rules,
+    )
+
+    got = requarantine(
+        spark, base, rules, lambda q: q.withColumn("v", F.abs("v")),
+        adopt_staging=True,
+    )
+    # only the REBUILT dataset's parked rows were re-driven
+    assert got["n_redriven"] == 2 and got["n_repaired"] == 2
+    ids = sorted(r.id for r in read_accepted(spark, base).collect())
+    assert ids == [101, 102, 103]  # no 2/3 resurrection from the old snapshot
+    assert read_quarantined(spark, base).count() == 0
+    assert not os.path.exists(base + ".redrive-staging")
