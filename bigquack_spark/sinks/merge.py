@@ -4,25 +4,51 @@ only CREATE or APPEND; correcting a row means rewriting the table by hand).
 
 ``merge_upsert`` applies a change set to a target directory with MERGE
 semantics: match on key -> update, no match -> insert, and (optionally) a
-delete flag column -> drop.  Plain-parquet constraints shape the design:
+delete flag column -> drop.  This is the Delta/Iceberg MERGE algorithm
+re-expressed over plain parquet, file-pruned (r7 verdict #1 — the previous
+implementation rewrote the WHOLE table per apply):
 
-- **Read-combine-rewrite, staged.** The target is re-written through one
-  full-outer combine (no in-place file surgery exists for parquet); new
-  files land in a staging dir and swap in at the end — same
-  stage-then-swap window as sinks/compact.py, txn-log-atomic when the
-  target is Delta/Iceberg instead.
-- **Change set wins.** On a key match the update row replaces the target
-  row wholesale (the reference's writer has per-record replace semantics
-  nowhere; this mirrors Delta's ``whenMatchedUpdateAll``).
-- **Scale shape.** One shuffle on the key for the anti/union combine; at
-  100 TB the rewrite cost is the table scan + write, which is what MERGE
-  costs on any copy-on-write format.  Partitioned targets should route
-  through ``overwrite_partitions`` (sinks/partitioned.py) so only touched
-  partitions rewrite.
+1. **Find** — ONE key-column-pruned scan semi-joins the target against the
+   distinct change keys and collects the affected ``input_file_name()``
+   set (file-count metadata, never row data).  When the table is
+   hive-partitioned and the partition columns are part of the merge key,
+   the scan is first partition-pruned to the partitions the change set
+   names — a CDC trickle touching 1 of N partitions reads 1/N of the keys.
+2. **Insert** — every non-delete change row is written as NEW files
+   (partitioned to the right leaves), published per leaf under the shared
+   maintenance marker protocol (``merged-<gen>-`` prefix).  Inserts never
+   rewrite an existing byte.
+3. **Rewrite** — ONLY the files found in step 1 are read back and
+   re-written without the matched keys (anti-join), staged, checksum-
+   verified against the kept rows BEFORE the commit point, then swapped
+   in under the same marker protocol (``operators/maintenance.py`` —
+   compaction and erasure use the identical swap; ``_resume_tree`` rolls
+   any crash forward).  A file whose every row matched is retired with no
+   successor.
+
+Untouched files are byte-identical afterwards: at 100 TB a CDC apply costs
+the affected-file set plus the change set, never a table rewrite.
+
+Crash discipline: each leaf publish is atomic (marker + roll-forward);
+across leaves the merge converges by RE-RUNNING the same change set
+(change-set-wins makes replay idempotent).  The legs are ordered
+insert-then-rewrite so the mid-merge crash window shows transient
+duplicate keys, never lost rows — the find step snapshots the affected
+file list BEFORE inserts publish, so a rewrite can never remove rows the
+same merge just inserted.  A ``_MERGE-<gen>.json`` at the table root
+records the applied generation for audit, mirroring ``_PURGE-<gen>.json``.
+
+**Change set wins.** On a key match the update row replaces the target row
+wholesale (the reference's writer has per-record replace semantics
+nowhere; this mirrors Delta's ``whenMatchedUpdateAll``).  For partitioned
+targets the change rows must carry the partition columns; a key that moves
+partitions is handled naturally (old row's file rewritten, new row
+inserted into its new leaf).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -35,17 +61,21 @@ from pyspark.sql import functions as F
 #: merge and left alone; only genuinely abandoned staging is reclaimed.
 _STAGING_REAP_SECONDS = 24 * 3600
 
+#: Above this many distinct partition tuples in the change set, the find
+#: scan skips building the partition-pruning predicate (a filter that long
+#: costs more to plan than it saves; the semi-join still prunes columns).
+_MAX_PRUNE_PARTITIONS = 10_000
+
 
 def _recover_orphaned_swap(target_path: str) -> None:
-    """Self-heal a crash inside the stage-then-swap window: if a previous
-    merge died between its two renames, the table data sits in a
-    ``.old-<id>`` backup dir and ``target_path`` is missing — restore the
-    backup.  If the swap completed but cleanup didn't, drop the stale
-    backup.  ``.merge-`` staging dirs are reclaimed only after
-    ``_STAGING_REAP_SECONDS`` — a younger one may belong to a merge that
-    is RUNNING right now, and deleting it would destroy in-flight work
-    (concurrent merges still race at the swap itself; this keeps recovery
-    from making that strictly worse)."""
+    """Self-heal the LEGACY rename-swap crash window (pre-r8 merges and the
+    streaming sinks' own swap protocol, streaming/sink.py): if a writer
+    died between its two renames, the table data sits in a ``.old-<id>``
+    backup dir and ``target_path`` is missing — restore the backup.  If the
+    swap completed but cleanup didn't, drop the stale backup.  ``.merge-``
+    staging dirs are reclaimed only after ``_STAGING_REAP_SECONDS`` — a
+    younger one may belong to a writer that is RUNNING right now, and
+    deleting it would destroy in-flight work."""
     import time
 
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
@@ -71,23 +101,99 @@ def _recover_orphaned_swap(target_path: str) -> None:
                 shutil.rmtree(full, ignore_errors=True)
 
 
+def _local_path(uri: str) -> str:
+    """input_file_name() yields a percent-encoded file:// URI."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else uri
+
+
+def _first_data_file(path: str) -> str | None:
+    from bigquack_spark.sinks.compact import _is_data_file
+
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for name in sorted(filenames):
+            if _is_data_file(name):
+                return os.path.join(dirpath, name)
+    return None
+
+
+def _publish_leaf(
+    leaf: str,
+    gen: str,
+    olds: list[list],
+    stage_files: list[str] | None,
+    prefix: str = "merged",
+) -> None:
+    """One leaf publish under the shared maintenance marker protocol:
+    move ``stage_files`` into the leaf's staging data dir, record the
+    marker (commit point), retire ``olds``, swap the news in."""
+    from bigquack_spark.operators.maintenance import (
+        STAGING_DIR,
+        _finish_swap,
+        _write_marker,
+    )
+    from bigquack_spark.sinks.compact import _is_data_file
+
+    staging = os.path.join(leaf, STAGING_DIR)
+    data_dir = os.path.join(staging, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    for f in stage_files or []:
+        os.replace(f, os.path.join(data_dir, os.path.basename(f)))
+    old_names = {name for name, _size in olds}
+    others = [
+        [n, os.path.getsize(os.path.join(leaf, n))]
+        for n in sorted(os.listdir(leaf))
+        if _is_data_file(n)
+        and n not in old_names
+        and not n.startswith(f"{prefix}-{gen}-")
+    ]
+    _write_marker(staging, gen, olds, prefix=prefix, others=others)
+    _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix=prefix)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
     changes: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    verify: bool = True,
 ) -> dict:
     """MERGE ``changes`` into the parquet table at ``target_path``.
 
     Semantics per change row: key match -> replace target row; no match ->
     insert; ``delete_col`` true -> drop the key from the target (whether or
-    not it matched).  Returns ``{rows_before, rows_after, upserts,
-    deletes}``.  Idempotent: re-merging the same change set converges, and
-    a crash mid-swap self-heals on the next call (backup restore above)."""
-    _recover_orphaned_swap(target_path)
+    not it matched).  Only files containing a matched key are rewritten
+    (module doc has the full protocol).  Returns ``{rows_before,
+    rows_after, upserts, deletes, files_rewritten, files_retired,
+    files_inserted, partitions_touched, resumed, discarded_stale,
+    generation}``.  Idempotent: re-merging the same change set converges,
+    and a crash mid-publish rolls forward on the next call.  Like all
+    filesystem-coordinated writers here: run while no concurrent writer
+    mutates the table."""
+    from bigquack_spark.operators.maintenance import (
+        STAGING_DIR,
+        _checksum_row,
+        _resume_tree,
+    )
+    from bigquack_spark.sinks.compact import _is_data_file
+
+    _recover_orphaned_swap(target_path)  # legacy rename-swap residue
+    resumed, discarded = _resume_tree(target_path)
+    # pre-commit insert staging from a crashed merge is residue: the change
+    # set is the source of truth and that merge must be re-run anyway
+    ins_root = os.path.join(target_path, ".merge-insert-staging")
+    shutil.rmtree(ins_root, ignore_errors=True)
+
     target = spark.read.parquet(target_path)
     data_cols = target.columns
+    first = _first_data_file(target_path)
+    raw_cols = spark.read.parquet(first).columns if first else data_cols
+    part_cols = [c for c in data_cols if c not in raw_cols]
+
     if delete_col:
         deletes = changes.filter(F.col(delete_col)).select(*key_cols)
         upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
@@ -95,20 +201,20 @@ def merge_upsert(
         deletes = changes.limit(0).select(*key_cols)
         upserts = changes.select(*data_cols)
     removed_keys = upserts.select(*key_cols).union(deletes).distinct()
-    kept = target.join(removed_keys, key_cols, "left_anti")
-    merged = kept.unionByName(upserts)
 
-    # rows_after rides the staging write via df.observe (no post-write
-    # re-read of staging); upsert/delete counts come from ONE aggregate
-    # over changes instead of two separate recomputes of its lineage
-    from pyspark.sql import Observation
-
-    obs = Observation("merge_rows_after")
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
-    staging = f"{target_path}.merge-{uuid.uuid4().hex[:12]}"
-    merged.write.mode("overwrite").parquet(staging)
-    rows_after = int(obs.get["n"])
-    rows_before = target.count()
+    report = {
+        "rows_before": target.count(),
+        "rows_after": 0,
+        "upserts": 0,
+        "deletes": 0,
+        "files_rewritten": 0,
+        "files_retired": 0,
+        "files_inserted": 0,
+        "partitions_touched": 0,
+        "resumed": resumed,
+        "discarded_stale": discarded,
+        "generation": None,
+    }
     if delete_col:
         # count each branch by its own predicate: a NULL flag row is
         # ignored by BOTH branches (the filters drop it under 3-valued
@@ -117,19 +223,161 @@ def merge_upsert(
             F.sum(F.when(F.col(delete_col), 1).otherwise(0)).alias("d"),
             F.sum(F.when(~F.col(delete_col), 1).otherwise(0)).alias("u"),
         ).first()
-        n_deletes = int(chg["d"] or 0)
-        n_upserts = int(chg["u"] or 0)
+        report["deletes"] = int(chg["d"] or 0)
+        report["upserts"] = int(chg["u"] or 0)
     else:
-        n_deletes = 0
-        n_upserts = changes.count()
-    # swap: stage-then-swap window, txn-log-atomic on Delta/Iceberg
-    backup = f"{target_path}.old-{uuid.uuid4().hex[:12]}"
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup, ignore_errors=True)
-    return {
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-        "upserts": n_upserts,
-        "deletes": n_deletes,
+        report["upserts"] = changes.count()
+
+    # ---- find: the affected-file set, snapshotted BEFORE inserts publish
+    scan = target
+    if part_cols and set(part_cols) <= set(key_cols):
+        # the merge key pins the partition, so the find scan only needs the
+        # partitions the change set names — collect the (bounded) tuple set
+        # and let Catalyst partition-prune before any file opens
+        ptuples = removed_keys.select(*part_cols).distinct().limit(
+            _MAX_PRUNE_PARTITIONS + 1
+        ).collect()
+        if len(ptuples) <= _MAX_PRUNE_PARTITIONS:
+            pred = None
+            for t in ptuples:
+                conj = None
+                for c in part_cols:
+                    eq = F.col(c).eqNullSafe(F.lit(t[c]))
+                    conj = eq if conj is None else (conj & eq)
+                pred = conj if pred is None else (pred | conj)
+            if pred is not None:
+                scan = target.filter(pred)
+    # input_file_name() must be captured on the SCAN side, before the
+    # join — evaluated after it, the expression returns empty strings
+    hit_files = [
+        _local_path(r.f)
+        for r in scan.withColumn("__f", F.input_file_name())
+        .join(removed_keys, key_cols, "left_semi")
+        .select(F.col("__f").alias("f"))
+        .distinct()
+        .collect()
+    ]
+    by_leaf: dict[str, list[str]] = {}
+    for f in hit_files:
+        by_leaf.setdefault(os.path.dirname(f), []).append(os.path.basename(f))
+
+    gen = uuid.uuid4().hex[:12]
+    report["generation"] = gen
+    n_matched_removed = 0
+    touched_leaves: set[str] = set(by_leaf)
+
+    # ---- insert leg (first: the crash window shows transient duplicates,
+    # never lost rows — see module doc)
+    if report["upserts"]:
+        ins_data = os.path.join(ins_root, "data")
+        w = upserts.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(ins_data)
+        if verify:
+            staged = spark.read.option("basePath", ins_data).parquet(ins_data)
+            want = _checksum_row(upserts.select(*data_cols))
+            got = _checksum_row(staged.select(*data_cols))
+            if want != got:
+                shutil.rmtree(ins_root, ignore_errors=True)
+                raise RuntimeError(
+                    f"merge_upsert: staged insert batch does not checksum-"
+                    f"match the change set (want {want}, got {got}) — "
+                    "aborted before publish; live table untouched"
+                )
+        for dirpath, dirnames, filenames in os.walk(ins_data):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            stage_files = [
+                os.path.join(dirpath, n) for n in sorted(filenames) if _is_data_file(n)
+            ]
+            if not stage_files:
+                continue
+            rel = os.path.relpath(dirpath, ins_data)
+            leaf = target_path if rel == "." else os.path.join(target_path, rel)
+            os.makedirs(leaf, exist_ok=True)
+            _publish_leaf(leaf, gen, olds=[], stage_files=stage_files)
+            report["files_inserted"] += len(stage_files)
+            touched_leaves.add(leaf)
+        shutil.rmtree(ins_root, ignore_errors=True)
+
+    # ---- rewrite leg: only the found files, matched keys anti-joined out
+    for leaf, names in sorted(by_leaf.items()):
+        names = sorted(names)
+        staging = os.path.join(leaf, STAGING_DIR)
+        shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
+        data_dir = os.path.join(staging, "data")
+        olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        files = [os.path.join(leaf, n) for n in names]
+
+        # basePath keeps partition columns resolvable for the key join
+        # while still scanning ONLY the affected files; they are dropped
+        # again before writing so staged files match the leaf's raw schema
+        src = spark.read.option("basePath", target_path).parquet(*files)
+        drop_parts = [c for c in src.columns if c not in raw_cols]
+
+        def kept():
+            return (
+                spark.read.option("basePath", target_path)
+                .parquet(*files)
+                .join(removed_keys, key_cols, "left_anti")
+                .drop(*drop_parts)
+            )
+
+        n_src = src.count()
+        kept_per_file = {
+            os.path.basename(_local_path(r.f)): r.n
+            for r in spark.read.option("basePath", target_path)
+            .parquet(*files)
+            .withColumn("__f", F.input_file_name())  # capture pre-join
+            .join(removed_keys, key_cols, "left_anti")
+            .groupBy(F.col("__f").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_keep = sum(kept_per_file.values())
+        retired_here = [n for n in names if kept_per_file.get(n, 0) == 0]
+        stage_files: list[str] = []
+        if n_keep:
+            kept().write.parquet(data_dir)
+            if verify:
+                want = _checksum_row(kept())
+                got = _checksum_row(spark.read.parquet(data_dir))
+                if want != got:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise RuntimeError(
+                        f"merge_upsert: staged rewrite of {leaf} does not "
+                        f"checksum-match its kept rows (want {want}, got "
+                        f"{got}) — aborted before publish; live layout "
+                        "untouched"
+                    )
+            stage_files = [
+                os.path.join(data_dir, n)
+                for n in sorted(os.listdir(data_dir))
+                if _is_data_file(n)
+            ]
+        _publish_leaf(leaf, gen, olds=olds, stage_files=stage_files)
+        n_matched_removed += n_src - n_keep
+        report["files_rewritten"] += len(names) - len(retired_here)
+        report["files_retired"] += len(retired_here)
+
+    report["partitions_touched"] = len(touched_leaves)
+    report["rows_after"] = (
+        report["rows_before"] - n_matched_removed + report["upserts"]
+    )
+
+    audit = {
+        "generation": gen,
+        "key_cols": key_cols,
+        "upserts": report["upserts"],
+        "deletes": report["deletes"],
+        "matched_rows_removed": n_matched_removed,
+        "files_rewritten": report["files_rewritten"],
+        "files_retired": report["files_retired"],
+        "files_inserted": report["files_inserted"],
+        "affected_files": sorted(hit_files),
     }
+    tmp = os.path.join(target_path, f"_MERGE-{gen}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(audit, fh, indent=1)
+    os.replace(tmp, os.path.join(target_path, f"_MERGE-{gen}.json"))
+    return report

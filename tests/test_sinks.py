@@ -222,7 +222,10 @@ def test_merge_upsert_update_insert_delete_and_idempotent(spark, tmp_path):
     report = merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
     got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
-    assert report == {"rows_before": 3, "rows_after": 3, "upserts": 2, "deletes": 1}
+    assert {
+        k: report[k] for k in ("rows_before", "rows_after", "upserts", "deletes")
+    } == {"rows_before": 3, "rows_after": 3, "upserts": 2, "deletes": 1}
+    assert report["generation"] is not None
 
     # idempotent: replaying the same change set converges to the same state
     merge_upsert(spark, path, changes, ["k"], delete_col="is_delete")
