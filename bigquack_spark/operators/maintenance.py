@@ -254,11 +254,23 @@ def compact_small_files(
     }
     # roll any crashed swap forward FIRST so planning sees the real layout
     report["resumed"], report["discarded_stale"] = _resume_tree(path)
+    stats_fresh_at_entry = stats_are_fresh(path)
     for plan in plan_compaction(path, target_file_bytes, min_files):
         got = _compact_partition(spark, plan, cluster_cols, verify)
         report["partitions_compacted"] += 1
         for k in ("files_before", "files_after", "bytes_rewritten"):
             report[k] += got[k]
+    report["stats_rebound"] = False
+    if verify and stats_fresh_at_entry and report["partitions_compacted"]:
+        # content equality was checksum-proven per partition, so every
+        # statistic in _STATS.json is still exact — re-bind the manifest
+        # to the new file layout instead of letting it read stale (the
+        # metadata-only refresh the planning loop needs, r7 verdict #2).
+        # Gated on entry freshness: re-binding an already-stale manifest
+        # would bless numbers some OTHER write invalidated.
+        from bigquack_spark.operators.planner import rebind_stats_fingerprint
+
+        report["stats_rebound"] = rebind_stats_fingerprint(path)
     return report
 
 
@@ -267,6 +279,7 @@ def purge_rows(
     path: str,
     predicate: str,
     verify: bool = True,
+    refresh_stats: bool = False,
 ) -> dict:
     """Erasure executor (the GDPR DELETE, the destructive half of
     :func:`bigquack_spark.lineage.blast_radius_columns`'s impact answer):
@@ -416,6 +429,12 @@ def purge_rows(
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
+    if refresh_stats and os.path.exists(os.path.join(path, STATS_FILE)):
+        # a destructive rewrite invalidates _STATS.json (ndv/null counts
+        # changed in ways only a scan can recover) — recompute so the
+        # planning loop stays metadata-answerable.  Opt-in: it costs one
+        # stats pass, maintenance-window priced.
+        collect_table_stats(spark, path)
     return report
 
 

@@ -1,0 +1,224 @@
+"""Stats-driven planning — the consumers of ``_STATS.json`` (r7 verdict #2).
+
+``collect_table_stats`` (operators/maintenance.py) persists row counts,
+null fractions, min/max and HLL ndv bound to the table's data-file
+fingerprint.  This module closes the loop: layout decisions (partition
+key choice, cluster key choice, compaction ROI) are answered from that
+manifest plus the file LISTING — **zero data files opened**.  None of
+these functions takes a SparkSession: at 100 TB that is the difference
+between a planning call that returns in milliseconds and one that costs a
+table scan.
+
+Freshness is a hard gate, not advice: every reader goes through
+:func:`load_fresh_stats`, which raises :class:`StaleStatsError` when the
+manifest is missing or its fingerprint no longer matches the live files —
+a planner that silently used stale ndv would pick yesterday's layout for
+tomorrow's data.  The remediation is one ``collect_table_stats`` call
+(scan-priced, maintenance-window work); compaction re-binds the manifest
+for free because its checksum gate proves content equality, and
+``purge_rows(refresh_stats=True)`` recomputes after a destructive rewrite.
+
+The scan-priced twins of these answers are the oracle-paired audit
+queries q304 (null profile), q305 (partition-key audit) and q308
+(compaction ROI) — same arithmetic, computed from data; pytest holds the
+two paths consistent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from bigquack_spark.operators.maintenance import (
+    STATS_FILE,
+    _table_fingerprint,
+    stats_are_fresh,
+)
+from bigquack_spark.sinks.compact import DEFAULT_TARGET_FILE_BYTES, _is_data_file
+
+
+class StaleStatsError(RuntimeError):
+    """The ``_STATS.json`` manifest is missing or no longer matches the
+    live data files — run ``collect_table_stats`` and retry."""
+
+
+def load_fresh_stats(path: str) -> dict:
+    """The manifest, iff its recorded fingerprint still matches the live
+    data files.  Raises :class:`StaleStatsError` otherwise — planning on
+    stale statistics is refused, never silently degraded."""
+    import json
+
+    p = os.path.join(path, STATS_FILE)
+    if not os.path.exists(p):
+        raise StaleStatsError(
+            f"no {STATS_FILE} at {path!r} — run collect_table_stats first"
+        )
+    if not stats_are_fresh(path):
+        raise StaleStatsError(
+            f"{STATS_FILE} at {path!r} is stale (data files changed since it "
+            "was computed) — re-run collect_table_stats"
+        )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+#: Partition-count guidance: below this many distinct values a key cannot
+#: spread load; above, the object-store listing and per-partition file
+#: minimums dominate (the classic over-partitioning failure).
+_MIN_PARTITIONS = 2
+_DEFAULT_MAX_PARTITIONS = 10_000
+
+
+def recommend_partition_keys(
+    path: str,
+    candidates: list[str] | None = None,
+    max_partitions: int = _DEFAULT_MAX_PARTITIONS,
+) -> list[dict]:
+    """Rank partition-key candidates from fresh stats alone — the
+    metadata-priced sibling of the q305 audit (which runs the same
+    arithmetic as a scan, BEFORE stats exist).
+
+    A good hive-partition key has (1) bounded cardinality — every distinct
+    value becomes a directory, so ndv must sit in [2, max_partitions];
+    (2) few NULLs — NULL rows land in a ``__HIVE_DEFAULT_PARTITION__``
+    catch-all that defeats pruning; (3) balanced occupancy — estimated as
+    rows/ndv.  Returns one dict per viable candidate, best first:
+    ``{column, ndv_approx, null_fraction, est_rows_per_partition,
+    viable}``; non-viable candidates are included (viable=False, reason)
+    so the caller sees WHY a column lost."""
+    stats = load_fresh_stats(path)
+    rows = max(stats["rows"], 1)
+    cols = stats["columns"]
+    names = candidates if candidates is not None else list(cols)
+    out = []
+    for c in names:
+        if c not in cols:
+            raise KeyError(f"no stats for column {c!r} at {path!r}")
+        s = cols[c]
+        ndv = s.get("ndv_approx")
+        null_frac = s["null_count"] / rows
+        rec = {
+            "column": c,
+            "ndv_approx": ndv,
+            "null_fraction": round(null_frac, 6),
+            "est_rows_per_partition": (rows // max(ndv, 1)) if ndv else None,
+            "viable": True,
+            "reason": "",
+        }
+        if ndv is None:
+            rec["viable"], rec["reason"] = False, "type not countable (map)"
+        elif not s["type"] in (
+            "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+        ):
+            rec["viable"], rec["reason"] = False, f"type {s['type']} unsuited"
+        elif null_frac > 0.5:
+            rec["viable"], rec["reason"] = False, "majority NULL"
+        elif ndv < _MIN_PARTITIONS:
+            rec["viable"], rec["reason"] = False, "constant column"
+        elif ndv > max_partitions:
+            rec["viable"], rec["reason"] = (
+                False,
+                f"ndv {ndv} > max_partitions {max_partitions}",
+            )
+        out.append(rec)
+    # best first: viable, then most balanced occupancy (largest partitions
+    # of those under the cap), then fewest NULLs
+    out.sort(
+        key=lambda r: (
+            not r["viable"],
+            -(r["est_rows_per_partition"] or 0),
+            r["null_fraction"],
+        )
+    )
+    return out
+
+
+def recommend_cluster_key(
+    path: str, candidates: list[str] | None = None
+) -> dict | None:
+    """Pick the range-clustering key for ``save_clustered`` from fresh
+    stats: the RANGEABLE column (min/max recorded -> parquet footers carry
+    usable zone maps) with the highest ndv — high cardinality makes file
+    ranges narrow, which is what footer pruning feeds on.  Returns
+    ``{column, ndv_approx, min, max}`` or None when no candidate
+    qualifies."""
+    stats = load_fresh_stats(path)
+    cols = stats["columns"]
+    names = candidates if candidates is not None else list(cols)
+    best = None
+    for c in names:
+        s = cols.get(c)
+        if not s or "min" not in s or s.get("ndv_approx") is None:
+            continue
+        if best is None or s["ndv_approx"] > best[1]:
+            best = (c, s["ndv_approx"])
+    if best is None:
+        return None
+    s = cols[best[0]]
+    return {
+        "column": best[0],
+        "ndv_approx": s["ndv_approx"],
+        "min": s["min"],
+        "max": s["max"],
+    }
+
+
+def estimate_compaction_roi(
+    path: str, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> dict:
+    """Compaction return-on-investment from the file LISTING plus fresh
+    stats — the metadata-priced sibling of q308 (which computes the same
+    shape by scanning).  Scan cost at 100 TB is ~one task per file below
+    split size, so the ROI is the task-count delta; bytes_rewritten is the
+    price paid once.
+
+    Returns ``{files_before, files_after_est, bytes_total, avg_file_bytes,
+    small_file_fraction, est_task_reduction, rows}``."""
+    stats = load_fresh_stats(path)  # freshness gate + rows (no data read)
+    sizes = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        sizes += [
+            os.path.getsize(os.path.join(dirpath, n))
+            for n in filenames
+            if _is_data_file(n)
+        ]
+    files_before = len(sizes)
+    total = sum(sizes)
+    files_after = max(1, math.ceil(total / target_file_bytes)) if total else 0
+    small = sum(1 for s in sizes if s < target_file_bytes // 2)
+    return {
+        "files_before": files_before,
+        "files_after_est": min(files_after, files_before) if files_before else 0,
+        "bytes_total": total,
+        "avg_file_bytes": (total // files_before) if files_before else 0,
+        "small_file_fraction": round(small / files_before, 6) if files_before else 0.0,
+        "est_task_reduction": max(0, files_before - files_after),
+        "rows": stats["rows"],
+    }
+
+
+def rebind_stats_fingerprint(path: str) -> bool:
+    """Re-bind an existing ``_STATS.json`` to the CURRENT data files —
+    sound only when the caller has proven row content unchanged (the
+    compaction executor's checksum gate does exactly that).  A
+    content-preserving rewrite changes every file name/size, so without
+    this the manifest would read stale after every compaction despite
+    every statistic still being exact.  Returns True iff a manifest was
+    re-bound; missing manifest is a no-op (False)."""
+    import json
+
+    p = os.path.join(path, STATS_FILE)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    manifest["fingerprint"] = _table_fingerprint(path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, p)
+    return True

@@ -650,3 +650,132 @@ def test_capture_column_lineage_dotted_column_name(spark, tmp_path):
     assert set(lin) == {"user.id", "metric.value"}
     assert any("id" in s["columns"] for s in lin["user.id"])
     assert any("v" in s["columns"] for s in lin["metric.value"])
+
+
+# -- stats-driven planning (operators/planner.py) ----------------------------
+
+
+def _stats_table(spark, tmp_path, name="st"):
+    path = str(tmp_path / name)
+    spark.range(1000).selectExpr(
+        "id",
+        "id % 4 AS k",
+        "CAST(id % 250 AS STRING) AS cat",
+        "CAST(1 AS BIGINT) AS const",
+        "IF(id % 10 < 7, NULL, id) AS mostly_null",
+        "CAST(id AS DOUBLE) AS v",
+    ).repartition(6).write.parquet(path)
+    return path
+
+
+def test_planner_answers_from_stats_without_opening_data_files(spark, tmp_path):
+    """The zero-data-files-opened guarantee, proven destructively: after
+    stats are collected, every data file is overwritten with same-sized
+    garbage (fingerprint still matches; any parquet read would crash) and
+    the planners still answer."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import (
+        estimate_compaction_roi,
+        recommend_cluster_key,
+        recommend_partition_keys,
+    )
+
+    path = _stats_table(spark, tmp_path)
+    collect_table_stats(spark, path)
+    for f in _data_files(path):
+        size = os.path.getsize(f)
+        with open(f, "wb") as fh:
+            fh.write(b"\x00" * size)  # unreadable as parquet, same fingerprint
+
+    ranked = recommend_partition_keys(path, max_partitions=100)
+    by_col = {r["column"]: r for r in ranked}
+    assert by_col["k"]["viable"]  # ndv 4, no nulls
+    assert not by_col["const"]["viable"] and by_col["const"]["reason"] == "constant column"
+    assert not by_col["mostly_null"]["viable"] and by_col["mostly_null"]["reason"] == "majority NULL"
+    assert not by_col["id"]["viable"]  # ndv ~1000 > 100
+    assert not by_col["v"]["viable"]  # double unsuited
+    assert ranked[0]["column"] == "k"
+
+    ck = recommend_cluster_key(path, ["id", "k", "cat"])
+    assert ck["column"] == "id"  # highest-ndv rangeable candidate
+
+    roi = estimate_compaction_roi(path, target_file_bytes=1 << 30)
+    assert roi["files_before"] == len(_data_files(path))
+    assert roi["files_after_est"] == 1
+    assert roi["est_task_reduction"] == roi["files_before"] - 1
+    assert roi["rows"] == 1000
+
+
+def test_planner_refuses_stale_or_missing_stats(spark, tmp_path):
+    import pytest
+
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import (
+        StaleStatsError,
+        recommend_partition_keys,
+    )
+
+    path = _stats_table(spark, tmp_path, "st2")
+    with pytest.raises(StaleStatsError, match="no _STATS.json"):
+        recommend_partition_keys(path)
+    collect_table_stats(spark, path)
+    recommend_partition_keys(path)  # fresh: fine
+    spark.range(5).selectExpr(
+        "id", "id AS k", "'x' AS cat", "id AS const",
+        "id AS mostly_null", "CAST(id AS DOUBLE) AS v",
+    ).write.mode("append").parquet(path)
+    with pytest.raises(StaleStatsError, match="stale"):
+        recommend_partition_keys(path)
+
+
+def test_compaction_rebinds_fresh_stats_but_never_stale_ones(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        compact_small_files,
+        stats_are_fresh,
+    )
+
+    path = str(tmp_path / "cmp")
+    spark.range(2000).selectExpr("id", "id % 3 AS g").repartition(16).write.parquet(path)
+    m = collect_table_stats(spark, path)
+    rep = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_compacted"] == 1 and rep["stats_rebound"]
+    # metadata-only refresh: manifest is fresh against the NEW layout and
+    # every statistic is unchanged
+    assert stats_are_fresh(path)
+    from bigquack_spark.operators.planner import load_fresh_stats
+
+    m2 = load_fresh_stats(path)
+    assert m2["rows"] == m["rows"] and m2["columns"] == m["columns"]
+
+    # stale-at-entry stats must NOT be blessed by a later compaction
+    path2 = str(tmp_path / "cmp2")
+    spark.range(2000).selectExpr("id", "id % 3 AS g").repartition(16).write.parquet(path2)
+    collect_table_stats(spark, path2)
+    spark.range(7).selectExpr("id", "id AS g").write.mode("append").parquet(path2)
+    assert not stats_are_fresh(path2)
+    rep2 = compact_small_files(spark, path2, target_file_bytes=1 << 30)
+    assert rep2["partitions_compacted"] == 1 and not rep2["stats_rebound"]
+    assert not stats_are_fresh(path2)
+
+
+def test_purge_refresh_stats_recomputes_after_destructive_rewrite(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        purge_rows,
+        stats_are_fresh,
+    )
+    from bigquack_spark.operators.planner import load_fresh_stats
+
+    path = _purge_table(spark, tmp_path, "pstats")
+    collect_table_stats(spark, path)
+
+    rep = purge_rows(spark, path, "tag = '5'", refresh_stats=True)
+    assert rep["n_deleted"] > 0
+    assert stats_are_fresh(path)
+    assert load_fresh_stats(path)["rows"] == 1000 - rep["n_deleted"]
+
+    # without the flag, stats honestly go stale
+    rep2 = purge_rows(spark, path, "tag = '6'")
+    assert rep2["n_deleted"] > 0
+    assert not stats_are_fresh(path)
