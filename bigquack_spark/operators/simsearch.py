@@ -711,6 +711,27 @@ def rebuild_ivf_index(
     assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_build")).write.parquet(
         f"{gen_dir}/build_stats"
     )
+    # generation-swap compatibility for IVF-PQ (r7 verdict #3): if the
+    # live generation carries PQ artifacts, the rebuild refits the
+    # codebooks over the SAME refreshed corpus and publishes them inside
+    # the new generation BEFORE the pointer swap — a probe_ivf_pq running
+    # across the swap reads a complete old or complete new (quantizer +
+    # codebooks + codes), never a torn mix
+    pq_refit = None
+    if os.path.isdir(os.path.join(old_root, "pq_codebooks")):
+        old_books = _load_codebooks(spark, old_root)
+        m, k_codes = len(old_books), len(old_books[0])
+        resid = _with_residual(assigned, centroids)
+        books = train_pq_codebooks(resid, m=m, k_codes=k_codes, seed=seed, vec_col="res")
+        spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(k_codes)],
+            "subspace int, code int, centroid array<double>",
+        ).write.parquet(f"{gen_dir}/pq_codebooks")
+        _encode_pq(resid, books, vec_col="res").select(
+            "id", "codes", "cell"
+        ).write.partitionBy("cell").parquet(f"{gen_dir}/pq_codes")
+        pq_refit = {"m": m, "k_codes": k_codes}
+
     lin = capture_lineage(corpus)
     write_lineage_manifest(
         gen_dir,
@@ -740,7 +761,7 @@ def rebuild_ivf_index(
     if old_root != path or not keep_previous:
         # the original flat layout is now >=2 generations old (or retention
         # is off) — retire it so the dir doesn't accrete dead bytes
-        for sub in ("index", "centroids", "build_stats"):
+        for sub in ("index", "centroids", "build_stats", "pq_codebooks", "pq_codes"):
             flat = os.path.join(path, sub)
             if os.path.isdir(flat):
                 shutil.rmtree(flat, ignore_errors=True)
@@ -752,4 +773,227 @@ def rebuild_ivf_index(
         "n_lists": n_lists,
         "n_vectors": n_vectors,
         "pruned": pruned,
+        "pq_refit": pq_refit,
     }
+
+
+# -- IVF-PQ: memory-bounded two-stage probe (r7 verdict #3) ------------------
+
+
+def _sqd_lit(sub: Column, center: list[float]) -> Column:
+    """Squared L2 distance between an array<double> column and a LITERAL
+    center — the codebook enters the plan as constants, zero joins."""
+    arr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(sub, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    vec_col: str = "vec",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into ``m``
+    equal subspaces and fit a seeded ``k_codes``-centroid KMeans per
+    subspace.  Returns ``books[s][c] = centroid`` (python lists — the
+    whole artifact is m x k_codes x dim/m floats, KB-sized at any corpus
+    scale; the training cost is m bounded MLlib fits).  The code of a
+    vector is the per-subspace argmin against these centers — q213
+    (queries/clustering.py) is the oracle-paired twin of this arithmetic."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    dim = len(v.select("vec").first()["vec"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    subdim = dim // m
+    if len(v.take(k_codes)) < k_codes:
+        raise ValueError(
+            f"train_pq_codebooks: corpus smaller than k_codes={k_codes} — "
+            "PQ compression is pointless there; serve exact instead"
+        )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = v.select(
+            array_to_vector(F.slice("vec", s * subdim + 1, subdim)).alias("features")
+        )
+        model = KMeans(k=k_codes, seed=seed, featuresCol="features").fit(sub)
+        books.append([[float(x) for x in ctr] for ctr in model.clusterCenters()])
+    return books
+
+
+def _encode_pq(df: DataFrame, books: list[list[list[float]]], vec_col: str = "vec"):
+    """codes array<int> via literal-inlined argmin per subspace — one
+    projection over the scan, no shuffle (q213's encoding pass shape)."""
+    m = len(books)
+    subdim = len(books[0][0])
+    code_cols = []
+    for s, centers in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        dists = F.array(*[_sqd_lit(sub, c) for c in centers])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn("codes", F.array(*code_cols))
+
+
+def _with_residual(index: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, vec, cell, res) where res = vec - centroid[cell] — classic
+    IVF-PQ encodes the RESIDUAL, not the raw vector: within a cell the
+    residuals are centered near zero, so the same codebook budget spends
+    its resolution on the differences that actually rank neighbors
+    (raw-vector PQ at small m x k is too coarse to order a cell)."""
+    return index.join(F.broadcast(centroids), "cell").withColumn(
+        "res", F.zip_with("vec", "centroid", lambda x, y: x - y)
+    )
+
+
+def add_pq_to_ivf_index(
+    spark,
+    path: str,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Extend a :func:`build_ivf_index` layout with PQ artifacts — the
+    compression half of IVF-PQ: ``pq_codebooks`` (m x k_codes tiny
+    quantizer table) and ``pq_codes`` (id, codes) partitioned by cell.
+
+    The point at 100 TB: a probe's first pass reads CODES (m small ints
+    per vector) instead of vectors (dim doubles) — a 32-64x I/O reduction
+    on the probed cells — and reads full vectors only for the ``rerank``
+    shortlist.  Codes quantize the RESIDUAL vec - centroid[cell]
+    (:func:`_with_residual`), the classic IVF-PQ construction.  Returns
+    ``{m, k_codes, n_encoded}``."""
+    from pyspark.sql import Observation
+
+    root = _resolve_index_root(path)
+    index = spark.read.parquet(f"{root}/index")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    resid = _with_residual(index, centroids)
+    books = train_pq_codebooks(resid, m=m, k_codes=k_codes, seed=seed, vec_col="res")
+    rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{root}/pq_codebooks")
+    obs = Observation("pq_encode")
+    encoded = _encode_pq(resid, books, vec_col="res").select(
+        "id", "codes", "cell"
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/pq_codes")
+    return {"m": m, "k_codes": k_codes, "n_encoded": int(obs.get["n"])}
+
+
+def _load_codebooks(spark, root: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{root}/pq_codebooks").collect()  # m x k tiny
+    m = 1 + max(r.subspace for r in rows)
+    books: list[dict] = [dict() for _ in range(m)]
+    for r in rows:
+        books[r.subspace][r.code] = list(r.centroid)
+    return [[b[c] for c in sorted(b)] for b in books]
+
+
+def probe_ivf_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture:
+
+    1. **Coarse**: nearest ``n_probes`` cells per query against the
+       broadcast centroid table (identical to :func:`probe_ivf_index`).
+    2. **ADC scan**: over the probed cells' ``pq_codes`` ONLY (codes +
+       id — no vector bytes), each query's asymmetric-distance lookup
+       table (per-subspace squared distance from the query subvector to
+       every codebook center, inlined as literals) scores every candidate as
+       a sum of m array lookups; the best ``rerank`` per query survive.
+    3. **Exact rerank**: only the shortlist's full vectors are read
+       (cell+id join against the partitioned index) and scored with the
+       exact round-6 cosine; output schema and tie order match
+       :func:`probe_ivf_index` exactly — (qid, neighbor_id, cosine_sim,
+       rank).
+
+    With ``rerank`` >= probed-cell occupancy this degrades gracefully to
+    exactly :func:`probe_ivf_index`'s answer; recall@k against brute
+    force is bounded by the same probed-cell set, so the PQ stage costs
+    recall only when ``rerank`` truncates a true neighbor out of the
+    shortlist — the standard IVF-PQ trade."""
+    root = _resolve_index_root(path)
+    books = _load_codebooks(spark, root)
+    m = len(books)
+    subdim = len(books[0][0])
+    centroids = spark.read.parquet(f"{root}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("qid", "qv", "centroid", "cell", dist2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .drop("pr", "d2")
+    )
+    # per-(query, cell) ADC lookup tables over the query RESIDUAL
+    # qv - centroid[cell] (codes quantize residuals) — one k_codes-array
+    # per subspace, computed on qids x n_probes rows; the codebook enters
+    # as literals, so this is a projection, not a join
+    qres = F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x - y)
+    for s, centers in enumerate(books):
+        sub = F.slice(qres, s * subdim + 1, subdim)
+        probes = probes.withColumn(
+            f"__lut{s}", F.array(*[_sqd_lit(sub, c) for c in centers])
+        )
+    probes = probes.drop("centroid")
+
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"__lut{s}"), F.element_at(F.col("codes"), s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("id"))
+    shortlist = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "qv", "cell", "id", adc.alias("adc_d2"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "qv", "cell", "id")
+    )
+
+    index = spark.read.parquet(f"{root}/index")
+    sims = (
+        index.join(F.broadcast(shortlist), ["cell", "id"])
+        .select(
+            "qid",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("vec"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -560,15 +560,17 @@ PQ_K = 4           # codebook entries per subspace (2-bit codes)
 PQ_ITERS = 2       # unrolled Lloyd iterations per subspace
 
 
-def _pq_oracle() -> str:
-    """Per-subspace unrolled Lloyd + assignment, joined on vec_id — the
-    q144 generator applied to each 32-dim slice."""
+def _pq_cte_chain() -> tuple[str, list[str], list[str]]:
+    """The shared DuckDB CTE prefix replaying per-subspace PQ training:
+    returns (sql_prefix, final_assignment_tables, final_codebook_tables) —
+    q213 (encoding) and q310 (ADC audit) build on the same chain."""
     sql = f"""
     WITH v AS (
       SELECT vec_id, list_transform({_Q_SQL}, x -> CAST(x AS DOUBLE)) AS qd
       FROM embeddings
     )"""
     finals = []
+    prevs = []
     for s in range(PQ_SUBSPACES):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
         dist = _DIST_SQL.format(d=PQ_SUBDIM, c="c.cvec")
@@ -605,6 +607,14 @@ def _pq_oracle() -> str:
     )"""
                 prev = f"s{s}c{it}"
         finals.append(f"s{s}a{PQ_ITERS}")
+        prevs.append(prev)
+    return sql, finals, prevs
+
+
+def _pq_oracle() -> str:
+    """Per-subspace unrolled Lloyd + assignment, joined on vec_id — the
+    q144 generator applied to each 32-dim slice."""
+    sql, finals, _prevs = _pq_cte_chain()
     sql += f"""
     SELECT a.vec_id,
            CAST(a.cluster AS INTEGER) AS code_0,
@@ -669,6 +679,122 @@ def q213_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist_cols.append(F.col(f"__m{s}"))
     err = F.round(F.sqrt(sum(dist_cols[1:], dist_cols[0])) / SCALE, 6)
     return sel.select(*out_cols, err.alias("recon_err"))
+
+
+def _pq_adc_oracle() -> str:
+    """q310: ADC (asymmetric distance computation) audit on the q213
+    chain — the query's exact subvectors against each corpus vector's
+    ASSIGNED codeword, vs the true distance."""
+    sql, finals, prevs = _pq_cte_chain()
+    da = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[i] - c0.cvec[i]) * (q.qd[i] - c0.cvec[i])))"
+    )
+    db = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i]) * (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i])))"
+    )
+    dq = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> (q.qd[i] - vv.qd[i]) * (q.qd[i] - vv.qd[i])))"
+    )
+    sql += f""",
+    q AS (SELECT qd FROM v WHERE vec_id = 0)
+    SELECT vec_id, code_0, code_1, adc_dist, true_dist,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT a.vec_id,
+             CAST(a.cluster AS INTEGER) AS code_0,
+             CAST(b.cluster AS INTEGER) AS code_1,
+             round(sqrt({da} + {db}) / {SCALE}, 6) AS adc_dist,
+             round(sqrt({dq}) / {SCALE}, 6) AS true_dist,
+             row_number() OVER (
+               ORDER BY round(sqrt({da} + {db}) / {SCALE}, 6), a.vec_id
+             ) AS rank
+      FROM {finals[0]} a
+      JOIN {finals[1]} b ON a.vec_id = b.vec_id
+      JOIN {prevs[0]} c0 ON c0.cluster = a.cluster
+      JOIN {prevs[1]} c1 ON c1.cluster = b.cluster
+      JOIN v vv ON vv.vec_id = a.vec_id
+      CROSS JOIN q
+    ) WHERE rank <= 10
+    """
+    return sql
+
+
+@query("q310_pq_adc_audit", oracle=_pq_adc_oracle())
+def q310_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC audit for IVF-PQ serving (r7 verdict #3's oracle-paired leg,
+    twin of ``operators/simsearch.probe_ivf_pq``'s stage 2): using q213's
+    deterministically trained codebooks, score every corpus vector by the
+    ASYMMETRIC distance — the query's exact subvector against the
+    vector's assigned codeword — and return the ADC top-10 with the true
+    distance alongside, auditing exactly the arithmetic the PQ shortlist
+    ranks by (sum of per-subspace LUT lookups).
+
+    Plan shape: codebook training is q213's bounded literal loop; the
+    scoring pass is ONE projection over the corpus scan — the query
+    vector is a 1-row bounded collect whose per-codeword LUT is computed
+    driver-side (PQ_SUBSPACES x PQ_K floats) and inlined as literals, so
+    ADC per row is two array lookups, no join, no shuffle; the top-10 is
+    a TakeOrdered, never a global sort.  The oracle replays training and
+    scores via the same sequential-fold arithmetic."""
+    e = t(spark, sf_dir, "embeddings", rebalance=True)
+    v = e.select(
+        "vec_id", _quantize(F.col("embedding")).cast("array<double>").alias("qd")
+    )
+    if not v.filter(F.col("vec_id") < PQ_K).take(1):
+        return spark.createDataFrame(
+            [],
+            "vec_id long, code_0 int, code_1 int, adc_dist double, "
+            "true_dist double, rank int",
+        )
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(PQ_SUBSPACES):
+        sub = v.select("vec_id", F.slice("qd", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qd"))
+        cents = [
+            (int(r["vec_id"]), list(r["qd"]))
+            for r in sub.filter(F.col("vec_id") < PQ_K).collect()
+        ]
+        for it in range(1, PQ_ITERS):
+            cents = _centroid_rows(_assign_literal(sub, cents), "cluster")
+        books.append(sorted(cents))
+
+    qrow = [float(x) for x in v.filter(F.col("vec_id") == 0).collect()[0]["qd"]]
+    sel = v
+    out_cols = ["vec_id"]
+    adc_terms = []
+    for s, cents in enumerate(books):
+        sub_qd = F.slice("qd", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dists = F.array(*[_sq_dist_lit(sub_qd, c) for _, c in cents])
+        ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+        sel = sel.withColumn(f"__d{s}", dists)
+        pos = F.array_position(F.col(f"__d{s}"), F.array_min(f"__d{s}")).cast("int")
+        sel = sel.withColumn(f"code_{s}", F.element_at(ids, pos).cast("int"))
+        # driver-side LUT: query subvector vs each codeword, the same
+        # sequential fold the oracle's list_sum performs (IEEE-identical)
+        qsub = qrow[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        lut = []
+        for _cid, c in cents:
+            acc = 0.0
+            for a_val, b_val in zip(qsub, c):
+                d = a_val - b_val
+                acc = acc + d * d
+            lut.append(acc)
+        adc_terms.append(
+            F.element_at(F.array(*[F.lit(x) for x in lut]), pos)
+        )
+        out_cols.append(f"code_{s}")
+    adc = F.round(F.sqrt(sum(adc_terms[1:], adc_terms[0])) / SCALE, 6)
+    true_d = F.round(F.sqrt(_sq_dist_lit(F.col("qd"), qrow)) / SCALE, 6)
+    scored = sel.select(
+        *out_cols, adc.alias("adc_dist"), true_d.alias("true_dist")
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def _silhouette_oracle() -> str:

@@ -13,7 +13,7 @@ from bigquack_spark.operators import multimodal as M
 from bigquack_spark.operators import simsearch as S
 from bigquack_spark.operators import text as X
 from bigquack_spark.types import BQField, bq_field_to_spark, bq_schema_to_struct
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, SF_T2
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
@@ -1778,3 +1778,94 @@ def test_fresh_build_supersedes_generations(spark, tmp_path):
     r2 = S.rebuild_ivf_index(spark, path)
     assert r2["n_vectors"] == half.count()
     assert r2["previous"] == "(flat)" and r1["generation"] not in os.listdir(path)
+
+
+def test_ivf_pq_two_stage_probe_recall_and_degradation(spark, tmp_path):
+    """IVF-PQ (r7 verdict #3): with a generous rerank budget the two-stage
+    probe returns EXACTLY probe_ivf_index's answer (same probed cells,
+    exact rerank), and at equal n_probes its recall@k against brute force
+    is no worse than plain IVF's."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    rep = S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42)
+    assert rep == {"m": 8, "k_codes": 16, "n_encoded": 500}
+
+    plain = sorted(
+        map(tuple, S.probe_ivf_index(spark, path, queries, k=5, n_probes=2).collect())
+    )
+    generous = sorted(
+        map(
+            tuple,
+            S.probe_ivf_pq(spark, path, queries, k=5, n_probes=2, rerank=500).collect(),
+        )
+    )
+    assert generous == plain  # graceful degradation to IVF-Flat
+
+    # recall@5 vs brute force: PQ-with-rerank no worse than plain IVF
+    brute = S.cosine_topk(emb, queries, k=5)
+    want = {(r.qid, r.neighbor_id) for r in brute.select("qid", "neighbor_id").collect()}
+
+    def recall(df):
+        got = {(r.qid, r.neighbor_id) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    r_ivf = recall(S.probe_ivf_index(spark, path, queries, k=5, n_probes=2))
+    r_pq = recall(S.probe_ivf_pq(spark, path, queries, k=5, n_probes=2, rerank=150))
+    assert r_pq >= r_ivf
+
+
+def test_ivf_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
+    """The memory-bounded claim, plan-asserted: the ADC stage's scan of
+    pq_codes must not materialize any vector column — vector bytes are
+    read only for the rerank shortlist."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivfpq_plan")
+    S.build_ivf_index(emb, path, n_lists=4, seed=42)
+    S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
+    served = S.probe_ivf_pq(spark, path, queries, k=3, n_probes=2, rerank=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # identify the pq_codes scan by its column set (the Location path is
+    # truncated in the plan string): it must carry codes and NO vector col
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    code_scans = [ln for ln in scans if "codes#" in ln]
+    assert code_scans, "expected a FileScan over pq_codes"
+    for ln in code_scans:
+        assert "vec#" not in ln, "ADC stage must not materialize vectors"
+    # correctness of the same probe
+    assert served.count() > 0
+
+
+def test_ivf_pq_rebuild_refits_codebooks_across_generation_swap(spark, tmp_path):
+    """rebuild_ivf_index must refit PQ codebooks over the refreshed corpus
+    and publish them inside the new generation before the pointer swap —
+    probes keep working across the swap."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq_gen")
+    assert S.build_ivf_index(first, path, n_lists=4, seed=42) == 4
+    S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
+    S.append_to_ivf_index(spark, path, rest)
+
+    report = S.rebuild_ivf_index(spark, path)
+    assert report["pq_refit"] == {"m": 2, "k_codes": 8}
+    gen_dir = os.path.join(path, report["generation"])
+    assert os.path.isdir(os.path.join(gen_dir, "pq_codebooks"))
+    assert os.path.isdir(os.path.join(gen_dir, "pq_codes"))
+    served = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4, rerank=500)
+    # the full corpus is indexed post-rebuild; generous budget == exact
+    # within probed cells == probe_ivf_index parity
+    want = sorted(
+        map(tuple, S.probe_ivf_index(spark, path, queries, k=5, n_probes=4).collect())
+    )
+    assert sorted(map(tuple, served.collect())) == want
+    # codes cover the appended vectors too
+    root = os.path.join(path, report["generation"])
+    n_codes = spark.read.parquet(f"{root}/pq_codes").count()
+    assert n_codes == 500
