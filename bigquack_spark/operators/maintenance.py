@@ -592,3 +592,181 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
         except OSError:
             pass
     return report
+
+
+def _partition_leaves(path: str) -> tuple[list[str], list[tuple[str, dict]]]:
+    """Partition columns (in directory order) and every leaf dir with its
+    parsed ``col=value`` map — pure filesystem metadata, no Spark, no
+    file opened."""
+    from urllib.parse import unquote
+
+    part_cols: list[str] = []
+    leaves: list[tuple[str, dict]] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        if not any(_is_data_file(f) for f in filenames):
+            continue
+        rel = os.path.relpath(dirpath, path)
+        vals: dict[str, str | None] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    return [], []  # not a hive layout
+                c, v = seg.split("=", 1)
+                vals[c] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+        for c in vals:
+            if c not in part_cols:
+                part_cols.append(c)
+        leaves.append((dirpath, vals))
+    return part_cols, leaves
+
+
+def _infer_partition_type(values: list) -> str:
+    """Spark's partition-value inference, simplified: int -> double ->
+    date -> string over the non-NULL value set."""
+    import datetime
+
+    nonnull = [v for v in values if v is not None]
+    if not nonnull:
+        return "string"
+    for cast, t in ((int, "bigint"), (float, "double")):
+        try:
+            for v in nonnull:
+                cast(v)
+            return t
+        except ValueError:
+            continue
+    try:
+        for v in nonnull:
+            datetime.date.fromisoformat(v)
+        return "date"
+    except ValueError:
+        return "string"
+
+
+def apply_retention(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    verify: bool = True,
+) -> dict:
+    """Retention executor — apply the TTL policy q306 sized: delete every
+    row matching ``predicate`` (rows to RETIRE).
+
+    **Metadata-only fast path**: when the predicate references ONLY
+    partition columns, whole leaf directories retire under the shared
+    marker/roll-forward protocol WITHOUT reading a single data file — the
+    partition values are parsed from the directory names, typed by the
+    same inference Spark's reader uses, and the predicate is evaluated
+    driver-side over that leaf-count-sized table.  At 100 TB a
+    "drop data older than N years" policy on a date-partitioned table
+    costs a directory listing, not a scan (``purge_rows`` would scan to
+    find hits even for pure partition predicates).
+
+    Any predicate touching a data column falls back to
+    :func:`purge_rows` (scan-priced, file-pruned).  Evidence lands as
+    ``_RETENTION-<gen>.json`` at the table root.  Returns ``{mode,
+    n_deleted, files_retired, bytes_retired, partitions_touched, resumed,
+    discarded_stale, generation}`` — ``n_deleted`` is None in the fast
+    path (row counts would require opening files; the sizing query is the
+    row-grain answer)."""
+    import uuid as _uuid
+
+    part_cols, leaves = _partition_leaves(path)
+    fast = False
+    matched: list[str] = []
+    if part_cols:
+        # the predicate is partition-only iff it ANALYZES against a frame
+        # holding just the typed partition columns — no expression parsing
+        by_col = {c: [vals.get(c) for _leaf, vals in leaves] for c in part_cols}
+        schema = ", ".join(
+            f"`{c}` {_infer_partition_type(by_col[c])}" for c in part_cols
+        ) + ", __leaf string"
+
+        def _typed(c: str, v: str | None):
+            t = _infer_partition_type(by_col[c])
+            if v is None:
+                return None
+            if t == "bigint":
+                return int(v)
+            if t == "double":
+                return float(v)
+            if t == "date":
+                import datetime
+
+                return datetime.date.fromisoformat(v)
+            return v
+
+        rows = [
+            tuple(_typed(c, vals.get(c)) for c in part_cols) + (leaf,)
+            for leaf, vals in leaves
+        ]
+        pdf = spark.createDataFrame(rows, schema)
+        try:
+            matched = [r["__leaf"] for r in pdf.filter(predicate).collect()]
+            fast = True
+        except Exception:
+            fast = False  # references a data column -> scan path
+
+    if not fast:
+        report = purge_rows(spark, path, predicate, verify=verify)
+        report["mode"] = "scan"
+        report["bytes_retired"] = None
+        return report
+
+    resumed, discarded = _resume_tree(path)
+    report = {
+        "mode": "partition",
+        "n_deleted": None,
+        "files_retired": 0,
+        "bytes_retired": 0,
+        "partitions_touched": 0,
+        "resumed": resumed,
+        "discarded_stale": discarded,
+        "generation": None,
+    }
+    if not matched:
+        return report
+    gen = _uuid.uuid4().hex[:12]
+    report["generation"] = gen
+    retired_leaves = []
+    for leaf in sorted(matched):
+        names = sorted(n for n in os.listdir(leaf) if _is_data_file(n))
+        if not names:
+            continue
+        staging = os.path.join(leaf, STAGING_DIR)
+        shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
+        os.makedirs(os.path.join(staging, "data"), exist_ok=True)
+        olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        _write_marker(staging, gen, olds, prefix="retired")  # commit point
+        _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="retired")
+        report["files_retired"] += len(olds)
+        report["bytes_retired"] += sum(s for _n, s in olds)
+        report["partitions_touched"] += 1
+        retired_leaves.append(os.path.relpath(leaf, path))
+        # with every data file retired, the Hadoop .crc sidecars are
+        # orphans — sweep them, then prune the empty directory chain
+        if not any(_is_data_file(n) for n in os.listdir(leaf)):
+            for n in os.listdir(leaf):
+                if n.startswith(".") and n.endswith(".crc"):
+                    os.remove(os.path.join(leaf, n))
+        d = leaf
+        while d != path and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+
+    audit = {
+        "generation": gen,
+        "predicate": predicate,
+        "mode": "partition",
+        "leaves_retired": retired_leaves,
+        "files_retired": report["files_retired"],
+        "bytes_retired": report["bytes_retired"],
+    }
+    tmp = os.path.join(path, f"_RETENTION-{gen}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(audit, fh, indent=1)
+    os.replace(tmp, os.path.join(path, f"_RETENTION-{gen}.json"))
+    return report

@@ -595,11 +595,14 @@ def test_collect_table_stats_and_freshness(spark, tmp_path):
     assert m2["rows"] == 4
     assert stats_are_fresh(path) is True
 
-    # maintenance rewrites change the fingerprint too (layout-bound)
+    # r8: a verified compaction re-binds the manifest to the new layout
+    # (content checksum-proven equal) — stats stay fresh; an UNverified
+    # one must not bless them, so there they go stale (layout-bound)
     from bigquack_spark.operators.maintenance import compact_small_files
 
-    compact_small_files(spark, path, target_file_bytes=1 << 30)
-    assert stats_are_fresh(path) is False
+    rep = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert rep["stats_rebound"] is True
+    assert stats_are_fresh(path) is True
 
 
 def test_collect_table_stats_zero_rows_and_map_columns(spark, tmp_path):
@@ -779,3 +782,127 @@ def test_purge_refresh_stats_recomputes_after_destructive_rewrite(spark, tmp_pat
     rep2 = purge_rows(spark, path, "tag = '6'")
     assert rep2["n_deleted"] > 0
     assert not stats_are_fresh(path)
+
+
+# -- retention executor (apply_retention) ------------------------------------
+
+
+def _retention_table(spark, tmp_path, name="rt"):
+    """age_years-partitioned table: age 0..3, 250 rows each, 2 files per
+    partition."""
+    path = str(tmp_path / name)
+    spark.range(1000).selectExpr(
+        "id", "id % 4 AS age_years", "CAST(id AS STRING) AS payload"
+    ).repartition(2).write.partitionBy("age_years").parquet(path)
+    return path
+
+
+def test_apply_retention_partition_fast_path_opens_zero_data_files(spark, tmp_path):
+    """Partition-only predicate: whole leaves retire from directory
+    metadata alone — proven by overwriting every data file with unreadable
+    same-sized garbage first."""
+    from bigquack_spark.operators.maintenance import apply_retention
+
+    path = _retention_table(spark, tmp_path)
+    sizes_to_retire = sum(
+        os.path.getsize(f) for f in _data_files(path) if "/age_years=3/" in f
+    )
+    n_files_retire = sum(1 for f in _data_files(path) if "/age_years=3/" in f)
+    for f in _data_files(path):
+        with open(f, "r+b") as fh:
+            fh.write(b"\x00" * os.path.getsize(f))  # unreadable, same size
+    keep_bytes = {
+        f: open(f, "rb").read() for f in _data_files(path) if "/age_years=3/" not in f
+    }
+
+    rep = apply_retention(spark, path, "age_years >= 3")
+    assert rep["mode"] == "partition"
+    assert rep["n_deleted"] is None  # honest: rows unknown without a scan
+    assert rep["partitions_touched"] == 1
+    assert rep["files_retired"] == n_files_retire
+    assert rep["bytes_retired"] == sizes_to_retire
+    assert not os.path.isdir(os.path.join(path, "age_years=3"))
+    # untouched partitions byte-identical (still the garbage we wrote)
+    for f, want in keep_bytes.items():
+        assert open(f, "rb").read() == want
+    audits = [f for f in os.listdir(path) if f.startswith("_RETENTION-")]
+    assert len(audits) == 1
+    import json
+
+    audit = json.load(open(os.path.join(path, audits[0])))
+    assert audit["leaves_retired"] == ["age_years=3"]
+    assert audit["bytes_retired"] == sizes_to_retire
+
+    # idempotent: nothing left to retire
+    again = apply_retention(spark, path, "age_years >= 3")
+    assert again["generation"] is None and again["partitions_touched"] == 0
+
+
+def test_apply_retention_data_predicate_falls_back_to_purge(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import apply_retention
+
+    path = _retention_table(spark, tmp_path, "rt2")
+    rep = apply_retention(spark, path, "age_years = 1 AND payload = '5'")
+    assert rep["mode"] == "scan"
+    assert rep["n_deleted"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 999
+    assert after.filter("payload = '5'").count() == 0
+
+
+def test_apply_retention_reconciles_with_policy_sizing(spark, tmp_path):
+    """q306's shape on the SAME table: the bytes a TTL at age>=2 is sized
+    to reclaim (per-partition on-disk bytes, oldest-first) must equal the
+    executor's report exactly."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.operators.maintenance import apply_retention
+
+    path = _retention_table(spark, tmp_path, "rt3")
+    per_part_bytes = {}
+    for f in _data_files(path):
+        age = int(f.split("age_years=")[1].split("/")[0])
+        per_part_bytes[age] = per_part_bytes.get(age, 0) + os.path.getsize(f)
+    sized_reclaim = sum(b for age, b in per_part_bytes.items() if age >= 2)
+    rows_before = spark.read.parquet(path).count()
+    rows_to_keep = (
+        spark.read.parquet(path).filter(F.col("age_years") < 2).count()
+    )
+
+    rep = apply_retention(spark, path, "age_years >= 2")
+    assert rep["bytes_retired"] == sized_reclaim
+    assert rep["partitions_touched"] == 2
+    after = spark.read.parquet(path)
+    assert after.count() == rows_to_keep < rows_before
+    assert after.filter("age_years >= 2").count() == 0
+
+
+def test_apply_retention_crash_rolls_forward(spark, tmp_path):
+    from bigquack_spark.operators import maintenance
+
+    path = _retention_table(spark, tmp_path, "rt4")
+
+    class Boom(RuntimeError):
+        pass
+
+    real = maintenance._finish_swap
+    state = {"crashed": False}
+
+    def crash_once(leaf, staging, gen, olds, prefix="compacted"):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise Boom()
+        return real(leaf, staging, gen, olds, prefix=prefix)
+
+    maintenance._finish_swap = crash_once
+    try:
+        with pytest.raises(Boom):
+            maintenance.apply_retention(spark, path, "age_years = 0")
+    finally:
+        maintenance._finish_swap = real
+
+    rep = maintenance.apply_retention(spark, path, "age_years = 0")
+    assert rep["resumed"] == 1
+    after = spark.read.parquet(path)
+    assert after.filter("age_years = 0").count() == 0
+    assert after.count() == 750
