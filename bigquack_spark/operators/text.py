@@ -287,3 +287,112 @@ def winnow_windows(text_col: str = "text") -> Column:
             lambda i: F.array_min(F.slice(roll, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+# -- BPE trainer (r7 verdict #6) ---------------------------------------------
+
+#: Symbol-sequence delimiters for the BPE merge loop: every symbol is
+#: wrapped as SOSsymEOS, so "merge pair (a, b)" is a plain string replace
+#: of SOS+a+EOS+SOS+b+EOS — non-overlapping left-to-right, exactly the
+#: greedy BPE merge semantics — with no false match across symbol
+#: boundaries (the naive space-separated encoding loses its shared
+#: delimiter to the first replacement: " a a a " -> " aa a", dropping the
+#: second merge of [a,a,a,a]).  Tokens containing the control chars are
+#: excluded up front.
+BPE_SOS = "\x01"
+BPE_EOS = "\x02"
+
+
+def _bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): each distinct token as a wrapped-symbol string of its
+    characters, weighted by corpus frequency.  This is the scale move of
+    BPE training — every later round works on the VOCABULARY (bounded,
+    ~1M rows at 100 TB), not the corpus."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).filter(
+        (F.length("tok") > 0)
+        & ~F.col("tok").contains(BPE_SOS)
+        & ~F.col("tok").contains(BPE_EOS)
+    )
+    wrapped = F.regexp_replace("tok", "(.)", f"{BPE_SOS}$1{BPE_EOS}")
+    return toks.groupBy(wrapped.alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, n_occurrences): adjacent symbol pairs over the word
+    table, weighted by word frequency — one explode + one aggregate whose
+    shuffle is bounded by the pair vocabulary, not the corpus."""
+    syms = F.regexp_extract_all(
+        F.col("w"), F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            # CASE guards the 1-symbol word: Spark's sequence(1, 0) counts
+            # DOWN ([1, 0]), it does not return an empty array
+            F.expr(
+                "CASE WHEN size(__syms) < 2 THEN "
+                "  CAST(array() AS array<struct<left:string,right:string>>) "
+                "ELSE transform(sequence(1, size(__syms) - 1), "
+                "  i -> struct(__syms[i - 1] AS left, __syms[i] AS right)) END"
+            )
+        ).alias("p"),
+    ).select("freq", "p.left", "p.right")
+    return pairs.groupBy("left", "right").agg(
+        F.sum("freq").cast("long").alias("n_occurrences")
+    )
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (corpus-scale tokenizer
+    induction — the loop q146 runs ONE round of): ``n_merges`` rounds of
+    count-adjacent-pairs -> pick the most frequent (ties broken (left,
+    right) lexicographic, deterministic cross-engine) -> merge it greedily
+    left-to-right in every vocabulary word.
+
+    Returns the merge table as a DataFrame: (round, left, right, merged,
+    n_occurrences) — the artifact a BPE tokenizer ships.  Stops early
+    when no adjacent pair remains (every word fused to one symbol).
+
+    Scale shape: the corpus is read ONCE into a frequency-weighted word
+    table (vocabulary-bounded); each round is one explode + one
+    pair-vocabulary-bounded aggregate + a 1-row collect (the argmax),
+    and the merge itself is a per-row string replace.  The word table is
+    cached and re-materialized per round so the plan stays flat across
+    rounds instead of nesting ``n_merges`` transforms."""
+    spark = df.sparkSession
+    words = _bpe_word_table(df, text_col).cache()
+    words.count()
+    merges: list[tuple] = []
+    try:
+        for rnd in range(1, n_merges + 1):
+            syms = F.regexp_extract_all(
+                F.col("w"), F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
+            )
+            best = (
+                _bpe_pair_counts(words.withColumn("__syms", syms))
+                .orderBy(F.desc("n_occurrences"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((rnd, b.left, b.right, b.left + b.right, b.n_occurrences))
+            pat = f"{BPE_SOS}{b.left}{BPE_EOS}{BPE_SOS}{b.right}{BPE_EOS}"
+            rep = f"{BPE_SOS}{b.left}{b.right}{BPE_EOS}"
+            nxt = words.withColumn(
+                "w", F.replace(F.col("w"), F.lit(pat), F.lit(rep))
+            ).cache()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges or [],
+        "round int, left string, right string, merged string, n_occurrences long",
+    )

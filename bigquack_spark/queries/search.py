@@ -731,3 +731,72 @@ def q239_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p").cast("long").alias("first_pos"),
         )
     )
+
+
+def _bpe_merge_oracle(n_rounds: int = 3) -> str:
+    """Unrolled BPE training rounds in DuckDB: wrapped-symbol word table
+    (chr(1)/chr(2) delimiters — operators/text.py BPE_SOS/BPE_EOS), per
+    round a pair count + deterministic argmax + literal string replace.
+    The q247 UNNEST-with-position idiom extracts adjacent pairs."""
+    sos, eos = "chr(1)", "chr(2)"
+    sql = f"""
+    WITH w0 AS (
+      SELECT regexp_replace(tok, '(.)', {sos} || '\\1' || {eos}, 'g') AS w,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      WHERE length(tok) > 0
+        AND tok NOT LIKE '%' || {sos} || '%'
+        AND tok NOT LIKE '%' || {eos} || '%'
+      GROUP BY 1
+    )"""
+    for r in range(1, n_rounds + 1):
+        sql += f""",
+    p{r} AS (
+      SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT freq, u.l AS lft, u.r AS rgt FROM (
+          SELECT freq,
+                 regexp_extract_all(w, {sos} || '([^' || {eos} || ']*)' || {eos}, 1) AS syms
+          FROM w{r - 1}
+        ), UNNEST(list_transform(range(1, len(syms)),
+                                 i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS t(u)
+      ) GROUP BY lft, rgt
+    ),
+    b{r} AS (SELECT lft, rgt, n FROM p{r} ORDER BY n DESC, lft, rgt LIMIT 1),
+    w{r} AS (
+      SELECT replace(
+               w,
+               (SELECT {sos} || lft || {eos} || {sos} || rgt || {eos} FROM b{r}),
+               (SELECT {sos} || lft || rgt || {eos} FROM b{r})
+             ) AS w, freq
+      FROM w{r - 1}
+    )"""
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, lft, rgt, lft || rgt AS merged, n FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    sql += f"""
+    SELECT CAST(round AS INTEGER) AS round, lft AS "left", rgt AS "right",
+           merged, n AS n_occurrences
+    FROM ({finals}) ORDER BY round
+    """
+    return sql
+
+
+@query("q311_bpe_merge_table", oracle=_bpe_merge_oracle())
+def q311_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, three merge rounds over the documents
+    corpus (r7 verdict #6's oracle-paired leg; twin of
+    ``operators/text.train_bpe``): per round, the corpus-frequency-
+    weighted adjacent-pair argmax (ties (left, right)-lexicographic) and
+    the greedy left-to-right merge of that pair in every vocabulary word.
+    q146 is exactly ONE round of this loop's counting kernel.
+
+    Plan shape per round (the real trainer's shape at any scale): the
+    corpus collapses ONCE to a frequency-weighted word table; each round
+    shuffles only pair-vocabulary-bounded counts and collects ONE row
+    (the argmax) to drive a per-row literal string replace.  The oracle
+    unrolls the same three rounds in SQL."""
+    from bigquack_spark.operators.text import train_bpe
+
+    d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
+    return train_bpe(d, n_merges=3)

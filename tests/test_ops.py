@@ -1869,3 +1869,31 @@ def test_ivf_pq_rebuild_refits_codebooks_across_generation_swap(spark, tmp_path)
     root = os.path.join(path, report["generation"])
     n_codes = spark.read.parquet(f"{root}/pq_codes").count()
     assert n_codes == 500
+
+
+def test_train_bpe_planted_corpus_converges(spark):
+    """BPE trainer on a corpus with a known merge order: each round's
+    argmax and greedy merge hand-verified, early stop once every word
+    fused to one symbol."""
+    from bigquack_spark.operators.text import train_bpe
+
+    df = spark.createDataFrame(
+        [("banana banana",), ("banana band",)], "text string"
+    )
+    got = [tuple(r) for r in train_bpe(df, n_merges=10).collect()]
+    assert got == [
+        (1, "a", "n", "an", 7),       # banana x3 + band x1
+        (2, "b", "an", "ban", 4),
+        (3, "an", "a", "ana", 3),     # tie with (ban,an): lexicographic
+        (4, "ban", "ana", "banana", 3),
+        (5, "ban", "d", "band", 1),
+    ]  # round 6 finds no pair -> early stop
+
+    # overlap semantics: counting is POSITIONAL (3 adjacent (a,a) pairs in
+    # 'aaaa', the standard BPE statistic) while the merge is greedy
+    # left-to-right ([a,a,a,a] -> [aa,aa])
+    df2 = spark.createDataFrame([("aaaa aaaa aa",)], "text string")
+    got2 = [tuple(r) for r in train_bpe(df2, n_merges=2).collect()]
+    assert got2[0] == (1, "a", "a", "aa", 3 * 2 + 1)
+    # round 2: both 'aaaa' words are now [aa, aa] -> (aa, aa): 2
+    assert got2[1] == (2, "aa", "aa", "aaaa", 2)
