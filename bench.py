@@ -725,6 +725,104 @@ def _compaction_block(spark, scaled_dir: str) -> dict | None:
         return None
 
 
+def _merge_block(spark, scaled_dir: str) -> dict | None:
+    """r7 verdict #1: measure the file-pruned MERGE's whole point — a CDC
+    change set touching ONE partition must rewrite bytes proportional to
+    the touched files, never the table.  The 10x lineitem lands
+    partitioned by l_returnflag (3 leaves, several files each); a 5-row
+    change set against one (l_returnflag, l_orderkey, l_linenumber) key
+    group is merged, and the block reports exactly which bytes moved
+    (pre/post file-size snapshot) plus byte-identity of every untouched
+    file."""
+    import shutil
+    import tempfile
+
+    try:
+        from pyspark.sql import functions as F
+
+        from bigquack_spark.sinks.merge import merge_upsert
+
+        root = tempfile.mkdtemp(prefix="bq_merge_")
+        tgt = os.path.join(root, "lineitem_parted")
+        try:
+            li = spark.read.parquet(os.path.join(scaled_dir, "lineitem.parquet"))
+            li.repartition(8).write.partitionBy("l_returnflag").parquet(tgt)
+
+            def snapshot():
+                out = {}
+                for dirpath, dirnames, filenames in os.walk(tgt):
+                    dirnames[:] = [
+                        d for d in dirnames if not d.startswith((".", "_"))
+                    ]
+                    for n in filenames:
+                        if n.endswith(".parquet") and not n.startswith((".", "_")):
+                            p = os.path.join(dirpath, n)
+                            out[p] = os.path.getsize(p)
+                return out
+
+            before = snapshot()
+            table_bytes = sum(before.values())
+            # change set: 5 updates inside l_returnflag='R' only —
+            # MATERIALIZED first (a lazy change set reading the merge
+            # target would re-scan files the merge is retiring)
+            cols = spark.read.parquet(tgt).columns
+            rows = (
+                spark.read.parquet(tgt)
+                .filter("l_returnflag = 'R'")
+                .limit(5)
+                .withColumn("l_comment", F.lit("cdc-updated"))
+                .select(*cols)
+                .collect()
+            )
+            changes = spark.createDataFrame(
+                rows, spark.read.parquet(tgt).select(*cols).schema
+            )
+            t0 = time.monotonic()
+            report = merge_upsert(
+                spark,
+                tgt,
+                changes,
+                key_cols=["l_returnflag", "l_orderkey", "l_linenumber"],
+            )
+            merge_sec = round(time.monotonic() - t0, 4)
+            after = snapshot()
+            rewritten_bytes = sum(
+                sz for p, sz in before.items() if p not in after
+            )
+            untouched_ok = all(
+                after.get(p) == sz
+                for p, sz in before.items()
+                if p in after
+            ) and all("l_returnflag=R" in p for p in before if p not in after)
+            return {
+                "note": (
+                    "5-row CDC change set against a 3-partition (x8-file) "
+                    "10x lineitem: the find scan partition-prunes to the "
+                    "one named partition, only the files holding the "
+                    "matched keys rewrite, and every other file is "
+                    "byte-identical — bytes rewritten track the touched "
+                    "file set, not the table (the pre-r8 merge rewrote "
+                    "100% per apply).  Wall time is dominated by the "
+                    "checksum verify + per-leaf publishes at this small "
+                    "scale; at 100 TB the same plan's cost is the "
+                    "affected-file set."
+                ),
+                "table_bytes": table_bytes,
+                "partitions_total": 3,
+                "partitions_touched": report["partitions_touched"],
+                "files_rewritten": report["files_rewritten"],
+                "files_inserted": report["files_inserted"],
+                "bytes_rewritten": rewritten_bytes,
+                "bytes_rewritten_share": round(rewritten_bytes / table_bytes, 4),
+                "untouched_files_byte_identical": untouched_ok,
+                "merge_wall_sec": merge_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    except Exception:
+        return None
+
+
 def _aqe_block(spark, trend_dir: str) -> dict | None:
     """Measure the AQE posture instead of asserting it: the bench pins AQE
     off because its per-exchange re-plan barrier costs ~30% on sub-GB
@@ -1060,10 +1158,12 @@ def main() -> None:
             )
             buckets = _bucket_block(spark, scaled_dir)
             compaction = _compaction_block(spark, scaled_dir)
+            merge = _merge_block(spark, scaled_dir)
         else:
             xo_spark = {}
             buckets = None
             compaction = None
+            merge = None
         # 100x tier: only the 3 worst-ratio queries, to measure the third
         # point of the falling-ratio trend (r2 verdict #5).  Splits re-sized
         # to the tier: 2 MB (right for ~50 MB tables at 10x) starves 100x
@@ -1161,6 +1261,7 @@ def main() -> None:
             "queries": xo_spark,
             "duckdb_queries": xo_duck,
             "compaction_block": compaction,
+            "merge_block": merge,
             "ratios": {
                 n: round(xo_spark[n] / xo_duck[n], 3)
                 for n in xo_spark

@@ -44,6 +44,13 @@ nowhere; this mirrors Delta's ``whenMatchedUpdateAll``).  For partitioned
 targets the change rows must carry the partition columns; a key that moves
 partitions is handled naturally (old row's file rewritten, new row
 inserted into its new leaf).
+
+**The change set must not lazily read the target table.** Spark
+DataFrames re-evaluate per action, and the merge retires target files as
+it publishes — a ``changes`` plan scanning ``target_path`` can hit files
+the merge just removed (or silently include the merge's own inserts).
+Derive the change set from another source, or materialize it first
+(collect into createDataFrame, or write it out and re-read).
 """
 
 from __future__ import annotations
@@ -270,7 +277,11 @@ def merge_upsert(
     # never lost rows — see module doc)
     if report["upserts"]:
         ins_data = os.path.join(ins_root, "data")
-        w = upserts.write.mode("overwrite")
+        # one file per touched leaf, not one per upstream task: a trickle
+        # CDC change set must not seed small-file debt with every apply
+        # (the compaction loop would otherwise pay for it later)
+        staged_ins = upserts.repartition(*part_cols) if part_cols else upserts
+        w = staged_ins.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(ins_data)
