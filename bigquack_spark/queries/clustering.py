@@ -722,33 +722,17 @@ def _pq_adc_oracle() -> str:
     return sql
 
 
-@query("q310_pq_adc_audit", oracle=_pq_adc_oracle())
-def q310_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC audit for IVF-PQ serving (r7 verdict #3's oracle-paired leg,
-    twin of ``operators/simsearch.probe_ivf_pq``'s stage 2): using q213's
-    deterministically trained codebooks, score every corpus vector by the
-    ASYMMETRIC distance — the query's exact subvector against the
-    vector's assigned codeword — and return the ADC top-10 with the true
-    distance alongside, auditing exactly the arithmetic the PQ shortlist
-    ranks by (sum of per-subspace LUT lookups).
-
-    Plan shape: codebook training is q213's bounded literal loop; the
-    scoring pass is ONE projection over the corpus scan — the query
-    vector is a 1-row bounded collect whose per-codeword LUT is computed
-    driver-side (PQ_SUBSPACES x PQ_K floats) and inlined as literals, so
-    ADC per row is two array lookups, no join, no shuffle; the top-10 is
-    a TakeOrdered, never a global sort.  The oracle replays training and
-    scores via the same sequential-fold arithmetic."""
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> "DataFrame | None":
+    """Shared by q310/q313: every corpus vector scored with (code_0,
+    code_1, adc_dist, true_dist) against query vec_id=0 using q213's
+    deterministically trained codebooks.  None when the corpus is smaller
+    than the codebook seeds."""
     e = t(spark, sf_dir, "embeddings", rebalance=True)
     v = e.select(
         "vec_id", _quantize(F.col("embedding")).cast("array<double>").alias("qd")
     )
     if not v.filter(F.col("vec_id") < PQ_K).take(1):
-        return spark.createDataFrame(
-            [],
-            "vec_id long, code_0 int, code_1 int, adc_dist double, "
-            "true_dist double, rank int",
-        )
+        return None
     books: list[list[tuple[int, list[float]]]] = []
     for s in range(PQ_SUBSPACES):
         sub = v.select("vec_id", F.slice("qd", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qd"))
@@ -787,14 +771,127 @@ def q310_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols.append(f"code_{s}")
     adc = F.round(F.sqrt(sum(adc_terms[1:], adc_terms[0])) / SCALE, 6)
     true_d = F.round(F.sqrt(_sq_dist_lit(F.col("qd"), qrow)) / SCALE, 6)
-    scored = sel.select(
+    return sel.select(
         *out_cols, adc.alias("adc_dist"), true_d.alias("true_dist")
     )
+
+
+@query("q310_pq_adc_audit", oracle=_pq_adc_oracle())
+def q310_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC audit for IVF-PQ serving (r7 verdict #3's oracle-paired leg,
+    twin of ``operators/simsearch.probe_ivf_pq``'s stage 2): using q213's
+    deterministically trained codebooks, score every corpus vector by the
+    ASYMMETRIC distance — the query's exact subvector against the
+    vector's assigned codeword — and return the ADC top-10 with the true
+    distance alongside, auditing exactly the arithmetic the PQ shortlist
+    ranks by (sum of per-subspace LUT lookups).
+
+    Plan shape: codebook training is q213's bounded literal loop; the
+    scoring pass is ONE projection over the corpus scan — the query
+    vector is a 1-row bounded collect whose per-codeword LUT is computed
+    driver-side (PQ_SUBSPACES x PQ_K floats) and inlined as literals, so
+    ADC per row is two array lookups, no join, no shuffle; the top-10 is
+    a TakeOrdered, never a global sort.  The oracle replays training and
+    scores via the same sequential-fold arithmetic."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, code_0 int, code_1 int, adc_dist double, "
+            "true_dist double, rank int",
+        )
     from pyspark.sql.window import Window
 
     top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _pq_recall_oracle() -> str:
+    """q313: recall@k of the ADC ranking against the exact ranking, the
+    single number that says whether a PQ shortlist of size k can be
+    trusted — same chain, two rank CTEs, one intersection count."""
+    sql, finals, prevs = _pq_cte_chain()
+    da = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[i] - c0.cvec[i]) * (q.qd[i] - c0.cvec[i])))"
+    )
+    db = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i]) * (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i])))"
+    )
+    dq = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> (q.qd[i] - vv.qd[i]) * (q.qd[i] - vv.qd[i])))"
+    )
+    sql += f""",
+    q AS (SELECT qd FROM v WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id,
+             round(sqrt({da} + {db}) / {SCALE}, 6) AS adc_dist,
+             round(sqrt({dq}) / {SCALE}, 6) AS true_dist
+      FROM {finals[0]} a
+      JOIN {finals[1]} b ON a.vec_id = b.vec_id
+      JOIN {prevs[0]} c0 ON c0.cluster = a.cluster
+      JOIN {prevs[1]} c1 ON c1.cluster = b.cluster
+      JOIN v vv ON vv.vec_id = a.vec_id
+      CROSS JOIN q
+      WHERE a.vec_id <> 0
+    ),
+    adc_top AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    ),
+    true_top AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY true_dist, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM adc_top JOIN true_top USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM adc_top JOIN true_top USING (vec_id))
+                 / 20.0, 6) AS recall_at_k
+    """
+    return sql
+
+
+@query("q313_pq_adc_recall", oracle=_pq_recall_oracle())
+def q313_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality number behind ``probe_ivf_pq``'s rerank budget:
+    recall@20 of the ADC ordering against the exact ordering for query
+    vec_id=0 (self excluded) — how many of the true 20 nearest survive
+    into a 20-deep PQ shortlist.  Same scored projection as q310; the
+    two top-k sets are TakeOrdered collects (k-bounded), the overlap a
+    driver-side set intersection — no join of corpus-sized sides."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "k long, n_overlap long, recall_at_k double"
+        )
+    scored = scored.filter(F.col("vec_id") != 0)
+    k = 20
+    adc_top = {
+        r.vec_id
+        for r in scored.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+        .collect()
+    }
+    true_top = {
+        r.vec_id
+        for r in scored.orderBy(F.asc("true_dist"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+        .collect()
+    }
+    n = len(adc_top & true_top)
+    return spark.createDataFrame(
+        [(k, n, round(n / k, 6))], "k long, n_overlap long, recall_at_k double"
+    )
 
 
 def _silhouette_oracle() -> str:

@@ -800,3 +800,62 @@ def q311_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
     return train_bpe(d, n_merges=3)
+
+
+def _bpe_segmentation_oracle() -> str:
+    """q312: apply the three q311 merges and histogram symbols-per-token —
+    the chain's w3 table re-segmented."""
+    base = _bpe_merge_oracle(3)
+    # reuse the w0..w3/b1..b3 CTE chain: strip q311's final SELECT
+    chain = base[: base.rindex("SELECT CAST(round AS INTEGER)")]
+    return chain + """
+    SELECT n_symbols, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_token_occurrences
+    FROM (
+      SELECT CAST(len(regexp_extract_all(
+               w, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS BIGINT)
+               AS n_symbols,
+             freq
+      FROM w3
+    )
+    GROUP BY n_symbols
+    ORDER BY n_symbols
+    """
+
+
+@query("q312_bpe_segmentation", oracle=_bpe_segmentation_oracle())
+def q312_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality readout for the q311 trainer: apply its three
+    merges to the vocabulary and histogram symbols-per-token (weighted by
+    corpus occurrences) — the compression curve a tokenizer review reads
+    (every merge drops some words' symbol count; the histogram is the
+    aggregate effect).  Plan: train_bpe's loop (vocabulary-bounded) plus
+    one more per-row re-segmentation and a histogram aggregate bounded by
+    max token length."""
+    from bigquack_spark.operators.text import (
+        BPE_EOS,
+        BPE_SOS,
+        _bpe_word_table,
+        train_bpe,
+    )
+
+    d = t(spark, sf_dir, "documents", columns=["text"], rebalance=True)
+    merges = train_bpe(d, n_merges=3).collect()  # 3 rows, bounded
+    words = _bpe_word_table(d)
+    w = F.col("w")
+    for m in merges:
+        pat = f"{BPE_SOS}{m.left}{BPE_EOS}{BPE_SOS}{m.right}{BPE_EOS}"
+        rep = f"{BPE_SOS}{m.left}{m.right}{BPE_EOS}"
+        w = F.replace(w, F.lit(pat), F.lit(rep))
+    n_syms = F.size(
+        F.regexp_extract_all(w, F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1))
+    ).cast("long")
+    return (
+        words.select(n_syms.alias("n_symbols"), "freq")
+        .groupBy("n_symbols")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_token_occurrences"),
+        )
+        .orderBy("n_symbols")
+    )
