@@ -560,20 +560,31 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
        re-drive staging (``*.redrive-staging``) is left alone — it has
        its own adoption protocol and may hold the only copy of a
        crashed drive's snapshot.
-    3. Retain only the newest ``keep_purge_manifests`` erasure-audit
-       ``_PURGE-*.json`` files (by mtime) so audit evidence stays bounded.
+    3. Retain only the newest ``keep_purge_manifests`` audit manifests of
+       EACH kind (``_PURGE-*`` / ``_MERGE-*`` / ``_RETENTION-*``, by
+       mtime) so audit evidence stays bounded.
+    4. Drop abandoned ``.merge-insert-staging`` dirs — pre-commit merge
+       residue (the change set is the source of truth; a crashed merge
+       is re-run anyway).
 
-    Returns ``{resumed, discarded_stale, tmp_swept, purge_manifests_pruned}``."""
+    Returns ``{resumed, discarded_stale, tmp_swept,
+    purge_manifests_pruned, insert_staging_swept}``."""
     resumed, discarded = _resume_tree(path)
     report = {
         "resumed": resumed,
         "discarded_stale": discarded,
         "tmp_swept": 0,
         "purge_manifests_pruned": 0,
+        "insert_staging_swept": 0,
     }
-    purge_manifests = []
+    manifests: dict[str, list[str]] = {"_PURGE-": [], "_MERGE-": [], "_RETENTION-": []}
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [d for d in dirnames if not d.endswith(".redrive-staging")]
+        for d in list(dirnames):
+            if d == ".merge-insert-staging":
+                shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                dirnames.remove(d)
+                report["insert_staging_swept"] += 1
         for name in filenames:
             p = os.path.join(dirpath, name)
             if name.endswith(".tmp"):
@@ -582,15 +593,19 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
                     report["tmp_swept"] += 1
                 except OSError:
                     pass
-            elif name.startswith("_PURGE-") and name.endswith(".json"):
-                purge_manifests.append(p)
-    purge_manifests.sort(key=os.path.getmtime, reverse=True)
-    for p in purge_manifests[keep_purge_manifests:]:
-        try:
-            os.remove(p)
-            report["purge_manifests_pruned"] += 1
-        except OSError:
-            pass
+            elif name.endswith(".json"):
+                for prefix, acc in manifests.items():
+                    if name.startswith(prefix):
+                        acc.append(p)
+                        break
+    for acc in manifests.values():
+        acc.sort(key=os.path.getmtime, reverse=True)
+        for p in acc[keep_purge_manifests:]:
+            try:
+                os.remove(p)
+                report["purge_manifests_pruned"] += 1
+            except OSError:
+                pass
     return report
 
 

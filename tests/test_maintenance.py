@@ -906,3 +906,26 @@ def test_apply_retention_crash_rolls_forward(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.filter("age_years = 0").count() == 0
     assert after.count() == 750
+
+
+def test_vacuum_sweeps_merge_residue_and_bounds_all_manifest_kinds(spark, tmp_path):
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import vacuum
+
+    path = str(tmp_path / "vac8")
+    spark.range(10).write.parquet(path)
+    os.makedirs(os.path.join(path, ".merge-insert-staging", "data"))
+    for i in range(7):
+        for prefix in ("_MERGE", "_RETENTION"):
+            p = os.path.join(path, f"{prefix}-{i:02d}.json")
+            with open(p, "w") as fh:
+                _json.dump({"generation": i}, fh)
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    rep = vacuum(path, keep_purge_manifests=5)
+    assert rep["insert_staging_swept"] == 1
+    assert not os.path.isdir(os.path.join(path, ".merge-insert-staging"))
+    assert rep["purge_manifests_pruned"] == 4  # 2 oldest of each kind
+    kept = sorted(f for f in os.listdir(path) if f.endswith(".json") and f.startswith(("_MERGE", "_RETENTION")))
+    assert len(kept) == 10
+    assert "_MERGE-00.json" not in kept and "_RETENTION-01.json" not in kept
