@@ -48,6 +48,7 @@ partitions keep their files bit-identical.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
@@ -497,14 +498,22 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
         c = f.name
         aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__null__{c}"))
         if _hashable(f.dataType):
-            aggs.append(F.approx_count_distinct(_q(c)).alias(f"__ndv__{c}"))
+            # ndv as a MERGEABLE datasketches HLL over xxhash64 (which
+            # hashes every non-map type uniformly): update_table_stats
+            # can then fold a new batch's partial sketch into the stored
+            # one instead of rescanning the table — the property a plain
+            # approx_count_distinct number cannot offer
+            aggs.append(
+                # mask NULLs before hashing: xxhash64(NULL) is the seed
+                # value, not NULL, and would count as a distinct
+                F.hll_sketch_agg(
+                    F.when(_q(c).isNotNull(), F.xxhash64(_q(c)))
+                ).alias(f"__hll__{c}")
+            )
         if isinstance(f.dataType, rangeable):
             aggs.append(F.min(_q(c)).alias(f"__min__{c}"))
             aggs.append(F.max(_q(c)).alias(f"__max__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
-
-    def _jsonable(v):
-        return v.isoformat() if hasattr(v, "isoformat") else v
 
     columns = {}
     for f in df.schema.fields:
@@ -514,8 +523,13 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
             # conditional sums aggregate to NULL over a zero-row table
             "null_count": int(row[f"__null__{c}"] or 0),
         }
-        if f"__ndv__{c}" in row:
-            col["ndv_approx"] = int(row[f"__ndv__{c}"] or 0)
+        if f"__hll__{c}" in row:
+            sk = row[f"__hll__{c}"]
+            if sk is None:  # zero-row table: no sketch to store
+                col["ndv_approx"] = 0
+            else:
+                col["ndv_approx"] = _hll_estimate(spark, sk)
+                col["ndv_sketch"] = base64.b64encode(sk).decode("ascii")
         if f"__min__{c}" in row:
             col["min"] = _jsonable(row[f"__min__{c}"])
             col["max"] = _jsonable(row[f"__max__{c}"])
@@ -525,11 +539,29 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
         "columns": columns,
         "fingerprint": _table_fingerprint(path),
     }
+    _write_stats(path, manifest)
+    return manifest
+
+
+def _jsonable(v):
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def _hll_estimate(spark: SparkSession, sketch: bytes) -> int:
+    from pyspark.sql import functions as F
+
+    return int(
+        spark.createDataFrame([(sketch,)], "sk binary")
+        .select(F.hll_sketch_estimate("sk"))
+        .collect()[0][0]
+    )
+
+
+def _write_stats(path: str, manifest: dict) -> None:
     tmp = os.path.join(path, STATS_FILE + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, os.path.join(path, STATS_FILE))
-    return manifest
 
 
 def stats_are_fresh(path: str) -> bool:
@@ -544,6 +576,118 @@ def stats_are_fresh(path: str) -> bool:
     except (OSError, ValueError, KeyError):
         return False
     return [list(x) for x in recorded] == _table_fingerprint(path)
+
+
+def update_table_stats(spark: SparkSession, path: str) -> dict:
+    """Incremental ANALYZE (the 100 TB append posture): fold ONLY the
+    files added since ``_STATS.json`` was computed into the manifest —
+    row counts and null counts add, min/max combine, and ndv merges via
+    the stored datasketches HLL (``hll_union`` of the old sketch and the
+    new batch's partial), so a micro-batch append costs a scan of the
+    BATCH, never the table.
+
+    Raises :class:`ValueError` when files were REMOVED or rewritten since
+    the manifest (a rewrite invalidates null/ndv in ways only a rescan
+    recovers — run :func:`collect_table_stats`; note a verified
+    compaction re-binds instead, and ``purge_rows(refresh_stats=True)``
+    recomputes).  No-op (returns the manifest) when nothing changed.
+    Requires a manifest written by the current sketch-carrying format —
+    columns lacking a stored sketch keep their ndv only if the new batch
+    adds no rows to them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    p = os.path.join(path, STATS_FILE)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"update_table_stats: no {STATS_FILE} at {path!r} — run "
+            "collect_table_stats first"
+        )
+    with open(p) as fh:
+        manifest = json.load(fh)
+    recorded = {tuple(x) for x in manifest["fingerprint"]}
+    current = {tuple(x) for x in _table_fingerprint(path)}
+    removed = recorded - current
+    added = current - recorded
+    if removed:
+        raise ValueError(
+            "update_table_stats: files were removed or rewritten since the "
+            f"manifest ({sorted(n for n, _s in removed)[:3]}...) — an "
+            "incremental fold cannot recover deleted rows' statistics; run "
+            "collect_table_stats"
+        )
+    if not added:
+        return manifest
+
+    new_files = [os.path.join(path, rel) for rel, _size in sorted(added)]
+    batch = spark.read.option("basePath", path).parquet(*new_files)
+
+    def _q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    rangeable = (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    fields = {f.name: f for f in batch.schema.fields}
+    for c in manifest["columns"]:
+        f = fields.get(c)
+        if f is None:
+            continue  # column absent from the new files: nothing to fold
+        aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__null__{c}"))
+        if _hashable(f.dataType):
+            aggs.append(
+                F.hll_sketch_agg(
+                    F.when(_q(c).isNotNull(), F.xxhash64(_q(c)))
+                ).alias(f"__hll__{c}")
+            )
+        if isinstance(f.dataType, rangeable):
+            aggs.append(F.min(_q(c)).alias(f"__min__{c}"))
+            aggs.append(F.max(_q(c)).alias(f"__max__{c}"))
+    row = batch.agg(*aggs).collect()[0].asDict()
+
+    n_new = int(row["__n"])
+    manifest["rows"] = int(manifest["rows"]) + n_new
+    for c, col in manifest["columns"].items():
+        if f"__null__{c}" in row:
+            col["null_count"] = int(col["null_count"]) + int(row[f"__null__{c}"] or 0)
+        sk_new = row.get(f"__hll__{c}")
+        if sk_new is not None:
+            sk_old = col.get("ndv_sketch")
+            if sk_old is not None:
+                merged = (
+                    spark.createDataFrame(
+                        [(base64.b64decode(sk_old), sk_new)], "a binary, b binary"
+                    )
+                    .select(F.hll_union("a", "b").alias("u"))
+                    .collect()[0]["u"]
+                )
+            elif int(col.get("ndv_approx", 0)) == 0:
+                merged = sk_new  # old side was empty: adopt the batch sketch
+            else:
+                raise ValueError(
+                    f"update_table_stats: column {c!r} has ndv but no stored "
+                    "sketch (pre-sketch manifest) — run collect_table_stats "
+                    "once to upgrade the manifest format"
+                )
+            col["ndv_sketch"] = base64.b64encode(merged).decode("ascii")
+            col["ndv_approx"] = _hll_estimate(spark, merged)
+        if f"__min__{c}" in row and row[f"__min__{c}"] is not None:
+            lo, hi = _jsonable(row[f"__min__{c}"]), _jsonable(row[f"__max__{c}"])
+            # ISO date/timestamp strings order lexicographically, numerics
+            # numerically — same-type compares both ways
+            col["min"] = lo if "min" not in col else min(col["min"], lo)
+            col["max"] = hi if "max" not in col else max(col["max"], hi)
+    manifest["fingerprint"] = _table_fingerprint(path)
+    _write_stats(path, manifest)
+    return manifest
 
 
 def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:

@@ -929,3 +929,78 @@ def test_vacuum_sweeps_merge_residue_and_bounds_all_manifest_kinds(spark, tmp_pa
     kept = sorted(f for f in os.listdir(path) if f.endswith(".json") and f.startswith(("_MERGE", "_RETENTION")))
     assert len(kept) == 10
     assert "_MERGE-00.json" not in kept and "_RETENTION-01.json" not in kept
+
+
+def test_update_table_stats_incremental_fold_matches_full_recompute(spark, tmp_path):
+    """Append-only stats maintenance: folding only the NEW files must give
+    the same manifest a full recompute gives (rows/nulls/min-max exact,
+    ndv via deterministic HLL union) — proven by garbage-overwriting the
+    OLD files so any rescan of them would crash."""
+    import copy
+
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        stats_are_fresh,
+        update_table_stats,
+    )
+
+    path = str(tmp_path / "inc")
+    spark.range(500).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS s", "CAST(id AS DOUBLE) AS v",
+        "IF(id % 5 = 0, NULL, id) AS n",
+    ).coalesce(2).write.parquet(path)
+    collect_table_stats(spark, path)
+    old_files = set(_data_files(path))
+
+    spark.range(500, 700).selectExpr(
+        "id", "CAST(id % 11 AS STRING) AS s", "CAST(id AS DOUBLE) AS v",
+        "IF(id % 5 = 0, NULL, id) AS n",
+    ).coalesce(1).write.mode("append").parquet(path)
+    assert not stats_are_fresh(path)
+
+    # full recompute ground truth (before garbaging the old files)
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import STATS_FILE
+
+    inc_input = _json.load(open(os.path.join(path, STATS_FILE)))
+    full = collect_table_stats(spark, path)
+    want = copy.deepcopy(full)
+    # restore the pre-append manifest so update folds from it
+    with open(os.path.join(path, STATS_FILE), "w") as fh:
+        _json.dump(inc_input, fh)
+
+    # prove the fold reads ONLY the new files
+    for f in old_files:
+        with open(f, "r+b") as fh:
+            fh.write(b"\x00" * os.path.getsize(f))
+    got = update_table_stats(spark, path)
+    assert stats_are_fresh(path)
+    assert got["rows"] == want["rows"] == 700
+    for c in ("id", "s", "v", "n"):
+        assert got["columns"][c]["null_count"] == want["columns"][c]["null_count"]
+        assert got["columns"][c]["ndv_approx"] == want["columns"][c]["ndv_approx"]
+        if "min" in want["columns"][c]:
+            assert got["columns"][c]["min"] == want["columns"][c]["min"]
+            assert got["columns"][c]["max"] == want["columns"][c]["max"]
+
+    # no-op when nothing changed
+    again = update_table_stats(spark, path)
+    assert again["rows"] == 700
+
+
+def test_update_table_stats_refuses_after_rewrite(spark, tmp_path):
+    import pytest
+
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        update_table_stats,
+    )
+
+    path = str(tmp_path / "inc2")
+    spark.range(100).selectExpr("id").coalesce(2).write.parquet(path)
+    collect_table_stats(spark, path)
+    victim = _data_files(path)[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="removed or rewritten"):
+        update_table_stats(spark, path)
