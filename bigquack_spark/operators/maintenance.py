@@ -68,6 +68,15 @@ STAGING_DIR = ".compact-staging"
 MARKER = "_COMPACT_ID"
 
 
+def _local_path(uri: str) -> str:
+    """input_file_name() yields a percent-encoded file:// URI — one
+    decoder shared by purge, merge, and every other affected-file finder."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else uri
+
+
 def _checksum_row(df: DataFrame) -> tuple:
     row = table_checksum(df, df.columns).collect()[0]
     return (row.n_rows, row.xor_checksum, row.sum_checksum_mod)
@@ -326,13 +335,6 @@ def purge_rows(
         "discarded_stale": discarded,
         "generation": None,
     }
-    from urllib.parse import unquote, urlparse
-
-    def _local_path(uri: str) -> str:
-        # input_file_name() yields a percent-encoded file:// URI
-        parsed = urlparse(uri)
-        return unquote(parsed.path) if parsed.scheme else uri
-
     df = spark.read.parquet(path)
     hit_files = [
         _local_path(r.f)
@@ -470,51 +472,20 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
     approx_count_distinct's HLL, the only honest choice at 100 TB); the
     manifest is column-count-sized.  Returns the manifest dict."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    rangeable = (
-        T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType
-    )
-
-    def _hashable(dt) -> bool:
-        # approx_count_distinct fails analysis on any type containing a map
-        # (maps aren't orderable/hashable in Spark SQL) — r7 advisor finding.
-        if isinstance(dt, T.MapType):
-            return False
-        if isinstance(dt, T.ArrayType):
-            return _hashable(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return all(_hashable(f.dataType) for f in dt.fields)
-        return True
-
-    def _q(name: str):
-        # quoted identifier: a literal dot in the name must not be read as
-        # a nested-field path
-        return F.col("`" + name.replace("`", "``") + "`")
-
     for f in df.schema.fields:
         c = f.name
-        aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__null__{c}"))
-        if _hashable(f.dataType):
-            # ndv as a MERGEABLE datasketches HLL over xxhash64 (which
-            # hashes every non-map type uniformly): update_table_stats
-            # can then fold a new batch's partial sketch into the stored
-            # one instead of rescanning the table — the property a plain
-            # approx_count_distinct number cannot offer
-            aggs.append(
-                # mask NULLs before hashing: xxhash64(NULL) is the seed
-                # value, not NULL, and would count as a distinct
-                F.hll_sketch_agg(
-                    F.when(_q(c).isNotNull(), F.xxhash64(_q(c)))
-                ).alias(f"__hll__{c}")
-            )
-        if isinstance(f.dataType, rangeable):
-            aggs.append(F.min(_q(c)).alias(f"__min__{c}"))
-            aggs.append(F.max(_q(c)).alias(f"__max__{c}"))
+        aggs += _stats_aggs(c, f.dataType)
     row = df.agg(*aggs).collect()[0].asDict()
 
+    sketches = {
+        f.name: row[f"__hll__{f.name}"]
+        for f in df.schema.fields
+        if f"__hll__{f.name}" in row and row[f"__hll__{f.name}"] is not None
+    }
+    estimates = _hll_estimates(spark, sketches)
     columns = {}
     for f in df.schema.fields:
         c = f.name
@@ -524,12 +495,11 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
             "null_count": int(row[f"__null__{c}"] or 0),
         }
         if f"__hll__{c}" in row:
-            sk = row[f"__hll__{c}"]
-            if sk is None:  # zero-row table: no sketch to store
+            if c not in sketches:  # zero-row table: no sketch to store
                 col["ndv_approx"] = 0
             else:
-                col["ndv_approx"] = _hll_estimate(spark, sk)
-                col["ndv_sketch"] = base64.b64encode(sk).decode("ascii")
+                col["ndv_approx"] = estimates[c]
+                col["ndv_sketch"] = base64.b64encode(sketches[c]).decode("ascii")
         if f"__min__{c}" in row:
             col["min"] = _jsonable(row[f"__min__{c}"])
             col["max"] = _jsonable(row[f"__max__{c}"])
@@ -547,14 +517,76 @@ def _jsonable(v):
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
-def _hll_estimate(spark: SparkSession, sketch: bytes) -> int:
+def _quoted_col(name: str):
+    """Quoted identifier: a literal dot in the name must not be read as a
+    nested-field path (r7 advisor finding)."""
     from pyspark.sql import functions as F
 
-    return int(
-        spark.createDataFrame([(sketch,)], "sk binary")
-        .select(F.hll_sketch_estimate("sk"))
-        .collect()[0][0]
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _hashable_type(dt) -> bool:
+    """Whether Spark can hash the type (maps — at any nesting depth —
+    cannot be hashed or distinct-counted; r7 advisor finding)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
+def _rangeable_type(dt) -> bool:
+    """min/max worth recording (string extremes are collation-sensitive)."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dt, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
     )
+
+
+def _stats_aggs(c: str, dt) -> list:
+    """The per-column aggregate set shared by collect_table_stats (full
+    scan) and update_table_stats (new-files-only fold) — one definition so
+    the two paths can never desynchronize."""
+    from pyspark.sql import functions as F
+
+    q = _quoted_col(c)
+    aggs = [F.sum(q.isNull().cast("long")).alias(f"__null__{c}")]
+    if _hashable_type(dt):
+        # ndv as a MERGEABLE datasketches HLL over xxhash64 (which hashes
+        # every non-map type uniformly): update_table_stats folds a new
+        # batch's partial sketch into the stored one instead of rescanning
+        # the table — the property a plain approx_count_distinct number
+        # cannot offer.  NULLs are masked BEFORE hashing: xxhash64(NULL)
+        # is the seed value, not NULL, and would count as a distinct.
+        aggs.append(
+            F.hll_sketch_agg(F.when(q.isNotNull(), F.xxhash64(q))).alias(
+                f"__hll__{c}"
+            )
+        )
+    if _rangeable_type(dt):
+        aggs.append(F.min(q).alias(f"__min__{c}"))
+        aggs.append(F.max(q).alias(f"__max__{c}"))
+    return aggs
+
+
+def _hll_estimates(spark: SparkSession, sketches: dict[str, bytes]) -> dict[str, int]:
+    """Estimate every sketch in ONE job (per-column jobs would pay a
+    driver roundtrip each on wide tables)."""
+    from pyspark.sql import functions as F
+
+    if not sketches:
+        return {}
+    rows = (
+        spark.createDataFrame(list(sketches.items()), "c string, sk binary")
+        .select("c", F.hll_sketch_estimate("sk").alias("e"))
+        .collect()
+    )
+    return {r.c: int(r.e) for r in rows}
 
 
 def _write_stats(path: str, manifest: dict) -> None:
@@ -595,7 +627,6 @@ def update_table_stats(spark: SparkSession, path: str) -> dict:
     columns lacking a stored sketch keep their ndv only if the new batch
     adds no rows to them."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     p = os.path.join(path, STATS_FILE)
     if not os.path.exists(p):
@@ -622,69 +653,58 @@ def update_table_stats(spark: SparkSession, path: str) -> dict:
     new_files = [os.path.join(path, rel) for rel, _size in sorted(added)]
     batch = spark.read.option("basePath", path).parquet(*new_files)
 
-    def _q(name: str):
-        return F.col("`" + name.replace("`", "``") + "`")
-
-    def _hashable(dt) -> bool:
-        if isinstance(dt, T.MapType):
-            return False
-        if isinstance(dt, T.ArrayType):
-            return _hashable(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return all(_hashable(f.dataType) for f in dt.fields)
-        return True
-
-    rangeable = (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
     aggs = [F.count(F.lit(1)).alias("__n")]
     fields = {f.name: f for f in batch.schema.fields}
     for c in manifest["columns"]:
         f = fields.get(c)
         if f is None:
             continue  # column absent from the new files: nothing to fold
-        aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__null__{c}"))
-        if _hashable(f.dataType):
-            aggs.append(
-                F.hll_sketch_agg(
-                    F.when(_q(c).isNotNull(), F.xxhash64(_q(c)))
-                ).alias(f"__hll__{c}")
-            )
-        if isinstance(f.dataType, rangeable):
-            aggs.append(F.min(_q(c)).alias(f"__min__{c}"))
-            aggs.append(F.max(_q(c)).alias(f"__max__{c}"))
+        aggs += _stats_aggs(c, f.dataType)
     row = batch.agg(*aggs).collect()[0].asDict()
 
     n_new = int(row["__n"])
     manifest["rows"] = int(manifest["rows"]) + n_new
+    # merge every (old sketch, batch partial) pair in ONE job, then
+    # estimate all merged sketches in one more
+    merged_sketches: dict[str, bytes] = {}
+    union_input = []
+    for c, col in manifest["columns"].items():
+        sk_new = row.get(f"__hll__{c}")
+        if sk_new is None:
+            continue
+        sk_old = col.get("ndv_sketch")
+        if sk_old is not None:
+            union_input.append((c, base64.b64decode(sk_old), sk_new))
+        elif int(col.get("ndv_approx", 0)) == 0:
+            merged_sketches[c] = sk_new  # old side empty: adopt the batch
+        else:
+            raise ValueError(
+                f"update_table_stats: column {c!r} has ndv but no stored "
+                "sketch (pre-sketch manifest) — run collect_table_stats "
+                "once to upgrade the manifest format"
+            )
+    if union_input:
+        for r in (
+            spark.createDataFrame(union_input, "c string, a binary, b binary")
+            .select("c", F.hll_union("a", "b").alias("u"))
+            .collect()
+        ):
+            merged_sketches[r.c] = r.u
+    estimates = _hll_estimates(spark, merged_sketches)
+    for c, merged in merged_sketches.items():
+        col = manifest["columns"][c]
+        col["ndv_sketch"] = base64.b64encode(merged).decode("ascii")
+        col["ndv_approx"] = estimates[c]
     for c, col in manifest["columns"].items():
         if f"__null__{c}" in row:
             col["null_count"] = int(col["null_count"]) + int(row[f"__null__{c}"] or 0)
-        sk_new = row.get(f"__hll__{c}")
-        if sk_new is not None:
-            sk_old = col.get("ndv_sketch")
-            if sk_old is not None:
-                merged = (
-                    spark.createDataFrame(
-                        [(base64.b64decode(sk_old), sk_new)], "a binary, b binary"
-                    )
-                    .select(F.hll_union("a", "b").alias("u"))
-                    .collect()[0]["u"]
-                )
-            elif int(col.get("ndv_approx", 0)) == 0:
-                merged = sk_new  # old side was empty: adopt the batch sketch
-            else:
-                raise ValueError(
-                    f"update_table_stats: column {c!r} has ndv but no stored "
-                    "sketch (pre-sketch manifest) — run collect_table_stats "
-                    "once to upgrade the manifest format"
-                )
-            col["ndv_sketch"] = base64.b64encode(merged).decode("ascii")
-            col["ndv_approx"] = _hll_estimate(spark, merged)
         if f"__min__{c}" in row and row[f"__min__{c}"] is not None:
             lo, hi = _jsonable(row[f"__min__{c}"]), _jsonable(row[f"__max__{c}"])
             # ISO date/timestamp strings order lexicographically, numerics
-            # numerically — same-type compares both ways
-            col["min"] = lo if "min" not in col else min(col["min"], lo)
-            col["max"] = hi if "max" not in col else max(col["max"], hi)
+            # numerically — same-type compares both ways.  A stored None
+            # (all-NULL column or zero-row collect) adopts the batch value.
+            col["min"] = lo if col.get("min") is None else min(col["min"], lo)
+            col["max"] = hi if col.get("max") is None else max(col["max"], hi)
     manifest["fingerprint"] = _table_fingerprint(path)
     _write_stats(path, manifest)
     return manifest
@@ -840,12 +860,15 @@ def apply_retention(
         # the predicate is partition-only iff it ANALYZES against a frame
         # holding just the typed partition columns — no expression parsing
         by_col = {c: [vals.get(c) for _leaf, vals in leaves] for c in part_cols}
+        # infer each column's type ONCE — per-cell re-inference would make
+        # this "metadata-priced" path O(leaves^2) on the driver
+        col_type = {c: _infer_partition_type(by_col[c]) for c in part_cols}
         schema = ", ".join(
-            f"`{c}` {_infer_partition_type(by_col[c])}" for c in part_cols
+            f"`{c}` {col_type[c]}" for c in part_cols
         ) + ", __leaf string"
 
         def _typed(c: str, v: str | None):
-            t = _infer_partition_type(by_col[c])
+            t = col_type[c]
             if v is None:
                 return None
             if t == "bigint":

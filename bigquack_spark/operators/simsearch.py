@@ -572,14 +572,27 @@ def append_to_ivf_index(
     the write via df.observe).  Exactly-once is the caller's offset
     protocol (streaming.ExactlyOnceBatchSink's shape) — a replayed batch
     would append duplicate ids."""
+    import os
+
     from pyspark.sql import Observation
 
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col)
     obs = Observation("ivf_append")
-    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
+    observed = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
+    if os.path.isdir(os.path.join(path, "pq_codebooks")):
+        # the PQ shortlist (probe_ivf_pq) scans pq_codes, not the index —
+        # an append that skipped encoding would make appended vectors
+        # silently invisible to the ADC stage until the next rebuild
+        # (r8 review finding).  Codebooks stay FROZEN like the quantizer;
+        # residuals of the new batch encode against the live books.
+        books = _load_codebooks(spark, path)
+        resid = _with_residual(assigned, centroids)
+        _encode_pq(resid, books, vec_col="res").select(
+            "id", "codes", "cell"
+        ).write.mode("append").partitionBy("cell").parquet(f"{path}/pq_codes")
     return int(obs.get["n"])
 
 

@@ -320,11 +320,15 @@ def _bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
-    """(left, right, n_occurrences): adjacent symbol pairs over the word
-    table, weighted by word frequency — one explode + one aggregate whose
-    shuffle is bounded by the pair vocabulary, not the corpus."""
-    syms = F.regexp_extract_all(
-        F.col("w"), F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
+    """(left, right, n_occurrences): adjacent symbol pairs over a
+    ``(w, freq)`` word table, weighted by word frequency — one explode +
+    one aggregate whose shuffle is bounded by the pair vocabulary, not
+    the corpus."""
+    words = words.withColumn(
+        "__syms",
+        F.regexp_extract_all(
+            F.col("w"), F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
+        ),
     )
     pairs = words.select(
         "freq",
@@ -369,11 +373,8 @@ def train_bpe(
     merges: list[tuple] = []
     try:
         for rnd in range(1, n_merges + 1):
-            syms = F.regexp_extract_all(
-                F.col("w"), F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
-            )
             best = (
-                _bpe_pair_counts(words.withColumn("__syms", syms))
+                _bpe_pair_counts(words)
                 .orderBy(F.desc("n_occurrences"), F.asc("left"), F.asc("right"))
                 .limit(1)
                 .collect()

@@ -108,14 +108,6 @@ def _recover_orphaned_swap(target_path: str) -> None:
                 shutil.rmtree(full, ignore_errors=True)
 
 
-def _local_path(uri: str) -> str:
-    """input_file_name() yields a percent-encoded file:// URI."""
-    from urllib.parse import unquote, urlparse
-
-    parsed = urlparse(uri)
-    return unquote(parsed.path) if parsed.scheme else uri
-
-
 def _first_data_file(path: str) -> str | None:
     from bigquack_spark.sinks.compact import _is_data_file
 
@@ -184,10 +176,15 @@ def merge_upsert(
     from bigquack_spark.operators.maintenance import (
         STAGING_DIR,
         _checksum_row,
+        _local_path,
         _resume_tree,
     )
     from bigquack_spark.sinks.compact import _is_data_file
 
+    # normalize: by_leaf keys come back ABSOLUTE from input_file_name()
+    # URIs, and the insert leg joins target_path + rel — a relative
+    # target_path would double-count the same physical leaf
+    target_path = os.path.abspath(target_path)
     _recover_orphaned_swap(target_path)  # legacy rename-swap residue
     resumed, discarded = _resume_tree(target_path)
     # pre-commit insert staging from a crashed merge is residue: the change
@@ -277,18 +274,29 @@ def merge_upsert(
     # never lost rows — see module doc)
     if report["upserts"]:
         ins_data = os.path.join(ins_root, "data")
-        # one file per touched leaf, not one per upstream task: a trickle
-        # CDC change set must not seed small-file debt with every apply
-        # (the compaction loop would otherwise pay for it later)
-        staged_ins = upserts.repartition(*part_cols) if part_cols else upserts
+        # one file per touched leaf (or ONE file flat), not one per
+        # upstream task: a trickle CDC change set must not seed small-file
+        # debt with every apply (the compaction loop would otherwise pay
+        # for it later; a huge flat backfill belongs on a partitioned
+        # table, where the insert parallelizes per leaf)
+        staged_ins = (
+            upserts.repartition(*part_cols) if part_cols else upserts.coalesce(1)
+        )
         w = staged_ins.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(ins_data)
         if verify:
+            # data columns only: hive readback re-infers partition-column
+            # TYPES from the directory names ('00501' reads back as int
+            # 501), so including them would abort every merge on a table
+            # whose string partition values aren't in canonical form; the
+            # partition placement itself is the writer's own partitionBy.
+            # Row count equality still rides the checksum's n_rows.
+            ins_cmp_cols = [c for c in data_cols if c not in part_cols]
             staged = spark.read.option("basePath", ins_data).parquet(ins_data)
-            want = _checksum_row(upserts.select(*data_cols))
-            got = _checksum_row(staged.select(*data_cols))
+            want = _checksum_row(upserts.select(*ins_cmp_cols))
+            got = _checksum_row(staged.select(*ins_cmp_cols))
             if want != got:
                 shutil.rmtree(ins_root, ignore_errors=True)
                 raise RuntimeError(

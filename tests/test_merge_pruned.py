@@ -235,3 +235,21 @@ def test_merge_checksum_gate_aborts_before_publish(spark, tmp_path):
     # live table untouched by the abort (the insert leg aborts FIRST, before
     # any publish)
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+def test_merge_string_partition_values_survive_checksum_gate(spark, tmp_path):
+    """r8 review: hive readback re-infers partition types from directory
+    names ('00501' -> int 501), so the insert-leg checksum compares data
+    columns only — a zip-code-partitioned table must merge cleanly."""
+    path = str(tmp_path / "zip")
+    spark.createDataFrame(
+        [("00501", 1, "a"), ("00501", 2, "b"), ("10001", 3, "c")],
+        "zip string, id bigint, v string",
+    ).write.partitionBy("zip").parquet(path)
+    changes = spark.createDataFrame(
+        [("00501", 2, "b2"), ("00501", 9, "new")], "zip string, id bigint, v string"
+    )
+    rep = merge_upsert(spark, path, changes, ["zip", "id"])
+    assert rep["generation"] is not None
+    got = {r.id: r.v for r in spark.read.parquet(path).filter("zip = '00501'").collect()}
+    assert got == {1: "a", 2: "b2", 9: "new"}

@@ -1897,3 +1897,30 @@ def test_train_bpe_planted_corpus_converges(spark):
     assert got2[0] == (1, "a", "a", "aa", 3 * 2 + 1)
     # round 2: both 'aaaa' words are now [aa, aa] -> (aa, aa): 2
     assert got2[1] == (2, "aa", "aa", "aaaa", 2)
+
+
+def test_ivf_pq_append_is_visible_to_pq_probe(spark, tmp_path):
+    """r8 review: append_to_ivf_index must encode the new batch into
+    pq_codes (frozen codebooks) — otherwise appended vectors are silently
+    invisible to the ADC shortlist until the next rebuild."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 450)
+    rest = emb.filter(F.col("vec_id") >= 450)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq_app")
+    S.build_ivf_index(first, path, n_lists=4, seed=42)
+    S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
+    S.append_to_ivf_index(spark, path, rest)
+    assert spark.read.parquet(f"{path}/pq_codes").count() == 500
+    # generous budget == probe_ivf_index parity INCLUDING appended ids
+    got = sorted(
+        map(tuple, S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4, rerank=500).collect())
+    )
+    want = sorted(
+        map(tuple, S.probe_ivf_index(spark, path, queries, k=5, n_probes=4).collect())
+    )
+    assert got == want
+    appended_ids = {r.vec_id for r in rest.select("vec_id").collect()}
+    assert {g[1] for g in got} & appended_ids or {w[1] for w in want} <= {
+        g[1] for g in got
+    }  # parity already proves it; sanity only
