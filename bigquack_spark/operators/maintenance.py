@@ -514,6 +514,13 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
 
 
 def _jsonable(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # json.dump rejects Decimal; float is advisory-grade for planning
+        # min/max (r8 review: TPC-H-style money columns crashed the
+        # manifest write otherwise)
+        return float(v)
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 

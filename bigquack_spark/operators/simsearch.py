@@ -579,20 +579,28 @@ def append_to_ivf_index(
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col)
-    obs = Observation("ivf_append")
-    observed = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    observed.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
-    if os.path.isdir(os.path.join(path, "pq_codebooks")):
+    has_pq = os.path.isdir(os.path.join(path, "pq_codebooks"))
+    if has_pq:
         # the PQ shortlist (probe_ivf_pq) scans pq_codes, not the index —
         # an append that skipped encoding would make appended vectors
         # silently invisible to the ADC stage until the next rebuild
         # (r8 review finding).  Codebooks stay FROZEN like the quantizer;
         # residuals of the new batch encode against the live books.
+        # Persisted so both writes see the SAME assignment (and pay it
+        # once), and codes land FIRST: the crash window then holds codes
+        # without vectors — shortlist slots the rerank join drops, never
+        # neighbors the probe silently cannot see.
+        assigned = assigned.persist()
         books = _load_codebooks(spark, path)
         resid = _with_residual(assigned, centroids)
         _encode_pq(resid, books, vec_col="res").select(
             "id", "codes", "cell"
         ).write.mode("append").partitionBy("cell").parquet(f"{path}/pq_codes")
+    obs = Observation("ivf_append")
+    observed = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("append").partitionBy("cell").parquet(f"{path}/index")
+    if has_pq:
+        assigned.unpersist()
     return int(obs.get["n"])
 
 

@@ -279,8 +279,10 @@ def merge_upsert(
         # debt with every apply (the compaction loop would otherwise pay
         # for it later; a huge flat backfill belongs on a partitioned
         # table, where the insert parallelizes per leaf)
+        # repartition, not coalesce: coalesce(1) would narrow the WHOLE
+        # upstream change-set computation to one task, not just the write
         staged_ins = (
-            upserts.repartition(*part_cols) if part_cols else upserts.coalesce(1)
+            upserts.repartition(*part_cols) if part_cols else upserts.repartition(1)
         )
         w = staged_ins.write.mode("overwrite")
         if part_cols:

@@ -1004,3 +1004,27 @@ def test_update_table_stats_refuses_after_rewrite(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(ValueError, match="removed or rewritten"):
         update_table_stats(spark, path)
+
+
+def test_collect_and_update_stats_on_decimal_columns(spark, tmp_path):
+    """r8 review pass 2 (repro-confirmed): decimal min/max must serialize
+    (TPC-H money columns) in both the full collect and the incremental
+    fold."""
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        update_table_stats,
+    )
+
+    path = str(tmp_path / "dec")
+    spark.sql(
+        "SELECT CAST(id AS DECIMAL(10,2)) / 4 AS price, id FROM range(100)"
+    ).coalesce(1).write.parquet(path)
+    m = collect_table_stats(spark, path)
+    assert m["columns"]["price"]["min"] == 0.0
+    assert m["columns"]["price"]["max"] == 24.75
+    spark.sql(
+        "SELECT CAST(id AS DECIMAL(10,2)) / 4 AS price, id FROM range(100, 140)"
+    ).coalesce(1).write.mode("append").parquet(path)
+    m2 = update_table_stats(spark, path)
+    assert m2["rows"] == 140
+    assert m2["columns"]["price"]["max"] == 34.75

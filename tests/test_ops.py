@@ -1905,22 +1905,26 @@ def test_ivf_pq_append_is_visible_to_pq_probe(spark, tmp_path):
     invisible to the ADC shortlist until the next rebuild."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     first = emb.filter(F.col("vec_id") < 450)
-    rest = emb.filter(F.col("vec_id") >= 450)
+    # appended batch includes a PLANTED exact duplicate of query vec 0
+    # under a fresh id — the one neighbor the probe MUST surface
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    rest = emb.filter(F.col("vec_id") >= 450).unionByName(clone)
     queries = emb.filter(F.col("vec_id") < 3)
     path = str(tmp_path / "ivfpq_app")
     S.build_ivf_index(first, path, n_lists=4, seed=42)
     S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
     S.append_to_ivf_index(spark, path, rest)
-    assert spark.read.parquet(f"{path}/pq_codes").count() == 500
+    assert spark.read.parquet(f"{path}/pq_codes").count() == 501
     # generous budget == probe_ivf_index parity INCLUDING appended ids
-    got = sorted(
-        map(tuple, S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4, rerank=500).collect())
-    )
+    served = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4, rerank=600)
+    got = sorted(map(tuple, served.collect()))
     want = sorted(
         map(tuple, S.probe_ivf_index(spark, path, queries, k=5, n_probes=4).collect())
     )
     assert got == want
-    appended_ids = {r.vec_id for r in rest.select("vec_id").collect()}
-    assert {g[1] for g in got} & appended_ids or {w[1] for w in want} <= {
-        g[1] for g in got
-    }  # parity already proves it; sanity only
+    # the appended clone of query 0 is its top neighbor (cosine ~1):
+    # appended-vector visibility asserted directly, not just via parity
+    top0 = [g for g in got if g[0] == 0 and g[3] == 1]
+    assert top0 and top0[0][1] == 9999
