@@ -2376,3 +2376,67 @@ def q309_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("n_pairs") - F.col("n_lhs")).cast("long").alias("violations"),
         (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
     )
+
+
+@query(
+    "q314_merge_preflight",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS rf,
+         year(l_shipdate) * 12 + month(l_shipdate) AS fg,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_orderkey % 211 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT rf AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_matched > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_touched,
+       CAST(sum(n_matched) AS BIGINT) AS rows_matched,
+       CAST(sum(CASE WHEN n_matched > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_rewritten,
+       round(sum(CASE WHEN n_matched > 0 THEN n_rows ELSE 0 END)
+             / CAST(nullif(sum(n_matched), 0) AS DOUBLE), 6)
+         AS write_amplification,
+       round(sum(CASE WHEN n_matched > 0 THEN n_rows ELSE 0 END)
+             / CAST(sum(n_rows) AS DOUBLE), 6) AS rewrite_share
+FROM g GROUP BY rf
+""",
+)
+def q314_merge_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE pre-flight sizing (the planning twin of
+    ``sinks/merge.merge_upsert``, as q301 is purge_rows'): for a CDC
+    change-key cohort (synthetic: l_orderkey % 211 = 0) against lineitem
+    laid out as (returnflag, ship-month) file groups, how many groups
+    and rows the apply would rewrite, the WRITE AMPLIFICATION (rows
+    rewritten per matched row — the copy-on-write tax the file-pruned
+    merge pays instead of a table rewrite) and the rewrite share of the
+    table.  Two map-side-combined aggregates, group-vocabulary bounded;
+    nothing row-scale leaves the executors."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    month = F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            month.alias("fg"),
+            (F.col("l_orderkey") % 211 == 0).cast("int").alias("m"),
+        )
+        .groupBy("rf", "fg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("m").cast("long").alias("n_matched"),
+        )
+    )
+    touched_rows = F.sum(F.when(F.col("n_matched") > 0, F.col("n_rows")).otherwise(0))
+    return g.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("n_matched") > 0).cast("int")).cast("long").alias("groups_touched"),
+        F.sum("n_matched").cast("long").alias("rows_matched"),
+        touched_rows.cast("long").alias("rows_rewritten"),
+        F.round(
+            touched_rows / F.nullif(F.sum("n_matched"), F.lit(0)).cast("double"), 6
+        ).alias("write_amplification"),
+        F.round(touched_rows / F.sum("n_rows").cast("double"), 6).alias("rewrite_share"),
+    )
