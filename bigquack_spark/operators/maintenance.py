@@ -959,3 +959,38 @@ def apply_retention(
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(path, f"_RETENTION-{gen}.json"))
     return report
+
+
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    target_mb: int | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    candidates: list[str] | None = None,
+    verify: bool = True,
+) -> dict:
+    """One maintenance pass closing the planner -> executor loop for
+    physical layout (the Delta OPTIMIZE ... ZORDER BY analogue, key
+    chosen FROM STATS): :func:`bigquack_spark.operators.planner.
+    recommend_cluster_key` picks the range-clustering key from the fresh
+    ``_STATS.json`` (highest-ndv rangeable column — what footer pruning
+    feeds on), then :func:`compact_small_files` rewrites undersized
+    partitions bin-packed AND range-clustered on it in the same
+    checksum-verified, crash-safe pass.  Raises StaleStatsError when the
+    manifest is missing/stale (collect first — planning on stale ndv
+    would cluster tomorrow's data on yesterday's key); with no viable
+    key the pass compacts unclustered.  Returns the compaction report
+    plus ``cluster_key``."""
+    from bigquack_spark.operators.planner import recommend_cluster_key
+
+    rec = recommend_cluster_key(path, candidates)  # freshness-gated
+    report = compact_small_files(
+        spark,
+        path,
+        target_mb=target_mb,
+        target_file_bytes=target_file_bytes,
+        cluster_cols=[rec["column"]] if rec else None,
+        verify=verify,
+    )
+    report["cluster_key"] = rec
+    return report

@@ -1028,3 +1028,54 @@ def test_collect_and_update_stats_on_decimal_columns(spark, tmp_path):
     m2 = update_table_stats(spark, path)
     assert m2["rows"] == 140
     assert m2["columns"]["price"]["max"] == 34.75
+
+
+def test_optimize_layout_clusters_on_stats_recommended_key(spark, tmp_path):
+    """planner -> executor loop for layout: the cluster key comes from
+    fresh stats, files end range-disjoint on it, content is checksum-
+    preserved, and the manifest is re-bound (still fresh)."""
+    import pytest
+
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        optimize_layout,
+        stats_are_fresh,
+    )
+    from bigquack_spark.operators.planner import StaleStatsError
+
+    path = str(tmp_path / "opt")
+    spark.range(5000).selectExpr(
+        "id", "id % 3 AS g", "CAST(id AS DOUBLE) AS v"
+    ).repartition(12).write.parquet(path)
+    before = _checksum(spark, path)
+
+    with pytest.raises(StaleStatsError):
+        optimize_layout(spark, path, target_file_bytes=16 * 1024)  # no stats yet
+    collect_table_stats(spark, path)
+
+    rep = optimize_layout(spark, path, target_file_bytes=16 * 1024, candidates=["id", "g"])
+    assert rep["cluster_key"]["column"] == "id"  # highest-ndv rangeable
+    assert rep["partitions_compacted"] == 1
+    assert rep["stats_rebound"] and stats_are_fresh(path)
+    assert _checksum(spark, path) == before
+
+    # per-file id ranges are pairwise disjoint (footer-prunable layout)
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in _data_files(path):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "id"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        spans.append((min(los), max(his)))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # boundary rows may share a key; no interleaving
