@@ -655,3 +655,41 @@ class QuarantineIngestSink:
             "n_repaired": n - n_still,
             "n_still_quarantined": n_still,
         }
+
+
+class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
+    """Exactly-once append that keeps the table's ``_STATS.json`` fresh
+    INCREMENTALLY (r8 stats loop, streaming leg): after each committed
+    batch, the manifest folds in only that batch's files
+    (:func:`bigquack_spark.operators.maintenance.update_table_stats` —
+    rows/nulls add, min/max combine, ndv via HLL union), so the planners
+    (``operators/planner.py``) stay metadata-answerable on a table that
+    never stops ingesting, at per-batch cost proportional to the BATCH.
+
+    The first committed batch seeds the manifest with a full collect
+    (batch-sized — the table IS the batch then).  If a crash-replay
+    overwrote a batch directory with differently-named part files, the
+    incremental fold refuses (removed files) and the sink falls back to
+    one full recollect — scan-priced, but only on the replay window,
+    never on the steady path."""
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id < self.next_batch_id:
+            return  # replayed: already durable AND already folded
+        super().__call__(batch_df, batch_id)
+        from bigquack_spark.operators.maintenance import (
+            STATS_FILE,
+            collect_table_stats,
+            update_table_stats,
+        )
+
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(self.target, STATS_FILE)):
+            collect_table_stats(spark, self.target)
+        else:
+            try:
+                update_table_stats(spark, self.target)
+            except ValueError:
+                # replay rewrote a batch dir under different part names:
+                # the fold cannot subtract the old files — recollect once
+                collect_table_stats(spark, self.target)

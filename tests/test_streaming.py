@@ -1380,3 +1380,39 @@ def test_streaming_redrive_with_nothing_parked_is_noop(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, "_REDRIVE_COMMITTED"))
     assert not any(n.startswith(".redrive-staging-") for n in os.listdir(target))
     assert sink.next_batch_id == 1
+
+
+def test_stats_maintained_append_sink_folds_incrementally(spark, tmp_path):
+    """r8 stats loop, streaming leg: each committed batch folds into the
+    manifest without rescanning earlier batches — proven by garbaging
+    batch 0's files (same sizes) before batch 1 lands."""
+    import os
+
+    from bigquack_spark.operators.maintenance import stats_are_fresh
+    from bigquack_spark.operators.planner import load_fresh_stats
+    from bigquack_spark.streaming.sink import StatsMaintainedAppendSink
+
+    target = str(tmp_path / "stats_stream")
+    sink = StatsMaintainedAppendSink(target)
+    sink(spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v"), 0)
+    assert stats_are_fresh(target)
+    assert load_fresh_stats(target)["rows"] == 100
+
+    # unreadable-but-same-size batch-0 files: a rescan would crash
+    for dirpath, dirnames, filenames in os.walk(os.path.join(target, "batch_id=0")):
+        for n in filenames:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                with open(p, "r+b") as fh:
+                    fh.write(b"\x00" * os.path.getsize(p))
+
+    sink(spark.range(100, 150).selectExpr("id", "CAST(id AS DOUBLE) AS v"), 1)
+    assert stats_are_fresh(target)
+    m = load_fresh_stats(target)
+    assert m["rows"] == 150
+    assert m["columns"]["id"]["ndv_approx"] == 150
+    assert m["columns"]["v"]["max"] == 149.0
+
+    # replayed batch id: durable no-op, stats untouched
+    sink(spark.range(999).selectExpr("id", "CAST(id AS DOUBLE) AS v"), 0)
+    assert load_fresh_stats(target)["rows"] == 150
