@@ -427,6 +427,10 @@ def purge_rows(
         "predicate": predicate,
         "n_deleted": report["n_deleted"],
         "affected_files": sorted(affected_files),
+        # snapshots PIN bytes (hardlinks): an erasure obligation must
+        # also drop_snapshot/re-snapshot these — recorded so the audit
+        # trail shows the follow-up owed (snapshot_table's GDPR note)
+        "snapshots_pinning_bytes": list_snapshots(path),
     }
     tmp = os.path.join(path, f"_PURGE-{gen}.json.tmp")
     with open(tmp, "w") as fh:
@@ -752,7 +756,11 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [d for d in dirnames if not d.endswith(".redrive-staging")]
         for d in list(dirnames):
-            if d == ".merge-insert-staging":
+            if d == ".merge-insert-staging" or (
+                d.endswith(".tmp") and os.path.basename(dirpath) == SNAPSHOT_DIR
+            ):
+                # pre-commit merge residue / crashed snapshot build — both
+                # invisible to readers and safely re-creatable
                 shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
                 dirnames.remove(d)
                 report["insert_staging_swept"] += 1
@@ -993,4 +1001,154 @@ def optimize_layout(
         verify=verify,
     )
     report["cluster_key"] = rec
+    return report
+
+
+SNAPSHOT_DIR = "_snapshots"
+
+
+def snapshot_table(path: str, name: str) -> dict:
+    """Zero-copy table snapshot (plain-parquet time travel, the
+    Delta/Iceberg VERSION AS OF analogue): hardlink every data file into
+    ``_snapshots/<name>/data/<leaf-relative-path>`` and record the
+    manifest.  Metadata-priced — no bytes copied, no Spark session; safe
+    because every writer in this repo publishes NEW files and retires old
+    ones (nothing ever mutates parquet bytes in place), so a hardlinked
+    snapshot stays bit-stable under later compaction/purge/merge.
+
+    Published atomically: the snapshot is built under ``<name>.tmp`` and
+    renamed into place, so a crashed snapshot is invisible.  Falls back
+    to a copy per file when hardlinks are unsupported (cross-device; an
+    object-store deployment pins manifests instead — format-level time
+    travel).  GDPR NOTE: a snapshot pins bytes — an erasure obligation
+    must also :func:`drop_snapshot` (or re-snapshot) — ``purge_rows``
+    records the snapshots that existed at purge time in its audit for
+    exactly this follow-up.  Returns ``{name, files, bytes}``."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"snapshot_table: invalid snapshot name {name!r}")
+    snap_root = os.path.join(path, SNAPSHOT_DIR)
+    final = os.path.join(snap_root, name)
+    if os.path.exists(final):
+        raise ValueError(f"snapshot_table: snapshot {name!r} already exists")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    files = _table_fingerprint(path)
+    n_bytes = 0
+    for rel, size in files:
+        src = os.path.join(path, rel)
+        dst = os.path.join(tmp, "data", rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device fallback
+        n_bytes += size
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump({"name": name, "files": files}, fh, indent=1)
+    os.makedirs(snap_root, exist_ok=True)
+    os.rename(tmp, final)
+    return {"name": name, "files": len(files), "bytes": n_bytes}
+
+
+def list_snapshots(path: str) -> list[str]:
+    snap_root = os.path.join(path, SNAPSHOT_DIR)
+    if not os.path.isdir(snap_root):
+        return []
+    return sorted(
+        d for d in os.listdir(snap_root)
+        if not d.endswith(".tmp")
+        and os.path.isfile(os.path.join(snap_root, d, "manifest.json"))
+    )
+
+
+def drop_snapshot(path: str, name: str) -> bool:
+    """Release a snapshot's pinned bytes (hardlinks drop; bytes free once
+    no live file references them).  The erasure follow-up
+    :func:`snapshot_table` documents."""
+    final = os.path.join(path, SNAPSHOT_DIR, name)
+    if not os.path.isdir(final):
+        return False
+    shutil.rmtree(final)
+    return True
+
+
+def restore_snapshot(
+    spark: SparkSession, path: str, name: str, verify: bool = True
+) -> dict:
+    """Roll the table back to a snapshot, leaf by leaf, under the shared
+    marker/roll-forward protocol: per leaf, files not in the snapshot are
+    retired and missing snapshot files are re-published (hardlinked from
+    the snapshot — still zero-copy) as ``restored-<gen>-`` news; a file
+    present with identical (name, size) is left untouched.  With
+    ``verify`` the restored table must checksum-equal the snapshot's
+    bytes read directly.  Content-identical, not name-identical (the
+    protocol's generation prefix renames re-published files — checksums,
+    not fingerprints, are the equality claim).  Crash mid-restore rolls
+    forward via ``_resume_tree`` like every other maintenance swap.
+    Returns ``{files_restored, files_retired, partitions_touched}``."""
+    snap = os.path.join(path, SNAPSHOT_DIR, name)
+    manifest_p = os.path.join(snap, "manifest.json")
+    if not os.path.isfile(manifest_p):
+        raise ValueError(f"restore_snapshot: no snapshot {name!r} at {path!r}")
+    with open(manifest_p) as fh:
+        want_files = [tuple(x) for x in json.load(fh)["files"]]
+    _resume_tree(path)
+
+    by_leaf_want: dict[str, dict[str, int]] = {}
+    for rel, size in want_files:
+        leaf = os.path.normpath(os.path.join(path, os.path.dirname(rel)))
+        by_leaf_want.setdefault(leaf, {})[os.path.basename(rel)] = size
+    by_leaf_have: dict[str, dict[str, int]] = {}
+    for rel, size in _table_fingerprint(path):
+        leaf = os.path.normpath(os.path.join(path, os.path.dirname(rel)))
+        by_leaf_have.setdefault(leaf, {})[os.path.basename(rel)] = size
+
+    report = {"files_restored": 0, "files_retired": 0, "partitions_touched": 0}
+    gen = uuid.uuid4().hex[:12]
+    for leaf in sorted(set(by_leaf_want) | set(by_leaf_have)):
+        want = by_leaf_want.get(leaf, {})
+        have = by_leaf_have.get(leaf, {})
+        olds = [[n, s] for n, s in sorted(have.items()) if want.get(n) != s]
+        news = [n for n, s in sorted(want.items()) if have.get(n) != s]
+        if not olds and not news:
+            continue
+        staging = os.path.join(leaf, STAGING_DIR)
+        shutil.rmtree(staging, ignore_errors=True)
+        data_dir = os.path.join(staging, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        rel_leaf = os.path.relpath(leaf, path)
+        for n in news:
+            src = os.path.join(
+                snap, "data", n if rel_leaf == "." else os.path.join(rel_leaf, n)
+            )
+            dst = os.path.join(data_dir, n)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        os.makedirs(leaf, exist_ok=True)
+        _write_marker(staging, gen, olds, prefix="restored")
+        _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="restored")
+        report["files_restored"] += len(news)
+        report["files_retired"] += len(olds)
+        report["partitions_touched"] += 1
+        if not any(_is_data_file(x) for x in os.listdir(leaf)):
+            for x in os.listdir(leaf):
+                if x.startswith(".") and x.endswith(".crc"):
+                    os.remove(os.path.join(leaf, x))
+            d = leaf
+            while d != path and os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+
+    if verify:
+        want_df = spark.read.parquet(os.path.join(snap, "data"))
+        got_df = spark.read.parquet(path)
+        want_ck = _checksum_row(want_df.select(*sorted(want_df.columns)))
+        got_ck = _checksum_row(got_df.select(*sorted(got_df.columns)))
+        if want_ck != got_ck:
+            raise RuntimeError(
+                f"restore_snapshot: restored table does not checksum-match "
+                f"snapshot {name!r} (want {want_ck}, got {got_ck})"
+            )
     return report

@@ -1079,3 +1079,130 @@ def test_optimize_layout_clusters_on_stats_recommended_key(spark, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # boundary rows may share a key; no interleaving
+
+
+# -- snapshot / restore (plain-parquet time travel) --------------------------
+
+
+def test_snapshot_restore_roundtrip_zero_copy(spark, tmp_path):
+    """Snapshot pins bytes via hardlinks (no copy), survives destructive
+    maintenance bit-stable (writers never mutate in place), and restore
+    returns the exact content under the marker protocol."""
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import (
+        drop_snapshot,
+        list_snapshots,
+        purge_rows,
+        restore_snapshot,
+        snapshot_table,
+    )
+
+    path = _purge_table(spark, tmp_path, "snap")
+    before = _checksum(spark, path)
+    data_bytes = sum(os.path.getsize(f) for f in _data_files(path))
+
+    rep = snapshot_table(path, "v1")
+    assert rep["bytes"] == data_bytes
+    assert list_snapshots(path) == ["v1"]
+    # zero-copy: every snapshot file shares its inode with the live file
+    snap_files = []
+    for dirpath, _dn, fns in os.walk(os.path.join(path, "_snapshots", "v1", "data")):
+        snap_files += [os.path.join(dirpath, n) for n in fns if n.endswith(".parquet")]
+    assert snap_files and all(os.stat(f).st_nlink >= 2 for f in snap_files)
+
+    # destructive maintenance: purge a cohort, then a whole partition
+    pr = purge_rows(spark, path, "tag = '3'")
+    assert pr["n_deleted"] > 0
+    assert _checksum(spark, path) != before
+    # the purge audit names the pinning snapshot (the GDPR follow-up)
+    audit_file = next(f for f in os.listdir(path) if f.startswith("_PURGE-"))
+    assert _json.load(open(os.path.join(path, audit_file)))[
+        "snapshots_pinning_bytes"
+    ] == ["v1"]
+
+    rr = restore_snapshot(spark, path, "v1")
+    assert rr["files_restored"] > 0 and rr["partitions_touched"] > 0
+    assert _checksum(spark, path) == before
+
+    assert drop_snapshot(path, "v1") and list_snapshots(path) == []
+
+
+def test_snapshot_restore_after_whole_partition_retire(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import (
+        apply_retention,
+        restore_snapshot,
+        snapshot_table,
+    )
+
+    path = _purge_table(spark, tmp_path, "snap2")
+    before = _checksum(spark, path)
+    snapshot_table(path, "pre")
+    apply_retention(spark, path, "k = 2")  # retires the whole leaf dir
+    assert not os.path.isdir(os.path.join(path, "k=2"))
+    rr = restore_snapshot(spark, path, "pre")
+    assert rr["files_restored"] > 0
+    assert os.path.isdir(os.path.join(path, "k=2"))
+    assert _checksum(spark, path) == before
+
+
+def test_snapshot_name_validation_and_duplicate_refusal(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import snapshot_table
+
+    path = _purge_table(spark, tmp_path, "snap3")
+    snapshot_table(path, "v1")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_table(path, "v1")
+    with pytest.raises(ValueError, match="invalid"):
+        snapshot_table(path, "../evil")
+
+
+def test_restore_crash_rolls_forward(spark, tmp_path):
+    from bigquack_spark.operators import maintenance
+
+    path = _purge_table(spark, tmp_path, "snap4")
+    before = _checksum(spark, path)
+    maintenance.snapshot_table(path, "pre")
+    maintenance.purge_rows(spark, path, "tag = '1'")
+
+    class Boom(RuntimeError):
+        pass
+
+    real = maintenance._finish_swap
+    state = {"crashed": False}
+
+    def crash_once(leaf, staging, gen, olds, prefix="compacted"):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise Boom()
+        return real(leaf, staging, gen, olds, prefix=prefix)
+
+    maintenance._finish_swap = crash_once
+    try:
+        with pytest.raises(Boom):
+            maintenance.restore_snapshot(spark, path, "pre")
+    finally:
+        maintenance._finish_swap = real
+
+    # second restore resumes the crashed leaf and completes the rest
+    maintenance.restore_snapshot(spark, path, "pre")
+    assert _checksum(spark, path) == before
+
+
+def test_vacuum_sweeps_crashed_snapshot_build(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import (
+        list_snapshots,
+        snapshot_table,
+        vacuum,
+    )
+
+    path = _purge_table(spark, tmp_path, "snap5")
+    snapshot_table(path, "ok")
+    crashed = os.path.join(path, "_snapshots", "half.tmp", "data")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "x.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    rep = vacuum(path)
+    assert rep["insert_staging_swept"] == 1
+    assert not os.path.isdir(os.path.join(path, "_snapshots", "half.tmp"))
+    assert list_snapshots(path) == ["ok"]  # live snapshot untouched
