@@ -1152,3 +1152,13 @@ def restore_snapshot(
                 f"snapshot {name!r} (want {want_ck}, got {got_ck})"
             )
     return report
+
+
+def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time-travel read: the table exactly as snapshotted — a plain scan
+    of the snapshot's hardlinked files (partition columns resolve from
+    the mirrored hive layout), zero coordination with the live table."""
+    snap = os.path.join(path, SNAPSHOT_DIR, name)
+    if not os.path.isfile(os.path.join(snap, "manifest.json")):
+        raise ValueError(f"read_snapshot: no snapshot {name!r} at {path!r}")
+    return spark.read.parquet(os.path.join(snap, "data"))

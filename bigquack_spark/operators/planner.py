@@ -4,8 +4,9 @@
 null fractions, min/max and HLL ndv bound to the table's data-file
 fingerprint.  This module closes the loop: layout decisions (partition
 key choice, cluster key choice, compaction ROI) are answered from that
-manifest plus the file LISTING — **zero data files opened**.  None of
-these functions takes a SparkSession: at 100 TB that is the difference
+manifest plus the file LISTING — **zero data files opened**.  The core
+recommenders take no SparkSession at all, and the workload advisor uses
+one only for zero-row ANALYSIS probes: at 100 TB that is the difference
 between a planning call that returns in milliseconds and one that costs a
 table scan.
 
@@ -222,3 +223,85 @@ def rebind_stats_fingerprint(path: str) -> bool:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, p)
     return True
+
+
+def _predicate_columns(spark, col_types: dict[str, str], predicate: str) -> set[str]:
+    """Which columns a predicate references — determined by ANALYSIS, not
+    string parsing: the predicate is resolved against a zero-row frame
+    with each column removed in turn; removal breaking analysis means the
+    predicate needs that column.  Driver-side plan compiles over an empty
+    local frame only — no data, metadata-priced."""
+    def _frame(cols: list[str]):
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` {col_types[c]}" for c in cols)
+        )
+
+    try:
+        _frame(list(col_types)).filter(predicate).columns
+    except Exception as exc:
+        raise ValueError(
+            f"workload predicate {predicate!r} does not analyze against the "
+            f"table schema: {exc}"
+        ) from None
+    refs = set()
+    for c in col_types:
+        # the frame must be BUILT without the column — merely .drop()ing
+        # it doesn't work, the analyzer resolves filter references through
+        # projections back to the source
+        others = [x for x in col_types if x != c]
+        try:
+            _frame(others).filter(predicate).columns
+        except Exception:
+            refs.add(c)
+    return refs
+
+
+def recommend_layout_for_workload(
+    spark,
+    path: str,
+    predicates: list[str],
+    max_partitions: int = _DEFAULT_MAX_PARTITIONS,
+) -> dict:
+    """Workload-driven layout advice: given the predicates the table's
+    queries actually filter on, pick the hive-partition key and the
+    range-cluster key that prune the most — stats viability
+    (:func:`recommend_partition_keys` / :func:`recommend_cluster_key`)
+    weighted by how often each column appears in the workload.  A column
+    no query filters on prunes nothing no matter how pretty its ndv.
+
+    Stats gate applies (StaleStatsError when missing/stale); the only
+    Spark work is zero-row analysis probes per predicate.  Returns
+    ``{partition_key, cluster_key, column_usage, n_predicates}`` — keys
+    are None when no referenced column is viable for that role."""
+    stats = load_fresh_stats(path)
+    col_types = {c: s["type"] for c, s in stats["columns"].items()}
+    usage: dict[str, int] = {c: 0 for c in col_types}
+    for pred in predicates:
+        for c in _predicate_columns(spark, col_types, pred):
+            usage[c] += 1
+
+    ranked = recommend_partition_keys(path, max_partitions=max_partitions)
+    part_best = None
+    for r in ranked:
+        if r["viable"] and usage.get(r["column"], 0) > 0:
+            score = (usage[r["column"]], r["est_rows_per_partition"] or 0)
+            if part_best is None or score > part_best[0]:
+                part_best = (score, r)
+    cluster_best = None
+    for c, n in usage.items():
+        if n == 0:
+            continue
+        s = stats["columns"].get(c, {})
+        if "min" not in s or s.get("ndv_approx") is None:
+            continue  # not rangeable: footers can't zone-map it
+        if part_best and c == part_best[1]["column"]:
+            continue  # already pruned at directory grain
+        score = (n, s["ndv_approx"])
+        if cluster_best is None or score > cluster_best[0]:
+            cluster_best = (score, c)
+    return {
+        "partition_key": part_best[1]["column"] if part_best else None,
+        "cluster_key": cluster_best[1] if cluster_best else None,
+        "column_usage": {c: n for c, n in sorted(usage.items()) if n},
+        "n_predicates": len(predicates),
+    }

@@ -1206,3 +1206,43 @@ def test_vacuum_sweeps_crashed_snapshot_build(spark, tmp_path):
     assert rep["insert_staging_swept"] == 1
     assert not os.path.isdir(os.path.join(path, "_snapshots", "half.tmp"))
     assert list_snapshots(path) == ["ok"]  # live snapshot untouched
+
+
+def test_read_snapshot_time_travel_and_workload_advisor(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        purge_rows,
+        read_snapshot,
+        snapshot_table,
+    )
+    from bigquack_spark.operators.planner import recommend_layout_for_workload
+
+    path = _purge_table(spark, tmp_path, "wl")
+    snapshot_table(path, "v1")
+    purge_rows(spark, path, "tag = '2'")
+    # time travel: the snapshot still shows the purged rows
+    assert read_snapshot(spark, path, "v1").count() == 1000
+    assert spark.read.parquet(path).count() < 1000
+
+    collect_table_stats(spark, path)
+    rec = recommend_layout_for_workload(
+        spark,
+        path,
+        predicates=[
+            "k = 1",
+            "k IN (2, 3)",
+            "id BETWEEN 10 AND 99",
+            "k = 0 AND id < 500",
+        ],
+    )
+    # k: referenced 3x, ndv 4 -> partition key; id: referenced 2x,
+    # high-ndv rangeable -> cluster key; tag never filtered -> ignored
+    assert rec["partition_key"] == "k"
+    assert rec["cluster_key"] == "id"
+    assert rec["column_usage"] == {"id": 2, "k": 3}
+
+    # a predicate that doesn't analyze is refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="does not analyze"):
+        recommend_layout_for_workload(spark, path, ["no_such_col = 1"])
