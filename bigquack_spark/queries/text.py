@@ -2489,3 +2489,127 @@ def q307_length_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p25_chars", "p50_chars", "p75_chars",
         (F.col("p75_chars") - F.col("p25_chars")).cast("long").alias("iqr_chars"),
     )
+
+
+@query(
+    "q315_readability_bands",
+    oracle="""
+WITH scored AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syll
+  FROM documents WHERE length(trim(text)) > 0
+),
+flesch AS (
+  SELECT lang, source, n_words, n_sentences, n_syll,
+         206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syll / CAST(n_words AS DOUBLE)) AS score
+  FROM scored WHERE n_words > 0
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 6) AS avg_flesch,
+       CAST(sum(CASE WHEN score >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       CAST(sum(CASE WHEN score < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+       round(avg(n_words / CAST(n_sentences AS DOUBLE)), 6) AS avg_sentence_len
+FROM flesch
+GROUP BY lang, source
+""",
+)
+def q315_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease with a vowel-group
+    syllable heuristic) banded per (lang, source) — the fluency-proxy
+    gate a training-data curation pass runs beside q51's surface-quality
+    signals: word/sentence/syllable counts are per-row regexp folds
+    (exact integers, identical cross-engine), the score a shared
+    double-precision formula, and the only shuffle the (lang, source)
+    aggregate.  The syllable heuristic is a HEURISTIC (stated in-name:
+    vowel groups) — the bands, not the third decimal, are the signal."""
+    d = t(spark, sf_dir, "documents",
+          columns=["lang", "source", "text"], rebalance=True)
+    d = d.filter(F.length(F.trim("text")) > 0)
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    scored = d.select(
+        "lang", "source",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syll") / F.col("n_words").cast("double"))
+    )
+    return (
+        scored.withColumn("score", score)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_flesch"),
+            F.sum((F.col("score") >= 60).cast("int")).cast("long").alias("n_easy"),
+            F.sum((F.col("score") < 30).cast("int")).cast("long").alias("n_hard"),
+            F.round(
+                F.avg(F.col("n_words") / F.col("n_sentences").cast("double")), 6
+            ).alias("avg_sentence_len"),
+        )
+    )
+
+
+@query(
+    "q316_mojibake_audit",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(regexp_extract_all(text, chr(65533))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_char,
+       CAST(sum(CASE WHEN length(regexp_extract_all(text,
+                     '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+                         || chr(14) || '-' || chr(31) || ']')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_control_chars,
+       CAST(sum(CASE WHEN length(regexp_extract_all(text,
+                     '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_width,
+       round(sum(CASE WHEN length(regexp_extract_all(text, chr(65533))) > 0
+                 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS replacement_rate
+FROM documents
+GROUP BY source
+""",
+)
+def q316_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption tripwire per source: documents carrying U+FFFD
+    replacement characters (a decode already went wrong upstream), C0
+    control characters (tab/newline excluded), or zero-width/BOM
+    characters (invisible tokens that poison dedup fingerprints and
+    tokenizers).  The corpus-hygiene gate that runs BEFORE q51's quality
+    scoring — a source with a nonzero replacement rate needs its ingest
+    decoder fixed, not its documents filtered.  Pure per-row regexp
+    predicates; one source-bounded aggregate."""
+    d = t(spark, sf_dir, "documents", columns=["source", "text"], rebalance=True)
+
+    def has(pattern: str):
+        return (
+            F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))) > 0
+        ).cast("int")
+
+    repl = has("�")
+    ctrl = has("[\x01-\x08\x0b\x0c\x0e-\x1f]")
+    zw = has("[​-‍﻿]")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(repl).cast("long").alias("n_replacement_char"),
+        F.sum(ctrl).cast("long").alias("n_control_chars"),
+        F.sum(zw).cast("long").alias("n_zero_width"),
+        F.round(F.sum(repl) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "replacement_rate"
+        ),
+    )
