@@ -1031,3 +1031,69 @@ def q234_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(F.col("ls")) / F.col("n"), 6).alias("mean_silhouette"),
         F.round(fold(F.col("ld")) / F.col("n"), 6).alias("mean_intra_dist"),
     )
+
+
+def _pq_balance_oracle() -> str:
+    """q317: per-subspace code occupancy over the q213 chain."""
+    sql, finals, _prevs = _pq_cte_chain()
+    legs = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, CAST(cluster AS INTEGER) AS code, "
+        f"CAST(count(*) AS BIGINT) AS n_vectors FROM {finals[s]} GROUP BY cluster"
+        for s in range(PQ_SUBSPACES)
+    )
+    sql += f"""
+    , occ AS ({legs})
+    SELECT subspace, code, n_vectors,
+           round(n_vectors / CAST(sum(n_vectors) OVER (PARTITION BY subspace)
+                 AS DOUBLE), 6) AS share,
+           round(n_vectors / (avg(n_vectors) OVER (PARTITION BY subspace)), 6)
+             AS balance_ratio
+    FROM occ
+    """
+    return sql
+
+
+@query("q317_pq_code_balance", oracle=_pq_balance_oracle())
+def q317_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-health audit for the PQ family (q213/q310/q313's sibling):
+    per-subspace code occupancy — share of the corpus each codeword
+    absorbs and its ratio to the subspace average.  A codeword absorbing
+    several times its fair share means that subspace's codebook resolves
+    nothing there (the PQ analogue of ivf_cell_drift's hot cell) and the
+    rebuild should refit with more codes.  One projection (the q213
+    encode pass) + a code-vocabulary-bounded aggregate + PQ_K-row
+    windows."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [],
+            "subspace int, code int, n_vectors long, share double, "
+            "balance_ratio double",
+        )
+    occ = (
+        scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("subspace"), F.col("code_0").alias("code")
+                    ),
+                    F.struct(
+                        F.lit(1).alias("subspace"), F.col("code_1").alias("code")
+                    ),
+                )
+            ).alias("sc")
+        )
+        .select("sc.subspace", "sc.code")
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("subspace")
+    return occ.select(
+        "subspace", "code", "n_vectors",
+        F.round(F.col("n_vectors") / F.sum("n_vectors").over(w).cast("double"), 6)
+        .alias("share"),
+        F.round(F.col("n_vectors") / F.avg("n_vectors").over(w), 6)
+        .alias("balance_ratio"),
+    )
