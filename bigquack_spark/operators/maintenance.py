@@ -741,9 +741,11 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
     4. Drop abandoned ``.merge-insert-staging`` dirs — pre-commit merge
        residue (the change set is the source of truth; a crashed merge
        is re-run anyway).
+    5. Drop crashed snapshot builds (``_snapshots/<name>.tmp`` dirs) —
+       invisible to readers, safely re-creatable.
 
     Returns ``{resumed, discarded_stale, tmp_swept,
-    purge_manifests_pruned, insert_staging_swept}``."""
+    purge_manifests_pruned, insert_staging_swept, snapshot_tmp_swept}``."""
     resumed, discarded = _resume_tree(path)
     report = {
         "resumed": resumed,
@@ -751,19 +753,20 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
         "tmp_swept": 0,
         "purge_manifests_pruned": 0,
         "insert_staging_swept": 0,
+        "snapshot_tmp_swept": 0,
     }
     manifests: dict[str, list[str]] = {"_PURGE-": [], "_MERGE-": [], "_RETENTION-": []}
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [d for d in dirnames if not d.endswith(".redrive-staging")]
         for d in list(dirnames):
-            if d == ".merge-insert-staging" or (
-                d.endswith(".tmp") and os.path.basename(dirpath) == SNAPSHOT_DIR
-            ):
-                # pre-commit merge residue / crashed snapshot build — both
-                # invisible to readers and safely re-creatable
+            if d == ".merge-insert-staging":
                 shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
                 dirnames.remove(d)
                 report["insert_staging_swept"] += 1
+            elif d.endswith(".tmp") and os.path.basename(dirpath) == SNAPSHOT_DIR:
+                shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                dirnames.remove(d)
+                report["snapshot_tmp_swept"] += 1
         for name in filenames:
             p = os.path.join(dirpath, name)
             if name.endswith(".tmp"):
@@ -991,7 +994,20 @@ def optimize_layout(
     plus ``cluster_key``."""
     from bigquack_spark.operators.planner import recommend_cluster_key
 
-    rec = recommend_cluster_key(path, candidates)  # freshness-gated
+    # hive-partition columns are constant per leaf (nothing to range-
+    # cluster) AND absent from the leaf-file frames the compaction pass
+    # reads — clustering on one would crash the rewrite (r8 review pass 3)
+    part_cols, _leaves = _partition_leaves(path)
+    stats_cols = None
+    if candidates is not None:
+        stats_cols = [c for c in candidates if c not in part_cols]
+    elif part_cols:
+        from bigquack_spark.operators.planner import load_fresh_stats
+
+        stats_cols = [
+            c for c in load_fresh_stats(path)["columns"] if c not in part_cols
+        ]
+    rec = recommend_cluster_key(path, stats_cols)  # freshness-gated
     report = compact_small_files(
         spark,
         path,
@@ -1005,6 +1021,22 @@ def optimize_layout(
 
 
 SNAPSHOT_DIR = "_snapshots"
+
+
+def _validate_snapshot_name(name: str) -> None:
+    """Shared by create AND drop: a traversal name must never reach a
+    filesystem call (drop_snapshot rmtree's the resolved path — r8 review
+    pass 3), and a ``.tmp`` suffix would collide with the crashed-build
+    convention vacuum sweeps and list_snapshots hides."""
+    if (
+        not name
+        or "/" in name
+        or os.sep in name
+        or name.startswith(".")
+        or ".." in name
+        or name.endswith(".tmp")
+    ):
+        raise ValueError(f"invalid snapshot name {name!r}")
 
 
 def snapshot_table(path: str, name: str) -> dict:
@@ -1024,8 +1056,7 @@ def snapshot_table(path: str, name: str) -> dict:
     must also :func:`drop_snapshot` (or re-snapshot) — ``purge_rows``
     records the snapshots that existed at purge time in its audit for
     exactly this follow-up.  Returns ``{name, files, bytes}``."""
-    if not name or "/" in name or name.startswith("."):
-        raise ValueError(f"snapshot_table: invalid snapshot name {name!r}")
+    _validate_snapshot_name(name)
     snap_root = os.path.join(path, SNAPSHOT_DIR)
     final = os.path.join(snap_root, name)
     if os.path.exists(final):
@@ -1033,6 +1064,10 @@ def snapshot_table(path: str, name: str) -> dict:
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     files = _table_fingerprint(path)
+    if not files:
+        raise ValueError(
+            f"snapshot_table: no data files at {path!r} — nothing to snapshot"
+        )
     n_bytes = 0
     for rel, size in files:
         src = os.path.join(path, rel)
@@ -1065,6 +1100,7 @@ def drop_snapshot(path: str, name: str) -> bool:
     """Release a snapshot's pinned bytes (hardlinks drop; bytes free once
     no live file references them).  The erasure follow-up
     :func:`snapshot_table` documents."""
+    _validate_snapshot_name(name)
     final = os.path.join(path, SNAPSHOT_DIR, name)
     if not os.path.isdir(final):
         return False
@@ -1110,6 +1146,13 @@ def restore_snapshot(
         have = by_leaf_have.get(leaf, {})
         olds = [[n, s] for n, s in sorted(have.items()) if want.get(n) != s]
         news = [n for n, s in sorted(want.items()) if have.get(n) != s]
+        # unaffected files MUST ride the marker as `others` or the resume
+        # adoption gate reads them as a rebuilt-underneath partition and
+        # discards the crashed restore's staging (the r7 partial-leaf
+        # purge bug, restore flavor — r8 review pass 3)
+        unaffected = [
+            [n, s] for n, s in sorted(have.items()) if want.get(n) == s
+        ]
         if not olds and not news:
             continue
         staging = os.path.join(leaf, STAGING_DIR)
@@ -1127,7 +1170,7 @@ def restore_snapshot(
             except OSError:
                 shutil.copy2(src, dst)
         os.makedirs(leaf, exist_ok=True)
-        _write_marker(staging, gen, olds, prefix="restored")
+        _write_marker(staging, gen, olds, prefix="restored", others=unaffected)
         _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="restored")
         report["files_restored"] += len(news)
         report["files_retired"] += len(olds)

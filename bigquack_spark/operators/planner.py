@@ -244,13 +244,22 @@ def _predicate_columns(spark, col_types: dict[str, str], predicate: str) -> set[
             f"table schema: {exc}"
         ) from None
     refs = set()
+    lowered = predicate.lower()
     for c in col_types:
+        if c.lower() not in lowered:
+            continue  # an identifier must appear textually to be referenced
         # the frame must be BUILT without the column — merely .drop()ing
         # it doesn't work, the analyzer resolves filter references through
-        # projections back to the source
+        # projections back to the source.  A frame must keep >=1 column
+        # (empty DDL fails to parse and would falsely mark the column) —
+        # pad with a probe column no predicate can reference.
         others = [x for x in col_types if x != c]
+        schema = ", ".join(f"`{x}` {col_types[x]}" for x in others)
+        probe = spark.createDataFrame(
+            [], schema if others else "`__probe__` int"
+        )
         try:
-            _frame(others).filter(predicate).columns
+            probe.filter(predicate).columns
         except Exception:
             refs.add(c)
     return refs

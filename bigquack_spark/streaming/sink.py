@@ -675,18 +675,27 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id < self.next_batch_id:
-            return  # replayed: already durable AND already folded
+            # replayed: the data is already durable, but a crash may have
+            # landed BETWEEN the offset persist and the stats fold — heal
+            # the manifest if it is stale instead of assuming it folded
+            # (r8 review pass 3; otherwise an availableNow stream with no
+            # further batches leaves the planners StaleStatsError forever)
+            self._ensure_stats(batch_df.sparkSession)
+            return
         super().__call__(batch_df, batch_id)
+        self._ensure_stats(batch_df.sparkSession)
+
+    def _ensure_stats(self, spark) -> None:
         from bigquack_spark.operators.maintenance import (
             STATS_FILE,
             collect_table_stats,
+            stats_are_fresh,
             update_table_stats,
         )
 
-        spark = batch_df.sparkSession
         if not os.path.exists(os.path.join(self.target, STATS_FILE)):
             collect_table_stats(spark, self.target)
-        else:
+        elif not stats_are_fresh(self.target):
             try:
                 update_table_stats(spark, self.target)
             except ValueError:

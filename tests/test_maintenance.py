@@ -1203,7 +1203,7 @@ def test_vacuum_sweeps_crashed_snapshot_build(spark, tmp_path):
     with open(os.path.join(crashed, "x.parquet"), "wb") as fh:
         fh.write(b"junk")
     rep = vacuum(path)
-    assert rep["insert_staging_swept"] == 1
+    assert rep["snapshot_tmp_swept"] == 1
     assert not os.path.isdir(os.path.join(path, "_snapshots", "half.tmp"))
     assert list_snapshots(path) == ["ok"]  # live snapshot untouched
 
@@ -1246,3 +1246,93 @@ def test_read_snapshot_time_travel_and_workload_advisor(spark, tmp_path):
 
     with pytest.raises(ValueError, match="does not analyze"):
         recommend_layout_for_workload(spark, path, ["no_such_col = 1"])
+
+
+def test_restore_crash_with_unaffected_file_rolls_forward(spark, tmp_path):
+    """r8 review pass 3: a leaf holding an UNAFFECTED file (identical in
+    the snapshot) must survive a crashed restore — the marker records it
+    as `others` so the adoption gate resumes instead of discarding the
+    staging (the r7 partial-leaf purge bug, restore flavor)."""
+    from bigquack_spark.operators import maintenance
+
+    path = str(tmp_path / "snapres")
+    # two files in ONE flat leaf with disjoint key ranges
+    for lo in (0, 100):
+        spark.range(lo, lo + 100).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = _checksum(spark, path)
+    maintenance.snapshot_table(path, "pre")
+    # purge touches only the file holding ids < 100; the other file is
+    # untouched and identical in the snapshot
+    maintenance.purge_rows(spark, path, "id < 10")
+
+    class Boom(RuntimeError):
+        pass
+
+    real = maintenance._finish_swap
+    state = {"crashed": False}
+
+    def crash_once(leaf, staging, gen, olds, prefix="compacted"):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise Boom()
+        return real(leaf, staging, gen, olds, prefix=prefix)
+
+    maintenance._finish_swap = crash_once
+    try:
+        with pytest.raises(Boom):
+            maintenance.restore_snapshot(spark, path, "pre")
+    finally:
+        maintenance._finish_swap = real
+
+    # the resume path must ROLL FORWARD (not discard) despite the
+    # unaffected file living in the same leaf
+    resumed, discarded = maintenance._resume_tree(path)
+    assert resumed == 1 and discarded == 0
+    # a second restore is then a content no-op and verifies clean
+    maintenance.restore_snapshot(spark, path, "pre")
+    assert _checksum(spark, path) == before
+
+
+def test_drop_snapshot_rejects_traversal_names(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import drop_snapshot, snapshot_table
+
+    path = _purge_table(spark, tmp_path, "snaptrav")
+    snapshot_table(path, "v1")
+    for bad in ("..", "../sibling", "a/b", ".hidden", "x.tmp", ""):
+        with pytest.raises(ValueError, match="invalid"):
+            drop_snapshot(path, bad)
+    assert os.path.isdir(os.path.join(path, "_snapshots", "v1"))
+
+
+def test_snapshot_refuses_empty_table_and_tmp_names(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import snapshot_table
+
+    empty = str(tmp_path / "emptytbl")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no data files"):
+        snapshot_table(empty, "v1")
+    path = _purge_table(spark, tmp_path, "snaptmp")
+    with pytest.raises(ValueError, match="invalid"):
+        snapshot_table(path, "backup.tmp")
+
+
+def test_optimize_layout_skips_partition_columns_as_cluster_key(spark, tmp_path):
+    """r8 review pass 3: a hive-partition column (constant per leaf,
+    absent from leaf-file frames) must never be chosen as the cluster
+    key even when it is the highest-ndv rangeable column in stats."""
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        optimize_layout,
+    )
+
+    path = str(tmp_path / "optpart")
+    # partition column 'day' has HIGHER ndv than any data column
+    spark.range(2000).selectExpr(
+        "id % 50 AS day", "id % 7 AS v", "CAST(id AS STRING) AS s"
+    ).repartition(4).write.partitionBy("day").parquet(path)
+    collect_table_stats(spark, path)
+    rep = optimize_layout(spark, path, target_file_bytes=1 << 30)
+    assert rep["cluster_key"] is None or rep["cluster_key"]["column"] != "day"
+    assert rep["partitions_compacted"] > 0  # the pass itself ran clean

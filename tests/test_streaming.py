@@ -1416,3 +1416,22 @@ def test_stats_maintained_append_sink_folds_incrementally(spark, tmp_path):
     # replayed batch id: durable no-op, stats untouched
     sink(spark.range(999).selectExpr("id", "CAST(id AS DOUBLE) AS v"), 0)
     assert load_fresh_stats(target)["rows"] == 150
+
+
+def test_stats_maintained_sink_heals_stale_manifest_on_replay(spark, tmp_path):
+    """r8 review pass 3: a crash between the offset persist and the stats
+    fold leaves the manifest stale; the replayed batch must heal it
+    instead of early-returning forever."""
+    import os
+
+    from bigquack_spark.operators.maintenance import STATS_FILE, stats_are_fresh
+    from bigquack_spark.streaming.sink import StatsMaintainedAppendSink
+
+    target = str(tmp_path / "heal")
+    sink = StatsMaintainedAppendSink(target)
+    df = spark.range(50).selectExpr("id")
+    sink(df, 0)
+    # simulate the crash window: offset persisted, fold lost
+    os.remove(os.path.join(target, STATS_FILE))
+    sink(df, 0)  # replayed batch id
+    assert stats_are_fresh(target)
