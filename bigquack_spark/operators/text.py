@@ -397,3 +397,64 @@ def train_bpe(
         merges or [],
         "round int, left string, right string, merged string, n_occurrences long",
     )
+
+
+def encode_bpe(
+    df: DataFrame, merges: list, text_col: str = "text"
+) -> DataFrame:
+    """Apply a trained merge table (:func:`train_bpe`'s output rows, or
+    any iterable with ``left``/``right`` fields in merge order) to every
+    document and count its BPE tokens — the trained-tokenizer token
+    count a pack sizer (sinks/packing.py) should be fed once a real
+    vocabulary exists (``bpe_token_count``'s regex is the pre-training
+    proxy).
+
+    One projection, zero shuffle: each token's wrapped-symbol string
+    runs the merge chain as ``n_merges`` sequential literal replaces
+    (same greedy left-to-right semantics as training), then symbols are
+    counted per token and summed per document.  Adds ``n_bpe_tokens``
+    (symbol count over all tokens) and ``n_words`` columns."""
+    tok_arr = F.filter(
+        tokens(F.col(text_col)),
+        lambda t: (F.length(t) > 0)
+        & ~t.contains(BPE_SOS)
+        & ~t.contains(BPE_EOS),
+    )
+    wrapped = F.transform(
+        tok_arr,
+        lambda t: F.regexp_replace(t, "(.)", f"{BPE_SOS}$1{BPE_EOS}"),
+    )
+    def _replacer(pat: str, rep: str):
+        # a closure, not default args: PySpark counts a lambda's default
+        # parameters toward the higher-order function's arity
+        return lambda w: F.replace(w, F.lit(pat), F.lit(rep))
+
+    merged = wrapped
+    for m in merges:
+        left = m.left if hasattr(m, "left") else m["left"]
+        right = m.right if hasattr(m, "right") else m["right"]
+        merged = F.transform(
+            merged,
+            _replacer(
+                f"{BPE_SOS}{left}{BPE_EOS}{BPE_SOS}{right}{BPE_EOS}",
+                f"{BPE_SOS}{left}{right}{BPE_EOS}",
+            ),
+        )
+    n_syms = F.aggregate(
+        F.transform(
+            merged,
+            lambda w: F.size(
+                F.regexp_extract_all(
+                    w, F.lit(f"{BPE_SOS}([^{BPE_EOS}]*){BPE_EOS}"), F.lit(1)
+                )
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumns(
+        {
+            "n_words": F.size(tok_arr).cast("long"),
+            "n_bpe_tokens": n_syms.cast("long"),
+        }
+    )

@@ -1928,3 +1928,27 @@ def test_ivf_pq_append_is_visible_to_pq_probe(spark, tmp_path):
     # appended-vector visibility asserted directly, not just via parity
     top0 = [g for g in got if g[0] == 0 and g[3] == 1]
     assert top0 and top0[0][1] == 9999
+
+
+def test_encode_bpe_counts_match_trained_segmentation(spark):
+    """Applying train_bpe's merges to the SAME corpus reproduces the
+    hand-computable segment counts (banana=[b,anana] wait — see the
+    per-round trace in test_train_bpe): after 3 merges banana segments
+    to 2 symbols, band to 2."""
+    from bigquack_spark.operators.text import encode_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [("banana banana",), ("banana band",)], "text string"
+    )
+    merges = train_bpe(df, n_merges=3).collect()
+    # after merges an, ban, ana: banana -> [ban, ana] (2), band -> [ban, d] (2)
+    got = {
+        r.text: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe(df, merges).collect()
+    }
+    assert got["banana banana"] == (2, 4)
+    assert got["banana band"] == (2, 4)
+    # zero merges: every char is a symbol
+    got0 = {r.text: r.n_bpe_tokens for r in encode_bpe(df, []).collect()}
+    assert got0["banana banana"] == 12
+    assert got0["banana band"] == 10
