@@ -429,10 +429,21 @@ def encode_bpe(
         # parameters toward the higher-order function's arity
         return lambda w: F.replace(w, F.lit(pat), F.lit(rep))
 
+    def _field(m, name):
+        return getattr(m, name) if hasattr(m, name) else m[name]
+
+    # merges MUST apply in training order — sort by round when present
+    # rather than trusting the caller's row order
+    merges = sorted(
+        merges,
+        key=lambda m: _field(m, "round") if hasattr(m, "round") or (
+            isinstance(m, dict) and "round" in m
+        ) else 0,
+    )
     merged = wrapped
     for m in merges:
-        left = m.left if hasattr(m, "left") else m["left"]
-        right = m.right if hasattr(m, "right") else m["right"]
+        left = _field(m, "left")
+        right = _field(m, "right")
         merged = F.transform(
             merged,
             _replacer(
