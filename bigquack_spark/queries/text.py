@@ -2613,3 +2613,138 @@ def q316_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "replacement_rate"
         ),
     )
+
+
+_VOCAB_TOPK = 50
+
+
+@query(
+    "q318_vocab_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+),
+toks2 AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+corpus AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cn FROM toks2 GROUP BY tok
+),
+top AS (
+  SELECT tok, cn FROM (
+    SELECT tok, cn, row_number() OVER (ORDER BY cn DESC, tok) AS rk FROM corpus
+  ) WHERE rk <= {_VOCAB_TOPK}
+),
+bucketed AS (
+  SELECT t.source,
+         CASE WHEN top.tok IS NOT NULL THEN t.tok ELSE '~other' END AS bucket
+  FROM toks2 t LEFT JOIN top ON t.tok = top.tok
+),
+sc AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY source, bucket
+),
+cb AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ccnt FROM sc GROUP BY bucket
+),
+totals AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM sc GROUP BY source
+),
+grand AS (SELECT CAST(sum(ccnt) AS BIGINT) AS n FROM cb),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cb),
+grid AS (
+  SELECT t.source, t.n_s, c.bucket, c.ccnt, g.n, nb.b,
+         coalesce(s.cnt, 0) AS cnt
+  FROM totals t CROSS JOIN cb c CROSS JOIN grand g CROSS JOIN nb
+  LEFT JOIN sc s ON s.source = t.source AND s.bucket = c.bucket
+),
+terms AS (
+  SELECT source, n_s, bucket,
+         (cnt + 1) / CAST(n_s + b AS DOUBLE) AS p,
+         (ccnt + 1) / CAST(n + b AS DOUBLE) AS c
+  FROM grid
+),
+folded AS (
+  SELECT source, any_value(n_s) AS n_tokens,
+         list(0.5 * p * ln(p / ((p + c) / 2))
+              + 0.5 * c * ln(c / ((p + c) / 2)) ORDER BY bucket) AS lt
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens, round(list_sum(lt), 6) AS js_divergence,
+       CAST(row_number() OVER (
+         ORDER BY round(list_sum(lt), 6) DESC, source) AS INTEGER) AS rank
+FROM folded
+""",
+)
+def q318_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture monitor: Jensen-Shannon divergence of each source's
+    token distribution against the whole corpus, over the top-{_VOCAB_TOPK}
+    corpus tokens plus an OTHER bucket (Laplace-smoothed) — the number
+    that says WHICH ingest source drifted from the mixture a model was
+    curated for (q283's mixture balance says how much of each source;
+    this says how differently each source speaks).
+
+    Determinism: all probabilities derive from exact BIGINT counts via
+    one shared formula; the per-source sum folds in FIXED bucket order
+    (sorted-struct fold — the q184/q141 precedent), so both engines add
+    identical doubles in identical order, rounded once at the end.
+    Scale: one token aggregate (pair-vocabulary bounded), a broadcast
+    top-K set, a (sources x {_VOCAB_TOPK}+1)-sized grid — nothing
+    corpus-sized past the first groupBy."""
+    d = t(spark, sf_dir, "documents", columns=["source", "text"], rebalance=True)
+    toks = d.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    w_top = Window.orderBy(F.desc("cn"), F.asc("tok"))
+    top = corpus.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= _VOCAB_TOPK
+    ).select("tok")
+    bucketed = toks.join(F.broadcast(top.withColumn("__hit", F.lit(1))), "tok", "left").select(
+        "source",
+        F.when(F.col("__hit").isNotNull(), F.col("tok")).otherwise(
+            F.lit("~other")
+        ).alias("bucket"),
+    )
+    sc = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cb = sc.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("ccnt"))
+    totals = sc.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    grand = cb.agg(F.sum("ccnt").cast("long").alias("n"))
+    nb = cb.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    grid = (
+        totals.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(nb))
+        .join(sc, ["source", "bucket"], "left")
+        .select(
+            "source", "n_s", "bucket",
+            ((F.coalesce("cnt", F.lit(0)) + 1) / (F.col("n_s") + F.col("b")).cast("double")).alias("p"),
+            ((F.col("ccnt") + 1) / (F.col("n") + F.col("b")).cast("double")).alias("c"),
+        )
+    )
+    folded = (
+        grid.groupBy("source")
+        .agg(
+            F.any_value("n_s").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("bucket", F.col("p"), F.col("c")))
+            ).alias("lt"),
+        )
+        .select(
+            "source", "n_tokens",
+            F.round(
+                F.aggregate(
+                    F.col("lt"),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + (
+                        F.lit(0.5) * e["p"] * F.log(e["p"] / ((e["p"] + e["c"]) / 2))
+                        + F.lit(0.5) * e["c"] * F.log(e["c"] / ((e["p"] + e["c"]) / 2))
+                    ),
+                ),
+                6,
+            ).alias("js_divergence"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("js_divergence"), F.asc("source"))
+    return folded.withColumn("rank", F.row_number().over(w_rank).cast("int"))
