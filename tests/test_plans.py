@@ -294,6 +294,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q189_class_balance_weights",  # broadcast 1-row normalizer aggregates
         "q191_hybrid_rrf",  # bounded 3-doc query set broadcast (the q40 shape)
         "q203_psi_drift",  # broadcast 1-row epoch span + 10-row bin grid
+        "q318_vocab_divergence",  # broadcast 1-row grand totals + (sources x topK+1) grid
         "q206_retention_curve",  # broadcast calendar-bounded day grid + 1-row total
         "q207_unigram_logprob",  # broadcast 1-row corpus-total aggregate
         "q209_matryoshka_overlap",  # bounded query set broadcast (the q40 shape), twice
