@@ -51,6 +51,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -474,10 +475,16 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
     Scale posture: every statistic is a conditional aggregate or sketch
     merged map-side in ONE pass (no DISTINCT expansion — ndv is
     approx_count_distinct's HLL, the only honest choice at 100 TB); the
-    manifest is column-count-sized.  Returns the manifest dict."""
+    manifest is column-count-sized.  Returns the manifest dict.
+
+    Reads with ``mergeSchema`` so a schema-drifted table (files appended
+    with added/dropped columns) yields stats over the UNION of columns —
+    single-footer inference could silently miss live columns depending on
+    which file Spark samples (r9; the full-scan cost dwarfs the footer
+    reads)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in df.schema.fields:
         c = f.name
@@ -666,15 +673,34 @@ def update_table_stats(spark: SparkSession, path: str) -> dict:
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     fields = {f.name: f for f in batch.schema.fields}
+    drifted = sorted(set(fields) - set(manifest["columns"]))
+    if drifted:
+        # a batch carrying columns the manifest has never seen is schema
+        # evolution — silently dropping them would hand the planners a
+        # manifest that claims to be exact while missing live columns
+        # (r8 advisor, medium)
+        raise ValueError(
+            "update_table_stats: the appended files carry columns absent "
+            f"from the manifest ({drifted[:3]}) — schema evolved; run "
+            "collect_table_stats to rebuild the manifest over the new shape"
+        )
+    # manifest columns missing from the batch schema read back NULL for
+    # every appended row — fold that as null_count += n_new (silently
+    # skipping them diverged the fold from collect_table_stats and fed
+    # wrong null fractions to the planners' viability gates; r8 advisor)
+    absent = [c for c in manifest["columns"] if c not in fields]
     for c in manifest["columns"]:
         f = fields.get(c)
         if f is None:
-            continue  # column absent from the new files: nothing to fold
+            continue
         aggs += _stats_aggs(c, f.dataType)
     row = batch.agg(*aggs).collect()[0].asDict()
 
     n_new = int(row["__n"])
     manifest["rows"] = int(manifest["rows"]) + n_new
+    for c in absent:
+        col = manifest["columns"][c]
+        col["null_count"] = int(col["null_count"]) + n_new
     # merge every (old sketch, batch partial) pair in ONE job, then
     # estimate all merged sketches in one more
     merged_sketches: dict[str, bytes] = {}
@@ -745,17 +771,27 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
        invisible to readers, safely re-creatable.
 
     Returns ``{resumed, discarded_stale, tmp_swept,
-    purge_manifests_pruned, insert_staging_swept, snapshot_tmp_swept}``."""
+    purge_manifests_pruned, merge_manifests_pruned,
+    retention_manifests_pruned, insert_staging_swept,
+    snapshot_tmp_swept}`` — manifest pruning is counted PER KIND so the
+    report matches the per-kind retention it promises (r8 advisor)."""
     resumed, discarded = _resume_tree(path)
     report = {
         "resumed": resumed,
         "discarded_stale": discarded,
         "tmp_swept": 0,
         "purge_manifests_pruned": 0,
+        "merge_manifests_pruned": 0,
+        "retention_manifests_pruned": 0,
         "insert_staging_swept": 0,
         "snapshot_tmp_swept": 0,
     }
     manifests: dict[str, list[str]] = {"_PURGE-": [], "_MERGE-": [], "_RETENTION-": []}
+    pruned_key = {
+        "_PURGE-": "purge_manifests_pruned",
+        "_MERGE-": "merge_manifests_pruned",
+        "_RETENTION-": "retention_manifests_pruned",
+    }
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [d for d in dirnames if not d.endswith(".redrive-staging")]
         for d in list(dirnames):
@@ -780,12 +816,12 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
                     if name.startswith(prefix):
                         acc.append(p)
                         break
-    for acc in manifests.values():
+    for prefix, acc in manifests.items():
         acc.sort(key=os.path.getmtime, reverse=True)
         for p in acc[keep_purge_manifests:]:
             try:
                 os.remove(p)
-                report["purge_manifests_pruned"] += 1
+                report[pruned_key[prefix]] += 1
             except OSError:
                 pass
     return report
@@ -820,27 +856,40 @@ def _partition_leaves(path: str) -> tuple[list[str], list[tuple[str, dict]]]:
     return part_cols, leaves
 
 
+# Strict forms matching what Spark's partition inference itself accepts.
+# Python's int()/float()/date.fromisoformat() are LOOSER (underscored
+# literals '1_0', Unicode digits, 'inf'/'nan', compact ISO dates on
+# 3.11+) — typing a value here that Spark's scan path would leave as a
+# string would evaluate the retention predicate under a different typing
+# than the reader and retire the wrong leaves (r8 advisor).
+_PART_INT_RE = re.compile(r"^-?[0-9]+$")
+_PART_FLOAT_RE = re.compile(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+_PART_DATE_RE = re.compile(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+
+
 def _infer_partition_type(values: list) -> str:
     """Spark's partition-value inference, simplified: int -> double ->
-    date -> string over the non-NULL value set."""
+    date -> string over the non-NULL value set.  Values are validated by
+    STRICT regexes, not Python's permissive parsers, so only values
+    Spark's own reader would type as non-string take the metadata fast
+    path."""
     import datetime
 
     nonnull = [v for v in values if v is not None]
     if not nonnull:
         return "string"
-    for cast, t in ((int, "bigint"), (float, "double")):
+    if all(_PART_INT_RE.match(v) for v in nonnull):
+        return "bigint"
+    if all(_PART_FLOAT_RE.match(v) for v in nonnull):
+        return "double"
+    if all(_PART_DATE_RE.match(v) for v in nonnull):
         try:
             for v in nonnull:
-                cast(v)
-            return t
+                datetime.date.fromisoformat(v)  # month/day range check
+            return "date"
         except ValueError:
-            continue
-    try:
-        for v in nonnull:
-            datetime.date.fromisoformat(v)
-        return "date"
-    except ValueError:
-        return "string"
+            pass
+    return "string"
 
 
 def apply_retention(
@@ -964,6 +1013,10 @@ def apply_retention(
         "leaves_retired": retired_leaves,
         "files_retired": report["files_retired"],
         "bytes_retired": report["bytes_retired"],
+        # hardlinked snapshots pin retention-retired bytes exactly as they
+        # pin purge-retired ones — record the drop_snapshot follow-up owed
+        # (mirrors purge_rows' audit; r8 advisor)
+        "snapshots_pinning_bytes": list_snapshots(path),
     }
     tmp = os.path.join(path, f"_RETENTION-{gen}.json.tmp")
     with open(tmp, "w") as fh:

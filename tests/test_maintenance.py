@@ -925,7 +925,10 @@ def test_vacuum_sweeps_merge_residue_and_bounds_all_manifest_kinds(spark, tmp_pa
     rep = vacuum(path, keep_purge_manifests=5)
     assert rep["insert_staging_swept"] == 1
     assert not os.path.isdir(os.path.join(path, ".merge-insert-staging"))
-    assert rep["purge_manifests_pruned"] == 4  # 2 oldest of each kind
+    # counted PER KIND (r8 advisor): 2 oldest of each kind, no _PURGE here
+    assert rep["merge_manifests_pruned"] == 2
+    assert rep["retention_manifests_pruned"] == 2
+    assert rep["purge_manifests_pruned"] == 0
     kept = sorted(f for f in os.listdir(path) if f.endswith(".json") and f.startswith(("_MERGE", "_RETENTION")))
     assert len(kept) == 10
     assert "_MERGE-00.json" not in kept and "_RETENTION-01.json" not in kept
@@ -1336,3 +1339,86 @@ def test_optimize_layout_skips_partition_columns_as_cluster_key(spark, tmp_path)
     rep = optimize_layout(spark, path, target_file_bytes=1 << 30)
     assert rep["cluster_key"] is None or rep["cluster_key"]["column"] != "day"
     assert rep["partitions_compacted"] > 0  # the pass itself ran clean
+
+
+# -- r8 advisor regression tests ----------------------------------------------
+
+
+def test_update_table_stats_folds_schema_drift_honestly(spark, tmp_path):
+    """r8 advisor (medium): a manifest column ABSENT from the appended
+    files reads back NULL for every appended row — the fold must add
+    n_new to its null_count (not silently skip it), and a batch carrying
+    a column the manifest has never seen must raise, never be dropped."""
+    import pytest
+
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        update_table_stats,
+    )
+
+    path = str(tmp_path / "drift")
+    spark.range(100).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(path)
+    collect_table_stats(spark, path)
+
+    # append files MISSING column v: its rows read back NULL table-wide
+    spark.range(100, 140).selectExpr("id").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    m = update_table_stats(spark, path)
+    assert m["rows"] == 140
+    assert m["columns"]["v"]["null_count"] == 40
+    # null fraction now matches what a full recompute sees
+    full = collect_table_stats(spark, path)
+    assert full["columns"]["v"]["null_count"] == 40
+
+    # append files carrying a NEW column: refuse (schema evolved)
+    spark.range(140, 150).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "id % 2 AS brand_new"
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="schema evolved"):
+        update_table_stats(spark, path)
+
+
+def test_infer_partition_type_rejects_python_only_literals(spark, tmp_path):
+    """r8 advisor: Python's int()/float()/fromisoformat accept forms
+    Spark's partition inference types as STRING ('1_0', 'inf', 'nan',
+    compact ISO dates) — the fast path must type them as string too, or
+    the retention predicate evaluates under a different typing than the
+    scan path."""
+    from bigquack_spark.operators.maintenance import _infer_partition_type
+
+    assert _infer_partition_type(["1", "42", "-7"]) == "bigint"
+    assert _infer_partition_type(["1.5", "2", "-0.25", "1e3"]) == "double"
+    assert _infer_partition_type(["2024-01-31", "2023-12-01"]) == "date"
+    # Python-only forms Spark leaves as strings
+    assert _infer_partition_type(["1_0"]) == "string"
+    assert _infer_partition_type(["inf", "1.0"]) == "string"
+    assert _infer_partition_type(["nan"]) == "string"
+    assert _infer_partition_type(["20240131"]) == "bigint"  # compact ISO: int
+    assert _infer_partition_type(["2024-13-40"]) == "string"  # bad ranges
+    assert _infer_partition_type([None, None]) == "string"
+
+
+def test_apply_retention_audit_records_pinning_snapshots(spark, tmp_path):
+    """r8 advisor: hardlinked snapshots pin retention-retired bytes —
+    the _RETENTION audit must record them like the purge audit does."""
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import (
+        apply_retention,
+        snapshot_table,
+    )
+
+    path = str(tmp_path / "retsnap")
+    spark.range(300).selectExpr(
+        "id", "id % 3 AS bucket"
+    ).write.partitionBy("bucket").parquet(path)
+    snapshot_table(path, "pre-ttl")
+    rep = apply_retention(spark, path, "bucket = 0")
+    assert rep["mode"] == "partition" and rep["partitions_touched"] == 1
+    audits = [f for f in os.listdir(path) if f.startswith("_RETENTION-")]
+    assert len(audits) == 1
+    audit = _json.load(open(os.path.join(path, audits[0])))
+    assert audit["snapshots_pinning_bytes"] == ["pre-ttl"]
