@@ -274,14 +274,30 @@ def compact_small_files(
     report["stats_rebound"] = False
     if verify and stats_fresh_at_entry and report["partitions_compacted"]:
         # content equality was checksum-proven per partition, so every
-        # statistic in _STATS.json is still exact — re-bind the manifest
-        # to the new file layout instead of letting it read stale (the
-        # metadata-only refresh the planning loop needs, r7 verdict #2).
-        # Gated on entry freshness: re-binding an already-stale manifest
-        # would bless numbers some OTHER write invalidated.
-        from bigquack_spark.operators.planner import rebind_stats_fingerprint
+        # TABLE-level statistic in _STATS.json is still exact — refresh
+        # the manifest instead of letting it read stale (the planning
+        # loop's metadata answer, r7 verdict #2).  A partials-carrying
+        # manifest folds forward (update_table_stats re-keys the compacted
+        # leaves by scanning just the freshly-written files — the same
+        # bytes the verify pass already read back); a legacy manifest
+        # re-binds the fingerprint for free.  Gated on entry freshness:
+        # refreshing an already-stale manifest would bless numbers some
+        # OTHER write invalidated.
+        p = os.path.join(path, STATS_FILE)
+        has_partials = False
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    has_partials = "files" in json.load(fh)
+            except (OSError, ValueError):
+                has_partials = False
+        if has_partials:
+            update_table_stats(spark, path)
+            report["stats_rebound"] = True
+        else:
+            from bigquack_spark.operators.planner import rebind_stats_fingerprint
 
-        report["stats_rebound"] = rebind_stats_fingerprint(path)
+            report["stats_rebound"] = rebind_stats_fingerprint(path)
     return report
 
 
@@ -437,12 +453,13 @@ def purge_rows(
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
-    if refresh_stats and os.path.exists(os.path.join(path, STATS_FILE)):
-        # a destructive rewrite invalidates _STATS.json (ndv/null counts
-        # changed in ways only a scan can recover) — recompute so the
-        # planning loop stays metadata-answerable.  Opt-in: it costs one
-        # stats pass, maintenance-window priced.
-        collect_table_stats(spark, path)
+    if refresh_stats:
+        # a destructive rewrite invalidates _STATS.json — fold it forward
+        # from the per-file partials (removed files subtract by re-derive,
+        # the rewritten staged files are the only scan; legacy manifests
+        # fall back to one full recollect) so the planning loop stays
+        # metadata-answerable at affected-file cost.
+        refresh_table_stats(spark, path)
     return report
 
 
@@ -462,6 +479,155 @@ def _table_fingerprint(path: str) -> list[list]:
     return sorted(out)
 
 
+def _typestr_hashable(t: str) -> bool:
+    """simpleString twin of :func:`_hashable_type` for manifest-recorded
+    types: a map at any nesting depth cannot be hashed/sketched."""
+    return "map<" not in t
+
+
+_RANGEABLE_BASES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "decimal",
+}
+
+
+def _typestr_rangeable(t: str) -> bool:
+    """simpleString twin of :func:`_rangeable_type`."""
+    return t.split("(")[0] in _RANGEABLE_BASES
+
+
+def _file_schema_cols(path: str, rel: str) -> list[str]:
+    """Columns a data file actually CARRIES: its parquet footer schema
+    plus the hive-partition columns encoded in its directory path.  One
+    driver-side footer read — metadata-priced, and only ever run for
+    files being (re)folded, never the whole table."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    cols = list(pq.read_schema(os.path.join(path, rel)).names)
+    for seg in rel.replace(os.sep, "/").split("/")[:-1]:
+        if "=" in seg:
+            cols.append(unquote(seg.split("=", 1)[0]))
+    return cols
+
+
+def _file_partials(
+    spark: SparkSession, path: str, rels: list[str]
+) -> tuple[dict, dict]:
+    """Per-file statistics partials for the given relative file names —
+    the subtractable/re-unionable grain the incremental stats lifecycle
+    folds over.  ONE scan of exactly those files, grouped by
+    ``input_file_name()`` (partial aggregation map-side; the group count
+    is the file count, never the row count).
+
+    Each partial records the file's row count, its OWN column set
+    (footer + partition dirs — so a later fold can tell "file predates
+    this column" from "column dropped table-wide"), and per batch-union
+    column: null count, min/max (rangeable types), and an HLL ndv sketch
+    (hashable types).  Returns ``(partials_by_rel, union_types)``."""
+    from pyspark.sql import functions as F
+
+    abs_path = os.path.abspath(path)
+    files = [os.path.join(path, rel) for rel in rels]
+    batch = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*files)
+    )
+    types = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in batch.schema.fields:
+        aggs += _stats_aggs(f.name, f.dataType)
+    grouped = batch.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+
+    partials: dict[str, dict] = {}
+    for r in grouped:
+        d = r.asDict()
+        rel = os.path.relpath(_local_path(d["__f"]), abs_path)
+        cols = {}
+        for c in types:
+            e: dict = {"null_count": int(d[f"__null__{c}"] or 0)}
+            sk = d.get(f"__hll__{c}")
+            if sk is not None:
+                e["ndv_sketch"] = base64.b64encode(sk).decode("ascii")
+            if f"__min__{c}" in d:
+                e["min"] = _jsonable(d[f"__min__{c}"])
+                e["max"] = _jsonable(d[f"__max__{c}"])
+            cols[c] = e
+        partials[rel] = {
+            "rows": int(d["__n"]),
+            "schema": _file_schema_cols(path, rel),
+            "columns": cols,
+        }
+    for rel in rels:
+        if rel not in partials:  # zero-row file: the groupBy emits nothing
+            partials[rel] = {
+                "rows": 0,
+                "schema": _file_schema_cols(path, rel),
+                "columns": {},
+            }
+    return partials, types
+
+
+def _derive_table_stats(
+    spark: SparkSession, partials: dict, types: dict
+) -> tuple[int, dict]:
+    """Fold per-file partials into the table-level ``columns`` section.
+    Rows, null counts and min/max are EXACT (sums and min/max fold
+    associatively).  ndv unions the per-file HLL sketches — deterministic
+    given the file set, and equal to a full recompute over the same files
+    (both paths union the same partials); after a content-preserving
+    regrouping (compaction) the union estimator can shift within the
+    sketch's error bound, because datasketches unions report the raw
+    estimator while a directly-built sketch reports HIP.  Driver cost is
+    O(files x columns) metadata; the only Spark work is ONE
+    sketch-union job."""
+    from pyspark.sql import functions as F
+
+    total = sum(p["rows"] for p in partials.values())
+    live: set[str] = set()
+    for p in partials.values():
+        live.update(p["schema"])
+    columns: dict[str, dict] = {}
+    union_rows: list[tuple[str, bytes]] = []
+    for c, t in types.items():
+        if c not in live:
+            continue  # no surviving file carries it — dropped table-wide
+        nc = 0
+        mn = mx = None
+        for p in partials.values():
+            e = p["columns"].get(c)
+            if e is None:
+                nc += p["rows"]  # file predates the column: reads back NULL
+                continue
+            nc += int(e["null_count"])
+            if e.get("min") is not None:
+                mn = e["min"] if mn is None else min(mn, e["min"])
+                mx = e["max"] if mx is None else max(mx, e["max"])
+            sk = e.get("ndv_sketch")
+            if sk:
+                union_rows.append((c, base64.b64decode(sk)))
+        col: dict = {"type": t, "null_count": nc}
+        if _typestr_hashable(t):
+            col["ndv_approx"] = 0  # overwritten below when sketches exist
+        if _typestr_rangeable(t):
+            col["min"] = mn
+            col["max"] = mx
+        columns[c] = col
+    if union_rows:
+        for r in (
+            spark.createDataFrame(union_rows, "c string, sk binary")
+            .groupBy("c")
+            .agg(F.hll_union_agg("sk").alias("u"))
+            .select("c", "u", F.hll_sketch_estimate("u").alias("e"))
+            .collect()
+        ):
+            columns[r.c]["ndv_sketch"] = base64.b64encode(r.u).decode("ascii")
+            columns[r.c]["ndv_approx"] = int(r.e)
+    return total, columns
+
+
 def collect_table_stats(spark: SparkSession, path: str) -> dict:
     """ANALYZE TABLE for a plain-parquet layout: one scan computes row
     count plus per-column null count, min/max (numeric/date/timestamp
@@ -472,53 +638,32 @@ def collect_table_stats(spark: SparkSession, path: str) -> dict:
     trust these?" from metadata alone — the q304/q305 planning queries'
     cached sibling.
 
-    Scale posture: every statistic is a conditional aggregate or sketch
-    merged map-side in ONE pass (no DISTINCT expansion — ndv is
-    approx_count_distinct's HLL, the only honest choice at 100 TB); the
-    manifest is column-count-sized.  Returns the manifest dict.
+    The scan is grouped by ``input_file_name()`` and the manifest keeps
+    the PER-FILE partials (r9, closing the stats lifecycle over
+    destructive writers): rows/null counts per file, min/max, and a
+    mergeable HLL sketch per hashable column.  Rows, null counts and
+    min/max derived from partials are exact; ndv is the deterministic
+    HLL union of the per-file sketches — and :func:`update_table_stats`
+    can now fold REMOVALS (merge rewrites, retention, purge) by
+    re-deriving from the surviving partials, scanning only files it has
+    never seen.  At production scale
+    the ``files`` section is the JSON rendition of what would live as a
+    parquet stats sidecar; the fold contract is identical.
 
-    Reads with ``mergeSchema`` so a schema-drifted table (files appended
-    with added/dropped columns) yields stats over the UNION of columns —
-    single-footer inference could silently miss live columns depending on
-    which file Spark samples (r9; the full-scan cost dwarfs the footer
-    reads)."""
-    from pyspark.sql import functions as F
-
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for f in df.schema.fields:
-        c = f.name
-        aggs += _stats_aggs(c, f.dataType)
-    row = df.agg(*aggs).collect()[0].asDict()
-
-    sketches = {
-        f.name: row[f"__hll__{f.name}"]
-        for f in df.schema.fields
-        if f"__hll__{f.name}" in row and row[f"__hll__{f.name}"] is not None
-    }
-    estimates = _hll_estimates(spark, sketches)
-    columns = {}
-    for f in df.schema.fields:
-        c = f.name
-        col = {
-            "type": f.dataType.simpleString(),
-            # conditional sums aggregate to NULL over a zero-row table
-            "null_count": int(row[f"__null__{c}"] or 0),
-        }
-        if f"__hll__{c}" in row:
-            if c not in sketches:  # zero-row table: no sketch to store
-                col["ndv_approx"] = 0
-            else:
-                col["ndv_approx"] = estimates[c]
-                col["ndv_sketch"] = base64.b64encode(sketches[c]).decode("ascii")
-        if f"__min__{c}" in row:
-            col["min"] = _jsonable(row[f"__min__{c}"])
-            col["max"] = _jsonable(row[f"__max__{c}"])
-        columns[c] = col
+    Scale posture: one pass, partial aggregation map-side, group count =
+    file count; the union job's input is files x columns sketch rows.
+    Reads with ``mergeSchema`` so a schema-drifted table yields stats
+    over the UNION of columns — single-footer inference could silently
+    miss live columns depending on which file Spark samples."""
+    fingerprint = _table_fingerprint(path)
+    rels = [rel for rel, _size in fingerprint]
+    partials, types = _file_partials(spark, path, rels)
+    rows, columns = _derive_table_stats(spark, partials, types)
     manifest = {
-        "rows": int(row["__n"]),
+        "rows": rows,
         "columns": columns,
-        "fingerprint": _table_fingerprint(path),
+        "files": partials,
+        "fingerprint": fingerprint,
     }
     _write_stats(path, manifest)
     return manifest
@@ -592,21 +737,6 @@ def _stats_aggs(c: str, dt) -> list:
     return aggs
 
 
-def _hll_estimates(spark: SparkSession, sketches: dict[str, bytes]) -> dict[str, int]:
-    """Estimate every sketch in ONE job (per-column jobs would pay a
-    driver roundtrip each on wide tables)."""
-    from pyspark.sql import functions as F
-
-    if not sketches:
-        return {}
-    rows = (
-        spark.createDataFrame(list(sketches.items()), "c string, sk binary")
-        .select("c", F.hll_sketch_estimate("sk").alias("e"))
-        .collect()
-    )
-    return {r.c: int(r.e) for r in rows}
-
-
 def _write_stats(path: str, manifest: dict) -> None:
     tmp = os.path.join(path, STATS_FILE + ".tmp")
     with open(tmp, "w") as fh:
@@ -629,23 +759,26 @@ def stats_are_fresh(path: str) -> bool:
 
 
 def update_table_stats(spark: SparkSession, path: str) -> dict:
-    """Incremental ANALYZE (the 100 TB append posture): fold ONLY the
-    files added since ``_STATS.json`` was computed into the manifest —
-    row counts and null counts add, min/max combine, and ndv merges via
-    the stored datasketches HLL (``hll_union`` of the old sketch and the
-    new batch's partial), so a micro-batch append costs a scan of the
-    BATCH, never the table.
+    """Incremental ANALYZE over the per-file partials (the 100 TB
+    maintained-table posture): fold the manifest forward to the CURRENT
+    file layout, scanning only files the manifest has never seen.
 
-    Raises :class:`ValueError` when files were REMOVED or rewritten since
-    the manifest (a rewrite invalidates null/ndv in ways only a rescan
-    recovers — run :func:`collect_table_stats`; note a verified
-    compaction re-binds instead, and ``purge_rows(refresh_stats=True)``
-    recomputes).  No-op (returns the manifest) when nothing changed.
-    Requires a manifest written by the current sketch-carrying format —
-    columns lacking a stored sketch keep their ndv only if the new batch
-    adds no rows to them."""
-    from pyspark.sql import functions as F
+    - **Appends** scan the new files once (per-file partials, one job).
+    - **Removals and rewrites** (merge_upsert, apply_retention,
+      purge_rows, compaction) drop/replace the affected partials; the
+      table section re-derives from the survivors — rows and null counts
+      re-sum exactly, min/max re-fold, and ndv re-unions the surviving
+      HLL sketches (register-wise max, so the result is bit-identical to
+      a full recompute).  A CDC-merged table's planners are never a full
+      recollect behind (r8 verdict #1).
+    - **Schema drift folds honestly**: files missing a manifest column
+      contribute their rows as NULLs; new columns enter with stats from
+      the files that carry them and null_count covering every older row
+      (exactly what a mergeSchema recompute would report).
 
+    No-op (returns the manifest) when nothing changed.  Raises
+    :class:`ValueError` on a manifest that predates per-file partials —
+    run :func:`collect_table_stats` once to upgrade the format."""
     p = os.path.join(path, STATS_FILE)
     if not os.path.exists(p):
         raise ValueError(
@@ -654,97 +787,53 @@ def update_table_stats(spark: SparkSession, path: str) -> dict:
         )
     with open(p) as fh:
         manifest = json.load(fh)
-    recorded = {tuple(x) for x in manifest["fingerprint"]}
-    current = {tuple(x) for x in _table_fingerprint(path)}
-    removed = recorded - current
-    added = current - recorded
-    if removed:
+    if "files" not in manifest:
         raise ValueError(
-            "update_table_stats: files were removed or rewritten since the "
-            f"manifest ({sorted(n for n, _s in removed)[:3]}...) — an "
-            "incremental fold cannot recover deleted rows' statistics; run "
-            "collect_table_stats"
+            "update_table_stats: the manifest predates per-file partials "
+            "(pre-r9 format) — run collect_table_stats once to upgrade"
         )
-    if not added:
+    recorded = {tuple(x) for x in manifest["fingerprint"]}
+    current_fp = _table_fingerprint(path)
+    current = {tuple(x) for x in current_fp}
+    if recorded == current:
         return manifest
 
-    new_files = [os.path.join(path, rel) for rel, _size in sorted(added)]
-    batch = spark.read.option("basePath", path).parquet(*new_files)
-
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    fields = {f.name: f for f in batch.schema.fields}
-    drifted = sorted(set(fields) - set(manifest["columns"]))
-    if drifted:
-        # a batch carrying columns the manifest has never seen is schema
-        # evolution — silently dropping them would hand the planners a
-        # manifest that claims to be exact while missing live columns
-        # (r8 advisor, medium)
-        raise ValueError(
-            "update_table_stats: the appended files carry columns absent "
-            f"from the manifest ({drifted[:3]}) — schema evolved; run "
-            "collect_table_stats to rebuild the manifest over the new shape"
+    partials: dict[str, dict] = manifest["files"]
+    for rel, _size in recorded - current:
+        partials.pop(rel, None)  # removed or rewritten: subtract by re-derive
+    types = {c: s["type"] for c, s in manifest["columns"].items()}
+    added = current - recorded
+    if added:
+        new_partials, batch_types = _file_partials(
+            spark, path, sorted({rel for rel, _size in added})
         )
-    # manifest columns missing from the batch schema read back NULL for
-    # every appended row — fold that as null_count += n_new (silently
-    # skipping them diverged the fold from collect_table_stats and fed
-    # wrong null fractions to the planners' viability gates; r8 advisor)
-    absent = [c for c in manifest["columns"] if c not in fields]
-    for c in manifest["columns"]:
-        f = fields.get(c)
-        if f is None:
-            continue
-        aggs += _stats_aggs(c, f.dataType)
-    row = batch.agg(*aggs).collect()[0].asDict()
+        for c, t in batch_types.items():
+            types.setdefault(c, t)  # schema evolution: adopt new columns
+        partials.update(new_partials)
 
-    n_new = int(row["__n"])
-    manifest["rows"] = int(manifest["rows"]) + n_new
-    for c in absent:
-        col = manifest["columns"][c]
-        col["null_count"] = int(col["null_count"]) + n_new
-    # merge every (old sketch, batch partial) pair in ONE job, then
-    # estimate all merged sketches in one more
-    merged_sketches: dict[str, bytes] = {}
-    union_input = []
-    for c, col in manifest["columns"].items():
-        sk_new = row.get(f"__hll__{c}")
-        if sk_new is None:
-            continue
-        sk_old = col.get("ndv_sketch")
-        if sk_old is not None:
-            union_input.append((c, base64.b64decode(sk_old), sk_new))
-        elif int(col.get("ndv_approx", 0)) == 0:
-            merged_sketches[c] = sk_new  # old side empty: adopt the batch
-        else:
-            raise ValueError(
-                f"update_table_stats: column {c!r} has ndv but no stored "
-                "sketch (pre-sketch manifest) — run collect_table_stats "
-                "once to upgrade the manifest format"
-            )
-    if union_input:
-        for r in (
-            spark.createDataFrame(union_input, "c string, a binary, b binary")
-            .select("c", F.hll_union("a", "b").alias("u"))
-            .collect()
-        ):
-            merged_sketches[r.c] = r.u
-    estimates = _hll_estimates(spark, merged_sketches)
-    for c, merged in merged_sketches.items():
-        col = manifest["columns"][c]
-        col["ndv_sketch"] = base64.b64encode(merged).decode("ascii")
-        col["ndv_approx"] = estimates[c]
-    for c, col in manifest["columns"].items():
-        if f"__null__{c}" in row:
-            col["null_count"] = int(col["null_count"]) + int(row[f"__null__{c}"] or 0)
-        if f"__min__{c}" in row and row[f"__min__{c}"] is not None:
-            lo, hi = _jsonable(row[f"__min__{c}"]), _jsonable(row[f"__max__{c}"])
-            # ISO date/timestamp strings order lexicographically, numerics
-            # numerically — same-type compares both ways.  A stored None
-            # (all-NULL column or zero-row collect) adopts the batch value.
-            col["min"] = lo if col.get("min") is None else min(col["min"], lo)
-            col["max"] = hi if col.get("max") is None else max(col["max"], hi)
-    manifest["fingerprint"] = _table_fingerprint(path)
+    rows, columns = _derive_table_stats(spark, partials, types)
+    manifest = {
+        "rows": rows,
+        "columns": columns,
+        "files": partials,
+        "fingerprint": current_fp,
+    }
     _write_stats(path, manifest)
     return manifest
+
+
+def refresh_table_stats(spark: SparkSession, path: str) -> dict | None:
+    """The post-destructive-write stats remedy every maintenance writer
+    shares: incremental fold when the manifest carries per-file partials,
+    one full recollect otherwise (legacy manifests).  No-op returning
+    None when the table has no manifest at all — a table nobody ever
+    ANALYZEd owes the planners nothing."""
+    if not os.path.exists(os.path.join(path, STATS_FILE)):
+        return None
+    try:
+        return update_table_stats(spark, path)
+    except ValueError:
+        return collect_table_stats(spark, path)
 
 
 def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
@@ -897,6 +986,7 @@ def apply_retention(
     path: str,
     predicate: str,
     verify: bool = True,
+    refresh_stats: bool = False,
 ) -> dict:
     """Retention executor — apply the TTL policy q306 sized: delete every
     row matching ``predicate`` (rows to RETIRE).
@@ -913,7 +1003,10 @@ def apply_retention(
 
     Any predicate touching a data column falls back to
     :func:`purge_rows` (scan-priced, file-pruned).  Evidence lands as
-    ``_RETENTION-<gen>.json`` at the table root.  Returns ``{mode,
+    ``_RETENTION-<gen>.json`` at the table root.  ``refresh_stats=True``
+    folds ``_STATS.json`` forward afterwards (:func:`refresh_table_stats`
+    — in the fast path a removal-only fold that opens ZERO data files:
+    retired partials drop, survivors re-derive).  Returns ``{mode,
     n_deleted, files_retired, bytes_retired, partitions_touched, resumed,
     discarded_stale, generation}`` — ``n_deleted`` is None in the fast
     path (row counts would require opening files; the sizing query is the
@@ -960,7 +1053,9 @@ def apply_retention(
             fast = False  # references a data column -> scan path
 
     if not fast:
-        report = purge_rows(spark, path, predicate, verify=verify)
+        report = purge_rows(
+            spark, path, predicate, verify=verify, refresh_stats=refresh_stats
+        )
         report["mode"] = "scan"
         report["bytes_retired"] = None
         return report
@@ -1022,6 +1117,11 @@ def apply_retention(
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(path, f"_RETENTION-{gen}.json"))
+    if refresh_stats:
+        # removal-only fold: retired partials drop, the table section
+        # re-derives from survivors — no data file opened (the fast
+        # path's zero-scan property extends to its stats remedy)
+        refresh_table_stats(spark, path)
     return report
 
 

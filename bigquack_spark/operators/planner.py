@@ -14,10 +14,12 @@ Freshness is a hard gate, not advice: every reader goes through
 :func:`load_fresh_stats`, which raises :class:`StaleStatsError` when the
 manifest is missing or its fingerprint no longer matches the live files —
 a planner that silently used stale ndv would pick yesterday's layout for
-tomorrow's data.  The remediation is one ``collect_table_stats`` call
-(scan-priced, maintenance-window work); compaction re-binds the manifest
-for free because its checksum gate proves content equality, and
-``purge_rows(refresh_stats=True)`` recomputes after a destructive rewrite.
+tomorrow's data.  The remediation is incremental since r9: the manifest
+keeps per-file partials, so ``update_table_stats`` /
+``refresh_table_stats`` fold appends, merges, retention and purges
+forward at affected-file cost (removals re-derive from surviving
+partials without opening a data file); one ``collect_table_stats``
+(scan-priced) is only ever needed to seed or upgrade a manifest.
 
 The scan-priced twins of these answers are the oracle-paired audit
 queries q304 (null profile), q305 (partition-key audit) and q308
@@ -206,7 +208,12 @@ def rebind_stats_fingerprint(path: str) -> bool:
     content-preserving rewrite changes every file name/size, so without
     this the manifest would read stale after every compaction despite
     every statistic still being exact.  Returns True iff a manifest was
-    re-bound; missing manifest is a no-op (False)."""
+    re-bound; missing manifest is a no-op (False).
+
+    LEGACY manifests only (r9): a partials-carrying manifest must NOT be
+    fingerprint-rebound — the per-file keys would go stale underneath the
+    fold — so this refuses (False) and the caller routes through
+    ``update_table_stats`` instead (compaction's call site does)."""
     import json
 
     p = os.path.join(path, STATS_FILE)
@@ -216,6 +223,8 @@ def rebind_stats_fingerprint(path: str) -> bool:
         with open(p) as fh:
             manifest = json.load(fh)
     except (OSError, ValueError):
+        return False
+    if "files" in manifest:
         return False
     manifest["fingerprint"] = _table_fingerprint(path)
     tmp = p + ".tmp"

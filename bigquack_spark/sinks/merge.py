@@ -160,17 +160,23 @@ def merge_upsert(
     key_cols: list[str],
     delete_col: str | None = None,
     verify: bool = True,
+    refresh_stats: bool = False,
 ) -> dict:
     """MERGE ``changes`` into the parquet table at ``target_path``.
 
     Semantics per change row: key match -> replace target row; no match ->
     insert; ``delete_col`` true -> drop the key from the target (whether or
     not it matched).  Only files containing a matched key are rewritten
-    (module doc has the full protocol).  Returns ``{rows_before,
-    rows_after, upserts, deletes, files_rewritten, files_retired,
-    files_inserted, partitions_touched, resumed, discarded_stale,
-    generation}``.  Idempotent: re-merging the same change set converges,
-    and a crash mid-publish rolls forward on the next call.  Like all
+    (module doc has the full protocol).  ``refresh_stats=True`` folds the
+    table's ``_STATS.json`` forward after publish
+    (:func:`bigquack_spark.operators.maintenance.refresh_table_stats`):
+    retired files' partials drop, and only the files this merge WROTE are
+    scanned — the planners answer immediately after a CDC apply with no
+    full recollect (r8 verdict #1).  Returns ``{rows_before, rows_after,
+    upserts, deletes, files_rewritten, files_retired, files_inserted,
+    partitions_touched, resumed, discarded_stale, generation}``.
+    Idempotent: re-merging the same change set converges, and a crash
+    mid-publish rolls forward on the next call.  Like all
     filesystem-coordinated writers here: run while no concurrent writer
     mutates the table."""
     from bigquack_spark.operators.maintenance import (
@@ -401,4 +407,8 @@ def merge_upsert(
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
     os.replace(tmp, os.path.join(target_path, f"_MERGE-{gen}.json"))
+    if refresh_stats:
+        from bigquack_spark.operators.maintenance import refresh_table_stats
+
+        refresh_table_stats(spark, target_path)
     return report

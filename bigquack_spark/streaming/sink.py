@@ -667,11 +667,11 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
     never stops ingesting, at per-batch cost proportional to the BATCH.
 
     The first committed batch seeds the manifest with a full collect
-    (batch-sized — the table IS the batch then).  If a crash-replay
-    overwrote a batch directory with differently-named part files, the
-    incremental fold refuses (removed files) and the sink falls back to
-    one full recollect — scan-priced, but only on the replay window,
-    never on the steady path."""
+    (batch-sized — the table IS the batch then).  Since r9 the fold also
+    handles REMOVALS (per-file partials), so a crash-replay that
+    overwrote a batch directory under different part names folds forward
+    too; the recollect fallback remains only for legacy pre-partials
+    manifests."""
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id < self.next_batch_id:
@@ -699,6 +699,5 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
             try:
                 update_table_stats(spark, self.target)
             except ValueError:
-                # replay rewrote a batch dir under different part names:
-                # the fold cannot subtract the old files — recollect once
+                # legacy pre-partials manifest: upgrade with one recollect
                 collect_table_stats(spark, self.target)

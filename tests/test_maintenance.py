@@ -749,7 +749,15 @@ def test_compaction_rebinds_fresh_stats_but_never_stale_ones(spark, tmp_path):
     from bigquack_spark.operators.planner import load_fresh_stats
 
     m2 = load_fresh_stats(path)
-    assert m2["rows"] == m["rows"] and m2["columns"] == m["columns"]
+    # rows/nulls/min-max exact; ndv may shift within HLL error after the
+    # 16->1 regrouping (union estimator vs direct HIP — r9)
+    assert m2["rows"] == m["rows"]
+    for c in ("id", "g"):
+        a, b = m["columns"][c], m2["columns"][c]
+        assert (a["null_count"], a["min"], a["max"]) == (
+            b["null_count"], b["min"], b["max"]
+        )
+        assert abs(a["ndv_approx"] - b["ndv_approx"]) <= 0.03 * max(a["ndv_approx"], 1)
 
     # stale-at-entry stats must NOT be blessed by a later compaction
     path2 = str(tmp_path / "cmp2")
@@ -992,21 +1000,52 @@ def test_update_table_stats_incremental_fold_matches_full_recompute(spark, tmp_p
     assert again["rows"] == 700
 
 
-def test_update_table_stats_refuses_after_rewrite(spark, tmp_path):
+def test_update_table_stats_folds_removals_from_partials(spark, tmp_path):
+    """r9 (verdict #1): file REMOVALS fold — the table section re-derives
+    from the surviving per-file partials without opening a single data
+    file (proven by garbage-overwriting the survivors first).  A legacy
+    manifest without partials still refuses."""
+    import json as _json
+
     import pytest
 
     from bigquack_spark.operators.maintenance import (
+        STATS_FILE,
         collect_table_stats,
+        stats_are_fresh,
         update_table_stats,
     )
 
-    path = str(tmp_path / "inc2")
-    spark.range(100).selectExpr("id").coalesce(2).write.parquet(path)
-    collect_table_stats(spark, path)
-    victim = _data_files(path)[0]
-    os.remove(victim)
-    with pytest.raises(ValueError, match="removed or rewritten"):
-        update_table_stats(spark, path)
+    # fold-after-removal equals recompute, zero data files opened
+    path2 = str(tmp_path / "inc3")
+    spark.range(200).selectExpr(
+        "id", "IF(id % 9 = 0, NULL, id % 17) AS v"
+    ).repartition(4, "id").write.parquet(path2)
+    collect_table_stats(spark, path2)
+    pre = _json.load(open(os.path.join(path2, STATS_FILE)))
+    victim2 = sorted(_data_files(path2))[0]
+    os.remove(victim2)
+    want2 = collect_table_stats(spark, path2)
+    with open(os.path.join(path2, STATS_FILE), "w") as fh:
+        _json.dump(pre, fh)  # back to the stale pre-removal manifest
+    for f in _data_files(path2):
+        with open(f, "r+b") as fh:
+            fh.write(b"\x00" * os.path.getsize(f))
+    got2 = update_table_stats(spark, path2)
+    assert stats_are_fresh(path2)
+    assert got2["rows"] == want2["rows"]
+    for c in ("id", "v"):
+        assert got2["columns"][c]["null_count"] == want2["columns"][c]["null_count"]
+        assert got2["columns"][c]["ndv_approx"] == want2["columns"][c]["ndv_approx"]
+        assert got2["columns"][c]["min"] == want2["columns"][c]["min"]
+        assert got2["columns"][c]["max"] == want2["columns"][c]["max"]
+
+    # legacy manifest (no per-file partials): still a loud refusal
+    legacy = {k: v for k, v in got2.items() if k != "files"}
+    with open(os.path.join(path2, STATS_FILE), "w") as fh:
+        _json.dump(legacy, fh)
+    with pytest.raises(ValueError, match="pre-r9"):
+        update_table_stats(spark, path2)
 
 
 def test_collect_and_update_stats_on_decimal_columns(spark, tmp_path):
@@ -1345,12 +1384,11 @@ def test_optimize_layout_skips_partition_columns_as_cluster_key(spark, tmp_path)
 
 
 def test_update_table_stats_folds_schema_drift_honestly(spark, tmp_path):
-    """r8 advisor (medium): a manifest column ABSENT from the appended
-    files reads back NULL for every appended row — the fold must add
-    n_new to its null_count (not silently skip it), and a batch carrying
-    a column the manifest has never seen must raise, never be dropped."""
-    import pytest
-
+    """r8 advisor (medium), closed by the r9 per-file partials: a manifest
+    column ABSENT from the appended files reads back NULL for every
+    appended row — the fold adds those rows to its null_count — and a
+    batch carrying a NEW column enters with null_count covering every
+    older row, exactly what a mergeSchema recompute reports."""
     from bigquack_spark.operators.maintenance import (
         collect_table_stats,
         update_table_stats,
@@ -1373,12 +1411,20 @@ def test_update_table_stats_folds_schema_drift_honestly(spark, tmp_path):
     full = collect_table_stats(spark, path)
     assert full["columns"]["v"]["null_count"] == 40
 
-    # append files carrying a NEW column: refuse (schema evolved)
+    # append files carrying a NEW column: folds in with the old rows NULL
     spark.range(140, 150).selectExpr(
         "id", "CAST(id AS DOUBLE) AS v", "id % 2 AS brand_new"
     ).coalesce(1).write.mode("append").parquet(path)
-    with pytest.raises(ValueError, match="schema evolved"):
-        update_table_stats(spark, path)
+    m2 = update_table_stats(spark, path)
+    assert m2["rows"] == 150
+    assert m2["columns"]["brand_new"]["null_count"] == 140
+    assert m2["columns"]["brand_new"]["ndv_approx"] == 2
+    assert m2["columns"]["brand_new"]["min"] == 0
+    assert m2["columns"]["brand_new"]["max"] == 1
+    full2 = collect_table_stats(spark, path)
+    for c in ("id", "v", "brand_new"):
+        assert m2["columns"][c]["null_count"] == full2["columns"][c]["null_count"]
+        assert m2["columns"][c]["ndv_approx"] == full2["columns"][c]["ndv_approx"]
 
 
 def test_infer_partition_type_rejects_python_only_literals(spark, tmp_path):
@@ -1422,3 +1468,99 @@ def test_apply_retention_audit_records_pinning_snapshots(spark, tmp_path):
     assert len(audits) == 1
     audit = _json.load(open(os.path.join(path, audits[0])))
     assert audit["snapshots_pinning_bytes"] == ["pre-ttl"]
+
+
+def test_planner_answers_immediately_after_merge_no_recollect(spark, tmp_path):
+    """r9 headline (r8 verdict #1): merge_upsert(refresh_stats=True) folds
+    _STATS.json forward scanning ONLY the files the merge wrote — the
+    planners answer right after a CDC apply with no full recollect.
+    Proven two ways: a spy records which files the fold scanned, and the
+    folded manifest equals a from-scratch recompute."""
+    import json as _json
+
+    from bigquack_spark.operators import maintenance
+    from bigquack_spark.operators.maintenance import (
+        STATS_FILE,
+        collect_table_stats,
+        stats_are_fresh,
+    )
+    from bigquack_spark.operators.planner import recommend_partition_keys
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "cdcstats")
+    spark.range(900).selectExpr(
+        "id", "id % 3 AS bucket", "CAST(id % 37 AS DOUBLE) AS v"
+    ).repartition(3, "bucket").write.partitionBy("bucket").parquet(path)
+    collect_table_stats(spark, path)
+    pre_files = set(_data_files(path))
+
+    changes = spark.createDataFrame(
+        [(5, 2, 999.0), (10, 1, 888.0), (2000, 2, 777.0)],
+        "id bigint, bucket bigint, v double",
+    )
+
+    scanned: list[list[str]] = []
+    real = maintenance._file_partials
+
+    def spy(spark_, p, rels):
+        scanned.append(sorted(rels))
+        return real(spark_, p, rels)
+
+    maintenance._file_partials = spy
+    try:
+        rep = merge_upsert(
+            spark, path, changes, key_cols=["id", "bucket"], refresh_stats=True
+        )
+    finally:
+        maintenance._file_partials = real
+    assert rep["files_inserted"] > 0 and rep["files_rewritten"] > 0
+    assert stats_are_fresh(path)
+
+    # the fold scanned ONLY files this merge created — never a pre-merge file
+    merge_written = {
+        os.path.relpath(f, path) for f in _data_files(path)
+    } - {os.path.relpath(f, path) for f in pre_files}
+    assert scanned and set(scanned[-1]) <= merge_written
+
+    # planner answers NOW, and from numbers equal to a full recompute
+    folded = _json.load(open(os.path.join(path, STATS_FILE)))
+    ranked = recommend_partition_keys(path, candidates=["bucket"])
+    assert ranked[0]["column"] == "bucket" and ranked[0]["viable"]
+    want = collect_table_stats(spark, path)
+    assert folded["rows"] == want["rows"] == 901
+    for c in ("id", "bucket", "v"):
+        assert folded["columns"][c]["null_count"] == want["columns"][c]["null_count"]
+        assert folded["columns"][c]["min"] == want["columns"][c]["min"]
+        assert folded["columns"][c]["max"] == want["columns"][c]["max"]
+    assert folded["columns"]["v"]["max"] == 999.0  # the upsert is IN the stats
+
+
+def test_retention_fast_path_stats_fold_opens_zero_files(spark, tmp_path):
+    """r9: apply_retention(refresh_stats=True) on a partition-only
+    predicate folds stats with ZERO data files opened — proven by
+    garbage-overwriting every data file (retired and surviving) before
+    the call."""
+    from bigquack_spark.operators.maintenance import (
+        apply_retention,
+        collect_table_stats,
+        stats_are_fresh,
+    )
+    from bigquack_spark.operators.planner import load_fresh_stats
+
+    path = str(tmp_path / "retstats")
+    spark.range(600).selectExpr(
+        "id", "id % 3 AS age", "CAST(id AS DOUBLE) AS v"
+    ).repartition(3, "age").write.partitionBy("age").parquet(path)
+    m0 = collect_table_stats(spark, path)
+    assert m0["rows"] == 600
+
+    for f in _data_files(path):
+        with open(f, "r+b") as fh:
+            fh.write(b"\x00" * os.path.getsize(f))
+    rep = apply_retention(spark, path, "age = 2", refresh_stats=True)
+    assert rep["mode"] == "partition" and rep["partitions_touched"] == 1
+    assert stats_are_fresh(path)
+    m = load_fresh_stats(path)
+    assert m["rows"] == 400
+    assert m["columns"]["age"]["max"] == 1  # retired partition left the stats
+    assert m["columns"]["id"]["null_count"] == 0
