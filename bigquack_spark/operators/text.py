@@ -469,3 +469,107 @@ def encode_bpe(
             "n_bpe_tokens": n_syms.cast("long"),
         }
     )
+
+
+def encode_bpe_trained(
+    df: DataFrame, merges: list, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-scale twin of :func:`encode_bpe` (r8 verdict #2): apply
+    a trained merge table of ANY size — a production tokenizer ships ~32k
+    merges, and ``encode_bpe``'s ``n_merges`` nested Catalyst replaces
+    cannot compile past a few dozen.  Adds the same ``n_words`` /
+    ``n_bpe_tokens`` columns.  One deliberate divergence: a NULL text
+    yields NULL counts here, where ``encode_bpe`` reports ``n_words=-1``
+    (Spark's legacy ``size(NULL)`` sentinel) — NULL is the honest answer.
+
+    The merge table ships to executors ONCE as a rank dict inside an
+    Arrow-batched ``mapInPandas`` kernel (the ``compression_ratio``
+    pattern — Python only where Python is required).  Each distinct token
+    encodes with the standard min-rank loop: repeatedly merge the
+    lowest-rank adjacent pair, all occurrences left-to-right.  This is
+    provably identical to ``encode_bpe``'s sequential-replace semantics
+    on any :func:`train_bpe` output: every symbol is produced by exactly
+    one rule, so a rule's pair can only ever re-form from outputs of
+    strictly EARLIER rules — by induction no earlier-rank pair appears
+    after its rank has passed, hence min-rank order == training order
+    (pinned by the pytest parity suite rather than a SQL oracle; a 32k
+    expression tree has no oracle to diff against).
+
+    Scale shape: pure per-row projection, zero shuffle; per-batch
+    memoization collapses the Zipf-heavy token distribution (each
+    distinct token encodes once per batch); the rank dict is
+    vocabulary-bounded memory per executor — the same footprint a real
+    tokenizer's vocab file costs."""
+
+    def _field(m, name):
+        return getattr(m, name) if hasattr(m, name) else m[name]
+
+    def _round(m):
+        if hasattr(m, "round") or (isinstance(m, dict) and "round" in m):
+            return _field(m, "round")
+        return 0
+
+    ranks: dict[tuple[str, str], int] = {}
+    for i, m in enumerate(sorted(merges, key=_round)):
+        ranks.setdefault((_field(m, "left"), _field(m, "right")), i)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, n_words bigint, n_bpe_tokens bigint"
+
+    def kernel(batches):
+        import re
+
+        # ASCII \s matches Java's default (Spark's split) — Python's
+        # Unicode \s would also split on NBSP etc. and drift tokenization
+        split_re = re.compile(r"\s+", re.ASCII)
+        memo: dict[str, int] = {}
+
+        def n_symbols(tok: str) -> int:
+            n = memo.get(tok)
+            if n is not None:
+                return n
+            syms = list(tok)
+            while len(syms) > 1:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                        left, right = syms[i], syms[i + 1]
+                if best_rank is None:
+                    break
+                out, i = [], 0
+                while i < len(syms):  # all occurrences, left-to-right
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[tok] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            n_words, n_bpe = [], []
+            for t in pdf[text_col]:
+                if not isinstance(t, str):
+                    n_words.append(None)
+                    n_bpe.append(None)
+                    continue
+                toks = [
+                    w
+                    for w in split_re.split(t.lower())
+                    if w and BPE_SOS not in w and BPE_EOS not in w
+                ]
+                n_words.append(len(toks))
+                n_bpe.append(sum(n_symbols(w) for w in toks))
+            pdf["n_words"] = n_words
+            pdf["n_bpe_tokens"] = n_bpe
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

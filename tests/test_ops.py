@@ -1952,3 +1952,80 @@ def test_encode_bpe_counts_match_trained_segmentation(spark):
     got0 = {r.text: r.n_bpe_tokens for r in encode_bpe(df, []).collect()}
     assert got0["banana banana"] == 12
     assert got0["banana band"] == 10
+
+
+def test_encode_bpe_trained_parity_with_catalyst_encoder(spark):
+    """r9 (r8 verdict #2): the Arrow-batched vocabulary-scale encoder is
+    row-for-row identical to encode_bpe's sequential Catalyst replaces on
+    train_bpe output — the parity contract that lets it carry the 32k
+    merge tables the expression-tree encoder cannot."""
+    from bigquack_spark.operators.text import (
+        encode_bpe,
+        encode_bpe_trained,
+        train_bpe,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    merges = train_bpe(docs, n_merges=8).collect()
+    want = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe(docs, merges).collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe_trained(docs, merges).collect()
+    }
+    assert got == want and len(got) == 40
+
+    # edge rows: NULL, empty, whitespace-only, control chars, multi-space
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a\x01b c"), (5, "banana  band")],
+        "doc_id int, text string",
+    )
+    m2 = train_bpe(
+        spark.createDataFrame([("banana banana",), ("banana band",)], "text string"),
+        n_merges=3,
+    ).collect()
+    want2 = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe(edge, m2).collect()
+    }
+    got2 = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe_trained(edge, m2).collect()
+    }
+    # documented divergence: NULL text -> NULL counts (encode_bpe reports
+    # n_words=-1, Spark's legacy size(NULL) sentinel)
+    assert got2.pop(1) == (None, None) and want2.pop(1) == (-1, None)
+    assert got2 == want2
+
+
+def test_encode_bpe_trained_carries_vocabulary_scale_tables(spark):
+    """The point of the kernel encoder: a merge table in the thousands
+    (where the Catalyst expression tree cannot compile) applies fine,
+    chained merges compose, and the untrained tail is inert."""
+    from bigquack_spark.operators.text import encode_bpe_trained
+
+    # chain merges a^2 -> a^4 -> a^8 plus thousands of inert filler rules
+    merges = [
+        {"round": 1, "left": "a", "right": "a"},
+        {"round": 2, "left": "aa", "right": "aa"},
+        {"round": 3, "left": "aaaa", "right": "aaaa"},
+    ] + [
+        {"round": 4 + i, "left": f"x{i}", "right": f"y{i}"} for i in range(8000)
+    ]
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "aaaaaa"), (3, "aaaaaaaa aaa b")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_bpe_trained(df, merges).collect()
+    }
+    # a^8 -> 1 symbol; a^6 -> [aaaa, aa] = 2; a^3 -> [aa, a] = 2; b -> 1
+    assert got == {1: (1, 1), 2: (1, 2), 3: (3, 4)}

@@ -164,3 +164,50 @@ def test_assign_packs_rejects_bad_inputs(spark):
         assign_packs(d, 0, "source", "doc_id")
     with pytest.raises(ValueError, match="strategy"):
         assign_packs(d, 64, "source", "doc_id", strategy="best-fit")
+
+
+def test_pack_run_priced_on_trained_tokenizer_tokens(spark, tmp_path):
+    """r9 (r8 verdict #2, closing leg): the pack sizer runs on counts from
+    the TRAINED BPE encoder (encode_bpe_trained) instead of the whitespace
+    proxy — budgets audit against real tokenizer symbols, every pack
+    within budget, and the exported meta carries the trained counts."""
+    import json as _json
+    import tarfile
+
+    from bigquack_spark.operators.text import encode_bpe_trained, train_bpe
+    from bigquack_spark.sinks.packing import export_packed_shards
+
+    docs = _docs(spark)
+    merges = train_bpe(docs, n_merges=12).collect()
+    priced = encode_bpe_trained(docs, merges)
+
+    out = str(tmp_path / "trained_packs")
+    budget = 600
+    rep = export_packed_shards(
+        priced, out, token_col="n_bpe_tokens", budget=budget,
+        group_col="source", strategy="ffd", fmt="wds", n_shards=2,
+    )
+    audit = rep["packing"]
+    assert audit["strategy"] == "ffd" and audit["budget"] == budget
+
+    # every non-oversize pack is within the trained-token budget, and the
+    # meta's doc_tokens are the encoder's counts (not whitespace words)
+    want = {r.doc_id: r.n_bpe_tokens for r in priced.collect()}
+    seen_docs = []
+    for shard in sorted(os.listdir(out)):
+        if not shard.endswith(".tar"):
+            continue
+        with tarfile.open(os.path.join(out, shard)) as tf:
+            metas = []
+            for m in tf.getmembers():
+                if m.name.endswith(".json"):
+                    v = _json.load(tf.extractfile(m))
+                    metas.append(_json.loads(v) if isinstance(v, str) else v)
+        for meta in metas:
+            assert meta["budget"] == budget
+            if len(meta["doc_ids"]) > 1:
+                assert meta["pack_tokens"] <= budget
+            for did, tok in zip(meta["doc_ids"], meta["doc_tokens"]):
+                assert tok == want[did]
+            seen_docs += meta["doc_ids"]
+    assert sorted(seen_docs) == sorted(want)  # every doc packed exactly once
