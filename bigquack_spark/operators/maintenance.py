@@ -53,10 +53,12 @@ import json
 import os
 import re
 import shutil
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigquack_spark.operators.lease import table_lease
 from bigquack_spark.operators.reconcile import table_checksum
 from bigquack_spark.sinks.compact import (
     DEFAULT_TARGET_FILE_BYTES,
@@ -190,6 +192,7 @@ def _compact_partition(
     plan: PartitionPlan,
     cluster_cols: list[str] | None,
     verify: bool,
+    lease=None,
 ) -> dict:
     leaf = plan.directory
     staging = os.path.join(leaf, STAGING_DIR)
@@ -226,6 +229,8 @@ def _compact_partition(
 
     n_new = sum(1 for f in os.listdir(data_dir) if _is_data_file(f))
     gen = uuid.uuid4().hex[:12]
+    if lease is not None:
+        lease.check()  # fencing gate: die pre-commit if the lease was stolen
     _write_marker(staging, gen, olds)  # commit point
     _finish_swap(leaf, staging, gen, [tuple(o) for o in olds])
     return {
@@ -243,6 +248,7 @@ def compact_small_files(
     min_files: int = 2,
     cluster_cols: list[str] | None = None,
     verify: bool = True,
+    lease=None,
 ) -> dict:
     """Execute q254's compaction plan over ``path`` with checksum-verified,
     crash-safe partition swaps (module doc has the full protocol).
@@ -251,7 +257,10 @@ def compact_small_files(
     remains for byte-exact tests).  Returns ``{partitions_compacted,
     files_before, files_after, bytes_rewritten, resumed, discarded_stale,
     verified}``.  Re-running converges: healthy partitions plan no work and
-    a crashed run's partitions are rolled forward before re-planning."""
+    a crashed run's partitions are rolled forward before re-planning.
+    Runs under the table writer lease (``operators/lease.py``): a
+    concurrent maintenance writer raises ``LeaseHeldError`` instead of
+    interleaving; pass ``lease=`` to compose under an outer holder."""
     if target_mb is not None:
         target_file_bytes = target_mb * 1024 * 1024
     report = {
@@ -263,41 +272,42 @@ def compact_small_files(
         "discarded_stale": 0,
         "verified": bool(verify),
     }
-    # roll any crashed swap forward FIRST so planning sees the real layout
-    report["resumed"], report["discarded_stale"] = _resume_tree(path)
-    stats_fresh_at_entry = stats_are_fresh(path)
-    for plan in plan_compaction(path, target_file_bytes, min_files):
-        got = _compact_partition(spark, plan, cluster_cols, verify)
-        report["partitions_compacted"] += 1
-        for k in ("files_before", "files_after", "bytes_rewritten"):
-            report[k] += got[k]
-    report["stats_rebound"] = False
-    if verify and stats_fresh_at_entry and report["partitions_compacted"]:
-        # content equality was checksum-proven per partition, so every
-        # TABLE-level statistic in _STATS.json is still exact — refresh
-        # the manifest instead of letting it read stale (the planning
-        # loop's metadata answer, r7 verdict #2).  A partials-carrying
-        # manifest folds forward (update_table_stats re-keys the compacted
-        # leaves by scanning just the freshly-written files — the same
-        # bytes the verify pass already read back); a legacy manifest
-        # re-binds the fingerprint for free.  Gated on entry freshness:
-        # refreshing an already-stale manifest would bless numbers some
-        # OTHER write invalidated.
-        p = os.path.join(path, STATS_FILE)
-        has_partials = False
-        if os.path.exists(p):
-            try:
-                with open(p) as fh:
-                    has_partials = "files" in json.load(fh)
-            except (OSError, ValueError):
-                has_partials = False
-        if has_partials:
-            update_table_stats(spark, path)
-            report["stats_rebound"] = True
-        else:
-            from bigquack_spark.operators.planner import rebind_stats_fingerprint
+    with table_lease(path, owner="compact", lease=lease) as held:
+        # roll any crashed swap forward FIRST so planning sees the layout
+        report["resumed"], report["discarded_stale"] = _resume_tree(path)
+        stats_fresh_at_entry = stats_are_fresh(path)
+        for plan in plan_compaction(path, target_file_bytes, min_files):
+            got = _compact_partition(spark, plan, cluster_cols, verify, lease=held)
+            report["partitions_compacted"] += 1
+            for k in ("files_before", "files_after", "bytes_rewritten"):
+                report[k] += got[k]
+        report["stats_rebound"] = False
+        if verify and stats_fresh_at_entry and report["partitions_compacted"]:
+            # content equality was checksum-proven per partition, so every
+            # TABLE-level statistic in _STATS.json is still exact — refresh
+            # the manifest instead of letting it read stale (the planning
+            # loop's metadata answer, r7 verdict #2).  A partials-carrying
+            # manifest folds forward (update_table_stats re-keys the compacted
+            # leaves by scanning just the freshly-written files — the same
+            # bytes the verify pass already read back); a legacy manifest
+            # re-binds the fingerprint for free.  Gated on entry freshness:
+            # refreshing an already-stale manifest would bless numbers some
+            # OTHER write invalidated.
+            p = os.path.join(path, STATS_FILE)
+            has_partials = False
+            if os.path.exists(p):
+                try:
+                    with open(p) as fh:
+                        has_partials = "files" in json.load(fh)
+                except (OSError, ValueError):
+                    has_partials = False
+            if has_partials:
+                update_table_stats(spark, path)
+                report["stats_rebound"] = True
+            else:
+                from bigquack_spark.operators.planner import rebind_stats_fingerprint
 
-            report["stats_rebound"] = rebind_stats_fingerprint(path)
+                report["stats_rebound"] = rebind_stats_fingerprint(path)
     return report
 
 
@@ -307,6 +317,7 @@ def purge_rows(
     predicate: str,
     verify: bool = True,
     refresh_stats: bool = False,
+    lease=None,
 ) -> dict:
     """Erasure executor (the GDPR DELETE, the destructive half of
     :func:`bigquack_spark.lineage.blast_radius_columns`'s impact answer):
@@ -335,9 +346,23 @@ def purge_rows(
     count, and rewritten files: the auditable evidence an erasure
     obligation needs.  Returns ``{n_deleted, files_rewritten,
     files_retired, partitions_touched, resumed, discarded_stale,
-    generation}`` (generation None when nothing matched).  Like all
-    filesystem-coordinated maintenance here: run while no concurrent
-    writer mutates the table."""
+    generation}`` (generation None when nothing matched).  Runs under the
+    table writer lease (``operators/lease.py``): a concurrent maintenance
+    writer raises ``LeaseHeldError`` instead of interleaving."""
+    with table_lease(path, owner="purge", lease=lease) as held:
+        return _purge_rows_locked(
+            spark, path, predicate, verify, refresh_stats, held
+        )
+
+
+def _purge_rows_locked(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    verify: bool,
+    refresh_stats: bool,
+    lease,
+) -> dict:
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -431,6 +456,7 @@ def purge_rows(
                     )
         else:
             os.makedirs(data_dir, exist_ok=True)  # empty: retire-only swap
+        lease.check()  # fencing gate: die pre-commit if the lease was stolen
         _write_marker(staging, gen, olds, prefix="purged", others=others)
         _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="purged")
         report["n_deleted"] += n_src - n_keep
@@ -836,7 +862,7 @@ def refresh_table_stats(spark: SparkSession, path: str) -> dict | None:
         return collect_table_stats(spark, path)
 
 
-def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
+def vacuum(path: str, keep_purge_manifests: int = 5, lease=None) -> dict:
     """Housekeeping sweep for a maintained table — pure filesystem
     metadata, no Spark session, so it costs the same at 100 TB as at 100
     rows:
@@ -863,7 +889,16 @@ def vacuum(path: str, keep_purge_manifests: int = 5) -> dict:
     purge_manifests_pruned, merge_manifests_pruned,
     retention_manifests_pruned, insert_staging_swept,
     snapshot_tmp_swept}`` — manifest pruning is counted PER KIND so the
-    report matches the per-kind retention it promises (r8 advisor)."""
+    report matches the per-kind retention it promises (r8 advisor).
+    Runs under the table writer lease: vacuum discards pre-commit staging
+    and ``*.tmp`` partials, which would destroy a LIVE writer's in-flight
+    work — the lease makes "nobody is compacting right now" enforced
+    rather than assumed."""
+    with table_lease(path, owner="vacuum", lease=lease) as _held:
+        return _vacuum_locked(path, keep_purge_manifests)
+
+
+def _vacuum_locked(path: str, keep_purge_manifests: int) -> dict:
     resumed, discarded = _resume_tree(path)
     report = {
         "resumed": resumed,
@@ -987,6 +1022,7 @@ def apply_retention(
     predicate: str,
     verify: bool = True,
     refresh_stats: bool = False,
+    lease=None,
 ) -> dict:
     """Retention executor — apply the TTL policy q306 sized: delete every
     row matching ``predicate`` (rows to RETIRE).
@@ -1010,7 +1046,23 @@ def apply_retention(
     n_deleted, files_retired, bytes_retired, partitions_touched, resumed,
     discarded_stale, generation}`` — ``n_deleted`` is None in the fast
     path (row counts would require opening files; the sizing query is the
-    row-grain answer)."""
+    row-grain answer).  Runs under the table writer lease
+    (``operators/lease.py``): a concurrent maintenance writer raises
+    ``LeaseHeldError`` instead of interleaving."""
+    with table_lease(path, owner="retention", lease=lease) as held:
+        return _apply_retention_locked(
+            spark, path, predicate, verify, refresh_stats, held
+        )
+
+
+def _apply_retention_locked(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    verify: bool,
+    refresh_stats: bool,
+    lease,
+) -> dict:
     import uuid as _uuid
 
     part_cols, leaves = _partition_leaves(path)
@@ -1054,7 +1106,8 @@ def apply_retention(
 
     if not fast:
         report = purge_rows(
-            spark, path, predicate, verify=verify, refresh_stats=refresh_stats
+            spark, path, predicate, verify=verify,
+            refresh_stats=refresh_stats, lease=lease,
         )
         report["mode"] = "scan"
         report["bytes_retired"] = None
@@ -1084,6 +1137,7 @@ def apply_retention(
         shutil.rmtree(staging, ignore_errors=True)  # pre-commit residue only
         os.makedirs(os.path.join(staging, "data"), exist_ok=True)
         olds = [[n, os.path.getsize(os.path.join(leaf, n))] for n in names]
+        lease.check()  # fencing gate: die pre-commit if the lease was stolen
         _write_marker(staging, gen, olds, prefix="retired")  # commit point
         _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="retired")
         report["files_retired"] += len(olds)
@@ -1132,6 +1186,7 @@ def optimize_layout(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     candidates: list[str] | None = None,
     verify: bool = True,
+    lease=None,
 ) -> dict:
     """One maintenance pass closing the planner -> executor loop for
     physical layout (the Delta OPTIMIZE ... ZORDER BY analogue, key
@@ -1161,14 +1216,18 @@ def optimize_layout(
             c for c in load_fresh_stats(path)["columns"] if c not in part_cols
         ]
     rec = recommend_cluster_key(path, stats_cols)  # freshness-gated
-    report = compact_small_files(
-        spark,
-        path,
-        target_mb=target_mb,
-        target_file_bytes=target_file_bytes,
-        cluster_cols=[rec["column"]] if rec else None,
-        verify=verify,
-    )
+    # one lease spans planning AND the compaction it drives; the inner
+    # pass composes under it instead of racing for its own
+    with table_lease(path, owner="optimize_layout", lease=lease) as held:
+        report = compact_small_files(
+            spark,
+            path,
+            target_mb=target_mb,
+            target_file_bytes=target_file_bytes,
+            cluster_cols=[rec["column"]] if rec else None,
+            verify=verify,
+            lease=held,
+        )
     report["cluster_key"] = rec
     return report
 
@@ -1192,7 +1251,7 @@ def _validate_snapshot_name(name: str) -> None:
         raise ValueError(f"invalid snapshot name {name!r}")
 
 
-def snapshot_table(path: str, name: str) -> dict:
+def snapshot_table(path: str, name: str, lease=None) -> dict:
     """Zero-copy table snapshot (plain-parquet time travel, the
     Delta/Iceberg VERSION AS OF analogue): hardlink every data file into
     ``_snapshots/<name>/data/<leaf-relative-path>`` and record the
@@ -1208,33 +1267,43 @@ def snapshot_table(path: str, name: str) -> dict:
     travel).  GDPR NOTE: a snapshot pins bytes — an erasure obligation
     must also :func:`drop_snapshot` (or re-snapshot) — ``purge_rows``
     records the snapshots that existed at purge time in its audit for
-    exactly this follow-up.  Returns ``{name, files, bytes}``."""
+    exactly this follow-up.  Holds the table writer lease for the build
+    (a writer retiring files mid-hardlink would tear the snapshot across
+    generations) and checks it immediately before publish.  Returns
+    ``{name, files, bytes}``."""
     _validate_snapshot_name(name)
     snap_root = os.path.join(path, SNAPSHOT_DIR)
     final = os.path.join(snap_root, name)
     if os.path.exists(final):
         raise ValueError(f"snapshot_table: snapshot {name!r} already exists")
-    tmp = final + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    files = _table_fingerprint(path)
-    if not files:
-        raise ValueError(
-            f"snapshot_table: no data files at {path!r} — nothing to snapshot"
-        )
-    n_bytes = 0
-    for rel, size in files:
-        src = os.path.join(path, rel)
-        dst = os.path.join(tmp, "data", rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)  # cross-device fallback
-        n_bytes += size
-    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
-        json.dump({"name": name, "files": files}, fh, indent=1)
-    os.makedirs(snap_root, exist_ok=True)
-    os.rename(tmp, final)
+    with table_lease(path, owner="snapshot", lease=lease) as held:
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        files = _table_fingerprint(path)
+        if not files:
+            raise ValueError(
+                f"snapshot_table: no data files at {path!r} — nothing to snapshot"
+            )
+        n_bytes = 0
+        for rel, size in files:
+            src = os.path.join(path, rel)
+            dst = os.path.join(tmp, "data", rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+            n_bytes += size
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(
+                {"name": name, "files": files, "created_at": _time.time(),
+                 "bytes": n_bytes},
+                fh,
+                indent=1,
+            )
+        os.makedirs(snap_root, exist_ok=True)
+        held.check()  # fencing gate: never publish a torn snapshot
+        os.rename(tmp, final)
     return {"name": name, "files": len(files), "bytes": n_bytes}
 
 
@@ -1262,7 +1331,7 @@ def drop_snapshot(path: str, name: str) -> bool:
 
 
 def restore_snapshot(
-    spark: SparkSession, path: str, name: str, verify: bool = True
+    spark: SparkSession, path: str, name: str, verify: bool = True, lease=None
 ) -> dict:
     """Roll the table back to a snapshot, leaf by leaf, under the shared
     marker/roll-forward protocol: per leaf, files not in the snapshot are
@@ -1281,6 +1350,21 @@ def restore_snapshot(
         raise ValueError(f"restore_snapshot: no snapshot {name!r} at {path!r}")
     with open(manifest_p) as fh:
         want_files = [tuple(x) for x in json.load(fh)["files"]]
+    with table_lease(path, owner="restore", lease=lease) as held:
+        return _restore_snapshot_locked(
+            spark, path, name, verify, want_files, snap, held
+        )
+
+
+def _restore_snapshot_locked(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    verify: bool,
+    want_files: list[tuple],
+    snap: str,
+    lease,
+) -> dict:
     _resume_tree(path)
 
     by_leaf_want: dict[str, dict[str, int]] = {}
@@ -1323,6 +1407,7 @@ def restore_snapshot(
             except OSError:
                 shutil.copy2(src, dst)
         os.makedirs(leaf, exist_ok=True)
+        lease.check()  # fencing gate: die pre-commit if the lease was stolen
         _write_marker(staging, gen, olds, prefix="restored", others=unaffected)
         _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix="restored")
         report["files_restored"] += len(news)

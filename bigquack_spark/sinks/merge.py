@@ -125,6 +125,7 @@ def _publish_leaf(
     olds: list[list],
     stage_files: list[str] | None,
     prefix: str = "merged",
+    lease=None,
 ) -> None:
     """One leaf publish under the shared maintenance marker protocol:
     move ``stage_files`` into the leaf's staging data dir, record the
@@ -149,6 +150,8 @@ def _publish_leaf(
         and n not in old_names
         and not n.startswith(f"{prefix}-{gen}-")
     ]
+    if lease is not None:
+        lease.check()  # fencing gate: die pre-commit if the lease was stolen
     _write_marker(staging, gen, olds, prefix=prefix, others=others)
     _finish_swap(leaf, staging, gen, [tuple(o) for o in olds], prefix=prefix)
 
@@ -161,6 +164,7 @@ def merge_upsert(
     delete_col: str | None = None,
     verify: bool = True,
     refresh_stats: bool = False,
+    lease=None,
 ) -> dict:
     """MERGE ``changes`` into the parquet table at ``target_path``.
 
@@ -176,9 +180,38 @@ def merge_upsert(
     upserts, deletes, files_rewritten, files_retired, files_inserted,
     partitions_touched, resumed, discarded_stale, generation}``.
     Idempotent: re-merging the same change set converges, and a crash
-    mid-publish rolls forward on the next call.  Like all
-    filesystem-coordinated writers here: run while no concurrent writer
-    mutates the table."""
+    mid-publish rolls forward on the next call.  Runs under the table
+    writer lease (``operators/lease.py``): a concurrent maintenance
+    writer raises ``LeaseHeldError`` instead of interleaving, and the
+    lease is re-checked before every leaf commit point."""
+    from bigquack_spark.operators.lease import table_lease
+
+    # normalize: by_leaf keys come back ABSOLUTE from input_file_name()
+    # URIs, and the insert leg joins target_path + rel — a relative
+    # target_path would double-count the same physical leaf
+    target_path = os.path.abspath(target_path)
+    # heal the LEGACY rename-swap crash window BEFORE leasing: acquiring a
+    # lease materializes the table dir, which would make the healer read a
+    # missing-table-with-backup state as an already-completed swap and drop
+    # the .old- backup holding the only copy of the data
+    _recover_orphaned_swap(target_path)
+    with table_lease(target_path, owner="merge", lease=lease) as held:
+        return _merge_upsert_locked(
+            spark, target_path, changes, key_cols, delete_col, verify,
+            refresh_stats, held,
+        )
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None,
+    verify: bool,
+    refresh_stats: bool,
+    lease,
+) -> dict:
     from bigquack_spark.operators.maintenance import (
         STAGING_DIR,
         _checksum_row,
@@ -187,11 +220,6 @@ def merge_upsert(
     )
     from bigquack_spark.sinks.compact import _is_data_file
 
-    # normalize: by_leaf keys come back ABSOLUTE from input_file_name()
-    # URIs, and the insert leg joins target_path + rel — a relative
-    # target_path would double-count the same physical leaf
-    target_path = os.path.abspath(target_path)
-    _recover_orphaned_swap(target_path)  # legacy rename-swap residue
     resumed, discarded = _resume_tree(target_path)
     # pre-commit insert staging from a crashed merge is residue: the change
     # set is the source of truth and that merge must be re-run anyway
@@ -322,7 +350,7 @@ def merge_upsert(
             rel = os.path.relpath(dirpath, ins_data)
             leaf = target_path if rel == "." else os.path.join(target_path, rel)
             os.makedirs(leaf, exist_ok=True)
-            _publish_leaf(leaf, gen, olds=[], stage_files=stage_files)
+            _publish_leaf(leaf, gen, olds=[], stage_files=stage_files, lease=lease)
             report["files_inserted"] += len(stage_files)
             touched_leaves.add(leaf)
         shutil.rmtree(ins_root, ignore_errors=True)
@@ -382,7 +410,7 @@ def merge_upsert(
                 for n in sorted(os.listdir(data_dir))
                 if _is_data_file(n)
             ]
-        _publish_leaf(leaf, gen, olds=olds, stage_files=stage_files)
+        _publish_leaf(leaf, gen, olds=olds, stage_files=stage_files, lease=lease)
         n_matched_removed += n_src - n_keep
         report["files_rewritten"] += len(names) - len(retired_here)
         report["files_retired"] += len(retired_here)

@@ -1,0 +1,206 @@
+"""Concurrent-writer fencing (operators/lease.py, r8 verdict #3).
+
+The contract under test: every filesystem-coordinated maintenance writer
+runs under a table-level lease — a second writer REFUSES to start while a
+live lease is held (LeaseHeldError), a writer whose lease expired and was
+stolen dies loudly BEFORE its next commit point (LeaseFencedError) leaving
+only pre-commit staging that roll-forward discards, and the table converges
+when the surviving writer re-runs.
+"""
+
+import os
+import time
+
+import pytest
+
+from bigquack_spark.operators.lease import (
+    LEASE_FILE,
+    LeaseFencedError,
+    LeaseHeldError,
+    acquire_table_lease,
+)
+
+
+def _checksum(spark, path):
+    from bigquack_spark.operators.reconcile import table_checksum
+
+    df = spark.read.parquet(path)
+    row = table_checksum(df, sorted(df.columns)).collect()[0]
+    return (row.n_rows, row.xor_checksum, row.sum_checksum_mod)
+
+
+def _table(spark, tmp_path, name="t", n=600):
+    path = str(tmp_path / name)
+    spark.range(n).selectExpr(
+        "id", "id % 3 AS k", "repeat('x', 20) AS pad"
+    ).repartition(6).write.partitionBy("k").parquet(path)
+    return path
+
+
+# ---------------------------------------------------------------- protocol
+
+
+def test_acquire_release_generation_monotonic(tmp_path):
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="first")
+    assert a.generation == 1
+    a.release()
+    b = acquire_table_lease(path, owner="second")
+    assert b.generation == 2  # tombstone keeps the fencing sequence
+    b.release()
+
+
+def test_acquire_refuses_while_held(tmp_path):
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="first")
+    with pytest.raises(LeaseHeldError):
+        acquire_table_lease(path, owner="second")
+    a.release()
+    acquire_table_lease(path, owner="second").release()
+
+
+def test_expired_lease_is_stolen_and_loser_is_fenced(tmp_path):
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="slow", ttl_s=0.01)
+    time.sleep(0.05)
+    b = acquire_table_lease(path, owner="fast")  # steals after TTL
+    assert b.generation == a.generation + 1
+    with pytest.raises(LeaseFencedError):
+        a.check()  # the zombie must die at its next commit gate
+    b.check()  # the live holder renews fine
+    b.release()
+
+
+def test_check_renews_deadline(tmp_path):
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="w", ttl_s=0.2)
+    for _ in range(3):
+        time.sleep(0.1)
+        a.check()  # each check pushes the deadline out
+    with pytest.raises(LeaseHeldError):
+        acquire_table_lease(path, owner="other")
+    a.release()
+
+
+def test_release_after_fence_does_not_clobber_successor(tmp_path):
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="slow", ttl_s=0.01)
+    time.sleep(0.05)
+    b = acquire_table_lease(path, owner="fast")
+    a.release()  # no-op: a no longer holds
+    b.check()
+    b.release()
+
+
+# ---------------------------------------------------- writers refuse entry
+
+
+def test_writers_refuse_while_lease_held(spark, tmp_path):
+    """Every maintenance writer raises LeaseHeldError instead of
+    interleaving with a live holder, and the table is untouched."""
+    from bigquack_spark.operators.maintenance import (
+        apply_retention,
+        compact_small_files,
+        purge_rows,
+        snapshot_table,
+        vacuum,
+    )
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = _table(spark, tmp_path)
+    before = _checksum(spark, path)
+    held = acquire_table_lease(path, owner="other-writer")
+    changes = spark.range(5).selectExpr("id", "id % 3 AS k", "'y' AS pad")
+    with pytest.raises(LeaseHeldError):
+        merge_upsert(spark, path, changes, key_cols=["id"])
+    with pytest.raises(LeaseHeldError):
+        compact_small_files(spark, path, target_file_bytes=1 << 30)
+    with pytest.raises(LeaseHeldError):
+        purge_rows(spark, path, "id < 10")
+    with pytest.raises(LeaseHeldError):
+        apply_retention(spark, path, "k = 0")
+    with pytest.raises(LeaseHeldError):
+        snapshot_table(path, "s1")
+    with pytest.raises(LeaseHeldError):
+        vacuum(path)
+    held.release()
+    assert _checksum(spark, path) == before
+
+
+def test_writer_releases_on_success_and_failure(spark, tmp_path):
+    """In-process completion (or an in-process abort) releases the lease so
+    the next writer proceeds immediately — only a real process death leaves
+    the lease to TTL out."""
+    from bigquack_spark.operators.maintenance import purge_rows
+
+    path = _table(spark, tmp_path)
+    purge_rows(spark, path, "id < 5")
+    with pytest.raises(Exception):
+        purge_rows(spark, path, "no_such_column < 5")  # analysis error
+    # both calls released: a fresh acquire succeeds at once
+    acquire_table_lease(path, owner="next").release()
+
+
+def test_composed_pass_shares_one_lease(spark, tmp_path):
+    """optimize_layout holds one lease across planning + compaction; the
+    inner compact composes under it instead of deadlocking against it."""
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        optimize_layout,
+    )
+
+    path = _table(spark, tmp_path)
+    collect_table_stats(spark, path)
+    report = optimize_layout(spark, path, target_file_bytes=1 << 30)
+    assert report["partitions_compacted"] >= 1
+    acquire_table_lease(path, owner="next").release()  # fully released
+
+
+# ------------------------------------------------- injected interleave
+
+
+def test_fenced_merge_dies_precommit_and_table_converges(spark, tmp_path):
+    """The r8 verdict #3 'done' gate: writer A's lease expires mid-pass and
+    writer B takes over; A dies at its first commit gate WITHOUT publishing,
+    and B's re-run converges the table to the merged state."""
+    from bigquack_spark.operators.maintenance import STAGING_DIR
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = _table(spark, tmp_path)
+    changes = spark.createDataFrame(
+        [(1, 1, "UPDATED"), (9999, 0, "INSERTED")], "id long, k long, pad string"
+    )
+
+    # A acquires with a tiny TTL and stalls; B steals the table
+    lease_a = acquire_table_lease(path, owner="merge-A", ttl_s=0.01)
+    time.sleep(0.05)
+    lease_b = acquire_table_lease(path, owner="merge-B")
+
+    before = _checksum(spark, path)
+    with pytest.raises(LeaseFencedError):
+        merge_upsert(spark, path, changes, key_cols=["id"], lease=lease_a)
+    # A died pre-commit: no leaf holds a committed marker, live data intact
+    for dirpath, dirnames, filenames in os.walk(path):
+        if os.path.basename(dirpath) == STAGING_DIR:
+            assert "_COMPACT_ID" not in filenames
+    assert _checksum(spark, path) == before
+
+    report = merge_upsert(spark, path, changes, key_cols=["id"], lease=lease_b)
+    lease_b.release()
+    assert report["upserts"] == 2
+    got = {
+        r.id: r.pad for r in spark.read.parquet(path).filter("id in (1, 9999)").collect()
+    }
+    assert got == {1: "UPDATED", 9999: "INSERTED"}
+    assert spark.read.parquet(path).count() == 601
+
+
+def test_lease_file_survives_vacuum_and_is_invisible_to_readers(spark, tmp_path):
+    from bigquack_spark.operators.maintenance import vacuum
+
+    path = _table(spark, tmp_path)
+    acquire_table_lease(path, owner="w").release()
+    n = spark.read.parquet(path).count()
+    vacuum(path)
+    assert os.path.exists(os.path.join(path, LEASE_FILE))
+    assert spark.read.parquet(path).count() == n
