@@ -888,8 +888,11 @@ def vacuum(path: str, keep_purge_manifests: int = 5, lease=None) -> dict:
     Returns ``{resumed, discarded_stale, tmp_swept,
     purge_manifests_pruned, merge_manifests_pruned,
     retention_manifests_pruned, insert_staging_swept,
-    snapshot_tmp_swept}`` — manifest pruning is counted PER KIND so the
-    report matches the per-kind retention it promises (r8 advisor).
+    snapshot_tmp_swept, snapshots, snapshot_pinned_bytes}`` — manifest
+    pruning is counted PER KIND so the report matches the per-kind
+    retention it promises (r8 advisor), and ``snapshot_pinned_bytes``
+    quantifies the bytes ONLY snapshots keep alive (inode-exact — what
+    :func:`expire_snapshots` would reclaim).
     Runs under the table writer lease: vacuum discards pre-commit staging
     and ``*.tmp`` partials, which would destroy a LIVE writer's in-flight
     work — the lease makes "nobody is compacting right now" enforced
@@ -948,6 +951,13 @@ def _vacuum_locked(path: str, keep_purge_manifests: int) -> dict:
                 report[pruned_key[prefix]] += 1
             except OSError:
                 pass
+    # pinned-vs-reclaimable: bytes only snapshots keep alive (inode-exact,
+    # one stat per file) — the number expire_snapshots would free
+    snaps = list_snapshots(path)
+    report["snapshots"] = len(snaps)
+    report["snapshot_pinned_bytes"] = (
+        snapshot_storage_report(path)["total_pinned_bytes"] if snaps else 0
+    )
     return report
 
 
@@ -1328,6 +1338,144 @@ def drop_snapshot(path: str, name: str) -> bool:
         return False
     shutil.rmtree(final)
     return True
+
+
+def _snapshot_created_at(path: str, name: str) -> float:
+    """Manifest ``created_at`` (written since r9), directory mtime for
+    older snapshots — good enough to order an expiry policy."""
+    manifest = os.path.join(path, SNAPSHOT_DIR, name, "manifest.json")
+    try:
+        with open(manifest) as fh:
+            rec = json.load(fh)
+        if "created_at" in rec:
+            return float(rec["created_at"])
+    except (OSError, ValueError):
+        pass
+    return os.path.getmtime(os.path.join(path, SNAPSHOT_DIR, name))
+
+
+def _inode_sizes(root: str) -> dict[int, int]:
+    """inode -> size over every data file under ``root``.  Hardlinked
+    copies share an inode, so set arithmetic over these keys answers
+    'which bytes does ONLY this reference keep alive' exactly — the
+    physical truth a du-style per-directory sum cannot give."""
+    out: dict[int, int] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for n in filenames:
+            if _is_data_file(n):
+                st = os.stat(os.path.join(dirpath, n))
+                out[st.st_ino] = st.st_size
+    return out
+
+
+def snapshot_storage_report(path: str) -> dict:
+    """Pinned-vs-live accounting for every snapshot (metadata-priced: one
+    ``os.stat`` per file, no Spark, no bytes read).
+
+    Hardlinked snapshots share inodes with the live table, so a snapshot
+    costs storage only for files the table has since retired (compaction,
+    purge, merge, retention).  Returns ``{snapshots: {name: {files,
+    bytes, created_at, pinned_bytes, reclaimable_bytes}},
+    total_pinned_bytes}`` where per snapshot ``pinned_bytes`` counts bytes
+    no longer referenced by the LIVE table (kept alive by snapshots) and
+    ``reclaimable_bytes`` counts bytes that would actually free if ONLY
+    this snapshot were dropped (not pinned by any sibling snapshot
+    either); ``total_pinned_bytes`` counts each pinned inode once —
+    exactly what dropping ALL snapshots would free.  This is the
+    `snapshots_pinning_bytes` audit trail made quantitative: the erasure
+    follow-up can now be sized, not just named."""
+    live = _inode_sizes(path)
+    per_snap: dict[str, dict[int, int]] = {
+        name: _inode_sizes(os.path.join(path, SNAPSHOT_DIR, name, "data"))
+        for name in list_snapshots(path)
+    }
+    report: dict = {"snapshots": {}, "total_pinned_bytes": 0}
+    pinned_union: dict[int, int] = {}
+    for name, inodes in per_snap.items():
+        pinned = {i: s for i, s in inodes.items() if i not in live}
+        pinned_union.update(pinned)
+        reclaimable = {
+            i: s
+            for i, s in pinned.items()
+            if not any(i in other for o, other in per_snap.items() if o != name)
+        }
+        report["snapshots"][name] = {
+            "files": len(inodes),
+            "bytes": sum(inodes.values()),
+            "created_at": _snapshot_created_at(path, name),
+            "pinned_bytes": sum(pinned.values()),
+            "reclaimable_bytes": sum(reclaimable.values()),
+        }
+    report["total_pinned_bytes"] = sum(pinned_union.values())
+    return report
+
+
+def expire_snapshots(
+    path: str,
+    older_than_s: float | None = None,
+    keep_last: int | None = None,
+    lease=None,
+) -> dict:
+    """Snapshot retention — the expiry half :func:`snapshot_table` owed
+    (r8 verdict #4; the Iceberg ``expire_snapshots(older_than,
+    retain_last)`` analogue): drop every snapshot older than
+    ``older_than_s`` seconds, always retaining the newest ``keep_last``
+    regardless of age.  At least one of the two must be given (an
+    unbounded expiry is an operator error, not a default).
+
+    Byte accounting is inode-exact: ``bytes_freed`` counts bytes whose
+    ONLY remaining reference was the expired snapshots (each inode once),
+    so a purge-then-expire erasure obligation can prove the bytes
+    actually left the disk; ``bytes_still_pinned`` is what the surviving
+    snapshots keep alive.  Runs under the table writer lease — expiring a
+    snapshot out from under a live restore would tear the restore's
+    hardlink source."""
+    if older_than_s is None and keep_last is None:
+        raise ValueError(
+            "expire_snapshots: pass older_than_s and/or keep_last — "
+            "expiring every snapshot unconditionally must be spelled "
+            "keep_last=0"
+        )
+    with table_lease(path, owner="expire_snapshots", lease=lease):
+        now = _time.time()
+        snaps = sorted(
+            list_snapshots(path),
+            key=lambda n: (_snapshot_created_at(path, n), n),
+            reverse=True,
+        )
+        protected = set(snaps[: keep_last or 0])
+        expired = [
+            n
+            for n in snaps
+            if n not in protected
+            and (
+                older_than_s is None
+                or now - _snapshot_created_at(path, n) > older_than_s
+            )
+        ]
+        kept = [n for n in snaps if n not in expired]
+
+        live = _inode_sizes(path)
+        surviving: dict[int, int] = {}
+        for n in kept:
+            surviving.update(_inode_sizes(os.path.join(path, SNAPSHOT_DIR, n, "data")))
+        freed: dict[int, int] = {}
+        for n in expired:
+            for i, s in _inode_sizes(
+                os.path.join(path, SNAPSHOT_DIR, n, "data")
+            ).items():
+                if i not in live and i not in surviving:
+                    freed[i] = s
+        still_pinned = sum(s for i, s in surviving.items() if i not in live)
+        for n in expired:
+            shutil.rmtree(os.path.join(path, SNAPSHOT_DIR, n))
+    return {
+        "expired": expired,
+        "kept": kept,
+        "bytes_freed": sum(freed.values()),
+        "bytes_still_pinned": still_pinned,
+    }
 
 
 def restore_snapshot(

@@ -1564,3 +1564,130 @@ def test_retention_fast_path_stats_fold_opens_zero_files(spark, tmp_path):
     assert m["rows"] == 400
     assert m["columns"]["age"]["max"] == 1  # retired partition left the stats
     assert m["columns"]["id"]["null_count"] == 0
+
+
+def test_snapshot_storage_report_pins_only_retired_bytes(spark, tmp_path):
+    """Inode-exact accounting: a fresh snapshot pins ZERO bytes (pure
+    hardlinks into the live table); after a purge rewrites files, the
+    snapshot pins exactly the retired originals, and vacuum surfaces the
+    same number."""
+    from bigquack_spark.operators.maintenance import (
+        purge_rows,
+        snapshot_storage_report,
+        snapshot_table,
+        vacuum,
+    )
+
+    path = _purge_table(spark, tmp_path, "pin1")
+    snapshot_table(path, "v1")
+    rep0 = snapshot_storage_report(path)
+    assert rep0["snapshots"]["v1"]["pinned_bytes"] == 0
+    assert rep0["total_pinned_bytes"] == 0
+
+    before_files = {f: os.stat(f).st_ino for f in _data_files(path)}
+    pr = purge_rows(spark, path, "tag = '3'")
+    assert pr["files_rewritten"] + pr["files_retired"] > 0
+    after_inodes = {os.stat(f).st_ino for f in _data_files(path)}
+    retired_bytes = sum(
+        os.path.getsize(
+            os.path.join(path, "_snapshots", "v1", "data",
+                         os.path.relpath(f, path))
+        )
+        for f, ino in before_files.items()
+        if ino not in after_inodes
+    )
+    assert retired_bytes > 0
+
+    rep1 = snapshot_storage_report(path)
+    assert rep1["snapshots"]["v1"]["pinned_bytes"] == retired_bytes
+    # only snapshot -> everything it pins is reclaimable by dropping it
+    assert rep1["snapshots"]["v1"]["reclaimable_bytes"] == retired_bytes
+    assert rep1["total_pinned_bytes"] == retired_bytes
+    assert vacuum(path)["snapshot_pinned_bytes"] == retired_bytes
+
+
+def test_expire_snapshots_keep_last_and_age(spark, tmp_path):
+    """keep_last always survives regardless of age; older_than_s expires
+    only genuinely old snapshots; unbounded expiry must be spelled."""
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import (
+        expire_snapshots,
+        list_snapshots,
+        snapshot_table,
+    )
+
+    path = _purge_table(spark, tmp_path, "exp1")
+    for name in ("v1", "v2", "v3"):
+        snapshot_table(path, name)
+    # age v1 far into the past via its manifest
+    mp = os.path.join(path, "_snapshots", "v1", "manifest.json")
+    rec = _json.load(open(mp))
+    rec["created_at"] = 1_000_000.0
+    _json.dump(rec, open(mp, "w"))
+
+    with pytest.raises(ValueError, match="older_than_s and/or keep_last"):
+        expire_snapshots(path)
+
+    rep = expire_snapshots(path, older_than_s=3600.0, keep_last=1)
+    assert rep["expired"] == ["v1"] and sorted(rep["kept"]) == ["v2", "v3"]
+    # v1 was pure hardlinks into files still live (or pinned by v2/v3):
+    # nothing actually freed
+    assert rep["bytes_freed"] == 0
+    assert sorted(list_snapshots(path)) == ["v2", "v3"]
+
+    rep2 = expire_snapshots(path, keep_last=0)
+    assert sorted(rep2["expired"]) == ["v2", "v3"]
+    assert list_snapshots(path) == []
+    assert rep2["bytes_still_pinned"] == 0
+
+
+def test_purge_then_expire_frees_the_pinned_bytes(spark, tmp_path):
+    """The erasure-obligation chain (r8 verdict #4 'done' gate): purge
+    retires rows, the snapshot still pins their bytes, expiry actually
+    frees them — inode-verified, and the purged rows are unrecoverable."""
+    from bigquack_spark.operators.maintenance import (
+        expire_snapshots,
+        list_snapshots,
+        purge_rows,
+        snapshot_storage_report,
+        snapshot_table,
+        vacuum,
+    )
+
+    path = _purge_table(spark, tmp_path, "erase1")
+    snapshot_table(path, "pre")
+    purge_rows(spark, path, "tag = '5'")
+    pinned = snapshot_storage_report(path)["total_pinned_bytes"]
+    assert pinned > 0
+    # the retired rows are still recoverable through the snapshot...
+    from bigquack_spark.operators.maintenance import read_snapshot
+
+    assert read_snapshot(spark, path, "pre").filter("tag = '5'").count() > 0
+
+    rep = expire_snapshots(path, keep_last=0)
+    assert rep["expired"] == ["pre"]
+    assert rep["bytes_freed"] == pinned  # the pinned bytes actually left
+    assert list_snapshots(path) == []
+    assert spark.read.parquet(path).filter("tag = '5'").count() == 0
+    assert vacuum(path)["snapshot_pinned_bytes"] == 0
+
+
+def test_expire_snapshots_respects_lease(spark, tmp_path):
+    from bigquack_spark.operators.lease import (
+        LeaseHeldError,
+        acquire_table_lease,
+    )
+    from bigquack_spark.operators.maintenance import (
+        expire_snapshots,
+        list_snapshots,
+        snapshot_table,
+    )
+
+    path = _purge_table(spark, tmp_path, "expl")
+    snapshot_table(path, "v1")
+    held = acquire_table_lease(path, owner="restore-in-flight")
+    with pytest.raises(LeaseHeldError):
+        expire_snapshots(path, keep_last=0)
+    assert list_snapshots(path) == ["v1"]
+    held.release()
