@@ -2440,3 +2440,125 @@ def q314_merge_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("write_amplification"),
         F.round(touched_rows / F.sum("n_rows").cast("double"), 6).alias("rewrite_share"),
     )
+
+
+@query(
+    "q319_evolved_merge_null_profile",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved,
+       round(1.0 - sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS evolved_null_share,
+       CAST(min(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey % 1000 END)
+            AS BIGINT) AS min_q,
+       CAST(max(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey % 1000 END)
+            AS BIGINT) AS max_q
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q319_evolved_merge_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution preflight (the planning twin of
+    ``sinks/merge.merge_upsert(schema_evolution=True)``, as q314 is the
+    plain merge's): a CDC cohort (o_orderkey % 97 = 0) carries an ADDED
+    column — after the evolved merge, every non-cohort row reads the new
+    column as NULL (old files are untouched; mergeSchema NULL-fills).
+    Per priority group: rows, evolved-carrier count, the NULL share the
+    stats fold will record for the new column, and its value range over
+    the carriers — exactly the numbers ``update_table_stats`` must
+    produce post-evolution and the planners' null-fraction viability
+    gates will consume.  One map-side-combined aggregate over a
+    three-column scan; group-vocabulary bounded."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    carrier = F.col("o_orderkey") % 97 == 0
+    q = F.when(carrier, F.col("o_orderkey") % 1000)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(carrier.cast("int")).cast("long").alias("n_evolved"),
+        F.round(
+            1.0 - F.sum(carrier.cast("int")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("evolved_null_share"),
+        F.min(q).cast("long").alias("min_q"),
+        F.max(q).cast("long").alias("max_q"),
+    )
+
+
+@query(
+    "q320_stats_fold_consistency",
+    oracle="""
+WITH merged AS (
+  SELECT l_returnflag AS rf,
+         year(l_shipdate) * 12 + month(l_shipdate) AS fg,
+         CAST(l_quantity AS BIGINT)
+           + CASE WHEN l_orderkey % 211 = 0 THEN 5 ELSE 0 END AS q
+  FROM lineitem
+),
+direct AS (
+  SELECT 'direct' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
+         CAST(sum(q) AS BIGINT) AS sum_q
+  FROM merged
+),
+partials AS (
+  SELECT rf, fg, CAST(count(*) AS BIGINT) AS p_rows,
+         CAST(min(q) AS BIGINT) AS p_min, CAST(max(q) AS BIGINT) AS p_max,
+         CAST(sum(q) AS BIGINT) AS p_sum
+  FROM merged GROUP BY rf, fg
+),
+folded AS (
+  SELECT 'folded' AS leg, CAST(sum(p_rows) AS BIGINT) AS n_rows,
+         CAST(min(p_min) AS BIGINT) AS min_q, CAST(max(p_max) AS BIGINT) AS max_q,
+         CAST(sum(p_sum) AS BIGINT) AS sum_q
+  FROM partials
+)
+SELECT * FROM direct UNION ALL SELECT * FROM folded
+""",
+)
+def q320_stats_fold_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-fold consistency over a CDC merge (the oracle-paired twin the
+    r8 stats-lifecycle work owed): lineitem after an upsert cohort
+    (l_orderkey % 211 = 0, quantity +5) is profiled two ways — 'direct'
+    (one pass over the merged state, ``collect_table_stats``'s shape) and
+    'folded' (per-(returnflag, ship-month) file-group partials re-derived
+    to table level, ``update_table_stats``'s shape: drop retired
+    partials, re-union survivors).  The two rows must carry IDENTICAL
+    numbers — the algebraic claim behind folding stats through
+    merge/retention instead of recollecting 100 TB.  Exact BIGINT
+    lattice (quantity is integer-valued), so equality is bit-exact, not
+    approximate.  Plan: one scan, two map-side-combined aggregates."""
+    li = t(spark, sf_dir, "lineitem",
+           columns=["l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"])
+    q = (
+        F.col("l_quantity").cast("long")
+        + F.when(F.col("l_orderkey") % 211 == 0, F.lit(5)).otherwise(F.lit(0))
+    )
+    merged = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("fg"),
+        q.alias("q"),
+    )
+    direct = merged.agg(
+        F.lit("direct").alias("leg"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    folded = (
+        merged.groupBy("rf", "fg")
+        .agg(
+            F.count(F.lit(1)).alias("p_rows"),
+            F.min("q").alias("p_min"),
+            F.max("q").alias("p_max"),
+            F.sum("q").alias("p_sum"),
+        )
+        .agg(
+            F.lit("folded").alias("leg"),
+            F.sum("p_rows").cast("long").alias("n_rows"),
+            F.min("p_min").cast("long").alias("min_q"),
+            F.max("p_max").cast("long").alias("max_q"),
+            F.sum("p_sum").cast("long").alias("sum_q"),
+        )
+    )
+    return direct.unionByName(folded)

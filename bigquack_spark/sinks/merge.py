@@ -164,6 +164,7 @@ def merge_upsert(
     delete_col: str | None = None,
     verify: bool = True,
     refresh_stats: bool = False,
+    schema_evolution: bool = False,
     lease=None,
 ) -> dict:
     """MERGE ``changes`` into the parquet table at ``target_path``.
@@ -176,9 +177,21 @@ def merge_upsert(
     (:func:`bigquack_spark.operators.maintenance.refresh_table_stats`):
     retired files' partials drop, and only the files this merge WROTE are
     scanned — the planners answer immediately after a CDC apply with no
-    full recollect (r8 verdict #1).  Returns ``{rows_before, rows_after,
-    upserts, deletes, files_rewritten, files_retired, files_inserted,
-    partitions_touched, resumed, discarded_stale, generation}``.
+    full recollect (r8 verdict #1).
+
+    ``schema_evolution=True`` accepts change sets carrying ADDED columns
+    (Delta's ``whenMatchedUpdateAll`` + ``autoMerge``, r8 verdict #5):
+    inserted and rewritten files carry the new columns, untouched files
+    stay byte-identical and read back NULL-filled — read an evolved table
+    with ``mergeSchema=true`` (``load_table`` and the stats collector
+    already do), and pass ``schema_evolution=True`` on LATER merges of a
+    previously-evolved table so mixed file schemas resolve to the union
+    instead of whichever footer Spark samples.  Columns may only be
+    added; a change set MISSING a target column still fails loudly
+    (silently nulling existing data is not evolution).  Returns
+    ``{rows_before, rows_after, upserts, deletes, files_rewritten,
+    files_retired, files_inserted, partitions_touched, resumed,
+    discarded_stale, generation, columns_added}``.
     Idempotent: re-merging the same change set converges, and a crash
     mid-publish rolls forward on the next call.  Runs under the table
     writer lease (``operators/lease.py``): a concurrent maintenance
@@ -198,7 +211,7 @@ def merge_upsert(
     with table_lease(target_path, owner="merge", lease=lease) as held:
         return _merge_upsert_locked(
             spark, target_path, changes, key_cols, delete_col, verify,
-            refresh_stats, held,
+            refresh_stats, schema_evolution, held,
         )
 
 
@@ -210,12 +223,14 @@ def _merge_upsert_locked(
     delete_col: str | None,
     verify: bool,
     refresh_stats: bool,
+    schema_evolution: bool,
     lease,
 ) -> dict:
     from bigquack_spark.operators.maintenance import (
         STAGING_DIR,
         _checksum_row,
         _local_path,
+        _partition_leaves,
         _resume_tree,
     )
     from bigquack_spark.sinks.compact import _is_data_file
@@ -226,11 +241,36 @@ def _merge_upsert_locked(
     ins_root = os.path.join(target_path, ".merge-insert-staging")
     shutil.rmtree(ins_root, ignore_errors=True)
 
-    target = spark.read.parquet(target_path)
-    data_cols = target.columns
-    first = _first_data_file(target_path)
-    raw_cols = spark.read.parquet(first).columns if first else data_cols
-    part_cols = [c for c in data_cols if c not in raw_cols]
+    added_cols: list[str] = []
+    if schema_evolution:
+        # union schema across every footer: a previously-evolved table has
+        # mixed file schemas, and sampling one old footer would silently
+        # drop the evolved columns from the rewrite
+        reader = spark.read.option("mergeSchema", "true")
+        target = reader.parquet(target_path)
+        # partition columns from the DIRECTORY layout, not footer diffing:
+        # under drifted file schemas "in the read but not in the first
+        # file" no longer means "partition column"
+        part_cols = _partition_leaves(target_path)[0]
+        base_cols = target.columns
+        added_cols = [
+            c for c in changes.columns
+            if c not in base_cols and c != delete_col
+        ]
+        data_cols = base_cols + added_cols
+        # NULL-fill types for the rewrite leg: the table's union schema
+        # plus this merge's additions — a rewrite over ONLY pre-evolution
+        # files sees none of the evolved columns even under mergeSchema
+        # (the union is over the files actually read)
+        fill_types = {f.name: f.dataType for f in target.schema.fields}
+        fill_types.update({c: changes.schema[c].dataType for c in added_cols})
+    else:
+        reader = spark.read
+        target = spark.read.parquet(target_path)
+        data_cols = target.columns
+        first = _first_data_file(target_path)
+        raw_cols = spark.read.parquet(first).columns if first else data_cols
+        part_cols = [c for c in data_cols if c not in raw_cols]
 
     if delete_col:
         deletes = changes.filter(F.col(delete_col)).select(*key_cols)
@@ -252,6 +292,7 @@ def _merge_upsert_locked(
         "resumed": resumed,
         "discarded_stale": discarded,
         "generation": None,
+        "columns_added": added_cols,
     }
     if delete_col:
         # count each branch by its own predicate: a NULL flag row is
@@ -356,6 +397,16 @@ def _merge_upsert_locked(
         shutil.rmtree(ins_root, ignore_errors=True)
 
     # ---- rewrite leg: only the found files, matched keys anti-joined out
+    # staged (raw-file) schema: every data column incl. evolved additions,
+    # partition columns excluded (they live in the directory names)
+    staged_cols = [c for c in data_cols if c not in part_cols]
+
+    def _leaf_reader():
+        # fresh reader per call (DataFrameReader options are sticky);
+        # union footers under evolution so old files NULL-fill new columns
+        r = spark.read.option("mergeSchema", "true") if schema_evolution else spark.read
+        return r.option("basePath", target_path)
+
     for leaf, names in sorted(by_leaf.items()):
         names = sorted(names)
         staging = os.path.join(leaf, STAGING_DIR)
@@ -367,21 +418,28 @@ def _merge_upsert_locked(
         # basePath keeps partition columns resolvable for the key join
         # while still scanning ONLY the affected files; they are dropped
         # again before writing so staged files match the leaf's raw schema
-        src = spark.read.option("basePath", target_path).parquet(*files)
-        drop_parts = [c for c in src.columns if c not in raw_cols]
+        src = _leaf_reader().parquet(*files)
 
         def kept():
-            return (
-                spark.read.option("basePath", target_path)
+            df = (
+                _leaf_reader()
                 .parquet(*files)
                 .join(removed_keys, key_cols, "left_anti")
-                .drop(*drop_parts)
             )
+            if schema_evolution:
+                # an affected file may predate an evolved column entirely
+                # (this merge introduces it, or every file read is old):
+                # materialize it as typed NULLs so the staged rewrite
+                # carries the full evolved schema
+                for c in staged_cols:
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.lit(None).cast(fill_types[c]))
+            return df.select(*staged_cols)
 
         n_src = src.count()
         kept_per_file = {
             os.path.basename(_local_path(r.f)): r.n
-            for r in spark.read.option("basePath", target_path)
+            for r in _leaf_reader()
             .parquet(*files)
             .withColumn("__f", F.input_file_name())  # capture pre-join
             .join(removed_keys, key_cols, "left_anti")
@@ -429,6 +487,7 @@ def _merge_upsert_locked(
         "files_rewritten": report["files_rewritten"],
         "files_retired": report["files_retired"],
         "files_inserted": report["files_inserted"],
+        "columns_added": added_cols,
         "affected_files": sorted(hit_files),
     }
     tmp = os.path.join(target_path, f"_MERGE-{gen}.json.tmp")

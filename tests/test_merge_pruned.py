@@ -253,3 +253,105 @@ def test_merge_string_partition_values_survive_checksum_gate(spark, tmp_path):
     assert rep["generation"] is not None
     got = {r.id: r.v for r in spark.read.parquet(path).filter("zip = '00501'").collect()}
     assert got == {1: "a", 2: "b2", 9: "new"}
+
+
+# ------------------------------------------------- schema evolution (r8 #5)
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """An evolved change set adds a column: matched rows carry it, inserts
+    carry it, untouched files stay byte-identical and read back NULL-filled
+    under mergeSchema."""
+    path = _part_table(spark, tmp_path, "ev1")
+    untouched = {
+        f: open(f, "rb").read() for f in _data_files(path) if "/k=1/" not in f
+    }
+    changes = spark.createDataFrame(
+        [(1, 1, "one-upd", 0.9), (10001, 1, "new-row", 0.5)],
+        "id long, k long, s string, quality double",
+    )
+    rep = merge_upsert(
+        spark, path, changes, key_cols=["id", "k"], schema_evolution=True
+    )
+    assert rep["columns_added"] == ["quality"]
+    assert rep["upserts"] == 2 and rep["rows_after"] == 1001
+
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality" in got.columns
+    assert got.count() == 1001
+    by_id = {r.id: r for r in got.filter("id in (1, 2, 10001)").collect()}
+    assert by_id[1].s == "one-upd" and by_id[1].quality == 0.9
+    assert by_id[10001].quality == 0.5
+    assert by_id[2].quality is None  # pre-evolution row reads NULL
+    # evolved NULLs are exactly the untouched rows
+    assert got.filter("quality IS NULL").count() == 1001 - 2
+    for f, blob in untouched.items():
+        assert open(f, "rb").read() == blob, f"untouched file rewritten: {f}"
+
+
+def test_merge_evolution_refuses_missing_target_column(spark, tmp_path):
+    """Evolution only ADDS: a change set missing an existing target column
+    still dies loudly instead of silently nulling live data."""
+    path = _part_table(spark, tmp_path, "ev2")
+    changes = spark.createDataFrame(
+        [(1, 1, 0.9)], "id long, k long, quality double"
+    )  # no 's'
+    with pytest.raises(Exception):
+        merge_upsert(
+            spark, path, changes, key_cols=["id", "k"], schema_evolution=True
+        )
+    assert spark.read.parquet(path).count() == 1000  # untouched
+
+
+def test_merge_on_previously_evolved_table(spark, tmp_path):
+    """A later merge against a mixed-schema table resolves the UNION schema
+    (old footers must not shadow the evolved column) and a whole-leaf
+    rewrite NULL-fills rows from pre-evolution files."""
+    path = _part_table(spark, tmp_path, "ev3")
+    first = spark.createDataFrame(
+        [(1, 1, "one-upd", 0.9)], "id long, k long, s string, quality double"
+    )
+    merge_upsert(spark, path, first, key_cols=["id", "k"], schema_evolution=True)
+
+    # second evolved-aware merge, no NEW columns this time: touches a row
+    # living in a pre-evolution file of the same leaf
+    second = spark.createDataFrame(
+        [(5, 1, "five-upd", 0.1)], "id long, k long, s string, quality double"
+    )
+    rep = merge_upsert(spark, path, second, key_cols=["id", "k"], schema_evolution=True)
+    assert rep["columns_added"] == []
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    by_id = {r.id: r for r in got.filter("id in (1, 5, 9)").collect()}
+    assert by_id[1].quality == 0.9  # first evolution survived the rewrite
+    assert by_id[5].s == "five-upd" and by_id[5].quality == 0.1
+    assert by_id[9].quality is None
+    assert got.count() == 1000
+
+
+def test_merge_evolution_with_delete_and_stats_refresh(spark, tmp_path):
+    """Evolved merge composes with delete_col and refresh_stats: the stats
+    fold stays fresh and counts the evolved column's table-wide NULLs."""
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        stats_are_fresh,
+    )
+
+    path = _part_table(spark, tmp_path, "ev4")
+    collect_table_stats(spark, path)
+    changes = spark.createDataFrame(
+        [(1, 1, "upd", 7.0, False), (2, 2, "del", None, True)],
+        "id long, k long, s string, score double, is_delete boolean",
+    )
+    rep = merge_upsert(
+        spark, path, changes, key_cols=["id", "k"], delete_col="is_delete",
+        schema_evolution=True, refresh_stats=True,
+    )
+    assert rep["columns_added"] == ["score"]
+    assert rep["deletes"] == 1 and rep["upserts"] == 1
+    assert stats_are_fresh(path)
+    import json as _json
+
+    stats = _json.load(open(os.path.join(path, "_STATS.json")))
+    assert stats["rows"] == 999
+    score = stats["columns"]["score"]
+    assert score["null_count"] == 998  # every row except the one upsert
