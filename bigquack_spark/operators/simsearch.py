@@ -931,6 +931,7 @@ def probe_ivf_pq(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture:
 
@@ -951,7 +952,16 @@ def probe_ivf_pq(
     exactly :func:`probe_ivf_index`'s answer; recall@k against brute
     force is bounded by the same probed-cell set, so the PQ stage costs
     recall only when ``rerank`` truncates a true neighbor out of the
-    shortlist — the standard IVF-PQ trade."""
+    shortlist — the standard IVF-PQ trade.
+
+    ``target_recall=`` resolves ``rerank`` FROM the calibrated curve
+    (:func:`calibrate_pq_recall` must have run for this (k, n_probes)) —
+    the smallest measured budget meeting the target — instead of the
+    caller guessing; the explicit ``rerank`` value is then ignored."""
+    if target_recall is not None:
+        rerank = resolve_rerank_budget(
+            spark, path, target_recall, k=k, n_probes=n_probes
+        )
     root = _resolve_index_root(path)
     books = _load_codebooks(spark, root)
     m = len(books)
@@ -1018,3 +1028,112 @@ def probe_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def calibrate_pq_recall(
+    spark,
+    path: str,
+    k: int = 10,
+    n_probes: int = 2,
+    budgets: list[int] | None = None,
+    sample: int = 32,
+) -> list[dict]:
+    """Measure the recall-vs-rerank curve of an IVF-PQ index and store it
+    IN the index (r8 verdict #6) — so serving can resolve a rerank budget
+    from a recall target instead of a guess.
+
+    Ground truth is :func:`probe_ivf_index` at the same ``n_probes`` —
+    the ADC shortlist's truncation is the ONLY loss the PQ stage adds on
+    top of the probed-cell bound, so this curve isolates exactly the knob
+    ``rerank`` controls.  Queries are the ``sample`` smallest-id corpus
+    vectors (deterministic, no RNG); each budget in ``budgets`` (default
+    k, 2k, 4k, 8k) runs one two-stage probe and scores micro-averaged
+    recall@k.  The curve lands as ``pq_recall_curve`` parquet beside the
+    codebooks: rows ``(k, n_probes, rerank, recall, n_queries)``.
+
+    Build-time priced: len(budgets) probes over ``sample`` queries —
+    amortized over every later ``probe_ivf_pq(target_recall=)`` call.
+    Returns the curve rows."""
+    root = _resolve_index_root(path)
+    import os as _os
+
+    if not _os.path.isdir(f"{root}/pq_codes"):
+        raise ValueError(
+            f"calibrate_pq_recall: no PQ artifacts at {path!r} — run "
+            "add_pq_to_ivf_index first"
+        )
+    if budgets is None:
+        budgets = [k, 2 * k, 4 * k, 8 * k]
+    budgets = sorted(set(int(b) for b in budgets))
+    index = spark.read.parquet(f"{root}/index")
+    queries = (
+        index.orderBy(F.asc("id"))
+        .limit(sample)
+        .select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    )
+    truth: dict = {}
+    for r in probe_ivf_index(
+        spark, path, queries, k=k, n_probes=n_probes
+    ).collect():  # k x sample bounded
+        truth.setdefault(r.qid, set()).add(r.neighbor_id)
+    n_truth = sum(len(v) for v in truth.values())
+    rows = []
+    for budget in budgets:
+        got = probe_ivf_pq(
+            spark, path, queries, k=k, n_probes=n_probes, rerank=budget
+        ).collect()
+        hit = sum(1 for r in got if r.neighbor_id in truth.get(r.qid, ()))
+        rows.append(
+            {
+                "k": k,
+                "n_probes": n_probes,
+                "rerank": budget,
+                "recall": round(hit / n_truth, 6) if n_truth else 1.0,
+                "n_queries": len(truth),
+            }
+        )
+    spark.createDataFrame(
+        [(r["k"], r["n_probes"], r["rerank"], r["recall"], r["n_queries"]) for r in rows],
+        "k int, n_probes int, rerank int, recall double, n_queries int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_recall_curve")
+    return rows
+
+
+def resolve_rerank_budget(
+    spark, path: str, target_recall: float, k: int = 10, n_probes: int = 2
+) -> int:
+    """Smallest calibrated rerank budget whose measured recall meets
+    ``target_recall`` — the curve lookup behind
+    ``probe_ivf_pq(target_recall=)``.  Hard-gated like the stats
+    planners: a missing curve, a curve calibrated for different
+    (k, n_probes), or an unreachable target all raise with remediation —
+    never a silent guess."""
+    root = _resolve_index_root(path)
+    import os as _os
+
+    if not _os.path.isdir(f"{root}/pq_recall_curve"):
+        raise ValueError(
+            f"resolve_rerank_budget: no recall curve at {path!r} — run "
+            "calibrate_pq_recall first"
+        )
+    rows = [
+        r
+        for r in spark.read.parquet(f"{root}/pq_recall_curve").collect()
+        if r.k == k and r.n_probes == n_probes
+    ]
+    if not rows:
+        raise ValueError(
+            f"resolve_rerank_budget: curve was not calibrated for k={k}, "
+            f"n_probes={n_probes} — re-run calibrate_pq_recall with the "
+            "serving parameters"
+        )
+    eligible = [r.rerank for r in rows if r.recall >= target_recall]
+    if not eligible:
+        best = max(rows, key=lambda r: (r.recall, -r.rerank))
+        raise ValueError(
+            f"resolve_rerank_budget: target recall {target_recall} is not "
+            f"reachable on the calibrated curve (best measured "
+            f"{best.recall} at rerank={best.rerank}) — raise n_probes, "
+            "extend the calibration budgets, or lower the target"
+        )
+    return min(eligible)

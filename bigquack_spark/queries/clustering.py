@@ -1097,3 +1097,118 @@ def q317_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_vectors") / F.avg("n_vectors").over(w), 6)
         .alias("balance_ratio"),
     )
+
+
+_RB_BUDGETS = [10, 20, 40, 80]
+_RB_K = 10
+_RB_TARGET = 0.9
+
+
+def _recall_budget_oracle() -> str:
+    """q321: the q313 chain extended to a recall-vs-budget CURVE and the
+    min-budget resolution — the SQL twin of ``simsearch.
+    calibrate_pq_recall`` + ``resolve_rerank_budget``."""
+    sql, finals, prevs = _pq_cte_chain()
+    da = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[i] - c0.cvec[i]) * (q.qd[i] - c0.cvec[i])))"
+    )
+    db = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i]) * (q.qd[{PQ_SUBDIM} + i] - c1.cvec[i])))"
+    )
+    dq = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> (q.qd[i] - vv.qd[i]) * (q.qd[i] - vv.qd[i])))"
+    )
+    budgets = ", ".join(str(b) for b in _RB_BUDGETS)
+    sql += f""",
+    q AS (SELECT qd FROM v WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id,
+             round(sqrt({da} + {db}) / {SCALE}, 6) AS adc_dist,
+             round(sqrt({dq}) / {SCALE}, 6) AS true_dist
+      FROM {finals[0]} a
+      JOIN {finals[1]} b ON a.vec_id = b.vec_id
+      JOIN {prevs[0]} c0 ON c0.cluster = a.cluster
+      JOIN {prevs[1]} c1 ON c1.cluster = b.cluster
+      JOIN v vv ON vv.vec_id = a.vec_id
+      CROSS JOIN q
+      WHERE a.vec_id <> 0
+    ),
+    ranks AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY adc_dist, vec_id) AS adc_rk,
+             row_number() OVER (ORDER BY true_dist, vec_id) AS true_rk
+      FROM scored
+    ),
+    curve AS (
+      SELECT b.budget,
+             CAST(sum(CASE WHEN r.true_rk <= {_RB_K} AND r.adc_rk <= b.budget
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM (SELECT unnest([{budgets}]) AS budget) b, ranks r
+      GROUP BY b.budget
+    )
+    SELECT CAST(budget AS INTEGER) AS budget,
+           n_hit,
+           round(n_hit / {_RB_K}.0, 6) AS recall_at_k,
+           n_hit / {_RB_K}.0 >= {_RB_TARGET} AS meets_target,
+           (n_hit / {_RB_K}.0 >= {_RB_TARGET}
+            AND budget = (SELECT min(budget) FROM curve
+                          WHERE n_hit / {_RB_K}.0 >= {_RB_TARGET}))
+             AS is_resolved
+    FROM curve
+    """
+    return sql
+
+
+@query("q321_pq_recall_budget", oracle=_recall_budget_oracle())
+def q321_pq_recall_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-budgeted PQ serving (the oracle-paired twin of
+    ``simsearch.calibrate_pq_recall`` + ``probe_ivf_pq(target_recall=)``):
+    for query vec_id=0 over q213's deterministically trained codebooks,
+    the recall@{k} of the ADC shortlist at each rerank budget, which
+    budgets meet the 0.9 target, and the SMALLEST that does
+    (``is_resolved``) — the exact lookup the serving path performs
+    against the stored curve.
+
+    Plan shape: q310's single scored projection (codebook LUTs inlined as
+    literals — no join, no shuffle); the true top-{k} is a k-bounded
+    TakeOrdered collect whose (adc_dist, vec_id) thresholds return as
+    LITERALS into ONE map-side-combined aggregate that counts, per truth
+    member, the rows strictly ahead of it in ADC order — its ADC rank
+    without any global sort or corpus-sized join.  The curve itself is
+    driver-side arithmetic over {k} ranks."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    schema = (
+        "budget int, n_hit long, recall_at_k double, "
+        "meets_target boolean, is_resolved boolean"
+    )
+    if scored is None:
+        return spark.createDataFrame([], schema)
+    scored = scored.filter(F.col("vec_id") != 0)
+    truth = scored.orderBy(F.asc("true_dist"), F.asc("vec_id")).limit(_RB_K).select(
+        "vec_id", "adc_dist"
+    ).collect()
+    if not truth:
+        return spark.createDataFrame([], schema)
+    # one aggregate pass: for each truth member, how many rows precede it
+    # in (adc_dist, vec_id) order — 1 + that count is its ADC rank
+    aggs = []
+    for i, r in enumerate(truth):
+        ahead = (F.col("adc_dist") < F.lit(r.adc_dist)) | (
+            (F.col("adc_dist") == F.lit(r.adc_dist))
+            & (F.col("vec_id") < F.lit(r.vec_id))
+        )
+        aggs.append(F.sum(ahead.cast("long")).alias(f"n{i}"))
+    counts = scored.agg(*aggs).first()
+    adc_rank = sorted(int(counts[f"n{i}"]) + 1 for i in range(len(truth)))
+
+    rows = []
+    for budget in _RB_BUDGETS:
+        n_hit = sum(1 for rk in adc_rank if rk <= budget)
+        rows.append((budget, n_hit, round(n_hit / _RB_K, 6), n_hit / _RB_K >= _RB_TARGET))
+    resolved = min((b for b, n, _rc, m in rows if m), default=None)
+    return spark.createDataFrame(
+        [(b, n, rc, m, m and b == resolved) for b, n, rc, m in rows], schema
+    )
