@@ -323,3 +323,120 @@ def recommend_layout_for_workload(
         "column_usage": {c: n for c, n in sorted(usage.items()) if n},
         "n_predicates": len(predicates),
     }
+
+
+# ------------------------------------------------------- workload capture
+
+WORKLOAD_FILE = "_WORKLOAD.jsonl"
+
+#: recommend_layout_from_log reads at most this many newest entries — an
+#: old table's log tail reflects TODAY's workload; ancient predicates
+#: should not outvote it (and the analysis probes are per-predicate).
+_DEFAULT_MAX_LOGGED = 10_000
+
+
+def log_workload_predicate(path: str, predicate: str, ts: float | None = None) -> None:
+    """Append one query predicate to the table's workload log
+    (``_WORKLOAD.jsonl`` at the table root, one JSON object per line).
+
+    This is the capture half the layout advisor was missing (r8 verdict
+    #7): :func:`recommend_layout_for_workload` took hand-supplied
+    predicates; now every logged scan feeds it.  Append-only single-line
+    ``O_APPEND`` writes — safe under concurrent readers logging from many
+    processes, no lease needed (the log is advisory input, not table
+    state), invisible to data scans (underscore prefix)."""
+    import json
+    import time
+
+    line = json.dumps(
+        {"predicate": str(predicate), "ts": time.time() if ts is None else ts}
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, WORKLOAD_FILE), "a") as fh:
+        fh.write(line + "\n")
+
+
+def read_workload_log(path: str, max_entries: int = _DEFAULT_MAX_LOGGED) -> list[str]:
+    """The newest ``max_entries`` logged predicates, oldest-first among
+    those kept.  Unreadable lines (a torn concurrent append) are skipped,
+    not fatal."""
+    import json
+
+    p = os.path.join(path, WORKLOAD_FILE)
+    if not os.path.exists(p):
+        return []
+    preds = []
+    with open(p) as fh:
+        for line in fh:
+            try:
+                preds.append(str(json.loads(line)["predicate"]))
+            except (ValueError, KeyError, TypeError):
+                continue
+    return preds[-max_entries:]
+
+
+def trim_workload_log(path: str, keep_last: int = _DEFAULT_MAX_LOGGED) -> int:
+    """Bound the log: keep the newest ``keep_last`` entries, drop the
+    rest.  Returns lines dropped.  Atomic (tmp + rename)."""
+    p = os.path.join(path, WORKLOAD_FILE)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        lines = fh.readlines()
+    if len(lines) <= keep_last:
+        return 0
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.writelines(lines[-keep_last:])
+    os.replace(tmp, p)
+    return len(lines) - keep_last
+
+
+def scan_table(
+    spark,
+    path: str,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    log_workload: bool = True,
+):
+    """Maintained-table scan with pushdown AND workload capture: the
+    predicate/columns push into the parquet reader exactly as
+    ``sources.load_table`` does, and the predicate is appended to the
+    table's workload log so :func:`recommend_layout_from_log` learns what
+    the table's queries actually filter on.  The capture costs one
+    appended line — nothing touches the query plan."""
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+        if log_workload:
+            log_workload_predicate(path, predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def recommend_layout_from_log(
+    spark,
+    path: str,
+    max_partitions: int = _DEFAULT_MAX_PARTITIONS,
+    max_entries: int = _DEFAULT_MAX_LOGGED,
+) -> dict:
+    """End-to-end advisor over the CAPTURED workload: read the newest
+    logged predicates and hand them to
+    :func:`recommend_layout_for_workload` (same stats gate, same zero-row
+    analysis probes — each predicate's referenced columns are resolved by
+    analysis, never string parsing).  Refuses an empty log loudly: advice
+    from no evidence would be a guess wearing a recommendation's
+    clothes.  Returns the advisor dict plus ``n_logged``."""
+    preds = read_workload_log(path, max_entries=max_entries)
+    if not preds:
+        raise ValueError(
+            f"recommend_layout_from_log: no workload log at {path!r} — "
+            "capture scans via scan_table/log_workload_predicate first, or "
+            "call recommend_layout_for_workload with explicit predicates"
+        )
+    rec = recommend_layout_for_workload(
+        spark, path, preds, max_partitions=max_partitions
+    )
+    rec["n_logged"] = len(preds)
+    return rec

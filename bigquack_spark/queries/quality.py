@@ -2562,3 +2562,76 @@ def q320_stats_fold_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return direct.unionByName(folded)
+
+
+_Q322_WORKLOAD = [
+    ("o_orderdate", 5),
+    ("o_orderpriority", 3),
+    ("o_custkey", 2),
+    ("o_orderstatus", 0),
+]
+
+
+def _q322_oracle() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{c}' AS candidate, CAST({u} AS BIGINT) AS n_uses,"
+        f" CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv FROM orders"
+        for c, u in _Q322_WORKLOAD
+    )
+    return f"""
+WITH cand AS ({legs}),
+scored AS (
+  SELECT candidate, n_uses, n_rows, ndv,
+         CAST(n_rows // ndv AS BIGINT) AS est_rows_per_partition,
+         (ndv BETWEEN 2 AND 10000 AND n_uses > 0) AS eligible
+  FROM cand
+)
+SELECT candidate, n_uses, n_rows, ndv, est_rows_per_partition, eligible,
+       eligible AND row_number() OVER (
+         ORDER BY eligible DESC, n_uses DESC, est_rows_per_partition DESC,
+                  candidate
+       ) = 1 AS is_pick
+FROM scored
+"""
+
+
+@query("q322_workload_layout_scoring", oracle=_q322_oracle())
+def q322_workload_layout_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-weighted partition-key scoring (the oracle-paired twin of
+    ``planner.recommend_layout_from_log``'s ranking, as q305 is the
+    unweighted audit's): each candidate column carries its captured
+    workload usage count; viability is the advisor's exact gate (2 <=
+    ndv <= 10000 partitions AND the workload actually filters on it) and
+    the pick maximizes (usage, est-rows-per-partition)
+    lexicographically — a column no query filters on prunes nothing no
+    matter its cardinality (o_orderstatus: viable ndv, zero uses, not
+    picked).
+    The query computes exact ndv where the metadata-only advisor reads
+    the HLL estimate — same arithmetic, scan-priced twin (the q304/q305
+    convention).  Plan: one map-side-combined distinct-aggregate per
+    candidate over a pruned scan, 4-row frame, bounded window."""
+    from pyspark.sql.window import Window
+
+    legs = None
+    for c, u in _Q322_WORKLOAD:
+        o = t(spark, sf_dir, "orders", columns=[c])
+        leg = o.agg(
+            F.lit(c).alias("candidate"),
+            F.lit(u).cast("long").alias("n_uses"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    scored = legs.select(
+        "candidate", "n_uses", "n_rows", "ndv",
+        F.expr("n_rows div ndv").cast("long").alias("est_rows_per_partition"),
+        (F.col("ndv").between(2, 10000) & (F.col("n_uses") > 0)).alias("eligible"),
+    )
+    w = Window.orderBy(
+        F.desc("eligible"), F.desc("n_uses"),
+        F.desc("est_rows_per_partition"), F.asc("candidate"),
+    )
+    return scored.withColumn(
+        "is_pick", F.col("eligible") & (F.row_number().over(w) == 1)
+    )
