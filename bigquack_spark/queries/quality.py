@@ -2635,3 +2635,71 @@ def q322_workload_layout_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "is_pick", F.col("eligible") & (F.row_number().over(w) == 1)
     )
+
+
+@query(
+    "q323_snapshot_expiry_policy",
+    oracle="""
+WITH snaps AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL
+),
+m AS (SELECT max(d) AS maxd FROM snaps),
+scored AS (
+  SELECT d, date_diff('day', d, (SELECT maxd FROM m)) AS age_days,
+         row_number() OVER (ORDER BY d DESC) AS rk
+  FROM snaps
+),
+decided AS (
+  SELECT CASE WHEN rk <= 7 THEN 'protected'
+              WHEN age_days > 14 THEN 'expired'
+              ELSE 'kept' END AS decision, age_days
+  FROM scored
+)
+SELECT decision, CAST(count(*) AS BIGINT) AS n_snapshots,
+       CAST(min(age_days) AS BIGINT) AS min_age_days,
+       CAST(max(age_days) AS BIGINT) AS max_age_days
+FROM decided GROUP BY decision
+""",
+)
+def q323_snapshot_expiry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry policy sizing (the planning twin of
+    ``maintenance.expire_snapshots(older_than_s=, keep_last=)``, as q306
+    is retention's): a daily-snapshot timeline derived from the events
+    table, decided under keep_last=7 + older_than=14 days — the newest 7
+    are PROTECTED regardless of age, older-than-14 of the rest EXPIRE,
+    the remainder are KEPT.  Per decision: snapshot count and age range —
+    exactly the preview an operator wants before an expiry actually
+    drops restore points.  Plan: the timeline is date-vocabulary bounded
+    (distinct-date aggregate), the newest date is a 1-row bounded collect
+    inlined as a literal, and the ranking window runs over the bounded
+    timeline — nothing row-scale shuffles."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events", columns=["ts"])
+    snaps = (
+        e.filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    row = snaps.agg(F.max("d")).first()
+    if row is None or row[0] is None:
+        return spark.createDataFrame(
+            [], "decision string, n_snapshots long, min_age_days long, "
+                "max_age_days long"
+        )
+    maxd = row[0]
+    w = Window.orderBy(F.desc("d"))
+    scored = snaps.select(
+        F.datediff(F.lit(maxd), F.col("d")).alias("age_days"),
+        F.row_number().over(w).alias("rk"),
+    )
+    decision = (
+        F.when(F.col("rk") <= 7, F.lit("protected"))
+        .when(F.col("age_days") > 14, F.lit("expired"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.groupBy(decision.alias("decision")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )

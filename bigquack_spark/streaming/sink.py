@@ -36,10 +36,21 @@ class ExactlyOnceBatchSink:
         (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt).trigger(availableNow=True)
             .start().awaitTermination())
+
+    ``lease_table=True`` opts the sink into the table writer lease
+    (``operators/lease.py``): each batch commit acquires/releases the
+    lease, so a maintenance writer (compaction, merge, purge) and a live
+    append SERIALIZE instead of interleaving — a batch landing while
+    maintenance holds the lease fails that micro-batch loudly
+    (``LeaseHeldError``; the stream's retry redelivers it), and
+    maintenance refuses to start mid-commit.  Off by default: an
+    append-only sink whose table nobody maintains concurrently does not
+    need the two extra file ops per batch.
     """
 
-    def __init__(self, target: str):
+    def __init__(self, target: str, lease_table: bool = False):
         self.target = target
+        self.lease_table = lease_table
         self._offset_file = os.path.join(target, "_COMMITTED_BATCH")
         self._migrate_legacy_layout()
         self.next_batch_id = self._load()
@@ -92,6 +103,15 @@ class ExactlyOnceBatchSink:
         os.replace(tmp, self._offset_file)  # atomic on POSIX
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.lease_table:
+            from bigquack_spark.operators.lease import table_lease
+
+            with table_lease(self.target, owner="stream-append"):
+                self._run_batch(batch_df, batch_id)
+        else:
+            self._run_batch(batch_df, batch_id)
+
+    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id < self.next_batch_id:
             return  # replayed batch: already durable — exactly-once
         # overwrite INTO the batch's own partition dir: replay after a
@@ -182,11 +202,13 @@ class SketchRollupSink:
     map-side-combined groupBy); md5 buckets keep the persisted sketch a
     portable artifact any engine can extend or query."""
 
-    def __init__(self, target: str, key_col: str, depth: int = 4, width: int = 1024):
+    def __init__(self, target: str, key_col: str, depth: int = 4,
+                 width: int = 1024, lease_table: bool = False):
         self.target = target
         self.key_col = key_col
         self.depth = depth
         self.width = width
+        self.lease_table = lease_table
         self.table = os.path.join(target, "sketch")
         self._offset_file = os.path.join(target, "_COMMITTED_BATCH")
         self.next_batch_id = self._load()
@@ -214,6 +236,18 @@ class SketchRollupSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.lease_table:
+            # the whole-dir rename swap below is the one streaming commit
+            # a concurrent maintenance writer could tear mid-flight — the
+            # lease serializes them (same opt-in as ExactlyOnceBatchSink)
+            from bigquack_spark.operators.lease import table_lease
+
+            with table_lease(self.target, owner="stream-sketch"):
+                self._run_batch(batch_df, batch_id)
+        else:
+            self._run_batch(batch_df, batch_id)
+
+    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         from bigquack_spark.sinks.merge import _recover_orphaned_swap
@@ -671,9 +705,13 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
     handles REMOVALS (per-file partials), so a crash-replay that
     overwrote a batch directory under different part names folds forward
     too; the recollect fallback remains only for legacy pre-partials
-    manifests."""
+    manifests.
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    With ``lease_table=True`` (inherited) the stats fold commits INSIDE
+    the same lease span as the data write — maintenance can never observe
+    data-landed-but-stats-pending."""
+
+    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id < self.next_batch_id:
             # replayed: the data is already durable, but a crash may have
             # landed BETWEEN the offset persist and the stats fold — heal
@@ -682,7 +720,7 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
             # further batches leaves the planners StaleStatsError forever)
             self._ensure_stats(batch_df.sparkSession)
             return
-        super().__call__(batch_df, batch_id)
+        super()._run_batch(batch_df, batch_id)
         self._ensure_stats(batch_df.sparkSession)
 
     def _ensure_stats(self, spark) -> None:

@@ -204,3 +204,46 @@ def test_lease_file_survives_vacuum_and_is_invisible_to_readers(spark, tmp_path)
     vacuum(path)
     assert os.path.exists(os.path.join(path, LEASE_FILE))
     assert spark.read.parquet(path).count() == n
+
+
+def test_streaming_append_sink_lease_participation(spark, tmp_path):
+    """lease_table=True: a batch refuses to land while maintenance holds
+    the table, the full commit (data + stats fold) runs inside one lease
+    span, and a non-leased sink is unaffected."""
+    from bigquack_spark.operators.maintenance import stats_are_fresh
+    from bigquack_spark.streaming.sink import StatsMaintainedAppendSink
+
+    target = str(tmp_path / "stream_t")
+    sink = StatsMaintainedAppendSink(target, lease_table=True)
+    batch = spark.range(50).selectExpr("id", "id % 5 AS k")
+
+    held = acquire_table_lease(target, owner="compaction")
+    with pytest.raises(LeaseHeldError):
+        sink(batch, 0)
+    held.release()
+    assert sink.next_batch_id == 0  # nothing committed under contention
+
+    sink(batch, 0)
+    sink(spark.range(50, 80).selectExpr("id", "id % 5 AS k"), 1)
+    assert spark.read.parquet(target).count() == 80
+    assert stats_are_fresh(target)
+    # the sink released between batches: maintenance can run now
+    acquire_table_lease(target, owner="next").release()
+
+
+def test_sketch_rollup_sink_lease_participation(spark, tmp_path):
+    from bigquack_spark.streaming.sink import SketchRollupSink
+
+    target = str(tmp_path / "sk_t")
+    sink = SketchRollupSink(target, key_col="k", lease_table=True)
+    batch = spark.range(100).selectExpr("id % 7 AS k")
+
+    held = acquire_table_lease(target, owner="other")
+    with pytest.raises(LeaseHeldError):
+        sink(batch, 0)
+    held.release()
+    sink(batch, 0)
+    keys = spark.createDataFrame([(0,)], "k long")
+    est = sink.estimate(spark, keys, "k").first()
+    assert est["est"] >= 15  # CMS upper bound of the true 15
+    acquire_table_lease(target, owner="next").release()
