@@ -2703,3 +2703,54 @@ def q323_snapshot_expiry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("age_days").cast("long").alias("min_age_days"),
         F.max("age_days").cast("long").alias("max_age_days"),
     )
+
+
+@query(
+    "q324_snapshot_diff_decomposition",
+    oracle="""
+WITH f AS (
+  SELECT CAST(sum(CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 131 <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN o_orderkey % 131 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         CAST(sum(CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 131 <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN o_orderkey % 131 <> 0 AND o_orderkey % 97 <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM orders
+)
+SELECT 'added' AS change_type, n_added AS n_rows,
+       round(n_added / CAST(n_total AS DOUBLE), 6) AS share FROM f
+UNION ALL SELECT 'removed', n_removed, round(n_removed / CAST(n_total AS DOUBLE), 6) FROM f
+UNION ALL SELECT 'changed', n_changed, round(n_changed / CAST(n_total AS DOUBLE), 6) FROM f
+UNION ALL SELECT 'unchanged', n_unchanged, round(n_unchanged / CAST(n_total AS DOUBLE), 6) FROM f
+""",
+)
+def q324_snapshot_diff_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC decomposition (the planning twin of
+    ``maintenance.diff_snapshots(key_cols=)``): against a snapshot of
+    orders, a synthetic writer inserts cohort C (key % 89, re-keyed),
+    deletes cohort A (key % 131) and updates cohort B (key % 97, net of
+    deletes) — the diff splits every key into added / removed / changed /
+    unchanged with its share of the table, exactly the four numbers a
+    re-merge or restore plan is priced on.  One map-side-combined
+    aggregate over a single key-column scan; the four-row frame is
+    driver-shaped from one collected row."""
+    o = t(spark, sf_dir, "orders", columns=["o_orderkey"])
+    k = F.col("o_orderkey")
+    row = o.agg(
+        F.sum(((k % 89 == 0) & (k % 131 != 0)).cast("long")).alias("n_added"),
+        F.sum((k % 131 == 0).cast("long")).alias("n_removed"),
+        F.sum(((k % 97 == 0) & (k % 131 != 0)).cast("long")).alias("n_changed"),
+        F.sum(((k % 131 != 0) & (k % 97 != 0)).cast("long")).alias("n_unchanged"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    total = float(row["n_total"]) if row["n_total"] else float("nan")
+    data = [
+        (ct, int(row[f"n_{ct}"]), round(int(row[f"n_{ct}"]) / total, 6))
+        for ct in ("added", "removed", "changed", "unchanged")
+    ]
+    return spark.createDataFrame(
+        data, "change_type string, n_rows long, share double"
+    )

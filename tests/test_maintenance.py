@@ -1746,3 +1746,52 @@ def test_workload_capture_feeds_layout_advisor(spark, tmp_path):
 
     vacuum(path)
     assert os.path.exists(os.path.join(path, WORKLOAD_FILE))
+
+
+def test_diff_snapshots_file_and_row_grains(spark, tmp_path):
+    """diff_snapshots prices a restore: file/byte delta from manifests
+    (metadata-only), row delta via exceptAll, and the keyed CDC
+    decomposition (added/removed/changed/unchanged)."""
+    from bigquack_spark.operators.maintenance import (
+        diff_snapshots,
+        purge_rows,
+        snapshot_table,
+    )
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = _purge_table(spark, tmp_path, "diff1")
+    snapshot_table(path, "v1")
+
+    # identical sides: zero delta everywhere
+    z = diff_snapshots(spark, path, "v1", key_cols=["id"])
+    assert (z["rows_added"], z["rows_removed"], z["rows_changed"]) == (0, 0, 0)
+    assert z["rows_unchanged"] == 1000
+    assert z["files_added"] == z["files_removed"] == 0
+
+    # mutate: purge 3 rows, upsert-change 2, insert 1
+    purge_rows(spark, path, "id IN (10, 11, 12)")
+    changes = spark.createDataFrame(
+        [(20, 0, "CHANGED"), (21, 1, "CHANGED"), (5000, 0, "NEW")],
+        "id long, k long, tag string",
+    )
+    merge_upsert(spark, path, changes, key_cols=["id"])
+
+    d = diff_snapshots(spark, path, "v1", key_cols=["id"])
+    assert d["rows_added"] == 1
+    assert d["rows_removed"] == 3
+    assert d["rows_changed"] == 2
+    assert d["rows_unchanged"] == 1000 - 3 - 2
+    assert d["files_removed"] > 0 and d["bytes_removed"] > 0
+
+    # multiset grain: a changed row counts once on each side
+    m = diff_snapshots(spark, path, "v1")
+    assert m["rows_added"] == 1 + 2 and m["rows_removed"] == 3 + 2
+    assert m["rows_changed"] is None
+
+    # snapshot-vs-snapshot and the missing-name gate
+    snapshot_table(path, "v2")
+    s = diff_snapshots(spark, path, "v1", "v2", key_cols=["id"])
+    assert s["rows_added"] == 1 and s["rows_removed"] == 3 and s["rows_changed"] == 2
+    assert diff_snapshots(spark, path, "v2")["rows_added"] == 0
+    with pytest.raises(ValueError, match="no snapshot"):
+        diff_snapshots(spark, path, "nope")
