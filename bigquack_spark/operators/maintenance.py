@@ -1479,7 +1479,12 @@ def expire_snapshots(
 
 
 def restore_snapshot(
-    spark: SparkSession, path: str, name: str, verify: bool = True, lease=None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    verify: bool = True,
+    dry_run: bool = False,
+    lease=None,
 ) -> dict:
     """Roll the table back to a snapshot, leaf by leaf, under the shared
     marker/roll-forward protocol: per leaf, files not in the snapshot are
@@ -1491,6 +1496,9 @@ def restore_snapshot(
     protocol's generation prefix renames re-published files — checksums,
     not fingerprints, are the equality claim).  Crash mid-restore rolls
     forward via ``_resume_tree`` like every other maintenance swap.
+    ``dry_run=True`` returns the same accounting (plus byte totals) from
+    fingerprint arithmetic alone — no lease, no Spark job, nothing
+    touched — the free preview before rolling back a 100 TB table.
     Returns ``{files_restored, files_retired, partitions_touched}``."""
     snap = os.path.join(path, SNAPSHOT_DIR, name)
     manifest_p = os.path.join(snap, "manifest.json")
@@ -1498,6 +1506,25 @@ def restore_snapshot(
         raise ValueError(f"restore_snapshot: no snapshot {name!r} at {path!r}")
     with open(manifest_p) as fh:
         want_files = [tuple(x) for x in json.load(fh)["files"]]
+    if dry_run:
+        # metadata-only preview: the same want/have fingerprint diff the
+        # real pass walks, priced per leaf, touching nothing — pair with
+        # diff_snapshots for the row-grain answer
+        have = {rel: size for rel, size in _table_fingerprint(path)}
+        want = {rel: size for rel, size in want_files}
+        news = {f: s for f, s in want.items() if have.get(f) != s}
+        olds = {f: s for f, s in have.items() if want.get(f) != s}
+        leaves = {os.path.dirname(f) for f in news} | {
+            os.path.dirname(f) for f in olds
+        }
+        return {
+            "dry_run": True,
+            "files_restored": len(news),
+            "files_retired": len(olds),
+            "bytes_restored": sum(news.values()),
+            "bytes_retired": sum(olds.values()),
+            "partitions_touched": len(leaves),
+        }
     with table_lease(path, owner="restore", lease=lease) as held:
         return _restore_snapshot_locked(
             spark, path, name, verify, want_files, snap, held

@@ -1795,3 +1795,34 @@ def test_diff_snapshots_file_and_row_grains(spark, tmp_path):
     assert diff_snapshots(spark, path, "v2")["rows_added"] == 0
     with pytest.raises(ValueError, match="no snapshot"):
         diff_snapshots(spark, path, "nope")
+
+
+def test_restore_dry_run_previews_without_touching(spark, tmp_path):
+    """restore_snapshot(dry_run=True): fingerprint-arithmetic preview of
+    files/bytes/partitions a rollback would touch — table untouched, no
+    lease taken, and the numbers match the real restore's accounting."""
+    from bigquack_spark.operators.lease import acquire_table_lease
+    from bigquack_spark.operators.maintenance import (
+        purge_rows,
+        restore_snapshot,
+        snapshot_table,
+    )
+
+    path = _purge_table(spark, tmp_path, "dry1")
+    before = _checksum(spark, path)
+    snapshot_table(path, "v1")
+    purge_rows(spark, path, "tag = '4'")
+
+    # preview works even while another writer holds the lease (read-only)
+    held = acquire_table_lease(path, owner="other")
+    preview = restore_snapshot(spark, path, "v1", dry_run=True)
+    held.release()
+    assert preview["dry_run"] is True
+    assert preview["files_restored"] > 0 and preview["bytes_restored"] > 0
+    assert _checksum(spark, path) != before  # nothing restored
+
+    real = restore_snapshot(spark, path, "v1")
+    assert real["files_restored"] == preview["files_restored"]
+    assert real["files_retired"] == preview["files_retired"]
+    assert real["partitions_touched"] == preview["partitions_touched"]
+    assert _checksum(spark, path) == before
