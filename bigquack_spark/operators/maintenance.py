@@ -1643,8 +1643,11 @@ def diff_snapshots(
       delta into rows_added / rows_removed / rows_changed /
       rows_unchanged — the CDC decomposition a re-merge plan needs.
 
-    Reads only (no lease needed); both sides resolve through the
-    snapshot manifests so the diff is stable under concurrent writers.
+    Reads only, so no lease is taken.  A snapshot-vs-snapshot diff is
+    stable under concurrent writers (both sides resolve through
+    manifests); a diff against the LIVE side (``b=None``) scans the
+    live table — under an active writer, snapshot first (or hold the
+    lease) for a consistent read.
     Returns ``{files_added, files_removed, bytes_added, bytes_removed,
     rows_added, rows_removed, rows_changed, rows_unchanged}`` (the keyed
     fields are None without ``key_cols``)."""
