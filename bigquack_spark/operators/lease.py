@@ -18,27 +18,37 @@ protocols, reduced to what a filesystem gives us):
 - ``_LEASE.json`` at the table root holds ``{generation, holder, owner,
   deadline}``.  ``generation`` increases monotonically across every
   acquisition — the fencing token.
-- **Acquire**: refuse while a live (unexpired, unreleased) lease is held
-  (:class:`LeaseHeldError`).  Otherwise claim with generation+1 via
-  tmp + ``os.replace`` and READ BACK — two stealers can both replace, but
-  exactly one's token survives; the loser sees the other's token and
-  refuses.  A crashed writer can never release; its lease simply expires
-  (TTL) and the next writer steals with a higher generation.
+- **Mutex**: every read-modify-write of the lease record (acquire,
+  renew, release) runs inside a tiny critical section guarded by
+  ``_LEASE.json.lock``, created with ``O_CREAT|O_EXCL`` — the one
+  genuinely atomic create a plain filesystem offers.  Plain
+  write-then-read-back is NOT enough: two acquirers can interleave
+  A-write / A-read-back / B-write / B-read-back and both believe they
+  won, with the same generation (r9 review finding).  The critical
+  section is milliseconds; contenders retry briefly, and a lock file
+  orphaned by a crash mid-section is broken after ``_LOCK_BREAK_S``.
+- **Acquire**: under the mutex — refuse while a live (unexpired,
+  unreleased) lease is held (:class:`LeaseHeldError`); otherwise claim
+  with generation+1.  A crashed writer can never release; its lease
+  simply expires (TTL) and the next writer steals with a strictly
+  higher generation.
 - **Check** (at every leaf commit point, immediately before the marker
-  write that commits a swap): re-read the file; if our token no longer
-  holds — stolen after our TTL lapsed, or the file vanished — raise
+  write that commits a swap): under the mutex, re-read; if our token no
+  longer holds — stolen after our TTL lapsed — raise
   :class:`LeaseFencedError` BEFORE the commit point, leaving only
   pre-commit staging that the next writer's roll-forward discards.  A
-  successful check renews the deadline, so a long multi-leaf pass stays
-  live as long as it keeps committing.
-- **Release**: rewrite the file as a tombstone (``holder: null``) keeping
-  the generation, so the next acquire continues the monotonic sequence.
+  successful check renews the deadline inside the same critical
+  section, so a renew can never clobber a legitimate stealer's newer
+  record (the second r9 review race).
+- **Release**: under the mutex, tombstone the record (``holder: null``)
+  keeping the generation, so the next acquire continues the monotonic
+  sequence.
 
 Scale posture: the lease is one KB-sized JSON at the table root — O(1)
 bytes and O(leaves) checks per maintenance pass, nothing per-row.  On a
 real object store the same protocol rides conditional PUTs
-(if-generation-match); here ``os.replace`` + read-back gives the same
-last-writer-wins-with-detection on a local filesystem.
+(if-generation-match); the ``O_EXCL`` lock plays that role on a POSIX
+filesystem.
 
 The reference has no multi-writer story at all (its pipeline is a
 one-shot single-process BQ->DuckDB pump, bigquack.go:64-141); this module
@@ -59,6 +69,15 @@ LEASE_FILE = "_LEASE.json"
 #: checks (each check renews) does not self-expire; short enough that a
 #: crashed writer's table unblocks within the hour.
 DEFAULT_TTL_S = 3600.0
+
+#: The mutex critical section is a read + a write of one small JSON —
+#: milliseconds.  A lock file older than this was orphaned by a crash
+#: mid-section and is broken.
+_LOCK_BREAK_S = 30.0
+
+#: How long a contender spins for the mutex before giving up.  Far above
+#: any legitimate hold time; reached only under pathological load.
+_LOCK_WAIT_S = 10.0
 
 
 class LeaseHeldError(RuntimeError):
@@ -84,10 +103,50 @@ def _read_lease(path: str) -> dict | None:
 
 def _write_lease(path: str, rec: dict) -> None:
     os.makedirs(path, exist_ok=True)
-    tmp = _lease_path(path) + ".tmp"
+    # unique tmp per writer: a shared tmp name would let two concurrent
+    # writers interleave even the staging write
+    tmp = f"{_lease_path(path)}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
     os.replace(tmp, _lease_path(path))
+
+
+@contextmanager
+def _lease_mutex(path: str):
+    """The atomic critical section every lease-record mutation runs in:
+    ``O_CREAT|O_EXCL`` on ``_LEASE.json.lock`` succeeds for exactly one
+    process.  Contenders spin briefly (the section is milliseconds); a
+    lock orphaned by a crash mid-section is broken after
+    ``_LOCK_BREAK_S``."""
+    os.makedirs(path, exist_ok=True)
+    lock = _lease_path(path) + ".lock"
+    deadline = time.time() + _LOCK_WAIT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
+                    os.remove(lock)  # orphaned by a crash mid-section
+                    continue
+            except OSError:
+                continue  # holder just released/broke it: retry at once
+            if time.time() > deadline:
+                raise LeaseHeldError(
+                    f"lease mutex on {path!r} is stuck (lock held past "
+                    f"{_LOCK_WAIT_S}s) — a contender crashed mid-section "
+                    "younger than the break window; retry shortly"
+                )
+            time.sleep(0.01)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 class TableLease:
@@ -104,38 +163,37 @@ class TableLease:
 
     def check(self) -> None:
         """Fencing gate: confirm we still hold the table, renew the
-        deadline.  Raises :class:`LeaseFencedError` when the lease was
+        deadline — one atomic critical section, so the renewal can never
+        clobber a stealer that legitimately took over after our TTL
+        lapsed.  Raises :class:`LeaseFencedError` when the lease was
         stolen (or the file vanished) — callers MUST invoke this before
         each marker write, so a fenced writer dies pre-commit."""
-        cur = _read_lease(self.path)
-        if not cur or cur.get("holder") != self.token:
-            raise LeaseFencedError(
-                f"lease on {self.path!r} lost by {self.owner!r} "
-                f"(generation {self.generation}): now held by "
-                f"{(cur or {}).get('owner')!r} generation "
-                f"{(cur or {}).get('generation')} — aborting before the "
-                "commit point; pre-commit staging will be discarded by the "
-                "next writer's roll-forward"
-            )
-        cur["deadline"] = time.time() + self.ttl_s
-        _write_lease(self.path, cur)
-        after = _read_lease(self.path)
-        if not after or after.get("holder") != self.token:
-            raise LeaseFencedError(
-                f"lease on {self.path!r} lost by {self.owner!r} during renewal"
-            )
+        with _lease_mutex(self.path):
+            cur = _read_lease(self.path)
+            if not cur or cur.get("holder") != self.token:
+                raise LeaseFencedError(
+                    f"lease on {self.path!r} lost by {self.owner!r} "
+                    f"(generation {self.generation}): now held by "
+                    f"{(cur or {}).get('owner')!r} generation "
+                    f"{(cur or {}).get('generation')} — aborting before the "
+                    "commit point; pre-commit staging will be discarded by "
+                    "the next writer's roll-forward"
+                )
+            cur["deadline"] = time.time() + self.ttl_s
+            _write_lease(self.path, cur)
 
     def release(self) -> None:
         """Tombstone the lease (keep the generation for monotonic fencing).
         Only releases if we still hold it — a fenced lease must not
         clobber its successor."""
-        cur = _read_lease(self.path)
-        if cur and cur.get("holder") == self.token:
-            _write_lease(
-                self.path,
-                {"generation": self.generation, "holder": None,
-                 "owner": None, "deadline": 0.0},
-            )
+        with _lease_mutex(self.path):
+            cur = _read_lease(self.path)
+            if cur and cur.get("holder") == self.token:
+                _write_lease(
+                    self.path,
+                    {"generation": self.generation, "holder": None,
+                     "owner": None, "deadline": 0.0},
+                )
 
 
 def acquire_table_lease(
@@ -143,29 +201,26 @@ def acquire_table_lease(
 ) -> TableLease:
     """Take the single-writer lease on ``path`` or raise
     :class:`LeaseHeldError`.  An expired lease is stolen with a strictly
-    higher generation; the steal race is settled by read-back."""
-    now = time.time()
-    cur = _read_lease(path)
-    if cur and cur.get("holder") and now < float(cur.get("deadline", 0.0)):
-        raise LeaseHeldError(
-            f"table {path!r} is leased to {cur.get('owner')!r} "
-            f"(generation {cur.get('generation')}, "
-            f"{float(cur['deadline']) - now:.0f}s of TTL left) — "
-            "maintenance writers refuse to interleave; retry after it "
-            "releases or expires"
-        )
-    gen = int(cur.get("generation", 0)) + 1 if cur else 1
-    token = uuid.uuid4().hex
-    _write_lease(
-        path,
-        {"generation": gen, "holder": token, "owner": owner,
-         "deadline": now + ttl_s},
-    )
-    after = _read_lease(path)
-    if not after or after.get("holder") != token:
-        raise LeaseHeldError(
-            f"lost the acquisition race for {path!r} to "
-            f"{(after or {}).get('owner')!r}"
+    higher generation.  The whole decide-and-claim runs inside the
+    ``O_EXCL`` mutex, so exactly one contender wins and generations
+    never duplicate."""
+    with _lease_mutex(path):
+        now = time.time()
+        cur = _read_lease(path)
+        if cur and cur.get("holder") and now < float(cur.get("deadline", 0.0)):
+            raise LeaseHeldError(
+                f"table {path!r} is leased to {cur.get('owner')!r} "
+                f"(generation {cur.get('generation')}, "
+                f"{float(cur['deadline']) - now:.0f}s of TTL left) — "
+                "maintenance writers refuse to interleave; retry after it "
+                "releases or expires"
+            )
+        gen = int(cur.get("generation", 0)) + 1 if cur else 1
+        token = uuid.uuid4().hex
+        _write_lease(
+            path,
+            {"generation": gen, "holder": token, "owner": owner,
+             "deadline": now + ttl_s},
         )
     return TableLease(path, owner, token, gen, ttl_s)
 

@@ -1509,7 +1509,22 @@ def restore_snapshot(
     if dry_run:
         # metadata-only preview: the same want/have fingerprint diff the
         # real pass walks, priced per leaf, touching nothing — pair with
-        # diff_snapshots for the row-grain answer
+        # diff_snapshots for the row-grain answer.  A crashed swap
+        # pending roll-forward would make this preview diverge from the
+        # real pass (which resumes first) — refuse loudly rather than
+        # silently previewing the half-swapped state (r9 review).
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+            if (
+                os.path.basename(dirpath) == STAGING_DIR
+                and MARKER in filenames
+            ):
+                raise RuntimeError(
+                    f"restore_snapshot(dry_run=True): a crashed swap is "
+                    f"pending roll-forward under {os.path.dirname(dirpath)!r}"
+                    " — run vacuum (or any maintenance writer) to resume "
+                    "it, then re-preview"
+                )
         have = {rel: size for rel, size in _table_fingerprint(path)}
         want = {rel: size for rel, size in want_files}
         news = {f: s for f, s in want.items() if have.get(f) != s}
@@ -1666,10 +1681,28 @@ def diff_snapshots(
     added = {f: s for f, s in files_b.items() if files_a.get(f) != s}
     removed = {f: s for f, s in files_a.items() if files_b.get(f) != s}
 
-    df_a = read_snapshot(spark, path, a)
-    df_b = read_snapshot(spark, path, b) if b else spark.read.parquet(path)
-    cols = sorted(set(df_a.columns) & set(df_b.columns))
-    da, db = df_a.select(*cols), df_b.select(*cols)
+    # union schema, NULL-filling the side that lacks a column: an
+    # intersection would silently report rows whose only change is in a
+    # schema-evolved column as unchanged (r9 review).  mergeSchema so a
+    # mixed-footer (previously evolved) side resolves its own union.
+    rd = spark.read.option("mergeSchema", "true")
+    df_a = rd.parquet(os.path.join(path, SNAPSHOT_DIR, a, "data"))
+    df_b = (
+        rd.parquet(os.path.join(path, SNAPSHOT_DIR, b, "data"))
+        if b
+        else rd.parquet(path)
+    )
+    types = {f.name: f.dataType for f in df_b.schema.fields}
+    types.update({f.name: f.dataType for f in df_a.schema.fields})
+    cols = sorted(types)
+
+    def _aligned(df):
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df.select(*cols)
+
+    da, db = _aligned(df_a), _aligned(df_b)
 
     report = {
         "files_added": len(added),

@@ -334,6 +334,13 @@ WORKLOAD_FILE = "_WORKLOAD.jsonl"
 #: should not outvote it (and the analysis probes are per-predicate).
 _DEFAULT_MAX_LOGGED = 10_000
 
+#: Appends trim the log once it passes this size (~4x the bytes the
+#: bounded read will ever use), so the file stays O(max-entries).
+_LOG_TRIM_BYTES = 8 * 1024 * 1024
+
+#: Generous per-line byte budget for the tail read.
+_LOG_BYTES_PER_LINE = 512
+
 
 def log_workload_predicate(path: str, predicate: str, ts: float | None = None) -> None:
     """Append one query predicate to the table's workload log
@@ -344,7 +351,11 @@ def log_workload_predicate(path: str, predicate: str, ts: float | None = None) -
     predicates; now every logged scan feeds it.  Append-only single-line
     ``O_APPEND`` writes — safe under concurrent readers logging from many
     processes, no lease needed (the log is advisory input, not table
-    state), invisible to data scans (underscore prefix)."""
+    state), invisible to data scans (underscore prefix).  The log is
+    SELF-BOUNDING: once it grows past ``_LOG_TRIM_BYTES`` the append
+    trims it back to the newest ``_DEFAULT_MAX_LOGGED`` entries — a hot
+    table scanned millions of times amortizes the occasional trim
+    instead of accreting a multi-GB file (r9 review)."""
     import json
     import time
 
@@ -352,26 +363,43 @@ def log_workload_predicate(path: str, predicate: str, ts: float | None = None) -
         {"predicate": str(predicate), "ts": time.time() if ts is None else ts}
     )
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, WORKLOAD_FILE), "a") as fh:
+    p = os.path.join(path, WORKLOAD_FILE)
+    with open(p, "a") as fh:
         fh.write(line + "\n")
+    try:
+        if os.path.getsize(p) > _LOG_TRIM_BYTES:
+            trim_workload_log(path, keep_last=_DEFAULT_MAX_LOGGED)
+    except OSError:
+        pass
 
 
 def read_workload_log(path: str, max_entries: int = _DEFAULT_MAX_LOGGED) -> list[str]:
     """The newest ``max_entries`` logged predicates, oldest-first among
-    those kept.  Unreadable lines (a torn concurrent append) are skipped,
-    not fatal."""
+    those kept.  Reads only the file TAIL (seek from the end, generous
+    per-line budget) — a bounded answer must not pay O(history) parse
+    (r9 review).  Unreadable lines (a torn concurrent append, or the
+    partial first line of a mid-file seek) are skipped, not fatal."""
     import json
 
     p = os.path.join(path, WORKLOAD_FILE)
     if not os.path.exists(p):
         return []
+    budget = max_entries * _LOG_BYTES_PER_LINE
+    with open(p, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell()
+        start = max(0, size - budget)
+        fh.seek(start)
+        chunk = fh.read().decode("utf-8", errors="replace")
+    lines = chunk.split("\n")
+    if start > 0:
+        lines = lines[1:]  # partial first line of a mid-file seek
     preds = []
-    with open(p) as fh:
-        for line in fh:
-            try:
-                preds.append(str(json.loads(line)["predicate"]))
-            except (ValueError, KeyError, TypeError):
-                continue
+    for line in lines:
+        try:
+            preds.append(str(json.loads(line)["predicate"]))
+        except (ValueError, KeyError, TypeError):
+            continue
     return preds[-max_entries:]
 
 

@@ -1092,10 +1092,26 @@ def calibrate_pq_recall(
                 "n_queries": len(truth),
             }
         )
+    # merge with any previously calibrated configurations: the curve dir
+    # holds one row set per (k, n_probes) — recalibrating THIS config
+    # replaces only its own rows (r9 review: a plain overwrite silently
+    # discarded every other configuration's curve)
+    curve_dir = f"{root}/pq_recall_curve"
+    kept: list[tuple] = []
+    if _os.path.isdir(curve_dir):
+        kept = [
+            (r.k, r.n_probes, r.rerank, r.recall, r.n_queries)
+            for r in spark.read.parquet(curve_dir).collect()  # KB-class
+            if not (r.k == k and r.n_probes == n_probes)
+        ]
+    fresh = [
+        (r["k"], r["n_probes"], r["rerank"], r["recall"], r["n_queries"])
+        for r in rows
+    ]
     spark.createDataFrame(
-        [(r["k"], r["n_probes"], r["rerank"], r["recall"], r["n_queries"]) for r in rows],
+        kept + fresh,
         "k int, n_probes int, rerank int, recall double, n_queries int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_recall_curve")
+    ).coalesce(1).write.mode("overwrite").parquet(curve_dir)
     return rows
 
 

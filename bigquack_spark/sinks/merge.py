@@ -246,8 +246,7 @@ def _merge_upsert_locked(
         # union schema across every footer: a previously-evolved table has
         # mixed file schemas, and sampling one old footer would silently
         # drop the evolved columns from the rewrite
-        reader = spark.read.option("mergeSchema", "true")
-        target = reader.parquet(target_path)
+        target = spark.read.option("mergeSchema", "true").parquet(target_path)
         # partition columns from the DIRECTORY layout, not footer diffing:
         # under drifted file schemas "in the read but not in the first
         # file" no longer means "partition column"
@@ -265,7 +264,6 @@ def _merge_upsert_locked(
         fill_types = {f.name: f.dataType for f in target.schema.fields}
         fill_types.update({c: changes.schema[c].dataType for c in added_cols})
     else:
-        reader = spark.read
         target = spark.read.parquet(target_path)
         data_cols = target.columns
         first = _first_data_file(target_path)

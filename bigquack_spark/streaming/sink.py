@@ -103,15 +103,18 @@ class ExactlyOnceBatchSink:
         os.replace(tmp, self._offset_file)  # atomic on POSIX
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.lease_table:
+        if self.lease_table and batch_id >= self.next_batch_id:
+            # pure replays stay OUTSIDE the lease: an already-durable
+            # batch redelivered while maintenance holds the table must
+            # no-op, not fail the stream (r9 review)
             from bigquack_spark.operators.lease import table_lease
 
-            with table_lease(self.target, owner="stream-append"):
-                self._run_batch(batch_df, batch_id)
+            with table_lease(self.target, owner="stream-append") as held:
+                self._run_batch(batch_df, batch_id, lease=held)
         else:
             self._run_batch(batch_df, batch_id)
 
-    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _run_batch(self, batch_df: DataFrame, batch_id: int, lease=None) -> None:
         if batch_id < self.next_batch_id:
             return  # replayed batch: already durable — exactly-once
         # overwrite INTO the batch's own partition dir: replay after a
@@ -119,6 +122,10 @@ class ExactlyOnceBatchSink:
         batch_df.write.mode("overwrite").parquet(
             os.path.join(self.target, f"batch_id={batch_id}")
         )
+        if lease is not None:
+            # fencing gate before the offset commit: a batch that outlived
+            # the TTL (lease stolen by maintenance) must not publish
+            lease.check()
         self.next_batch_id = batch_id + 1
         self._persist()
 
@@ -236,18 +243,19 @@ class SketchRollupSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.lease_table:
+        if self.lease_table and batch_id >= self.next_batch_id:
             # the whole-dir rename swap below is the one streaming commit
             # a concurrent maintenance writer could tear mid-flight — the
-            # lease serializes them (same opt-in as ExactlyOnceBatchSink)
+            # lease serializes them (same opt-in as ExactlyOnceBatchSink);
+            # pure replays no-op outside it
             from bigquack_spark.operators.lease import table_lease
 
-            with table_lease(self.target, owner="stream-sketch"):
-                self._run_batch(batch_df, batch_id)
+            with table_lease(self.target, owner="stream-sketch") as held:
+                self._run_batch(batch_df, batch_id, lease=held)
         else:
             self._run_batch(batch_df, batch_id)
 
-    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _run_batch(self, batch_df: DataFrame, batch_id: int, lease=None) -> None:
         from pyspark.sql import functions as F
 
         from bigquack_spark.sinks.merge import _recover_orphaned_swap
@@ -272,6 +280,8 @@ class SketchRollupSink:
             merged = partial
         tmp = self.table + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        if lease is not None:
+            lease.check()  # fencing gate: never swap after losing the table
         if os.path.exists(self.table):
             backup = self.table + f".old-{batch_id}"
             os.rename(self.table, backup)
@@ -711,16 +721,19 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
     the same lease span as the data write — maintenance can never observe
     data-landed-but-stats-pending."""
 
-    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _run_batch(self, batch_df: DataFrame, batch_id: int, lease=None) -> None:
         if batch_id < self.next_batch_id:
             # replayed: the data is already durable, but a crash may have
             # landed BETWEEN the offset persist and the stats fold — heal
             # the manifest if it is stale instead of assuming it folded
             # (r8 review pass 3; otherwise an availableNow stream with no
-            # further batches leaves the planners StaleStatsError forever)
+            # further batches leaves the planners StaleStatsError forever).
+            # Replays run OUTSIDE the lease (see __call__): the heal is an
+            # atomic manifest replace, and any mid-maintenance staleness
+            # it could bless resolves loudly at the next freshness gate.
             self._ensure_stats(batch_df.sparkSession)
             return
-        super()._run_batch(batch_df, batch_id)
+        super()._run_batch(batch_df, batch_id, lease=lease)
         self._ensure_stats(batch_df.sparkSession)
 
     def _ensure_stats(self, spark) -> None:

@@ -247,3 +247,87 @@ def test_sketch_rollup_sink_lease_participation(spark, tmp_path):
     est = sink.estimate(spark, keys, "k").first()
     assert est["est"] >= 15  # CMS upper bound of the true 15
     acquire_table_lease(target, owner="next").release()
+
+
+# ------------------------------------------------ r9 review regressions
+
+
+def test_concurrent_acquire_exactly_one_winner(tmp_path):
+    """The O_EXCL mutex settles simultaneous acquisition: hammering a
+    fresh table from many threads yields EXACTLY one holder, and every
+    later successful acquisition gets a strictly increasing generation
+    (plain write-then-read-back let two writers win with the SAME
+    generation — r9 review)."""
+    import threading
+
+    path = str(tmp_path)
+    results = []
+    barrier = threading.Barrier(8)
+
+    def contender():
+        barrier.wait()
+        try:
+            results.append(acquire_table_lease(path, owner="t"))
+        except LeaseHeldError:
+            results.append(None)
+
+    threads = [threading.Thread(target=contender) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1
+    winners[0].check()
+    winners[0].release()
+    nxt = acquire_table_lease(path, owner="next")
+    assert nxt.generation == winners[0].generation + 1
+    nxt.release()
+
+
+def test_renew_cannot_clobber_a_stealer(tmp_path):
+    """check() decides and renews inside one critical section: after a
+    legitimate steal, the expired holder's check must FENCE, never
+    overwrite the stealer's newer record (r9 review race #2)."""
+    path = str(tmp_path)
+    a = acquire_table_lease(path, owner="slow", ttl_s=0.01)
+    time.sleep(0.05)
+    b = acquire_table_lease(path, owner="fast")
+    with pytest.raises(LeaseFencedError):
+        a.check()
+    # b's record survived a's failed renewal attempt intact
+    b.check()
+    assert b.generation == a.generation + 1
+    b.release()
+
+
+def test_orphaned_mutex_lock_is_broken(tmp_path):
+    """A lock file orphaned by a crash mid-critical-section must not
+    wedge the table forever: past the break window the next contender
+    removes it and proceeds."""
+    path = str(tmp_path)
+    lock = os.path.join(path, LEASE_FILE + ".lock")
+    os.makedirs(path, exist_ok=True)
+    open(lock, "w").close()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    lease = acquire_table_lease(path, owner="after-crash")
+    lease.release()
+    assert not os.path.exists(lock)
+
+
+def test_streaming_replay_noops_outside_the_lease(spark, tmp_path):
+    """A redelivered already-durable batch must no-op even while
+    maintenance holds the table — only REAL commits contend (r9 review)."""
+    from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+    target = str(tmp_path / "replay_t")
+    sink = ExactlyOnceBatchSink(target, lease_table=True)
+    batch = spark.range(10).selectExpr("id")
+    sink(batch, 0)
+    held = acquire_table_lease(target, owner="compaction")
+    sink(batch, 0)  # pure replay: must not raise LeaseHeldError
+    with pytest.raises(LeaseHeldError):
+        sink(batch, 1)  # a real commit still contends
+    held.release()
+    assert spark.read.parquet(target).count() == 10

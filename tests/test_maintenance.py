@@ -1826,3 +1826,55 @@ def test_restore_dry_run_previews_without_touching(spark, tmp_path):
     assert real["files_retired"] == preview["files_retired"]
     assert real["partitions_touched"] == preview["partitions_touched"]
     assert _checksum(spark, path) == before
+
+
+def test_diff_snapshots_sees_evolved_column_changes(spark, tmp_path):
+    """r9 review: a change confined to a schema-evolved column must count
+    as CHANGED — the diff aligns both sides on the schema UNION
+    (NULL-filling the missing side), never the intersection."""
+    from bigquack_spark.operators.maintenance import diff_snapshots, snapshot_table
+    from bigquack_spark.sinks.merge import merge_upsert
+
+    path = _purge_table(spark, tmp_path, "diffev")
+    snapshot_table(path, "pre")
+    # upsert rows whose EXISTING columns keep their exact values — only
+    # the evolved column carries information
+    rows = [
+        r.asDict() for r in spark.read.parquet(path).filter("id in (7, 8)").collect()
+    ]
+    changes = spark.createDataFrame(
+        [(r["id"], r["k"], r["tag"], 0.5) for r in rows],
+        "id long, k long, tag string, score double",
+    )
+    merge_upsert(spark, path, changes, key_cols=["id"], schema_evolution=True)
+
+    d = diff_snapshots(spark, path, "pre", key_cols=["id"])
+    assert d["rows_changed"] == 2  # intersection diff reported 0 here
+    assert d["rows_added"] == 0 and d["rows_removed"] == 0
+    assert d["rows_unchanged"] == 998
+
+
+def test_restore_dry_run_refuses_pending_swap(spark, tmp_path):
+    """r9 review: a crashed swap awaiting roll-forward makes the preview
+    diverge from the real pass (which resumes first) — refuse loudly."""
+    import json as _json
+
+    from bigquack_spark.operators.maintenance import (
+        MARKER,
+        STAGING_DIR,
+        restore_snapshot,
+        snapshot_table,
+        vacuum,
+    )
+
+    path = _purge_table(spark, tmp_path, "drypend")
+    snapshot_table(path, "v1")
+    staging = os.path.join(path, "k=1", STAGING_DIR)
+    os.makedirs(os.path.join(staging, "data"))
+    with open(os.path.join(staging, MARKER), "w") as fh:
+        _json.dump({"gen": "dead", "olds": [], "prefix": "purged", "others": []}, fh)
+    with pytest.raises(RuntimeError, match="pending roll-forward"):
+        restore_snapshot(spark, path, "v1", dry_run=True)
+    vacuum(path)  # rolls the planted swap forward
+    preview = restore_snapshot(spark, path, "v1", dry_run=True)
+    assert preview["dry_run"] is True

@@ -2095,3 +2095,22 @@ def test_pq_recall_budget_hard_gates(spark, tmp_path):
     S.build_ivf_index(emb, bare, n_lists=4, seed=42)
     with pytest.raises(ValueError, match="add_pq_to_ivf_index first"):
         S.calibrate_pq_recall(spark, bare, k=5, n_probes=2)
+
+
+def test_pq_recall_curves_coexist_per_configuration(spark, tmp_path):
+    """r9 review: recalibrating one (k, n_probes) configuration must not
+    discard another's curve — the store merges per configuration."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_multi")
+    S.build_ivf_index(emb, path, n_lists=4, seed=42)
+    S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
+
+    S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[5, 500], sample=8)
+    S.calibrate_pq_recall(spark, path, k=3, n_probes=1, budgets=[3, 300], sample=8)
+    # both configurations resolve after the second calibration
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 500
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=3, n_probes=1) in (3, 300)
+    # re-calibrating config A with different budgets replaces ONLY its rows
+    S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[7, 700], sample=8)
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 700
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=3, n_probes=1) in (3, 300)
