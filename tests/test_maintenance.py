@@ -1878,3 +1878,65 @@ def test_restore_dry_run_refuses_pending_swap(spark, tmp_path):
     vacuum(path)  # rolls the planted swap forward
     preview = restore_snapshot(spark, path, "v1", dry_run=True)
     assert preview["dry_run"] is True
+
+
+def test_maintain_table_full_pass_and_healthy_noop(spark, tmp_path):
+    """The autopilot capstone: one leased pass heals a fragmented,
+    stale-stats, snapshot-laden table per policy, records WHY each
+    skipped leg skipped, and a second run on the now-healthy table is a
+    no-op."""
+    import json as _json
+
+    from bigquack_spark.operators.lease import acquire_table_lease
+    from bigquack_spark.operators.maintain import maintain_table
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        list_snapshots,
+        snapshot_table,
+        stats_are_fresh,
+    )
+
+    path = str(tmp_path / "auto")
+    spark.range(2000).selectExpr(
+        "id", "id % 3 AS k", "CAST(id % 7 AS STRING) AS tag"
+    ).repartition(30).write.partitionBy("k").parquet(path)
+    collect_table_stats(spark, path)
+    snapshot_table(path, "old")
+    mp = os.path.join(path, "_snapshots", "old", "manifest.json")
+    rec = _json.load(open(mp)); rec["created_at"] = 1_000_000.0
+    _json.dump(rec, open(mp, "w"))
+    snapshot_table(path, "recent")
+    # appends since the collect: stats now stale, files fragmented
+    spark.range(2000, 2100).selectExpr(
+        "id", "id % 3 AS k", "CAST(id % 7 AS STRING) AS tag"
+    ).repartition(5).write.mode("append").partitionBy("k").parquet(path)
+    assert not stats_are_fresh(path)
+
+    policy = {
+        "target_file_bytes": 1 << 30,
+        "retention_predicate": "k = 2",
+        "snapshot_keep_last": 1,
+        "snapshot_older_than_s": 3600.0,
+    }
+    rep = maintain_table(spark, path, policy)
+    assert rep["stats"] in ("refreshed", "collected")
+    assert stats_are_fresh(path)
+    assert rep["retention"]["partitions_touched"] >= 1
+    assert not os.path.isdir(os.path.join(path, "k=2"))
+    assert rep["compaction"]["partitions_compacted"] >= 1
+    assert rep["compaction"]["roi"]["small_file_fraction"] >= 0.5
+    assert rep["expiry"]["expired"] == ["old"]
+    assert list_snapshots(path) == ["recent"]
+    assert spark.read.parquet(path).filter("k != 2").count() == 1400
+    # lease fully released
+    acquire_table_lease(path, owner="next").release()
+
+    # healthy table: everything no-ops with recorded reasons
+    rep2 = maintain_table(spark, path, {"target_file_bytes": 1 << 30})
+    assert rep2["stats"] == "fresh"
+    assert rep2["compaction"] is None and "compaction" in rep2["skipped"]
+    assert "retention" in rep2["skipped"] and "expiry" in rep2["skipped"]
+
+    # a typo'd policy knob refuses loudly
+    with pytest.raises(ValueError, match="unknown policy keys"):
+        maintain_table(spark, path, {"compact_min_small_fraction": 0.1})
