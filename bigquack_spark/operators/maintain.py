@@ -56,6 +56,7 @@ DEFAULT_POLICY = {
     "compact_min_small_file_fraction": 0.5,
     "compact_min_task_reduction": 1,
     "optimize_layout": False,
+    "zorder_cols": None,
     "retention_predicate": None,
     "snapshot_keep_last": None,
     "snapshot_older_than_s": None,
@@ -141,10 +142,11 @@ def maintain_table(
                 frac >= pol["compact_min_small_file_fraction"]
                 and reduction >= pol["compact_min_task_reduction"]
             ):
-                if pol["optimize_layout"]:
+                if pol["optimize_layout"] or pol["zorder_cols"]:
                     report["compaction"] = optimize_layout(
                         spark, path,
-                        target_file_bytes=pol["target_file_bytes"], lease=held,
+                        target_file_bytes=pol["target_file_bytes"],
+                        zorder_cols=pol["zorder_cols"], lease=held,
                     )
                 else:
                     report["compaction"] = compact_small_files(

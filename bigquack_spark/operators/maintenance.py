@@ -193,6 +193,7 @@ def _compact_partition(
     cluster_cols: list[str] | None,
     verify: bool,
     lease=None,
+    cluster_expr=None,
 ) -> dict:
     leaf = plan.directory
     staging = os.path.join(leaf, STAGING_DIR)
@@ -203,7 +204,16 @@ def _compact_partition(
     ]
 
     df = spark.read.parquet(*(os.path.join(leaf, f) for f in plan.files))
-    if cluster_cols:
+    if cluster_expr is not None:
+        # multi-key z-order: cluster on the precomputed interleaved-bits
+        # curve (table-global boundaries, so every leaf shares the grid)
+        df = (
+            df.withColumn("__z", cluster_expr)
+            .repartitionByRange(plan.n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif cluster_cols:
         df = df.repartitionByRange(plan.n_out, *cluster_cols).sortWithinPartitions(
             *cluster_cols
         )
@@ -248,10 +258,21 @@ def compact_small_files(
     min_files: int = 2,
     cluster_cols: list[str] | None = None,
     verify: bool = True,
+    zorder: bool = False,
     lease=None,
 ) -> dict:
     """Execute q254's compaction plan over ``path`` with checksum-verified,
     crash-safe partition swaps (module doc has the full protocol).
+
+    ``zorder=True`` with >= 2 ``cluster_cols`` rewrites each partition
+    Z-ORDER-clustered instead of lexicographically: one table-global
+    ``approxQuantile`` pass fixes the per-column bucket grid, every
+    leaf's rewrite interleaves the bucket bits
+    (``sinks/clustered.zorder_expr`` — the identical curve
+    ``save_zordered`` writes), so footer ranges stay simultaneously
+    narrow on EVERY listed column and predicates on any of them prune
+    files.  Lexicographic multi-key clustering only prunes on the
+    prefix.
 
     ``target_mb`` is the deployment-facing knob (``target_file_bytes``
     remains for byte-exact tests).  Returns ``{partitions_compacted,
@@ -272,12 +293,32 @@ def compact_small_files(
         "discarded_stale": 0,
         "verified": bool(verify),
     }
+    cluster_expr = None
+    if zorder:
+        if not cluster_cols or len(cluster_cols) < 2:
+            raise ValueError(
+                "compact_small_files: zorder=True needs >= 2 cluster_cols "
+                "(single-key range clustering already prunes that column)"
+            )
+        from bigquack_spark.sinks.clustered import zorder_expr
+
+        bits = 6
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        boundaries = (
+            spark.read.parquet(path)
+            .select(*cluster_cols)
+            .stat.approxQuantile(cluster_cols, qs, 0.01)
+        )
+        cluster_expr = zorder_expr(cluster_cols, boundaries, bits)
     with table_lease(path, owner="compact", lease=lease) as held:
         # roll any crashed swap forward FIRST so planning sees the layout
         report["resumed"], report["discarded_stale"] = _resume_tree(path)
         stats_fresh_at_entry = stats_are_fresh(path)
         for plan in plan_compaction(path, target_file_bytes, min_files):
-            got = _compact_partition(spark, plan, cluster_cols, verify, lease=held)
+            got = _compact_partition(
+                spark, plan, cluster_cols, verify, lease=held,
+                cluster_expr=cluster_expr,
+            )
             report["partitions_compacted"] += 1
             for k in ("files_before", "files_after", "bytes_rewritten"):
                 report[k] += got[k]
@@ -1196,6 +1237,7 @@ def optimize_layout(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     candidates: list[str] | None = None,
     verify: bool = True,
+    zorder_cols: list[str] | None = None,
     lease=None,
 ) -> dict:
     """One maintenance pass closing the planner -> executor loop for
@@ -1208,14 +1250,42 @@ def optimize_layout(
     checksum-verified, crash-safe pass.  Raises StaleStatsError when the
     manifest is missing/stale (collect first — planning on stale ndv
     would cluster tomorrow's data on yesterday's key); with no viable
-    key the pass compacts unclustered.  Returns the compaction report
-    plus ``cluster_key``."""
+    key the pass compacts unclustered.
+
+    ``zorder_cols`` (>= 2 columns, e.g. from
+    ``recommend_layout_from_log``'s usage ranking) overrides the
+    single-key recommendation: the rewrite Z-order-clusters so
+    predicates on ANY listed column prune files.  Returns the
+    compaction report plus ``cluster_key``."""
     from bigquack_spark.operators.planner import recommend_cluster_key
 
     # hive-partition columns are constant per leaf (nothing to range-
     # cluster) AND absent from the leaf-file frames the compaction pass
     # reads — clustering on one would crash the rewrite (r8 review pass 3)
     part_cols, _leaves = _partition_leaves(path)
+    if zorder_cols:
+        bad = [c for c in zorder_cols if c in part_cols]
+        if bad:
+            raise ValueError(
+                f"optimize_layout: zorder_cols {bad!r} are hive-partition "
+                "columns — constant per leaf, nothing to cluster"
+            )
+        from bigquack_spark.operators.planner import load_fresh_stats
+
+        load_fresh_stats(path)  # same freshness gate as the keyed path
+        with table_lease(path, owner="optimize_layout", lease=lease) as held:
+            report = compact_small_files(
+                spark,
+                path,
+                target_mb=target_mb,
+                target_file_bytes=target_file_bytes,
+                cluster_cols=list(zorder_cols),
+                verify=verify,
+                zorder=True,
+                lease=held,
+            )
+        report["cluster_key"] = {"zorder": list(zorder_cols)}
+        return report
     stats_cols = None
     if candidates is not None:
         stats_cols = [c for c in candidates if c not in part_cols]

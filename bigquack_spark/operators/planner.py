@@ -306,20 +306,31 @@ def recommend_layout_for_workload(
             if part_best is None or score > part_best[0]:
                 part_best = (score, r)
     cluster_best = None
+    rangeable = []
     for c, n in usage.items():
         if n == 0:
             continue
         s = stats["columns"].get(c, {})
         if "min" not in s or s.get("ndv_approx") is None:
             continue  # not rangeable: footers can't zone-map it
-        if part_best and c == part_best[1]["column"]:
-            continue  # already pruned at directory grain
         score = (n, s["ndv_approx"])
+        # zorder candidates keep the partition pick: Z-ordering is the
+        # ALTERNATIVE when the table stays un-repartitioned, so the
+        # advice must not assume the directory-grain pruning exists yet
+        rangeable.append((score, c))
+        if part_best and c == part_best[1]["column"]:
+            continue  # cluster key: already pruned at directory grain
         if cluster_best is None or score > cluster_best[0]:
             cluster_best = (score, c)
+    # >= 2 workload-referenced rangeable columns: recommend a Z-order set
+    # (optimize_layout(zorder_cols=...)) — single-key range clustering
+    # would leave every non-prefix column's footer ranges at full width
+    rangeable.sort(key=lambda t: (-t[0][0], -t[0][1], t[1]))
+    zorder = [c for _s, c in rangeable[:2]] if len(rangeable) >= 2 else None
     return {
         "partition_key": part_best[1]["column"] if part_best else None,
         "cluster_key": cluster_best[1] if cluster_best else None,
+        "zorder_cols": zorder,
         "column_usage": {c: n for c, n in sorted(usage.items()) if n},
         "n_predicates": len(predicates),
     }

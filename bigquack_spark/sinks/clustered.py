@@ -48,6 +48,32 @@ def save_clustered(
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
+def zorder_expr(zorder_cols: list[str], boundaries: list[list[float]],
+                bits_per_dim: int = 6):
+    """The interleaved-bits z-value Column from PRECOMPUTED per-column
+    quantile boundaries — shared by :func:`save_zordered` (fresh write)
+    and ``operators/maintenance.compact_small_files(zorder=True)``
+    (in-place re-layout), so both paths cluster on the identical curve.
+    Per row: each column's bucket is a boundary count (O(2^bits) codegen
+    fold), its bits interleaved round-robin into one BIGINT."""
+    from pyspark.sql import functions as F
+
+    ncols = len(zorder_cols)
+    z = F.lit(0).cast("bigint")
+    for ci, (c, bs) in enumerate(zip(zorder_cols, boundaries)):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        v = F.col(c).cast("double")
+        bucket = F.aggregate(
+            F.filter(arr, lambda b: b <= v),
+            F.lit(0).cast("bigint"),
+            lambda acc, _: acc + 1,
+        )
+        for i in range(bits_per_dim):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + ci)
+    return z
+
+
 def save_zordered(
     df: DataFrame,
     path: str,
@@ -94,18 +120,7 @@ def save_zordered(
     n_buckets = 1 << bits_per_dim
     qs = [i / n_buckets for i in range(1, n_buckets)]
     boundaries = df.stat.approxQuantile(zorder_cols, qs, rel_err)
-    z = F.lit(0).cast("bigint")
-    for ci, (c, bs) in enumerate(zip(zorder_cols, boundaries)):
-        arr = F.array(*[F.lit(float(b)) for b in bs])
-        v = F.col(c).cast("double")
-        bucket = F.aggregate(
-            F.filter(arr, lambda b: b <= v),
-            F.lit(0).cast("bigint"),
-            lambda acc, _: acc + 1,
-        )
-        for i in range(bits_per_dim):
-            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, i * ncols + ci)
+    z = zorder_expr(zorder_cols, boundaries, bits_per_dim)
     staged = df.withColumn("__z", z)
     parted = (
         staged.repartitionByRange(num_files, "__z")

@@ -1940,3 +1940,70 @@ def test_maintain_table_full_pass_and_healthy_noop(spark, tmp_path):
     # a typo'd policy knob refuses loudly
     with pytest.raises(ValueError, match="unknown policy keys"):
         maintain_table(spark, path, {"compact_min_small_fraction": 0.1})
+
+
+def test_optimize_layout_zorder_in_place(spark, tmp_path):
+    """In-place Z-ordered re-layout: optimize_layout(zorder_cols=[x, y])
+    rewrites a fragmented table so per-file footer ranges are narrow on
+    BOTH columns (single-key clustering leaves the second at full width),
+    checksum-preserved, and the workload advisor recommends the pair."""
+    import pyarrow.parquet as pq
+
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        optimize_layout,
+    )
+    from bigquack_spark.operators.planner import (
+        recommend_layout_from_log,
+        scan_table,
+    )
+
+    path = str(tmp_path / "zopt")
+    spark.range(100_000).selectExpr(
+        "CAST(id % 141 AS DOUBLE) AS x",
+        "CAST((id * 7919) % 149 AS DOUBLE) AS y",
+        "id",
+    ).repartition(32).write.parquet(path)
+    before = _checksum(spark, path)
+    collect_table_stats(spark, path)
+
+    # captured workload references BOTH x and y -> advisor says z-order
+    scan_table(spark, path, "x < 10").count()
+    scan_table(spark, path, "y > 100").count()
+    scan_table(spark, path, "x > 50 AND y < 40").count()
+    rec = recommend_layout_from_log(spark, path)
+    assert sorted(rec["zorder_cols"]) == ["x", "y"]
+
+    rep = optimize_layout(
+        spark, path, target_file_bytes=60_000, zorder_cols=rec["zorder_cols"]
+    )
+    assert rep["cluster_key"] == {"zorder": rec["zorder_cols"]}
+    assert rep["partitions_compacted"] == 1
+    assert _checksum(spark, path) == before
+
+    def avg_range_frac(col, domain):
+        fracs = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                fracs.append((hi - lo) / domain)
+        assert len(fracs) > 3  # genuinely multi-file after the rewrite
+        return sum(fracs) / len(fracs)
+
+    zx, zy = avg_range_frac("x", 140.0), avg_range_frac("y", 148.0)
+    assert zx < 0.6 and zy < 0.6, (zx, zy)
+
+    # zorder on a single column (or a partition column) refuses loudly
+    with pytest.raises(ValueError, match=">= 2 cluster_cols"):
+        from bigquack_spark.operators.maintenance import compact_small_files
+
+        compact_small_files(spark, path, cluster_cols=["x"], zorder=True)
