@@ -293,28 +293,43 @@ def compact_small_files(
         "discarded_stale": 0,
         "verified": bool(verify),
     }
-    cluster_expr = None
-    if zorder:
-        if not cluster_cols or len(cluster_cols) < 2:
-            raise ValueError(
-                "compact_small_files: zorder=True needs >= 2 cluster_cols "
-                "(single-key range clustering already prunes that column)"
-            )
-        from bigquack_spark.sinks.clustered import zorder_expr
-
-        bits = 6
-        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        boundaries = (
-            spark.read.parquet(path)
-            .select(*cluster_cols)
-            .stat.approxQuantile(cluster_cols, qs, 0.01)
+    if zorder and (not cluster_cols or len(cluster_cols) < 2):
+        raise ValueError(
+            "compact_small_files: zorder=True needs >= 2 cluster_cols "
+            "(single-key range clustering already prunes that column)"
         )
-        cluster_expr = zorder_expr(cluster_cols, boundaries, bits)
+    if zorder and 6 * len(cluster_cols) > 62:
+        # eager: the interleave budget must refuse even when the plan
+        # turns out empty (the lazy boundary pass would never validate)
+        raise ValueError(
+            f"bits_per_dim * len(zorder_cols) = {6 * len(cluster_cols)} "
+            "exceeds 62"
+        )
     with table_lease(path, owner="compact", lease=lease) as held:
         # roll any crashed swap forward FIRST so planning sees the layout
         report["resumed"], report["discarded_stale"] = _resume_tree(path)
         stats_fresh_at_entry = stats_are_fresh(path)
-        for plan in plan_compaction(path, target_file_bytes, min_files):
+        plans = list(plan_compaction(path, target_file_bytes, min_files))
+        cluster_expr = None
+        if zorder and plans:
+            # boundary grid: INSIDE the lease and AFTER roll-forward (a
+            # half-swapped table would skew the buckets; an unleased scan
+            # could race a concurrent writer's retires), and only when
+            # the plan actually rewrites something — a healthy-table
+            # no-op must not pay a table scan (r9 review pass 2).  Shared
+            # helper keeps the grid identical to save_zordered's.
+            from bigquack_spark.sinks.clustered import (
+                zorder_boundaries,
+                zorder_expr,
+            )
+
+            whole = spark.read.parquet(path).select(*cluster_cols)
+            boundaries = zorder_boundaries(whole, cluster_cols)
+            dtypes = {f.name: f.dataType for f in whole.schema.fields}
+            cluster_expr = zorder_expr(
+                cluster_cols, boundaries, dtypes=dtypes
+            )
+        for plan in plans:
             got = _compact_partition(
                 spark, plan, cluster_cols, verify, lease=held,
                 cluster_expr=cluster_expr,

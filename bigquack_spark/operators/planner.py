@@ -305,18 +305,25 @@ def recommend_layout_for_workload(
             score = (usage[r["column"]], r["est_rows_per_partition"] or 0)
             if part_best is None or score > part_best[0]:
                 part_best = (score, r)
+    # the table's EXISTING hive-partition columns are constant per leaf:
+    # nothing to cluster or z-order (optimize_layout refuses them), and
+    # the directory grain already prunes them (r9 review pass 2)
+    from bigquack_spark.operators.maintenance import _partition_leaves
+
+    existing_parts = set(_partition_leaves(path)[0])
     cluster_best = None
     rangeable = []
     for c, n in usage.items():
-        if n == 0:
+        if n == 0 or c in existing_parts:
             continue
         s = stats["columns"].get(c, {})
         if "min" not in s or s.get("ndv_approx") is None:
             continue  # not rangeable: footers can't zone-map it
         score = (n, s["ndv_approx"])
-        # zorder candidates keep the partition pick: Z-ordering is the
-        # ALTERNATIVE when the table stays un-repartitioned, so the
-        # advice must not assume the directory-grain pruning exists yet
+        # zorder candidates keep the RECOMMENDED partition pick:
+        # Z-ordering is the alternative when the table stays
+        # un-repartitioned, so the advice must not assume that
+        # directory-grain pruning exists yet
         rangeable.append((score, c))
         if part_best and c == part_best[1]["column"]:
             continue  # cluster key: already pruned at directory grain

@@ -48,21 +48,70 @@ def save_clustered(
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
+def _zorder_double(col_name: str, dtype):
+    """Column projected to the double axis the z-curve buckets on.
+    Dates/timestamps go through epoch seconds — ``approxQuantile`` and
+    plain double casts reject them, yet they are exactly the columns a
+    workload advisor recommends for z-ordering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    c = F.col(col_name)
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def zorder_boundaries(
+    df: DataFrame,
+    zorder_cols: list[str],
+    bits_per_dim: int = 6,
+    rel_err: float = 0.01,
+) -> list[list[float]]:
+    """Per-column quantile bucket boundaries for the z-curve — the ONE
+    grid both :func:`save_zordered` and
+    ``operators/maintenance.compact_small_files(zorder=True)`` cluster
+    on (a shared helper so the two paths can never drift).  Validates
+    the 62-bit interleave budget (Java long shifts wrap at 64 — an
+    oversized column set would silently collide bits, not error)."""
+    ncols = len(zorder_cols)
+    if ncols < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use save_clustered for one")
+    if bits_per_dim * ncols > 62:
+        raise ValueError(
+            f"bits_per_dim * len(zorder_cols) = {bits_per_dim * ncols} exceeds 62"
+        )
+    n_buckets = 1 << bits_per_dim
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    projected = df.select(
+        *[_zorder_double(c, dtypes[c]).alias(c) for c in zorder_cols]
+    )
+    return projected.stat.approxQuantile(zorder_cols, qs, rel_err)
+
+
 def zorder_expr(zorder_cols: list[str], boundaries: list[list[float]],
-                bits_per_dim: int = 6):
+                bits_per_dim: int = 6, dtypes: dict | None = None):
     """The interleaved-bits z-value Column from PRECOMPUTED per-column
     quantile boundaries — shared by :func:`save_zordered` (fresh write)
     and ``operators/maintenance.compact_small_files(zorder=True)``
     (in-place re-layout), so both paths cluster on the identical curve.
     Per row: each column's bucket is a boundary count (O(2^bits) codegen
-    fold), its bits interleaved round-robin into one BIGINT."""
+    fold), its bits interleaved round-robin into one BIGINT.  ``dtypes``
+    (column -> Spark DataType) routes dates/timestamps through the same
+    epoch projection the boundaries were computed on."""
     from pyspark.sql import functions as F
 
     ncols = len(zorder_cols)
+    dtypes = dtypes or {}
     z = F.lit(0).cast("bigint")
     for ci, (c, bs) in enumerate(zip(zorder_cols, boundaries)):
         arr = F.array(*[F.lit(float(b)) for b in bs])
-        v = F.col(c).cast("double")
+        v = (
+            _zorder_double(c, dtypes[c])
+            if c in dtypes
+            else F.col(c).cast("double")
+        )
         bucket = F.aggregate(
             F.filter(arr, lambda b: b <= v),
             F.lit(0).cast("bigint"),
@@ -106,21 +155,9 @@ def save_zordered(
     Numeric columns only (cast dates/timestamps to epoch first); NULLs
     land in bucket 0.
     """
-    from pyspark.sql import functions as F
-
-    ncols = len(zorder_cols)
-    if ncols < 2:
-        raise ValueError("z-ordering needs >= 2 columns; use save_clustered for one")
-    if bits_per_dim * ncols > 62:
-        # the interleaved value must fit a signed 64-bit long; 32-bit int
-        # shifts would silently wrap (Java shift-&-31 semantics)
-        raise ValueError(
-            f"bits_per_dim * len(zorder_cols) = {bits_per_dim * ncols} exceeds 62"
-        )
-    n_buckets = 1 << bits_per_dim
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries = df.stat.approxQuantile(zorder_cols, qs, rel_err)
-    z = zorder_expr(zorder_cols, boundaries, bits_per_dim)
+    boundaries = zorder_boundaries(df, zorder_cols, bits_per_dim, rel_err)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    z = zorder_expr(zorder_cols, boundaries, bits_per_dim, dtypes=dtypes)
     staged = df.withColumn("__z", z)
     parted = (
         staged.repartitionByRange(num_files, "__z")

@@ -2007,3 +2007,47 @@ def test_optimize_layout_zorder_in_place(spark, tmp_path):
         from bigquack_spark.operators.maintenance import compact_small_files
 
         compact_small_files(spark, path, cluster_cols=["x"], zorder=True)
+
+
+def test_zorder_handles_dates_and_excludes_existing_partition_cols(spark, tmp_path):
+    """r9 review pass 2: z-ordering must accept date/timestamp columns
+    (epoch projection — approxQuantile rejects them raw), the advisor
+    must never recommend the table's existing hive-partition columns,
+    and a healthy-table zorder pass must not pay the boundary scan."""
+    from bigquack_spark.operators.maintenance import (
+        collect_table_stats,
+        compact_small_files,
+        optimize_layout,
+    )
+    from bigquack_spark.operators.planner import (
+        recommend_layout_from_log,
+        scan_table,
+    )
+
+    path = str(tmp_path / "zdate")
+    spark.range(40_000).selectExpr(
+        "id % 4 AS k",
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 365 AS INT)) AS d",
+        "CAST((id * 7919) % 149 AS DOUBLE) AS y",
+    ).repartition(24).write.partitionBy("k").parquet(path)
+    before = _checksum(spark, path)
+    collect_table_stats(spark, path)
+
+    # workload filters on the partition col, a date, and a double
+    scan_table(spark, path, "k = 1").count()
+    scan_table(spark, path, "d > DATE'2024-06-01'").count()
+    scan_table(spark, path, "y < 40 AND d < DATE'2024-03-01'").count()
+    rec = recommend_layout_from_log(spark, path)
+    assert sorted(rec["zorder_cols"]) == ["d", "y"]  # k excluded
+
+    rep = optimize_layout(
+        spark, path, target_file_bytes=1 << 20, zorder_cols=rec["zorder_cols"]
+    )
+    assert rep["partitions_compacted"] == 4
+    assert _checksum(spark, path) == before
+
+    # 62-bit interleave budget still enforced on this path
+    with pytest.raises(ValueError, match="exceeds 62"):
+        compact_small_files(
+            spark, path, cluster_cols=["d", "y"] * 6, zorder=True
+        )
