@@ -1,0 +1,84 @@
+"""CLI front door (bigquack_spark/__main__.py): each verb runs on a shared
+session, prints one JSON object, and maps onto the same executors the API
+exposes — the reference's one-shot-pipeline ergonomics on Spark."""
+
+import json
+import os
+
+import pytest
+
+
+def _run(capsys, spark, argv):
+    from bigquack_spark.__main__ import main
+
+    rc = main(argv, spark=spark)
+    out = capsys.readouterr()
+    return rc, (json.loads(out.out) if out.out.strip() else None), out.err
+
+
+def test_cli_transfer_query_roundtrip(capsys, spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+
+    rc, out, _ = _run(capsys, spark, [
+        "transfer", SF_SMOKE, "orders", "cli_orders_t",
+        "--columns", "o_orderkey,o_orderpriority", "--predicate", "o_orderkey < 100",
+    ])
+    try:
+        assert rc == 0 and out["cmd"] == "transfer" and out["rows"] > 0
+        assert spark.table("cli_orders_t").columns == [
+            "o_orderkey", "o_orderpriority",
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_orders_t")
+
+    rc, out, _ = _run(capsys, spark, [
+        "query", "SELECT count(*) AS n FROM orders", "--sf-dir", SF_SMOKE,
+    ])
+    assert rc == 0 and out["rows"][0]["n"] > 0
+
+
+def test_cli_maintenance_lifecycle(capsys, spark, tmp_path):
+    path = str(tmp_path / "cli_t")
+    spark.range(500).selectExpr("id", "id % 3 AS k").repartition(8)\
+        .write.partitionBy("k").parquet(path)
+
+    rc, out, _ = _run(capsys, spark, ["stats", path])
+    assert rc == 0 and out["rows"] == 500
+
+    rc, out, _ = _run(capsys, spark, ["snapshot", path, "v1"])
+    assert rc == 0 and out["files"] > 0
+
+    rc, out, _ = _run(capsys, spark, ["restore", path, "v1", "--dry-run"])
+    assert rc == 0 and out["files_restored"] == 0  # nothing changed yet
+
+    rc, out, _ = _run(capsys, spark, [
+        "maintain", path, "--retention", "k = 2", "--target-mb", "1024",
+    ])
+    assert rc == 0 and out["retention"]["partitions_touched"] == 1
+    assert not os.path.isdir(os.path.join(path, "k=2"))
+
+    rc, out, _ = _run(capsys, spark, ["expire", path, "--keep-last", "0"])
+    assert rc == 0 and out["expired"] == ["v1"]
+
+    rc, out, _ = _run(capsys, spark, ["vacuum", path])
+    assert rc == 0 and "snapshot_pinned_bytes" in out
+
+    # errors surface as JSON on stderr with a non-zero exit
+    rc, out, err = _run(capsys, spark, ["snapshot", path, "../evil"])
+    assert rc == 1 and out is None and "invalid snapshot name" in err
+
+
+def test_cli_advise_from_workload(capsys, spark, tmp_path):
+    from bigquack_spark.operators.planner import scan_table
+
+    path = str(tmp_path / "cli_w")
+    spark.range(1000).selectExpr("id", "CAST(id % 50 AS DOUBLE) AS v")\
+        .write.parquet(path)
+    from bigquack_spark.operators.maintenance import collect_table_stats
+
+    collect_table_stats(spark, path)
+    scan_table(spark, path, "id < 10").count()
+    scan_table(spark, path, "v > 25").count()
+    rc, out, _ = _run(capsys, spark, ["advise", path])
+    assert rc == 0 and out["n_logged"] == 2
+    assert sorted(out["zorder_cols"]) == ["id", "v"]
