@@ -2754,3 +2754,77 @@ def q324_snapshot_diff_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(
         data, "change_type string, n_rows long, share double"
     )
+
+
+@query(
+    "q325_maintenance_gate",
+    oracle=f"""
+WITH files AS (
+  SELECT l_returnflag,
+         year(l_shipdate) * 12 + month(l_shipdate) AS file_month,
+         CAST(count(*) * {_BYTES_PER_ROW} AS BIGINT) AS bytes
+  FROM lineitem GROUP BY 1, 2
+),
+roi AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small,
+         CAST(CASE WHEN sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END) = 0
+                   THEN 0
+                   ELSE (sum(CASE WHEN bytes < {_COMPACT_TARGET} THEN bytes ELSE 0 END)
+                         + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET} END AS BIGINT)
+           AS est_files_after
+  FROM files GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(n_small / CAST(n_files AS DOUBLE), 6) AS small_file_fraction,
+       CAST(n_small - est_files_after AS BIGINT) AS files_removed,
+       (n_small / CAST(n_files AS DOUBLE) >= 0.5
+        AND n_small - est_files_after >= 1) AS run_compaction,
+       CASE WHEN n_small / CAST(n_files AS DOUBLE) < 0.5
+              THEN 'small-file fraction below gate'
+            WHEN n_small - est_files_after < 1
+              THEN 'no task reduction'
+            ELSE 'ok' END AS reason
+FROM roi
+""",
+)
+def q325_maintenance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autopilot's compaction GATE (the decision twin of
+    ``operators/maintain.maintain_table``, as q308 is its ROI input):
+    per candidate table (returnflag cohort over the synthetic
+    ship-month file manifest), the two policy thresholds the pass
+    evaluates before paying a rewrite — small-file fraction >= 0.5 AND
+    estimated task reduction >= 1 — with the run/skip verdict and the
+    exact skip reason the report records.  Same integer-exact byte
+    lattice as q308; one metadata-grain groupBy, nothing row-scale."""
+    li = t(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
+    files = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("file_month"),
+    ).agg((F.count(F.lit(1)) * _BYTES_PER_ROW).alias("bytes"))
+    small = F.when(F.col("bytes") < _COMPACT_TARGET, 1).otherwise(0)
+    small_bytes = F.when(F.col("bytes") < _COMPACT_TARGET, F.col("bytes")).otherwise(0)
+    roi = files.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(small).cast("long").alias("n_small"),
+        F.sum(small_bytes).cast("long").alias("small_bytes"),
+    ).withColumn(
+        "est_files_after",
+        F.when(F.col("small_bytes") == 0, F.lit(0)).otherwise(
+            F.expr(f"(small_bytes + {_COMPACT_TARGET} - 1) div {_COMPACT_TARGET}")
+        ).cast("long"),
+    )
+    frac = F.col("n_small") / F.col("n_files").cast("double")
+    removed = (F.col("n_small") - F.col("est_files_after")).cast("long")
+    return roi.select(
+        "l_returnflag",
+        F.round(frac, 6).alias("small_file_fraction"),
+        removed.alias("files_removed"),
+        ((frac >= 0.5) & (removed >= 1)).alias("run_compaction"),
+        F.when(frac < 0.5, F.lit("small-file fraction below gate"))
+        .when(removed < 1, F.lit("no task reduction"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
