@@ -57,6 +57,7 @@ DEFAULT_POLICY = {
     "compact_min_task_reduction": 1,
     "optimize_layout": False,
     "zorder_cols": None,
+    "zorder_from_workload": False,
     "retention_predicate": None,
     "snapshot_keep_last": None,
     "snapshot_older_than_s": None,
@@ -133,6 +134,27 @@ def maintain_table(
         if "compaction" not in report["skipped"]:
             from bigquack_spark.operators.planner import estimate_compaction_roi
 
+            zcols = pol["zorder_cols"]
+            if zcols is None and pol["zorder_from_workload"]:
+                # close the capture loop: the Z-order pair comes from
+                # what the table's logged queries actually filter on;
+                # an empty log just means nothing captured yet — fall
+                # through to the keyed/plain path, never guess
+                from bigquack_spark.operators.planner import (
+                    recommend_layout_from_log,
+                )
+
+                try:
+                    zcols = recommend_layout_from_log(spark, path).get(
+                        "zorder_cols"
+                    )
+                except ValueError:
+                    zcols = None
+                if zcols is None:
+                    report["skipped"]["zorder"] = (
+                        "workload log empty or references < 2 rangeable "
+                        "columns"
+                    )
             roi = estimate_compaction_roi(
                 path, target_file_bytes=pol["target_file_bytes"]
             )
@@ -142,11 +164,11 @@ def maintain_table(
                 frac >= pol["compact_min_small_file_fraction"]
                 and reduction >= pol["compact_min_task_reduction"]
             ):
-                if pol["optimize_layout"] or pol["zorder_cols"]:
+                if pol["optimize_layout"] or zcols:
                     report["compaction"] = optimize_layout(
                         spark, path,
                         target_file_bytes=pol["target_file_bytes"],
-                        zorder_cols=pol["zorder_cols"], lease=held,
+                        zorder_cols=zcols, lease=held,
                     )
                 else:
                     report["compaction"] = compact_small_files(

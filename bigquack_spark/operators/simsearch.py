@@ -1077,6 +1077,10 @@ def calibrate_pq_recall(
     ).collect():  # k x sample bounded
         truth.setdefault(r.qid, set()).add(r.neighbor_id)
     n_truth = sum(len(v) for v in truth.values())
+    # index size at calibration: appends shift cell occupancy, and a
+    # curve measured on a much smaller corpus over-promises recall —
+    # resolve_rerank_budget gates on the drift
+    n_index = spark.read.parquet(f"{root}/pq_codes").count()
     rows = []
     for budget in budgets:
         got = probe_ivf_pq(
@@ -1090,6 +1094,7 @@ def calibrate_pq_recall(
                 "rerank": budget,
                 "recall": round(hit / n_truth, 6) if n_truth else 1.0,
                 "n_queries": len(truth),
+                "n_index": n_index,
             }
         )
     # merge with any previously calibrated configurations: the curve dir
@@ -1099,20 +1104,31 @@ def calibrate_pq_recall(
     curve_dir = f"{root}/pq_recall_curve"
     kept: list[tuple] = []
     if _os.path.isdir(curve_dir):
+        old = spark.read.parquet(curve_dir)
+        has_n = "n_index" in old.columns  # pre-gate curves carry no size
         kept = [
-            (r.k, r.n_probes, r.rerank, r.recall, r.n_queries)
-            for r in spark.read.parquet(curve_dir).collect()  # KB-class
+            (r.k, r.n_probes, r.rerank, r.recall, r.n_queries,
+             int(r.n_index) if has_n else -1)
+            for r in old.collect()  # KB-class
             if not (r.k == k and r.n_probes == n_probes)
         ]
     fresh = [
-        (r["k"], r["n_probes"], r["rerank"], r["recall"], r["n_queries"])
+        (r["k"], r["n_probes"], r["rerank"], r["recall"], r["n_queries"],
+         r["n_index"])
         for r in rows
     ]
     spark.createDataFrame(
         kept + fresh,
-        "k int, n_probes int, rerank int, recall double, n_queries int",
+        "k int, n_probes int, rerank int, recall double, n_queries int, "
+        "n_index long",
     ).coalesce(1).write.mode("overwrite").parquet(curve_dir)
     return rows
+
+
+#: Index growth/shrink beyond this share of the calibrated size refuses
+#: budget resolution — cell occupancy (what rerank truncates against)
+#: has drifted from what the curve measured.
+_CURVE_DRIFT_FRACTION = 0.25
 
 
 def resolve_rerank_budget(
@@ -1143,6 +1159,20 @@ def resolve_rerank_budget(
             f"n_probes={n_probes} — re-run calibrate_pq_recall with the "
             "serving parameters"
         )
+    cal_n = getattr(rows[0], "n_index", -1)
+    if cal_n and cal_n > 0:
+        # freshness gate: the curve was measured at a specific corpus
+        # size; appends shift cell occupancy, so a drifted index serves
+        # a recall the curve never measured — refuse, never over-promise
+        cur_n = spark.read.parquet(f"{root}/pq_codes").count()
+        if abs(cur_n - cal_n) / cal_n > _CURVE_DRIFT_FRACTION:
+            raise ValueError(
+                f"resolve_rerank_budget: the recall curve was calibrated "
+                f"at {cal_n} vectors but the index now holds {cur_n} "
+                f"(> {_CURVE_DRIFT_FRACTION:.0%} drift) — re-run "
+                "calibrate_pq_recall so the resolved budget reflects the "
+                "corpus being served"
+            )
     eligible = [r.rerank for r in rows if r.recall >= target_recall]
     if not eligible:
         best = max(rows, key=lambda r: (r.recall, -r.rerank))

@@ -2051,3 +2051,46 @@ def test_zorder_handles_dates_and_excludes_existing_partition_cols(spark, tmp_pa
         compact_small_files(
             spark, path, cluster_cols=["d", "y"] * 6, zorder=True
         )
+
+
+def test_maintain_table_zorder_from_workload(spark, tmp_path):
+    """zorder_from_workload=True closes the capture loop: the autopilot
+    z-orders on the pair the logged queries filter on, and with no log it
+    records the skip instead of guessing."""
+    from bigquack_spark.operators.maintain import maintain_table
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import scan_table
+
+    path = str(tmp_path / "autoz")
+    spark.range(100_000).selectExpr(
+        "CAST(id % 141 AS DOUBLE) AS x",
+        "CAST((id * 7919) % 149 AS DOUBLE) AS y",
+        "id",
+    ).repartition(32).write.parquet(path)
+    collect_table_stats(spark, path)
+
+    # no workload yet: the pass compacts plain and records why
+    rep0 = maintain_table(
+        spark, path,
+        {"target_file_bytes": 60_000, "zorder_from_workload": True},
+    )
+    assert "workload log empty" in rep0["skipped"]["zorder"]
+    assert "cluster_key" not in rep0["compaction"]  # plain bin-pack ran
+
+    # fragment again, capture a two-column workload, re-run (bigger
+    # target: plan_compaction gates on the LEAF AVERAGE file size, and
+    # the healthy files from pass 0 pull the mixed leaf's average up)
+    spark.range(100_000, 140_000).selectExpr(
+        "CAST(id % 141 AS DOUBLE) AS x",
+        "CAST((id * 7919) % 149 AS DOUBLE) AS y",
+        "id",
+    ).repartition(16).write.mode("append").parquet(path)
+    scan_table(spark, path, "x < 10").count()
+    scan_table(spark, path, "y > 100").count()
+    rep1 = maintain_table(
+        spark, path,
+        {"target_file_bytes": 160_000, "zorder_from_workload": True},
+    )
+    assert rep1["stats"] == "refreshed"
+    assert sorted(rep1["compaction"]["cluster_key"]["zorder"]) == ["x", "y"]
+    assert rep1["compaction"]["partitions_compacted"] >= 1

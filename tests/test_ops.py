@@ -2114,3 +2114,24 @@ def test_pq_recall_curves_coexist_per_configuration(spark, tmp_path):
     S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[7, 700], sample=8)
     assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 700
     assert S.resolve_rerank_budget(spark, path, 1.0, k=3, n_probes=1) in (3, 300)
+
+
+def test_pq_recall_curve_freshness_gate(spark, tmp_path):
+    """A curve calibrated on one corpus size must not serve a budget after
+    the index drifts past the gate — appends shift cell occupancy, and the
+    measured recall no longer describes the corpus being served."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") < 250)
+    path = str(tmp_path / "ivfpq_drift")
+    S.build_ivf_index(half, path, n_lists=4, seed=42)
+    S.add_pq_to_ivf_index(spark, path, m=2, k_codes=8, seed=42)
+    S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[5, 500], sample=8)
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 500
+
+    # double the corpus: > 25% drift -> budget resolution refuses
+    S.append_to_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 250))
+    with pytest.raises(ValueError, match="re-run calibrate_pq_recall"):
+        S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2)
+    # recalibration rebinds the curve to the grown corpus
+    S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[5, 500], sample=8)
+    assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 500
