@@ -44,6 +44,13 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--columns")
     t.add_argument("--predicate")
     t.add_argument("--format", default="parquet")
+    t.add_argument(
+        "--shred",
+        help="schema-on-write JSON shred: COL=DDL "
+        '(e.g. --shred \'payload=k INT, tag STRING\')',
+    )
+    t.add_argument("--shred-keep-raw", action="store_true",
+                   help="retain the raw JSON column alongside shredded fields")
 
     q = sub.add_parser("query", help="run SQL over the registered tables")
     q.add_argument("sql")
@@ -100,10 +107,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.cmd == "transfer":
             from bigquack_spark.pipeline import transfer
 
+            shred = None
+            if args.shred:
+                col, sep, ddl = args.shred.partition("=")
+                if not sep or not col.strip() or not ddl.strip():
+                    raise ValueError(
+                        "--shred expects COL=DDL, e.g. "
+                        "--shred 'payload=k INT, tag STRING'"
+                    )
+                shred = {"col": col.strip(), "schema": ddl.strip(),
+                         "keep_raw": args.shred_keep_raw}
             rows = transfer(
                 _spark(), args.src_dir, args.table, args.target,
                 columns=_cols(args.columns), predicate=args.predicate,
-                fmt=args.format,
+                fmt=args.format, shred=shred,
             )
             out = {"cmd": "transfer", "rows": rows, "target": args.target}
         elif args.cmd == "query":

@@ -129,7 +129,16 @@ def _lease_mutex(path: str):
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
-                    os.remove(lock)  # orphaned by a crash mid-section
+                    # Break the orphan ATOMICALLY: rename first (exactly one
+                    # contender wins the rename; losers get FileNotFoundError
+                    # and retry), then unlink the renamed file.  A direct
+                    # os.remove(lock) here would race: contender B's pending
+                    # remove could delete the fresh lock contender A just
+                    # re-created after ITS remove, admitting both into the
+                    # critical section.
+                    breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
+                    os.rename(lock, breaking)
+                    os.remove(breaking)
                     continue
             except OSError:
                 continue  # holder just released/broke it: retry at once

@@ -406,12 +406,20 @@ def read_workload_log(path: str, max_entries: int = _DEFAULT_MAX_LOGGED) -> list
     with open(p, "rb") as fh:
         fh.seek(0, os.SEEK_END)
         size = fh.tell()
-        start = max(0, size - budget)
-        fh.seek(start)
-        chunk = fh.read().decode("utf-8", errors="replace")
-    lines = chunk.split("\n")
-    if start > 0:
-        lines = lines[1:]  # partial first line of a mid-file seek
+        # Predicates longer than the per-line estimate must not silently
+        # shrink the window (r9 advice): double the seek-back budget until
+        # the tail yields max_entries complete lines or reaches file start.
+        while True:
+            start = max(0, size - budget)
+            fh.seek(start)
+            chunk = fh.read().decode("utf-8", errors="replace")
+            lines = chunk.split("\n")
+            if start > 0:
+                lines = lines[1:]  # partial first line of a mid-file seek
+            complete = [ln for ln in lines if ln.strip()]
+            if start == 0 or len(complete) >= max_entries:
+                break
+            budget *= 2
     preds = []
     for line in lines:
         try:
@@ -451,7 +459,11 @@ def scan_table(
     table's workload log so :func:`recommend_layout_from_log` learns what
     the table's queries actually filter on.  The capture costs one
     appended line — nothing touches the query plan."""
-    df = spark.read.parquet(path)
+    # mergeSchema matches the evolved-table read convention
+    # (formats.load_managed_table, merge_upsert schema_evolution=True):
+    # without it a mixed-footer table can silently omit evolved columns
+    # depending on which footer Spark samples.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if predicate:
         df = df.filter(predicate)
         if log_workload:

@@ -82,3 +82,33 @@ def test_cli_advise_from_workload(capsys, spark, tmp_path):
     rc, out, _ = _run(capsys, spark, ["advise", path])
     assert rc == 0 and out["n_logged"] == 2
     assert sorted(out["zorder_cols"]) == ["id", "v"]
+
+
+def test_cli_transfer_shred(capsys, spark, tmp_path):
+    """The documented '--shred COL=DDL' usage works end to end (r9 advice:
+    the docstring advertised it but the parser lacked the flag): the landing
+    table stores typed columns parsed once at ingest."""
+    src = str(tmp_path)
+    spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, "not-json")], "id bigint, props string"
+    ).write.parquet(f"{src}/ev.parquet")
+    spark.sql("DROP TABLE IF EXISTS cli_shred_t")
+    rc, out, _ = _run(capsys, spark, [
+        "transfer", src, "ev", "cli_shred_t",
+        "--shred", "props=k INT, tag STRING",
+    ])
+    try:
+        assert rc == 0 and out["rows"] == 2
+        got = spark.table("cli_shred_t")
+        assert got.columns == ["id", "k", "tag"]
+        assert {r.id: (r.k, r.tag) for r in got.collect()} == {
+            1: (7, "a"), 2: (None, None),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_shred_t")
+
+    # malformed spec fails loudly with usage guidance, not a stack trace
+    rc, _, err = _run(capsys, spark, [
+        "transfer", src, "ev", "cli_shred_bad", "--shred", "no-equals-sign",
+    ])
+    assert rc == 1 and "COL=DDL" in err

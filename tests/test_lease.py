@@ -331,3 +331,155 @@ def test_streaming_replay_noops_outside_the_lease(spark, tmp_path):
         sink(batch, 1)  # a real commit still contends
     held.release()
     assert spark.read.parquet(target).count() == 10
+
+
+# --------------------------------------------- multi-process chaos (r9 #7)
+
+
+def _mutex_stress_worker(args):
+    """Module-level for pickling: hammer the lease mutex from a separate
+    PROCESS.  Each regular iteration does a deliberately non-atomic
+    read-sleep-write increment of a shared counter inside the critical
+    section — any mutual-exclusion failure loses updates.  A few
+    iterations instead simulate a CRASH mid-section: win the raw O_EXCL
+    lock, backdate it past the break window, and abandon it, forcing the
+    other processes through the atomic rename-break path concurrently
+    (the r10 TOCTOU fix under real contention)."""
+    path, counter, worker_id, n_iters = args
+    from bigquack_spark.operators import lease as L
+
+    L._LOCK_BREAK_S = 0.05  # orphans become breakable immediately
+    lock = os.path.join(path, LEASE_FILE + ".lock")
+    increments = 0
+    for it in range(n_iters):
+        if worker_id == 0 and it % 7 == 3:
+            # crash simulation: orphan a just-won lock (never inside
+            # someone else's section — O_EXCL guarantees that)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                old = time.time() - 3600
+                os.utime(lock, (old, old))
+            except (FileExistsError, OSError):
+                pass
+            continue
+        with L._lease_mutex(path):
+            with open(counter) as fh:
+                v = int(fh.read())
+            time.sleep(0.002)
+            tmp = f"{counter}.{worker_id}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(v + 1))
+            os.replace(tmp, counter)
+        increments += 1
+    return increments
+
+
+def test_lease_mutex_multiprocess_stress(tmp_path):
+    """TRUE multi-process mutual exclusion (r9 verdict #7 / advice #1):
+    6 OS processes x 20 iterations of read-modify-write under the lease
+    mutex, with one process repeatedly orphaning stale locks mid-run.
+    Before the atomic rename-break fix, two contenders could both break
+    the same orphan, double-enter the section, and lose increments; the
+    counter must equal the exact number of completed sections."""
+    import multiprocessing as mp
+
+    path = str(tmp_path)
+    os.makedirs(path, exist_ok=True)
+    counter = os.path.join(path, "counter.txt")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    # plant a pre-aged orphan so the very first entries race on the break
+    lock = os.path.join(path, LEASE_FILE + ".lock")
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+
+    n_workers, n_iters = 6, 20
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_workers) as pool:
+        entered = pool.map(
+            _mutex_stress_worker,
+            [(path, counter, i, n_iters) for i in range(n_workers)],
+        )
+    with open(counter) as fh:
+        final = int(fh.read())
+    assert final == sum(entered)  # zero lost updates == zero double-entries
+    assert sum(entered) >= (n_workers - 1) * n_iters  # nobody starved
+    # the table still works afterwards
+    lease = acquire_table_lease(path, owner="after-stress")
+    lease.release()
+
+
+def _lease_acquire_worker(args):
+    """Acquire/release the TABLE lease (not just the mutex) in a loop from
+    a separate process; return every generation this process won."""
+    path, n_iters = args
+    from bigquack_spark.operators import lease as L
+
+    gens = []
+    for _ in range(n_iters):
+        try:
+            held = L.acquire_table_lease(path, owner=f"pid{os.getpid()}")
+        except LeaseHeldError:
+            time.sleep(0.005)
+            continue
+        gens.append(held.generation)
+        held.check()
+        held.release()
+    return gens
+
+
+def test_lease_generations_unique_across_processes(tmp_path):
+    """Fencing token integrity under multi-process contention: across 5
+    processes acquiring in a tight loop, every won generation is unique
+    and the sequence has no duplicates — duplicate generations are
+    exactly the failure the r9 lock-break race could admit."""
+    import multiprocessing as mp
+
+    path = str(tmp_path)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(5) as pool:
+        all_gens = pool.map(_lease_acquire_worker, [(path, 15)] * 5)
+    flat = [g for gens in all_gens for g in gens]
+    assert len(flat) > 0
+    assert len(flat) == len(set(flat))  # no duplicate fencing tokens
+
+
+def test_concurrent_maintain_single_writer_convergence(spark, tmp_path):
+    """N concurrent maintain_table invocations over ONE table (r9 verdict
+    #7): the lease admits one writer at a time — contenders either refuse
+    with LeaseHeldError or run serially after the holder releases — and
+    the table's row content is bit-identical afterwards (maintenance
+    never mutates rows), with every file accounted for."""
+    import threading
+
+    from bigquack_spark.operators.maintain import maintain_table
+
+    path = _table(spark, tmp_path, name="chaos_t", n=900)
+    before = _checksum(spark, path)
+    policy = {"target_file_bytes": 1 << 30, "collect_stats_if_missing": True}
+    outcomes = []
+    barrier = threading.Barrier(4)
+
+    def worker():
+        barrier.wait()
+        for _ in range(3):  # retry: serial completion is a valid outcome
+            try:
+                outcomes.append(maintain_table(spark, path, policy))
+                return
+            except LeaseHeldError:
+                time.sleep(0.2)
+        outcomes.append(None)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    done = [o for o in outcomes if o is not None]
+    assert len(done) >= 1  # at least one full pass completed
+    # single-writer invariant: no interleaved writer ever corrupted rows
+    assert _checksum(spark, path) == before
+    # table remains acquirable and maintainable after the stampede
+    maintain_table(spark, path, policy)
+    assert _checksum(spark, path) == before

@@ -2094,3 +2094,26 @@ def test_maintain_table_zorder_from_workload(spark, tmp_path):
     assert rep1["stats"] == "refreshed"
     assert sorted(rep1["compaction"]["cluster_key"]["zorder"]) == ["x", "y"]
     assert rep1["compaction"]["partitions_compacted"] >= 1
+
+
+def test_read_workload_log_long_predicates_keep_full_window(tmp_path):
+    """r9 advice: predicates longer than the per-line byte estimate must
+    not silently shrink the tail window — the seek-back budget grows until
+    max_entries complete lines (or file start) are in hand."""
+    from bigquack_spark.operators.planner import (
+        log_workload_predicate,
+        read_workload_log,
+    )
+
+    path = str(tmp_path / "longlog")
+    # each predicate ~2 KB — 4x the 512-byte per-line budget estimate
+    preds = [
+        f"big_col_{i} IN ({', '.join(str(j) for j in range(400))})"
+        for i in range(30)
+    ]
+    for p in preds:
+        log_workload_predicate(path, p)
+    got = read_workload_log(path, max_entries=20)
+    assert got == preds[-20:]  # all 20, not the ~5 a fixed budget reads
+    # asking for more than exist returns everything, oldest-first
+    assert read_workload_log(path, max_entries=100) == preds
