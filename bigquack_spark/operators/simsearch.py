@@ -240,6 +240,93 @@ def ivf_topk(
         .select("qid", "neighbor_id", "cosine_sim", "rank")
     )
 
+#: 2^20 — a float32 (24-bit mantissa) times 2^20 rounds to the same exact
+#: integer in every engine; squared-distance sums over 64 dims stay < 2^53,
+#: so lattice distances are order-free and bit-deterministic cross-engine
+#: (the queries/clustering.py lattice contract, reused here).
+IVF_LATTICE_SCALE = 1048576.0
+
+
+def ivf_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF ANN with a FROZEN deterministic coarse quantizer: the centroids
+    are the integer-lattice quantizations of the ``n_lists`` lowest-id
+    corpus vectors, so cell assignment needs no training and is
+    bit-deterministic cross-engine — the oracle-paired twin of the TRAINED
+    :func:`ivf_topk` (same probe math, same plan shape, no Lloyd
+    iterations; q144's lattice makes every distance an exact integer sum).
+
+    Plan shape (identical to ivf_topk's): assignment is a literal-centroid
+    zero-shuffle projection over the corpus scan; probe selection explodes
+    |Q| x n_lists bounded rows; candidates are one broadcast-probe join, so
+    per-query cost is corpus/n_lists x n_probes regardless of corpus size.
+    A corpus smaller than ``n_lists`` falls back to exact brute force
+    (nothing to index), mirroring ivf_topk's guard."""
+    e = F.col(vec_col).cast("array<double>")
+    qd = F.transform(
+        e, lambda x: F.floor(x * F.lit(IVF_LATTICE_SCALE) + 0.5)
+    ).cast("array<double>")
+    v = corpus.select(F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd.alias("qd"))
+    seeds = v.orderBy("neighbor_id").limit(n_lists).select("neighbor_id", "qd").collect()
+    if len(seeds) < n_lists:
+        return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    centroids = sorted((int(r["neighbor_id"]), list(r["qd"])) for r in seeds)
+
+    def d2_to(cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("qd"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cells = F.array(*[F.lit(cid).cast("int") for cid, _ in centroids])
+    dists = F.array(*[d2_to(cv) for _, cv in centroids])
+    # corpus assignment: argmin over the literal centroid array; ties break
+    # to the lowest cell id because array_position returns the FIRST minimum
+    assigned = v.select(
+        "neighbor_id",
+        "cv",
+        F.element_at(cells, F.array_position(dists, F.array_min(dists)).cast("int")).alias("cell"),
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), e.alias("qv"), qd.alias("qd"))
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qv.select(
+            "qid", "qv",
+            F.explode(
+                F.zip_with(cells, dists, lambda c, d: F.struct(c.alias("cell"), d.alias("d2")))
+            ).alias("cd"),
+        )
+        .select("qid", "qv", F.col("cd.cell").alias("cell"), F.col("cd.d2").alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .select("qid", "qv", "cell")
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def gemm_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1588,25 +1588,29 @@ def q212_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q214_hll_distinct_rollup",
-    doc=(
-        "Mergeable HLL distinct-user rollup (rows-only: Datasketches "
-        "estimates have no DuckDB twin; merge==direct + <5% error asserted "
-        "in tests/test_ops.py)"
-    ),
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           TRUE AS est_within_5pct,
+           TRUE AS merge_matches_oneshot
+    FROM events
+    GROUP BY event_type
+    """,
 )
 def q214_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type, maintained INCREMENTALLY: per-half
     HLL sketch partials (operators.ivm.distinct_partials) merged with
     hll_union_agg and read with hll_sketch_estimate — the sketch
     completes q212's IVM story for the one aggregate whose raw form is
-    holistic (COUNT DISTINCT cannot merge; its sketch can).  Output
-    carries the exact distinct alongside the estimate and the relative
-    error so the quality is auditable in the result itself.  Rows-only
-    driver check: Datasketches binary estimates are engine-specific; the
-    mergeability theorem (merge(agg(A), agg(B)) == agg(A∪B), < 5% vs
-    exact) is pytest-asserted instead.  At 100 TB: the per-key state is a
-    4 KB sketch regardless of user cardinality, and the daily update
-    touches delta + key-cardinality sketches, never history."""
+    holistic (COUNT DISTINCT cannot merge; its sketch can).  Hash-checked
+    via the q298 tolerance-boolean pattern (r9 verdict #1): Datasketches
+    estimates are engine-specific, so the driver diffs the exact count
+    plus the two quality verdicts the estimate must satisfy — within 5%
+    of exact, and the merged-halves estimate within 1% of the one-shot
+    whole-corpus sketch (the mergeability theorem; the oracle's TRUE
+    literals are the contract).  At 100 TB: the per-key state is a 4 KB
+    sketch regardless of user cardinality, and the daily update touches
+    delta + key-cardinality sketches, never history."""
     from bigquack_spark.operators.ivm import distinct_partials, merge_distinct_partials
 
     e = t(spark, sf_dir, "events", columns=["ts", "event_type", "user_id"]).select(
@@ -1617,20 +1621,25 @@ def q214_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [distinct_partials(h, ["event_type"], "user_id") for h in halves],
         ["event_type"],
     )
-    exact = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("n_distinct_exact")
+    oneshot = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_distinct_exact"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .cast("double")
+        .alias("est_oneshot"),
     )
     return (
-        exact.join(est, "event_type")
+        oneshot.join(est, "event_type")
         .select(
             "event_type",
             "n_distinct_exact",
-            F.col("n_distinct_est").cast("long").alias("n_distinct_est"),
-            F.round(
-                F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
-                / F.col("n_distinct_exact"),
-                6,
-            ).alias("rel_err"),
+            (
+                F.abs(F.col("n_distinct_est").cast("double") - F.col("n_distinct_exact"))
+                <= 0.05 * F.col("n_distinct_exact")
+            ).alias("est_within_5pct"),
+            (
+                F.abs(F.col("n_distinct_est").cast("double") - F.col("est_oneshot"))
+                <= 0.01 * F.col("est_oneshot")
+            ).alias("merge_matches_oneshot"),
         )
     )
 

@@ -57,38 +57,173 @@ def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding")
 
 
+_Q41_PLANES = 4
+_Q41_MULTIPROBE_BITS = 2
+
+
 @query(
     "q41_ann_lsh_topk",
-    doc="LSH-bucketed approximate top-k (Spark-only; recall vs q40 in tests)",
+    oracle=None,  # installed below (shares the seeded-plane SQL with q35)
 )
 def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: sign-LSH buckets + single-bit multiprobe prune the
-    candidate set before ranking.  Seeded-literal hyperplanes are not
-    reproducible in DuckDB SQL -> rows-only driver check; recall@10 vs the
-    brute-force baseline is asserted in tests."""
+    """Scale-path ANN: sign-LSH buckets + 2-bit multiprobe prune the
+    candidate set before ranking.  Hash-checkable (r9 verdict #1): the
+    seeded hyperplanes are portable double literals (the q35/q172
+    precedent), and "probe the bucket plus every <=2-bit flip" is exactly
+    "Hamming(corpus bucket, query bucket) <= 2", which the oracle replays
+    as a popcount over xor of the identical bucket keys.  Recall@10 vs the
+    brute-force baseline is additionally asserted in tests."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.lsh_topk(
         e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
-        num_planes=4, seed=42, dim=64, multiprobe_bits=2,
+        num_planes=_Q41_PLANES, seed=42, dim=64,
+        multiprobe_bits=_Q41_MULTIPROBE_BITS,
     )
+
+
+def _install_q41_oracle() -> None:
+    """q41's DuckDB twin: same plane literals, candidates = Hamming <= 2."""
+    from bigquack_spark.queries import dedup as _dq
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    plane = _dq._q35_plane_sql(_Q41_PLANES, 64, 42)
+    ham = " + ".join(
+        f"((xor(v.bkt, q.qbkt) >> {i}) & 1)" for i in range(_Q41_PLANES)
+    )
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, e, {plane} AS bkt
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id AS qid, e AS qe, bkt AS qbkt FROM v
+      WHERE vec_id < {N_QUERY_VECS}
+    ),
+    sims AS (
+      SELECT q.qid, v.vec_id AS neighbor_id,
+             round(
+               list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+               6
+             ) AS cosine_sim
+      FROM v JOIN q ON {ham} <= {_Q41_MULTIPROBE_BITS}
+      WHERE v.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, neighbor_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+    """
+    spec = QUERIES["q41_ann_lsh_topk"]
+    QUERIES["q41_ann_lsh_topk"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q41_oracle()
+
+
+_Q42_LISTS = 8
+_Q42_PROBES = 2
 
 
 @query(
     "q42_ann_ivf_topk",
-    doc="IVF (KMeans coarse-quantizer) approximate top-k (Spark-only; recall vs q40 in tests)",
+    oracle=None,  # installed below (lattice-centroid SQL)
 )
 def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded MLlib KMeans partitions the corpus into inverted
-    lists; queries probe their 2 nearest cells.  Iterative training has no
-    DuckDB equivalent -> rows-only driver check; recall@10 vs brute force
-    asserted in tests."""
+    """IVF ANN with a FROZEN lattice coarse quantizer: the centroids are
+    the integer-lattice quantizations of the 8 lowest-id vectors (q144's
+    cross-engine-exact lattice), each corpus vector assigns to its nearest
+    cell by exact integer distance, and queries probe their 2 nearest
+    cells.  Hash-checkable (r9 verdict #1): no iterative training, so the
+    oracle replays assignment + probing + ranking verbatim.  The TRAINED
+    quantizer path (seeded MLlib KMeans) lives in operators.simsearch.
+    ivf_topk with recall pinned in tests — same probe math, centroids
+    learned instead of frozen."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return S.ivf_topk(
+    return S.ivf_topk_frozen(
         e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
-        n_lists=8, n_probes=2, seed=42,
+        n_lists=_Q42_LISTS, n_probes=_Q42_PROBES,
     )
+
+
+def _install_q42_oracle() -> None:
+    """q42's DuckDB twin: frozen lattice centroids -> assign -> probe ->
+    rank, every step on exact integers or 6-digit-rounded doubles."""
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    scale = int(S.IVF_LATTICE_SCALE)
+    d2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (v.qd[i] - c.cvec[i]) * (v.qd[i] - c.cvec[i])))"
+    )
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(floor(x * {scale}.0 + 0.5) AS BIGINT) AS DOUBLE)
+             ) AS qd
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INTEGER) AS cell, qd AS cvec FROM v
+      ORDER BY vec_id LIMIT {_Q42_LISTS}
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {d2}, c.cell
+               ) AS rk
+        FROM v CROSS JOIN c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT v.vec_id AS qid, v.e AS qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {d2}, c.cell
+               ) AS rk
+        FROM v CROSS JOIN c
+        WHERE v.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {_Q42_PROBES}
+    ),
+    sims AS (
+      SELECT p.qid, a.vec_id AS neighbor_id,
+             round(
+               list_dot_product(a.e, p.qe)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(p.qe, p.qe))),
+               6
+             ) AS cosine_sim
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid
+    )
+    SELECT qid, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT qid, neighbor_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+    """
+    spec = QUERIES["q42_ann_ivf_topk"]
+    QUERIES["q42_ann_ivf_topk"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_q42_oracle()
 
 
 @query("q75_ann_gemm_topk", oracle=ANN_ORACLE)

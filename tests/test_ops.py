@@ -181,6 +181,26 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, f"recall@10 = {recall}"
 
 
+def test_ivf_topk_frozen_recall_and_fallback(spark):
+    """The frozen-lattice quantizer (q42's hash-checkable twin of the
+    trained IVF) keeps comparable recall@10 — frozen seeds are a valid
+    coarse quantizer, not a degenerate one — and a corpus smaller than
+    n_lists falls back to exact brute force like ivf_topk does."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = e.filter("vec_id < 5")
+    exact = {(r.qid, r.neighbor_id) for r in S.cosine_topk(e, queries, k=10).collect()}
+    approx = {
+        (r.qid, r.neighbor_id)
+        for r in S.ivf_topk_frozen(e, queries, k=10, n_lists=8, n_probes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall@10 = {recall}"
+    tiny = e.filter("vec_id < 4")
+    got = S.ivf_topk_frozen(tiny, tiny, k=2, n_lists=8).collect()
+    brute = S.cosine_topk(tiny, tiny, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+
+
 def test_asof_join_semantics(spark):
     """Planted as-of cases: match-at-equal-ts, latest-before, no-match."""
     from bigquack_spark.operators.joins import asof_join
