@@ -58,6 +58,7 @@ DEFAULT_POLICY = {
     "optimize_layout": False,
     "zorder_cols": None,
     "zorder_from_workload": False,
+    "shred_from_workload": False,
     "retention_predicate": None,
     "snapshot_keep_last": None,
     "snapshot_older_than_s": None,
@@ -192,6 +193,26 @@ def maintain_table(
                     f"{pol['compact_min_small_file_fraction']} or "
                     f"task_reduction {reduction} < "
                     f"{pol['compact_min_task_reduction']}"
+                )
+
+        # 4b. JSON shred advice from the captured workload (r9 verdict #4):
+        # PROPOSAL only — a shred changes the table's schema, so the
+        # autopilot surfaces the ready-to-use dict (pipeline.transfer's
+        # shred= / shred_ingest) instead of rewriting under live readers.
+        if pol["shred_from_workload"]:
+            from bigquack_spark.operators.planner import (
+                recommend_layout_from_log,
+            )
+
+            try:
+                report["shred_advice"] = recommend_layout_from_log(
+                    spark, path
+                ).get("shred")
+            except ValueError:
+                report["shred_advice"] = None
+            if report["shred_advice"] is None:
+                report["skipped"]["shred"] = (
+                    "workload log empty or no JSON-path extraction captured"
                 )
 
         # 5. snapshot expiry

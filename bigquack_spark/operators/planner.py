@@ -338,8 +338,124 @@ def recommend_layout_for_workload(
         "partition_key": part_best[1]["column"] if part_best else None,
         "cluster_key": cluster_best[1] if cluster_best else None,
         "zorder_cols": zorder,
+        "shred": recommend_shred_for_workload(spark, path, predicates, col_types),
         "column_usage": {c: n for c, n in sorted(usage.items()) if n},
         "n_predicates": len(predicates),
+    }
+
+
+# ----------------------------------------------------- JSON shred advice
+
+#: get_json_object(col, '$.field') / json_extract-style references in a
+#: predicate: the signal that queries re-parse a JSON string per run and a
+#: schema-on-write shred (operators.jsonshred) would serve them typed.
+_JSON_PATH_RE = None  # compiled lazily
+
+
+def _json_path_refs(predicate: str) -> list[tuple[str, str]]:
+    """(column, top-level field) pairs a predicate extracts from JSON via
+    ``get_json_object`` / ``json_extract`` / ``json_extract_string``.
+    Regex here is safe — unlike bare column references, the call shape
+    pins both the column identifier and the quoted path."""
+    global _JSON_PATH_RE
+    import re
+
+    if _JSON_PATH_RE is None:
+        _JSON_PATH_RE = re.compile(
+            r"(?:get_json_object|json_extract(?:_string)?)\s*\(\s*`?(\w+)`?\s*,"
+            r"\s*'\$\.([A-Za-z0-9_]+)", re.IGNORECASE,
+        )
+    return [(m.group(1), m.group(2)) for m in _JSON_PATH_RE.finditer(predicate)]
+
+
+_PY_TO_SQL = {bool: "BOOLEAN", int: "BIGINT", float: "DOUBLE", str: "STRING"}
+
+
+def _infer_json_field_types(
+    spark, path: str, col: str, fields: list[str], sample_rows: int = 64
+) -> dict[str, str]:
+    """Field -> SQL type from a BOUNDED sample of the raw JSON column
+    (``sample_rows`` strings collected — metadata-priced, never a scan).
+    Promotion: int+float -> DOUBLE; any other mix (or nested values) ->
+    STRING (JSON semantics keep the raw text).  Fields absent from every
+    sample stay typed STRING — from_json yields NULL for them anyway."""
+    import json as _json
+
+    samples = [
+        r[0]
+        for r in spark.read.parquet(path).select(col).limit(sample_rows).collect()
+        if r[0] is not None
+    ]
+    seen: dict[str, set[type]] = {f: set() for f in fields}
+    for s in samples:
+        try:
+            obj = _json.loads(s)
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for f in fields:
+            v = obj.get(f)
+            if v is not None:
+                seen[f].add(type(v))
+    out = {}
+    for f in fields:
+        types = seen[f]
+        if types <= {int} and types:
+            out[f] = "BIGINT"
+        elif types <= {int, float} and types:
+            out[f] = "DOUBLE"
+        elif types == {bool}:
+            out[f] = "BOOLEAN"
+        elif types == {str}:
+            out[f] = "STRING"
+        else:
+            out[f] = "STRING"  # absent everywhere, or mixed/nested
+    return out
+
+
+def recommend_shred_for_workload(
+    spark, path: str, predicates: list[str], col_types: dict[str, str]
+) -> dict | None:
+    """Schema-on-write shred advice (r9 verdict #4): when the captured
+    workload keeps re-parsing a JSON string column via
+    ``get_json_object``-style calls, propose the ``shred={...}`` dict that
+    :func:`bigquack_spark.pipeline.transfer` / ``shred_ingest`` accept —
+    the measured 15x remedy for per-query JSON parse cost
+    (operators/jsonshred.py) stops being a manual opt-in.
+
+    Picks the most-referenced JSON column; the schema covers every
+    referenced top-level field, ordered by reference count then name,
+    types inferred from a bounded sample.  Returns ``{col, schema,
+    keep_raw, n_json_refs, fields}`` or None when no predicate extracts
+    JSON paths from a string column."""
+    from collections import Counter
+
+    refs = Counter()
+    for pred in predicates:
+        for col, field in _json_path_refs(pred):
+            # only string-typed real columns qualify — a typo'd identifier
+            # or an already-shredded typed column must not trigger advice
+            if col_types.get(col, "").lower() in ("string", "varchar"):
+                refs[(col, field)] += 1
+    if not refs:
+        return None
+    by_col = Counter()
+    for (col, _f), n in refs.items():
+        by_col[col] += n
+    target = by_col.most_common(1)[0][0]
+    fields = sorted(
+        (f for (c, f) in refs if c == target),
+        key=lambda f: (-refs[(target, f)], f),
+    )
+    types = _infer_json_field_types(spark, path, target, fields)
+    schema = ", ".join(f"{f} {types[f]}" for f in fields)
+    return {
+        "col": target,
+        "schema": schema,
+        "keep_raw": False,
+        "n_json_refs": int(by_col[target]),
+        "fields": {f: int(refs[(target, f)]) for f in fields},
     }
 
 

@@ -255,6 +255,7 @@ def ivf_topk_frozen(
     vec_col: str = "embedding",
     n_lists: int = 8,
     n_probes: int = 2,
+    candidate_predicate: str | None = None,
 ) -> DataFrame:
     """IVF ANN with a FROZEN deterministic coarse quantizer: the centroids
     are the integer-lattice quantizations of the ``n_lists`` lowest-id
@@ -262,6 +263,12 @@ def ivf_topk_frozen(
     bit-deterministic cross-engine — the oracle-paired twin of the TRAINED
     :func:`ivf_topk` (same probe math, same plan shape, no Lloyd
     iterations; q144's lattice makes every distance an exact integer sum).
+
+    ``candidate_predicate`` (FILTERED ANN): neighbors are restricted to
+    corpus rows satisfying the attribute predicate, applied at the corpus
+    scan BEFORE assignment/scoring (pre-filtering — the predicate prunes
+    candidates, it never starves top-k).  The quantizer seeds still come
+    from the UNFILTERED corpus: same index, filtered search.
 
     Plan shape (identical to ivf_topk's): assignment is a literal-centroid
     zero-shuffle projection over the corpus scan; probe selection explodes
@@ -289,6 +296,12 @@ def ivf_topk_frozen(
 
     cells = F.array(*[F.lit(cid).cast("int") for cid, _ in centroids])
     dists = F.array(*[d2_to(cv) for _, cv in centroids])
+    if candidate_predicate:
+        # filtered search over the SAME index: the predicate prunes the
+        # candidate scan (pushed to parquet), seeds above stay unfiltered
+        v = corpus.filter(candidate_predicate).select(
+            F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd.alias("qd")
+        )
     # corpus assignment: argmin over the literal centroid array; ties break
     # to the lowest cell id because array_position returns the FIRST minimum
     assigned = v.select(
@@ -443,24 +456,28 @@ def _fit_cells(
     vec_col: str,
     n_lists: int,
     seed: int,
+    metadata_cols: "list[str] | None" = None,
 ) -> "tuple[DataFrame, DataFrame] | None":
     """Fit the IVF coarse quantizer: returns (assigned, centroids) where
-    assigned = (id, vec array<double>, cell int) and centroids =
-    (cell int, centroid array<double>), or None when the corpus has fewer
-    points than cells (no index needed — brute force is exact and cheap).
+    assigned = (id, vec array<double>[, metadata...], cell int) and
+    centroids = (cell int, centroid array<double>), or None when the corpus
+    has fewer points than cells (no index needed — brute force is exact and
+    cheap).  ``metadata_cols`` ride along into the index rows so filtered
+    probes can push attribute predicates into the cell-partitioned scan.
     Seeded MLlib KMeans: deterministic, centroids are n_lists x dim tiny."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     vec = F.col(vec_col).cast("array<double>")
-    c = corpus.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    meta = list(metadata_cols or [])
+    c = corpus.select(F.col(id_col).alias("id"), vec.alias("vec"), *meta)
     featurized = c.withColumn("features", array_to_vector("vec"))
     if len(featurized.take(n_lists)) < n_lists:
         return None
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(featurized)
     assigned = model.transform(featurized).select(
-        "id", "vec", F.col("prediction").cast("int").alias("cell")
+        "id", "vec", *meta, F.col("prediction").cast("int").alias("cell")
     )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
@@ -476,12 +493,18 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 8,
     seed: int = 42,
+    metadata_cols: "list[str] | None" = None,
 ) -> int:
     """Persist an IVF index as a CELL-PARTITIONED parquet layout: the
     storage-side half of ANN serving.  ``{path}/index`` holds
-    (id, vec, cell=) partitioned by cell — a probe that touches n_probes
-    cells READS n_probes directories, nothing else — and
+    (id, vec[, metadata...], cell=) partitioned by cell — a probe that
+    touches n_probes cells READS n_probes directories, nothing else — and
     ``{path}/centroids`` holds the n_lists x dim quantizer table.
+    ``metadata_cols`` (e.g. a label/category/tenant column) are stored in
+    the index rows: a FILTERED probe pushes its attribute predicate into
+    the parquet scan of the probed cells, pruning candidates before any
+    distance math (``probe_ivf_index(predicate=)`` /
+    ``probe_ivf_pq(predicate=)``).
 
     This turns q42's per-query IVF from recompute-every-time into
     write-once/serve-many: at 100 TB the index build is one KMeans fit +
@@ -504,7 +527,8 @@ def build_ivf_index(
     import os
     import shutil
 
-    fitted = _fit_cells(corpus, id_col, vec_col, n_lists, seed)
+    fitted = _fit_cells(corpus, id_col, vec_col, n_lists, seed,
+                        metadata_cols=metadata_cols)
     if fitted is None:
         return 0
     assigned, centroids = fitted
@@ -558,6 +582,7 @@ def probe_ivf_index(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | None = None,
 ) -> DataFrame:
     """Serve ANN queries from a :func:`build_ivf_index` layout.  Per query:
     nearest ``n_probes`` centroids (broadcast of the tiny centroid table),
@@ -565,7 +590,13 @@ def probe_ivf_index(
     Spark's dynamic partition pruning turns that join into cell-directory
     pruning at the scan, so index I/O is bounded by the probed cells, not
     the corpus.  Scoring/ranking matches ivf_topk exactly (round-6 cosine,
-    (cosine desc, id) tie order)."""
+    (cosine desc, id) tie order).
+
+    ``predicate`` (FILTERED ANN) restricts candidates by the metadata
+    columns stored at build time (``build_ivf_index(metadata_cols=)``):
+    the filter sits directly on the index scan, so Catalyst pushes it into
+    the parquet reader of the probed cells — candidates are pruned before
+    any distance math, and top-k ranks only qualifying vectors."""
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
@@ -585,6 +616,8 @@ def probe_ivf_index(
         .select("qid", "qv", "cell")
     )
     index = spark.read.parquet(f"{path}/index")
+    if predicate:
+        index = index.filter(predicate)  # pushed into the probed-cell scan
     sims = (
         index.join(F.broadcast(probes), "cell")
         .filter(F.col("id") != F.col("qid"))
@@ -604,13 +637,17 @@ def probe_ivf_index(
 
 
 def assign_to_cells(vectors: DataFrame, centroids: DataFrame,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    metadata_cols: "list[str] | None" = None) -> DataFrame:
     """Nearest-centroid assignment against a FROZEN quantizer table:
-    (id, vec array<double>, cell int).  The tiny centroid table broadcasts;
-    the argmin is a per-id window over n_lists candidate rows — bounded
-    fan-out, ties broken by cell id (matches MLlib's lowest-index rule)."""
+    (id, vec array<double>[, metadata...], cell int).  The tiny centroid
+    table broadcasts; the argmin is a per-id window over n_lists candidate
+    rows — bounded fan-out, ties broken by cell id (matches MLlib's
+    lowest-index rule)."""
+    meta = list(metadata_cols or [])
     v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"),
+        *meta,
     )
     # loud dimension gate: zip_with pads a short/long vector with NULLs,
     # d2 goes NULL, and NULLS-FIRST ordering would silently dump every
@@ -634,10 +671,10 @@ def assign_to_cells(vectors: DataFrame, centroids: DataFrame,
     w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
     return (
         v.crossJoin(F.broadcast(centroids))
-        .select("id", "vec", "cell", d2.alias("d2"))
+        .select("id", "vec", *meta, "cell", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("id", "vec", "cell")
+        .select("id", "vec", *meta, "cell")
     )
 
 
@@ -665,7 +702,15 @@ def append_to_ivf_index(
 
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
-    assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col)
+    # appended rows must carry the SAME metadata schema the build stored —
+    # otherwise filtered probes would silently never see appended vectors
+    # (their metadata reads back NULL and every predicate fails)
+    meta = [
+        c for c in spark.read.parquet(f"{path}/index").schema.names
+        if c not in ("id", "vec", "cell")
+    ]
+    assigned = assign_to_cells(new_vectors, centroids, id_col, vec_col,
+                               metadata_cols=meta)
     has_pq = os.path.isdir(os.path.join(path, "pq_codebooks"))
     if has_pq:
         # the PQ shortlist (probe_ivf_pq) scans pq_codes, not the index —
@@ -681,7 +726,7 @@ def append_to_ivf_index(
         books = _load_codebooks(spark, path)
         resid = _with_residual(assigned, centroids)
         _encode_pq(resid, books, vec_col="res").select(
-            "id", "codes", "cell"
+            "id", *meta, "codes", "cell"
         ).write.mode("append").partitionBy("cell").parquet(f"{path}/pq_codes")
     obs = Observation("ivf_append")
     observed = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -796,10 +841,14 @@ def rebuild_ivf_index(
     from bigquack_spark.lineage import capture_lineage, write_lineage_manifest
 
     old_root = _resolve_index_root(path)
-    corpus = spark.read.parquet(f"{old_root}/index").select("id", "vec")
+    old_index = spark.read.parquet(f"{old_root}/index")
+    # metadata columns survive the rebuild — dropping them would break
+    # every filtered probe against the new generation
+    meta = [c for c in old_index.schema.names if c not in ("id", "vec", "cell")]
+    corpus = old_index.select("id", "vec", *meta)
     if n_lists is None:
         n_lists = spark.read.parquet(f"{old_root}/centroids").count()
-    fitted = _fit_cells(corpus, "id", "vec", n_lists, seed)
+    fitted = _fit_cells(corpus, "id", "vec", n_lists, seed, metadata_cols=meta)
     if fitted is None:
         raise ValueError(
             f"rebuild_ivf_index: corpus at {path} has fewer than "
@@ -836,7 +885,7 @@ def rebuild_ivf_index(
             "subspace int, code int, centroid array<double>",
         ).write.parquet(f"{gen_dir}/pq_codebooks")
         _encode_pq(resid, books, vec_col="res").select(
-            "id", "codes", "cell"
+            "id", *meta, "codes", "cell"
         ).write.partitionBy("cell").parquet(f"{gen_dir}/pq_codes")
         pq_refit = {"m": m, "k_codes": k_codes}
 
@@ -845,7 +894,7 @@ def rebuild_ivf_index(
         gen_dir,
         output=gen_dir,
         sources=lin["sources"],
-        output_columns=["id", "vec", "cell"],
+        output_columns=["id", "vec", *meta, "cell"],
         rows=n_vectors,
         extra={"operation": "rebuild_ivf_index", "n_lists": n_lists, "seed": seed},
     )
@@ -993,8 +1042,11 @@ def add_pq_to_ivf_index(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{root}/pq_codebooks")
     obs = Observation("pq_encode")
+    # metadata stored at build time rides into pq_codes too, so a filtered
+    # probe prunes candidates at the CODES scan — before any ADC math
+    meta = [c for c in index.columns if c not in ("id", "vec", "cell")]
     encoded = _encode_pq(resid, books, vec_col="res").select(
-        "id", "codes", "cell"
+        "id", *meta, "codes", "cell"
     ).observe(obs, F.count(F.lit(1)).alias("n"))
     encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/pq_codes")
     return {"m": m, "k_codes": k_codes, "n_encoded": int(obs.get["n"])}
@@ -1019,6 +1071,7 @@ def probe_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_recall: float | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture:
 
@@ -1044,7 +1097,14 @@ def probe_ivf_pq(
     ``target_recall=`` resolves ``rerank`` FROM the calibrated curve
     (:func:`calibrate_pq_recall` must have run for this (k, n_probes)) —
     the smallest measured budget meeting the target — instead of the
-    caller guessing; the explicit ``rerank`` value is then ignored."""
+    caller guessing; the explicit ``rerank`` value is then ignored.
+
+    ``predicate`` (FILTERED ANN) restricts candidates by metadata columns
+    stored at build time: the filter sits directly on the pq_codes scan,
+    pushed into the parquet reader of the probed cells, so non-qualifying
+    candidates never enter the ADC stage and the rerank budget is spent
+    entirely on qualifying vectors (pre-filtering, not post-filtering —
+    top-k is never starved by the predicate)."""
     if target_recall is not None:
         rerank = resolve_rerank_budget(
             spark, path, target_recall, k=k, n_probes=n_probes
@@ -1083,6 +1143,8 @@ def probe_ivf_pq(
     probes = probes.drop("centroid")
 
     codes = spark.read.parquet(f"{root}/pq_codes")
+    if predicate:
+        codes = codes.filter(predicate)  # pushed into the codes scan, pre-ADC
     adc = None
     for s in range(m):
         term = F.element_at(

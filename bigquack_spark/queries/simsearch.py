@@ -155,19 +155,20 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_q42_oracle() -> None:
-    """q42's DuckDB twin: frozen lattice centroids -> assign -> probe ->
-    rank, every step on exact integers or 6-digit-rounded doubles."""
-    from bigquack_spark.queries.registry import QUERIES, QuerySpec
-
+def _frozen_ivf_oracle_sql(candidate_pred: str | None = None) -> str:
+    """DuckDB twin of ivf_topk_frozen: frozen lattice centroids -> assign
+    -> probe -> rank, every step on exact integers or 6-digit-rounded
+    doubles.  ``candidate_pred`` replays a filtered-ANN candidate
+    predicate (pruned before assignment, seeds stay unfiltered)."""
     scale = int(S.IVF_LATTICE_SCALE)
     d2 = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (v.qd[i] - c.cvec[i]) * (v.qd[i] - c.cvec[i])))"
     )
-    sql = f"""
+    cand_where = f"WHERE {candidate_pred}" if candidate_pred else ""
+    return f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
              list_transform(
                CAST(embedding AS DOUBLE[]),
                x -> CAST(CAST(floor(x * {scale}.0 + 0.5) AS BIGINT) AS DOUBLE)
@@ -184,7 +185,7 @@ def _install_q42_oracle() -> None:
                row_number() OVER (
                  PARTITION BY v.vec_id ORDER BY {d2}, c.cell
                ) AS rk
-        FROM v CROSS JOIN c
+        FROM (SELECT * FROM v {cand_where}) v CROSS JOIN c
       ) WHERE rk = 1
     ),
     probes AS (
@@ -217,13 +218,57 @@ def _install_q42_oracle() -> None:
     )
     WHERE rk <= {TOP_K}
     """
+
+
+def _install_q42_oracle() -> None:
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
     spec = QUERIES["q42_ann_ivf_topk"]
     QUERIES["q42_ann_ivf_topk"] = QuerySpec(
-        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+        name=spec.name, fn=spec.fn, oracle=_frozen_ivf_oracle_sql(), doc=spec.doc
     )
 
 
 _install_q42_oracle()
+
+
+_Q326_PRED = "label = 1"
+
+
+@query("q326_filtered_ann", oracle=None)  # installed below (shared SQL)
+def q326_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (r9 verdict #5) — the retrieval shape production
+    vector search actually serves: top-k nearest neighbors AMONG rows
+    satisfying an attribute predicate (here ``label = 1``), with the
+    predicate applied as a PRE-filter on the candidate scan — never a
+    post-filter that can starve top-k below k qualifying rows.  Runs
+    through the same frozen-lattice IVF as q42 (same index, filtered
+    search: quantizer seeds stay unfiltered), so the whole thing is
+    hash-checked against the exact SQL replay.  The persisted-index twin
+    is ``probe_ivf_pq(predicate=)`` — metadata columns stored in the
+    cell-partitioned codes, predicate pushed into the parquet scan of the
+    probed cells before any ADC math (plan-asserted in
+    tests/test_plans.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk_frozen(
+        e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        n_lists=_Q42_LISTS, n_probes=_Q42_PROBES,
+        candidate_predicate=_Q326_PRED,
+    )
+
+
+def _install_q326_oracle() -> None:
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["q326_filtered_ann"]
+    QUERIES["q326_filtered_ann"] = QuerySpec(
+        name=spec.name, fn=spec.fn,
+        oracle=_frozen_ivf_oracle_sql(_Q326_PRED), doc=spec.doc,
+    )
+
+
+_install_q326_oracle()
 
 
 @query("q75_ann_gemm_topk", oracle=ANN_ORACLE)

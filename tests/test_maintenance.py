@@ -2117,3 +2117,78 @@ def test_read_workload_log_long_predicates_keep_full_window(tmp_path):
     assert got == preds[-20:]  # all 20, not the ~5 a fixed budget reads
     # asking for more than exist returns everything, oldest-first
     assert read_workload_log(path, max_entries=100) == preds
+
+
+def test_workload_json_refs_drive_shred_advice(spark, tmp_path):
+    """r9 verdict #4 'done' gate: queries that keep extracting JSON paths
+    via get_json_object get the shred proposed FOR them — the advisor
+    emits the ready-to-use shred dict, the landed table serves the same
+    query typed (no JSON parse in the plan), and maintain_table's
+    autopilot surfaces the same advice."""
+    from bigquack_spark.operators.jsonshred import shred_ingest
+    from bigquack_spark.operators.maintain import maintain_table
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import (
+        recommend_layout_from_log,
+        scan_table,
+    )
+
+    path = str(tmp_path / "jlog")
+    spark.range(200).selectExpr(
+        "id",
+        """to_json(named_struct(
+             'k', id % 7, 'tag', concat('t', id % 3), 'score', id / 10.0
+           )) AS props""",
+    ).write.parquet(path)
+    collect_table_stats(spark, path)
+
+    # real query runs: the captured predicates re-parse JSON every time
+    assert scan_table(spark, path, "get_json_object(props, '$.k') = '1'").count() > 0
+    assert scan_table(spark, path, "get_json_object(props, '$.k') = '2'").count() > 0
+    assert scan_table(
+        spark, path, "get_json_object(props, '$.tag') = 't0' AND id > 3"
+    ).count() > 0
+
+    rec = recommend_layout_from_log(spark, path)
+    shred = rec["shred"]
+    assert shred is not None
+    assert shred["col"] == "props" and shred["n_json_refs"] == 3
+    # k referenced twice -> leads the schema; sampled types are right
+    assert shred["schema"].split(", ")[0] == "k BIGINT"
+    assert "tag STRING" in shred["schema"]
+    assert shred["fields"] == {"k": 2, "tag": 1}
+
+    # autopilot surfaces the identical proposal (proposal-only leg)
+    rep = maintain_table(spark, path, {"shred_from_workload": True})
+    assert rep["shred_advice"] == shred
+
+    # the proposal lands: one shred_ingest rewrite, then the same question
+    # is served TYPED — no get_json_object, no JSON parse in the plan
+    dst = str(tmp_path / "jtyped")
+    out = shred_ingest(spark, path, dst, shred["col"], shred["schema"])
+    assert out["n_rows"] == 200 and "k" in out["columns"]
+    typed = spark.read.parquet(dst).filter("k = 1")
+    assert typed.count() == spark.read.parquet(path).filter(
+        "get_json_object(props, '$.k') = '1'"
+    ).count()
+    plan = typed._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(k,1)" in plan  # typed pushdown, parsed once at ingest
+
+
+def test_shred_advice_absent_without_json_refs(spark, tmp_path):
+    """No JSON-path extraction in the log => shred advice is None (and the
+    autopilot leg records the skip) — advice never fires on plain scans."""
+    from bigquack_spark.operators.maintain import maintain_table
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import (
+        recommend_layout_from_log,
+        scan_table,
+    )
+
+    path = str(tmp_path / "nolog")
+    spark.range(100).selectExpr("id", "id % 5 AS k", "'x' AS props").write.parquet(path)
+    collect_table_stats(spark, path)
+    assert scan_table(spark, path, "k = 1").count() == 20
+    assert recommend_layout_from_log(spark, path)["shred"] is None
+    rep = maintain_table(spark, path, {"shred_from_workload": True})
+    assert rep.get("shred_advice") is None and "shred" in rep["skipped"]

@@ -1069,6 +1069,68 @@ def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_filtered_ann_probe_prunes_before_scoring(spark, tmp_path):
+    """FILTERED ANN over the persisted index (r9 verdict #5): metadata
+    stored at build time lets a probe push its attribute predicate into
+    the cell scans.  Contracts: (1) every result satisfies the predicate;
+    (2) with all cells probed and an un-truncating rerank budget, the
+    filtered IVF-PQ probe equals exact filtered brute force (pre-filter,
+    not post-filter — k results survive even where dominant neighbors
+    fail the predicate); (3) the predicate appears as a PushedFilter on
+    BOTH the codes scan (pre-ADC) and the plain index scan."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "fivf")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42,
+                             metadata_cols=["label"]) == 4
+    S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42)
+
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    served = S.probe_ivf_index(spark, path, queries, k=5, n_probes=4,
+                               predicate="label = 1")
+    rows = served.collect()
+    assert rows and all(labels[r.neighbor_id] == 1 for r in rows)
+    # exactness with every cell probed + un-truncating rerank
+    pq = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4,
+                        rerank=10_000, predicate="label = 1")
+    brute = S.cosine_topk(emb.filter("label = 1"), queries, k=5)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, brute.collect()))
+    # the predicate reaches the parquet readers (prunes before ADC/cosine)
+    for df in (served, pq):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)" in plan \
+            or "EqualTo(label,1)" in plan.split("PushedFilters")[1]
+
+
+def test_filtered_ann_metadata_survives_append_and_rebuild(spark, tmp_path):
+    """Metadata must flow through the whole index lifecycle: an appended
+    vector is visible to filtered probes (a metadata-less append would
+    read back NULL and fail every predicate silently), and a generation
+    rebuild carries the metadata columns into the new index + pq_codes."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    first = emb.filter("vec_id >= 100")
+    path = str(tmp_path / "mivf")
+    assert S.build_ivf_index(first, path, n_lists=4, seed=42,
+                             metadata_cols=["label"]) == 4
+    S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42)
+    late = emb.filter("vec_id < 100")
+    assert S.append_to_ivf_index(spark, path, late) == late.count()
+    queries = emb.filter("vec_id < 3")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    want_label = int(next(l for l in labels.values() if l is not None))
+    pred = f"label = {want_label}"
+    got = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4,
+                         rerank=10_000, predicate=pred).collect()
+    assert got and all(labels[r.neighbor_id] == want_label for r in got)
+    appended_ids = {r.vec_id for r in late.collect()}
+    assert any(r.neighbor_id in appended_ids for r in got)  # appends visible
+    # rebuild publishes a new generation that still serves filtered probes
+    S.rebuild_ivf_index(spark, path)
+    after = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4,
+                           rerank=10_000, predicate=pred).collect()
+    assert after and all(labels[r.neighbor_id] == want_label for r in after)
+
+
 def test_ivf_index_small_corpus_refuses(spark, tmp_path):
     """A corpus smaller than n_lists writes nothing (brute force is exact
     there) — the caller contract mirrors ivf_topk's fallback."""
