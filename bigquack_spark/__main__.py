@@ -15,6 +15,17 @@ verbs the long-lived deployment needs.
     python -m bigquack_spark vacuum    PATH
     python -m bigquack_spark stats     PATH [--refresh]
     python -m bigquack_spark advise    PATH
+    python -m bigquack_spark index-build PATH --src-dir DIR [--table T]
+                                       [--n-lists N] [--metadata a,b] [--pq M,K]
+    python -m bigquack_spark index-probe PATH --src-dir DIR --query-ids 0,1
+                                       [--k K] [--n-probes P] [--pq]
+                                       [--predicate SQL] [--rerank N]
+                                       [--target-recall R]
+    python -m bigquack_spark index-calibrate PATH [--k K] [--n-probes P]
+                                       [--budgets a,b] [--sample N]
+    python -m bigquack_spark index-rebuild PATH [--n-lists N]
+    python -m bigquack_spark stream-ingest SRC_DIR TARGET [--checkpoint DIR]
+                                       [--lease]
 
 Every verb prints ONE JSON object on stdout (machine-parseable, the
 reference's structured-logging spirit, bigquack.go:72-75) and exits
@@ -31,6 +42,12 @@ import sys
 
 def _cols(s: str | None) -> list[str] | None:
     return [c.strip() for c in s.split(",") if c.strip()] if s else None
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -89,6 +106,53 @@ def _build_parser() -> argparse.ArgumentParser:
 
     a = sub.add_parser("advise", help="layout advice from the captured workload log")
     a.add_argument("path")
+
+    ib = sub.add_parser("index-build", help="build a persisted IVF(-PQ) ANN index")
+    ib.add_argument("path")
+    ib.add_argument("--src-dir", required=True)
+    ib.add_argument("--table", default="embeddings")
+    ib.add_argument("--id-col", default="vec_id")
+    ib.add_argument("--vec-col", default="embedding")
+    ib.add_argument("--n-lists", type=int, default=8)
+    ib.add_argument("--seed", type=int, default=42)
+    ib.add_argument("--metadata", help="comma-separated metadata columns for filtered probes")
+    ib.add_argument("--pq", help="add PQ artifacts: M,K_CODES (e.g. --pq 8,16)")
+
+    ip = sub.add_parser("index-probe", help="serve ANN queries from a persisted index")
+    ip.add_argument("path")
+    ip.add_argument("--src-dir", required=True)
+    ip.add_argument("--table", default="embeddings")
+    ip.add_argument("--id-col", default="vec_id")
+    ip.add_argument("--vec-col", default="embedding")
+    ip.add_argument("--query-ids", required=True, help="comma-separated ids of the query vectors")
+    ip.add_argument("--k", type=int, default=10)
+    ip.add_argument("--n-probes", type=int, default=2)
+    ip.add_argument("--predicate", help="filtered ANN: metadata predicate pushed into the cell scans")
+    ip.add_argument("--pq", action="store_true", help="two-stage IVF-PQ probe (codes + exact rerank)")
+    ip.add_argument("--rerank", type=int, default=50)
+    ip.add_argument("--target-recall", type=float, help="resolve rerank from the calibrated curve")
+
+    ic = sub.add_parser("index-calibrate", help="measure + store the recall-vs-rerank curve")
+    ic.add_argument("path")
+    ic.add_argument("--k", type=int, default=10)
+    ic.add_argument("--n-probes", type=int, default=2)
+    ic.add_argument("--budgets", help="comma-separated rerank budgets (default k,2k,4k,8k)")
+    ic.add_argument("--sample", type=int, default=32)
+
+    ir = sub.add_parser("index-rebuild", help="refit the quantizer, publish a new generation")
+    ir.add_argument("path")
+    ir.add_argument("--n-lists", type=int)
+    ir.add_argument("--seed", type=int, default=42)
+
+    si = sub.add_parser(
+        "stream-ingest",
+        help="drain a parquet directory stream into a target exactly-once",
+    )
+    si.add_argument("src_dir")
+    si.add_argument("target")
+    si.add_argument("--checkpoint", help="checkpoint dir (default: TARGET/_checkpoint)")
+    si.add_argument("--lease", action="store_true",
+                    help="serialize batch commits with maintenance via the table lease")
     return p
 
 
@@ -192,6 +256,83 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             out = {"cmd": "advise",
                    **recommend_layout_from_log(_spark(), args.path)}
+        elif args.cmd == "index-build":
+            from bigquack_spark.operators.simsearch import (
+                add_pq_to_ivf_index,
+                build_ivf_index,
+            )
+            from bigquack_spark.sources.parquet import load_table
+
+            corpus = load_table(_spark(), args.src_dir, args.table)
+            cells = build_ivf_index(
+                corpus, args.path, id_col=args.id_col, vec_col=args.vec_col,
+                n_lists=args.n_lists, seed=args.seed,
+                metadata_cols=_cols(args.metadata),
+            )
+            out = {"cmd": "index-build", "path": args.path, "cells": cells}
+            if args.pq and cells:
+                m, _, kc = args.pq.partition(",")
+                out["pq"] = add_pq_to_ivf_index(
+                    _spark(), args.path, m=int(m), k_codes=int(kc or 16),
+                    seed=args.seed,
+                )
+        elif args.cmd == "index-probe":
+            from bigquack_spark.operators.simsearch import (
+                probe_ivf_index,
+                probe_ivf_pq,
+            )
+            from bigquack_spark.sources.parquet import load_table
+
+            ids = [int(s) for s in args.query_ids.split(",") if s.strip()]
+            queries = load_table(_spark(), args.src_dir, args.table).filter(
+                _F().col(args.id_col).isin(ids)
+            )
+            common = dict(k=args.k, n_probes=args.n_probes,
+                          id_col=args.id_col, vec_col=args.vec_col,
+                          predicate=args.predicate)
+            if args.pq:
+                df = probe_ivf_pq(_spark(), args.path, queries,
+                                  rerank=args.rerank,
+                                  target_recall=args.target_recall, **common)
+            else:
+                df = probe_ivf_index(_spark(), args.path, queries, **common)
+            rows = [r.asDict() for r in df.collect()]
+            out = {"cmd": "index-probe", "n_rows": len(rows), "rows": rows}
+        elif args.cmd == "index-calibrate":
+            from bigquack_spark.operators.simsearch import calibrate_pq_recall
+
+            budgets = (
+                [int(b) for b in args.budgets.split(",")] if args.budgets else None
+            )
+            curve = calibrate_pq_recall(
+                _spark(), args.path, k=args.k, n_probes=args.n_probes,
+                budgets=budgets, sample=args.sample,
+            )
+            out = {"cmd": "index-calibrate", "curve": curve}
+        elif args.cmd == "index-rebuild":
+            from bigquack_spark.operators.simsearch import rebuild_ivf_index
+
+            out = {"cmd": "index-rebuild",
+                   **rebuild_ivf_index(_spark(), args.path,
+                                       n_lists=args.n_lists, seed=args.seed)}
+        elif args.cmd == "stream-ingest":
+            from bigquack_spark.streaming.sink import ExactlyOnceBatchSink
+
+            sp = _spark()
+            schema = sp.read.parquet(args.src_dir).schema
+            stream = sp.readStream.schema(schema).parquet(args.src_dir)
+            sink = ExactlyOnceBatchSink(args.target, lease_table=args.lease)
+            ckpt = args.checkpoint or f"{args.target}/_checkpoint"
+            (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            n = sp.read.parquet(args.target).count()
+            out = {"cmd": "stream-ingest", "target": args.target,
+                   "rows_total": n, "next_batch_id": sink.next_batch_id}
         else:  # pragma: no cover - argparse enforces the choices
             raise ValueError(args.cmd)
     except Exception as exc:
