@@ -61,8 +61,18 @@ def q21_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch form): hourly buckets with count,
     distinct users, and value sum.  Hour key emitted as a formatted string —
     engine-invariant vs ns/µs timestamp physical types.  The streaming twin
-    (withWatermark + window) lives in bigquack_spark.streaming."""
-    e = t(spark, sf_dir, "events")
+    (withWatermark + window) lives in bigquack_spark.streaming.  Bucketing
+    events by user_id removes the wide first-phase distinct exchange —
+    the bench's headline_bucketed block measures this query over that
+    layout."""
+    return hourly_events_frame(t(spark, sf_dir, "events"))
+
+
+def hourly_events_frame(e: DataFrame) -> DataFrame:
+    """q21's plan over a caller-supplied events frame — reused by the bench
+    to run the SAME headline query over a user_id-bucketed layout (the
+    (hour, user) distinct phase then needs no input exchange) without
+    duplicating the query body."""
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_key")
