@@ -62,9 +62,10 @@ HEADLINE = [
     "q119_key_skew",
 ]
 
-#: Spark-only scale-path variants (no DuckDB oracle exists): timed and
-#: reported under "unpaired_queries" but excluded from the headline total,
-#: which must stay an apples-to-apples comparison.
+#: Scale-path ANN variants: timed and reported under "unpaired_queries" but
+#: excluded from the headline total so the metric's query set stays stable
+#: across rounds.  (Both gained DuckDB oracles in r10 — the name is
+#: historical; the driver hash-checks them like everything else.)
 UNPAIRED = [
     "q41_ann_lsh_topk",
     "q42_ann_ivf_topk",

@@ -1104,7 +1104,11 @@ def probe_ivf_pq(
     pushed into the parquet reader of the probed cells, so non-qualifying
     candidates never enter the ADC stage and the rerank budget is spent
     entirely on qualifying vectors (pre-filtering, not post-filtering —
-    top-k is never starved by the predicate)."""
+    top-k is never starved by the predicate).  Note ``target_recall``'s
+    curve is calibrated UNFILTERED: with a predicate the same budget
+    covers a thinner candidate pool, so the resolved rerank is
+    conservative (recall at least the curve's point) — re-calibrate per
+    predicate family only if the over-read cost matters."""
     if target_recall is not None:
         rerank = resolve_rerank_budget(
             spark, path, target_recall, k=k, n_probes=n_probes
