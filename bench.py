@@ -1493,8 +1493,11 @@ def main() -> None:
         "ratio_trend_1x_10x_100x": ratio_trend,
         "bucketed_headline_100x": (
             {
-                "q68": full["trend_100x"]["headline_bucketed"]["q68_nation_profit"]["ratio_bucketed"],
-                "q21": full["trend_100x"]["headline_bucketed"]["q21_events_hourly"]["ratio_bucketed"],
+                # pair() may return None per query (e.g. a DuckDB median
+                # rounding to 0 at tiny smoke factors) — never crash the
+                # stdout line a full run already earned
+                "q68": ((full["trend_100x"]["headline_bucketed"].get("q68_nation_profit") or {}).get("ratio_bucketed")),
+                "q21": ((full["trend_100x"]["headline_bucketed"].get("q21_events_hourly") or {}).get("ratio_bucketed")),
             }
             if full.get("trend_100x") and full["trend_100x"].get("headline_bucketed")
             else None

@@ -111,37 +111,102 @@ def _write_lease(path: str, rec: dict) -> None:
     os.replace(tmp, _lease_path(path))
 
 
+def _try_flock_nb(fd: int) -> bool:
+    """Non-blocking exclusive flock; False when unavailable or already
+    held.  Advisory only — the O_EXCL create stays the real mutex; the
+    flock is the liveness beacon the break path consults."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX fallback
+        return False
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return True
+    except OSError:
+        return False
+
+
+def _try_break_orphan(lock: str) -> bool:
+    """Break ``lock`` iff it is provably orphaned; True when the caller
+    should immediately retry the O_EXCL create (the path is clear or was
+    cleared by someone), False when a live holder (or fresher lock) owns
+    it and the caller should keep spinning.
+
+    Why mtime alone is not enough (r10 review): contender B observes a
+    stale lock, contender C breaks it and re-creates a FRESH lock, then
+    B's pending rename steals C's fresh lock — double entry.  The break
+    therefore (1) takes a non-blocking exclusive flock on the lock's
+    inode — a LIVE holder keeps its fd flocked for the whole section, so
+    flock success proves the holder died; it also serializes breakers —
+    then (2) re-checks staleness and path identity on THAT flocked inode
+    (fstat vs stat), so a fresh lock re-created at the same path is never
+    touched, and only then (3) renames-and-unlinks.  While the breaker
+    holds the flock, no one else can remove or replace the path (every
+    remover needs the flock; creators need the path absent)."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX: mtime-only break
+        try:
+            if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
+                breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
+                os.rename(lock, breaking)
+                os.remove(breaking)
+                return True
+        except OSError:
+            return True  # vanished: holder released or another breaker won
+        return False
+    try:
+        bfd = os.open(lock, os.O_RDONLY)
+    except OSError:
+        return True  # path already clear
+    try:
+        try:
+            fcntl.flock(bfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return False  # live holder (or a racing breaker) owns the inode
+        st = os.fstat(bfd)
+        if time.time() - st.st_mtime <= _LOCK_BREAK_S:
+            return False  # fresh lock: we opened a newer inode than observed
+        try:
+            if os.stat(lock).st_ino != st.st_ino:
+                return False  # path re-created since our open — not ours
+        except OSError:
+            return True  # path vanished mid-inspection
+        breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
+        os.rename(lock, breaking)
+        os.remove(breaking)
+        return True
+    finally:
+        os.close(bfd)  # releases the breaker's flock
+
+
 @contextmanager
 def _lease_mutex(path: str):
     """The atomic critical section every lease-record mutation runs in:
     ``O_CREAT|O_EXCL`` on ``_LEASE.json.lock`` succeeds for exactly one
     process.  Contenders spin briefly (the section is milliseconds); a
-    lock orphaned by a crash mid-section is broken after
-    ``_LOCK_BREAK_S``."""
+    lock orphaned by a crash mid-section is broken after ``_LOCK_BREAK_S``
+    via the flock-verified protocol in :func:`_try_break_orphan`.  The
+    holder keeps the created fd flocked for the section's duration — the
+    liveness beacon that makes orphan detection exact rather than
+    mtime-guesswork."""
     os.makedirs(path, exist_ok=True)
     lock = _lease_path(path) + ".lock"
     deadline = time.time() + _LOCK_WAIT_S
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            # best-effort: a breaker may hold the flock for microseconds
+            # while inspecting our fresh lock (it will see a fresh mtime
+            # and back off); the section (ms) is far under _LOCK_BREAK_S,
+            # so running unflocked is safe — mtime still protects us.
+            if not _try_flock_nb(fd):
+                time.sleep(0.001)
+                _try_flock_nb(fd)
             break
         except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
-                    # Break the orphan ATOMICALLY: rename first (exactly one
-                    # contender wins the rename; losers get FileNotFoundError
-                    # and retry), then unlink the renamed file.  A direct
-                    # os.remove(lock) here would race: contender B's pending
-                    # remove could delete the fresh lock contender A just
-                    # re-created after ITS remove, admitting both into the
-                    # critical section.
-                    breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
-                    os.rename(lock, breaking)
-                    os.remove(breaking)
-                    continue
-            except OSError:
-                continue  # holder just released/broke it: retry at once
+            if _try_break_orphan(lock):
+                continue
             if time.time() > deadline:
                 raise LeaseHeldError(
                     f"lease mutex on {path!r} is stuck (lock held past "
@@ -154,6 +219,10 @@ def _lease_mutex(path: str):
     finally:
         try:
             os.remove(lock)
+        except OSError:
+            pass
+        try:
+            os.close(fd)  # releases the holder's flock beacon
         except OSError:
             pass
 

@@ -96,6 +96,29 @@ def maintain_table(
         "expiry": None,
         "skipped": {},
     }
+
+    _advice_cache: dict = {}
+
+    def _workload_advice() -> dict | None:
+        """One advisor run shared by the zorder and shred legs (a second
+        end-to-end run would repeat the stats load, every per-predicate
+        analysis probe, and the JSON sample collect).  Refusals —
+        empty log (ValueError) or missing/stale stats (StaleStatsError,
+        a RuntimeError the zorder leg's compaction gate shadows but the
+        shred leg would otherwise crash the whole pass on) — cache as
+        None with the reason."""
+        if "rec" not in _advice_cache:
+            from bigquack_spark.operators.planner import (
+                StaleStatsError,
+                recommend_layout_from_log,
+            )
+
+            try:
+                _advice_cache["rec"] = recommend_layout_from_log(spark, path)
+            except (ValueError, StaleStatsError) as exc:
+                _advice_cache["rec"] = None
+                _advice_cache["why"] = str(exc)
+        return _advice_cache["rec"]
     with table_lease(path, owner="maintain", lease=lease) as held:
         # 1. heal first: planning must see the rolled-forward layout
         report["vacuum"] = vacuum(
@@ -141,16 +164,7 @@ def maintain_table(
                 # what the table's logged queries actually filter on;
                 # an empty log just means nothing captured yet — fall
                 # through to the keyed/plain path, never guess
-                from bigquack_spark.operators.planner import (
-                    recommend_layout_from_log,
-                )
-
-                try:
-                    zcols = recommend_layout_from_log(spark, path).get(
-                        "zorder_cols"
-                    )
-                except ValueError:
-                    zcols = None
+                zcols = (_workload_advice() or {}).get("zorder_cols")
                 if zcols is None:
                     report["skipped"]["zorder"] = (
                         "workload log empty or references < 2 rangeable "
@@ -200,19 +214,11 @@ def maintain_table(
         # autopilot surfaces the ready-to-use dict (pipeline.transfer's
         # shred= / shred_ingest) instead of rewriting under live readers.
         if pol["shred_from_workload"]:
-            from bigquack_spark.operators.planner import (
-                recommend_layout_from_log,
-            )
-
-            try:
-                report["shred_advice"] = recommend_layout_from_log(
-                    spark, path
-                ).get("shred")
-            except ValueError:
-                report["shred_advice"] = None
+            report["shred_advice"] = (_workload_advice() or {}).get("shred")
             if report["shred_advice"] is None:
-                report["skipped"]["shred"] = (
-                    "workload log empty or no JSON-path extraction captured"
+                report["skipped"]["shred"] = _advice_cache.get(
+                    "why",
+                    "workload log captured no JSON-path extraction",
                 )
 
         # 5. snapshot expiry

@@ -368,9 +368,6 @@ def _json_path_refs(predicate: str) -> list[tuple[str, str]]:
     return [(m.group(1), m.group(2)) for m in _JSON_PATH_RE.finditer(predicate)]
 
 
-_PY_TO_SQL = {bool: "BOOLEAN", int: "BIGINT", float: "DOUBLE", str: "STRING"}
-
-
 def _infer_json_field_types(
     spark, path: str, col: str, fields: list[str], sample_rows: int = 64
 ) -> dict[str, str]:
@@ -428,7 +425,10 @@ def recommend_shred_for_workload(
     referenced top-level field, ordered by reference count then name,
     types inferred from a bounded sample.  Returns ``{col, schema,
     keep_raw, n_json_refs, fields}`` or None when no predicate extracts
-    JSON paths from a string column."""
+    JSON paths from a string column.  ``keep_raw`` defaults TRUE: the
+    advice derives from a bounded workload window, so fields the window
+    never referenced must stay recoverable in the retained raw column —
+    dropping it is an explicit operator decision, never advice."""
     from collections import Counter
 
     refs = Counter()
@@ -453,7 +453,7 @@ def recommend_shred_for_workload(
     return {
         "col": target,
         "schema": schema,
-        "keep_raw": False,
+        "keep_raw": True,
         "n_json_refs": int(by_col[target]),
         "fields": {f: int(refs[(target, f)]) for f in fields},
     }

@@ -277,14 +277,36 @@ def ivf_topk_frozen(
     A corpus smaller than ``n_lists`` falls back to exact brute force
     (nothing to index), mirroring ivf_topk's guard."""
     e = F.col(vec_col).cast("array<double>")
-    qd = F.transform(
+    qd_raw = F.transform(
         e, lambda x: F.floor(x * F.lit(IVF_LATTICE_SCALE) + 0.5)
     ).cast("array<double>")
-    v = corpus.select(F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd.alias("qd"))
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd_raw.alias("qd")
+    )
     seeds = v.orderBy("neighbor_id").limit(n_lists).select("neighbor_id", "qd").collect()
     if len(seeds) < n_lists:
-        return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        # fallback keeps the FILTERED-search contract: brute force over the
+        # qualifying rows only (review r10: dropping the predicate here
+        # silently returned non-qualifying neighbors on tiny corpora)
+        cand = corpus.filter(candidate_predicate) if candidate_predicate else corpus
+        return cosine_topk(cand, queries, k=k, id_col=id_col, vec_col=vec_col)
     centroids = sorted((int(r["neighbor_id"]), list(r["qd"])) for r in seeds)
+    dim = len(centroids[0][1])
+    # loud in-plan dimension gate (assign_to_cells' failure mode, priced at
+    # zero extra passes): a mis-dimensioned vector would fold to NULL
+    # distances and silently vanish from (or mis-probe) the candidate join
+    qd = F.when(F.size(e) == dim, qd_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ivf_topk_frozen: vector dimension "), F.size(e).cast("string"),
+                F.lit(f" != quantizer dimension {dim} — rebuild for the new "
+                      "embedding space"),
+            )
+        ).cast("array<double>")
+    )
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd.alias("qd")
+    )
 
     def d2_to(cvec: list[float]) -> Column:
         lit = F.array(*[F.lit(float(x)) for x in cvec])
@@ -302,6 +324,9 @@ def ivf_topk_frozen(
         v = corpus.filter(candidate_predicate).select(
             F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd.alias("qd")
         )
+    qv_frame = queries.select(
+        F.col(id_col).alias("qid"), e.alias("qv"), qd.alias("qd")
+    )
     # corpus assignment: argmin over the literal centroid array; ties break
     # to the lowest cell id because array_position returns the FIRST minimum
     assigned = v.select(
@@ -309,7 +334,7 @@ def ivf_topk_frozen(
         "cv",
         F.element_at(cells, F.array_position(dists, F.array_min(dists)).cast("int")).alias("cell"),
     )
-    qv = queries.select(F.col(id_col).alias("qid"), e.alias("qv"), qd.alias("qd"))
+    qv = qv_frame
     wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         qv.select(

@@ -2157,6 +2157,10 @@ def test_workload_json_refs_drive_shred_advice(spark, tmp_path):
     assert shred["schema"].split(", ")[0] == "k BIGINT"
     assert "tag STRING" in shred["schema"]
     assert shred["fields"] == {"k": 2, "tag": 1}
+    # advice from a bounded workload window must keep the raw column:
+    # 'score' exists in the JSON but the log never referenced it — only a
+    # keep_raw shred leaves it recoverable (r10 review)
+    assert shred["keep_raw"] is True
 
     # autopilot surfaces the identical proposal (proposal-only leg)
     rep = maintain_table(spark, path, {"shred_from_workload": True})
@@ -2165,8 +2169,10 @@ def test_workload_json_refs_drive_shred_advice(spark, tmp_path):
     # the proposal lands: one shred_ingest rewrite, then the same question
     # is served TYPED — no get_json_object, no JSON parse in the plan
     dst = str(tmp_path / "jtyped")
-    out = shred_ingest(spark, path, dst, shred["col"], shred["schema"])
+    out = shred_ingest(spark, path, dst, shred["col"], shred["schema"],
+                       keep_raw=shred["keep_raw"])
     assert out["n_rows"] == 200 and "k" in out["columns"]
+    assert "props" in out["columns"]  # unreferenced 'score' stays recoverable
     typed = spark.read.parquet(dst).filter("k = 1")
     assert typed.count() == spark.read.parquet(path).filter(
         "get_json_object(props, '$.k') = '1'"
@@ -2192,3 +2198,22 @@ def test_shred_advice_absent_without_json_refs(spark, tmp_path):
     assert recommend_layout_from_log(spark, path)["shred"] is None
     rep = maintain_table(spark, path, {"shred_from_workload": True})
     assert rep.get("shred_advice") is None and "shred" in rep["skipped"]
+
+
+def test_shred_advice_leg_survives_missing_stats(spark, tmp_path):
+    """r10 review: recommend_layout_from_log raises StaleStatsError (a
+    RuntimeError) when stats are missing — the shred leg must record the
+    skip, not crash the whole maintenance pass mid-way."""
+    from bigquack_spark.operators.maintain import maintain_table
+    from bigquack_spark.operators.planner import log_workload_predicate
+
+    path = str(tmp_path / "nostats")
+    spark.range(50).selectExpr("id", "'{}' AS props").write.parquet(path)
+    log_workload_predicate(path, "get_json_object(props, '$.k') = '1'")
+    rep = maintain_table(
+        spark, path,
+        {"shred_from_workload": True, "collect_stats_if_missing": False},
+    )
+    assert rep.get("shred_advice") is None
+    assert "stats" in rep["skipped"]["shred"].lower()
+    assert "expiry" in rep["skipped"]  # the pass ran to completion

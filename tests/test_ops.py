@@ -2217,3 +2217,28 @@ def test_pq_recall_curve_freshness_gate(spark, tmp_path):
     # recalibration rebinds the curve to the grown corpus
     S.calibrate_pq_recall(spark, path, k=5, n_probes=2, budgets=[5, 500], sample=8)
     assert S.resolve_rerank_budget(spark, path, 1.0, k=5, n_probes=2) == 500
+
+
+def test_ivf_topk_frozen_filtered_fallback_and_dim_gate(spark):
+    """r10 review regressions: (1) the small-corpus brute-force fallback
+    must HONOR candidate_predicate (dropping it silently returned
+    non-qualifying neighbors); (2) a mis-dimensioned vector must fail
+    loudly in-plan instead of folding to NULL distances and silently
+    vanishing from the candidate join."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    tiny = emb.filter("vec_id < 10")
+    labels = {r.vec_id: r.label for r in tiny.collect()}
+    rows = S.ivf_topk_frozen(
+        tiny, queries, k=3, n_lists=20, candidate_predicate="label = 1"
+    ).collect()
+    assert rows and all(labels[r.neighbor_id] == 1 for r in rows)
+
+    bad = emb.limit(2).selectExpr(
+        "vec_id + 1000000 AS vec_id", "slice(embedding, 1, 8) AS embedding",
+        "label",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="quantizer dimension"):
+        S.ivf_topk_frozen(emb.unionByName(bad), queries, k=3).count()
