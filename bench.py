@@ -337,10 +337,23 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
         q21b = hourly_events_frame(spark.table("bench_hb_events"))
         p68 = q68b._jdf.queryExecution().executedPlan().toString()
         p21 = q21b._jdf.queryExecution().executedPlan().toString()
+        # with the join/distinct input exchanges gone, the ONLY exchange
+        # left is the small final aggregate — 8 reduce tasks beat the tier
+        # default 32 (q68 1.79 -> 1.45 s, q21 1.20 -> 1.11 s, median of 7
+        # uncontended; 4 re-measured worse for q68+q21 both) — the same
+        # size-to-data coalescing AQE would do, pinned and recorded
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t68 = _timed_noop(q68b, runs=9)
+            t21 = _timed_noop(q21b, runs=9)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return {
             "bucketed_write_sec": write_s,
-            "q68_bucketed_sec": _timed_noop(q68b, runs=9),
-            "q21_bucketed_sec": _timed_noop(q21b, runs=9),
+            "q68_bucketed_sec": t68,
+            "q21_bucketed_sec": t21,
+            "agg_shuffle_partitions": 8,
             "q68_join_input_exchange_free": (
                 "Exchange hashpartitioning(l_orderkey" not in p68
                 and "Exchange hashpartitioning(o_orderkey" not in p68
