@@ -1067,6 +1067,8 @@ def _ab_record(total: float) -> dict | None:
         prev_total = float(prev)
     except ValueError:
         return None
+    if prev_total <= 0:
+        return None  # a scripting bug must not crash a finished run
     return {
         "prev_total_sec": prev_total,
         "this_total_sec": total,

@@ -126,6 +126,21 @@ def _try_flock_nb(fd: int) -> bool:
         return False
 
 
+def _mtime_only_break(lock: str) -> bool:
+    """Rename-then-unlink break gated on mtime alone — the fallback for
+    environments without flock (non-POSIX, or flock-less mounts).  Carries
+    the documented narrower race window the flock protocol closes."""
+    try:
+        if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
+            breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
+            os.rename(lock, breaking)
+            os.remove(breaking)
+            return True
+    except OSError:
+        return True  # vanished: holder released or another breaker won
+    return False
+
+
 def _try_break_orphan(lock: str) -> bool:
     """Break ``lock`` iff it is provably orphaned; True when the caller
     should immediately retry the O_EXCL create (the path is clear or was
@@ -146,15 +161,7 @@ def _try_break_orphan(lock: str) -> bool:
     try:
         import fcntl
     except ImportError:  # pragma: no cover - non-POSIX: mtime-only break
-        try:
-            if time.time() - os.path.getmtime(lock) > _LOCK_BREAK_S:
-                breaking = f"{lock}.{uuid.uuid4().hex}.breaking"
-                os.rename(lock, breaking)
-                os.remove(breaking)
-                return True
-        except OSError:
-            return True  # vanished: holder released or another breaker won
-        return False
+        return _mtime_only_break(lock)
     try:
         bfd = os.open(lock, os.O_RDONLY)
     except OSError:
@@ -162,7 +169,15 @@ def _try_break_orphan(lock: str) -> bool:
     try:
         try:
             fcntl.flock(bfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
+        except OSError as exc:
+            import errno
+
+            if exc.errno in (errno.ENOLCK, errno.EOPNOTSUPP, errno.ENOSYS):
+                # filesystem without flock support (NFS nolock, some
+                # SMB/overlay mounts): liveness proof unavailable — fall
+                # back to the mtime-only break rather than wedging the
+                # table forever (r10 review pass 2)
+                return _mtime_only_break(lock)
             return False  # live holder (or a racing breaker) owns the inode
         st = os.fstat(bfd)
         if time.time() - st.st_mtime <= _LOCK_BREAK_S:
@@ -217,14 +232,24 @@ def _lease_mutex(path: str):
     try:
         yield
     finally:
+        # POSIX order: remove WHILE the fd is still flocked (deleting an
+        # open file is fine there), so no breaker can touch the path in
+        # the gap; Windows cannot delete an open file, so retry the
+        # remove after the close for that platform.
+        removed = True
         try:
             os.remove(lock)
         except OSError:
-            pass
+            removed = False
         try:
             os.close(fd)  # releases the holder's flock beacon
         except OSError:
             pass
+        if not removed:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
 
 class TableLease:

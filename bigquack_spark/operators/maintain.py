@@ -166,9 +166,9 @@ def maintain_table(
                 # through to the keyed/plain path, never guess
                 zcols = (_workload_advice() or {}).get("zorder_cols")
                 if zcols is None:
-                    report["skipped"]["zorder"] = (
-                        "workload log empty or references < 2 rangeable "
-                        "columns"
+                    report["skipped"]["zorder"] = _advice_cache.get(
+                        "why",
+                        "workload references < 2 rangeable columns",
                     )
             roi = estimate_compaction_roi(
                 path, target_file_bytes=pol["target_file_bytes"]

@@ -369,13 +369,20 @@ def _json_path_refs(predicate: str) -> list[tuple[str, str]]:
 
 
 def _infer_json_field_types(
-    spark, path: str, col: str, fields: list[str], sample_rows: int = 64
+    spark, path: str, col: str, fields: list[str], sample_rows: int = 256
 ) -> dict[str, str]:
     """Field -> SQL type from a BOUNDED sample of the raw JSON column
     (``sample_rows`` strings collected — metadata-priced, never a scan).
     Promotion: int+float -> DOUBLE; any other mix (or nested values) ->
     STRING (JSON semantics keep the raw text).  Fields absent from every
-    sample stay typed STRING — from_json yields NULL for them anyway."""
+    sample stay typed STRING — from_json yields NULL for them anyway.
+
+    Known limit: the sample reads the table head, so a type that only
+    drifts later (ints early, floats beyond the window) infers too
+    narrow and from_json NULLs those values in the typed column.  This
+    is why the advice ships ``keep_raw=True`` — the raw column stays the
+    ground truth; re-run the advisor (or widen the schema by hand) when
+    a typed column's null-rate audit disagrees with the raw parse."""
     import json as _json
 
     samples = [

@@ -274,8 +274,9 @@ def ivf_topk_frozen(
     zero-shuffle projection over the corpus scan; probe selection explodes
     |Q| x n_lists bounded rows; candidates are one broadcast-probe join, so
     per-query cost is corpus/n_lists x n_probes regardless of corpus size.
-    A corpus smaller than ``n_lists`` falls back to exact brute force
-    (nothing to index), mirroring ivf_topk's guard."""
+    A corpus smaller than ``n_lists`` simply yields fewer cells (the SQL
+    oracle replays the same reduced quantizer); only an EMPTY corpus falls
+    back to brute force (nothing to index or rank)."""
     e = F.col(vec_col).cast("array<double>")
     qd_raw = F.transform(
         e, lambda x: F.floor(x * F.lit(IVF_LATTICE_SCALE) + 0.5)
@@ -284,12 +285,16 @@ def ivf_topk_frozen(
         F.col(id_col).alias("neighbor_id"), e.alias("cv"), qd_raw.alias("qd")
     )
     seeds = v.orderBy("neighbor_id").limit(n_lists).select("neighbor_id", "qd").collect()
-    if len(seeds) < n_lists:
-        # fallback keeps the FILTERED-search contract: brute force over the
-        # qualifying rows only (review r10: dropping the predicate here
-        # silently returned non-qualifying neighbors on tiny corpora)
+    if not seeds:
+        # an empty corpus has nothing to index OR rank: exact brute force
+        # (over the qualifying rows — the filtered-search contract holds)
         cand = corpus.filter(candidate_predicate) if candidate_predicate else corpus
         return cosine_topk(cand, queries, k=k, id_col=id_col, vec_col=vec_col)
+    # a corpus smaller than n_lists simply yields fewer cells — the lattice
+    # path still runs, which keeps Spark and the SQL oracle replaying the
+    # IDENTICAL probe math at every corpus size (r10 review pass 2: a
+    # brute-force fallback here diverged from the oracle's probe-limited
+    # candidates for 1..n_lists-1 rows)
     centroids = sorted((int(r["neighbor_id"]), list(r["qd"])) for r in seeds)
     dim = len(centroids[0][1])
     # loud in-plan dimension gate (assign_to_cells' failure mode, priced at

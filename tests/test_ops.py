@@ -195,10 +195,15 @@ def test_ivf_topk_frozen_recall_and_fallback(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall@10 = {recall}"
+    # a corpus smaller than n_lists yields fewer cells, same probe math as
+    # the oracle; probing every cell degenerates to exact brute force
     tiny = e.filter("vec_id < 4")
-    got = S.ivf_topk_frozen(tiny, tiny, k=2, n_lists=8).collect()
+    got = S.ivf_topk_frozen(tiny, tiny, k=2, n_lists=8, n_probes=8).collect()
     brute = S.cosine_topk(tiny, tiny, k=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+    # empty corpus: nothing to index or rank — empty result, no crash
+    empty = e.filter("vec_id < 0")
+    assert S.ivf_topk_frozen(empty, tiny, k=2).count() == 0
 
 
 def test_asof_join_semantics(spark):
@@ -2230,7 +2235,8 @@ def test_ivf_topk_frozen_filtered_fallback_and_dim_gate(spark):
     tiny = emb.filter("vec_id < 10")
     labels = {r.vec_id: r.label for r in tiny.collect()}
     rows = S.ivf_topk_frozen(
-        tiny, queries, k=3, n_lists=20, candidate_predicate="label = 1"
+        tiny, queries, k=3, n_lists=20, n_probes=10,
+        candidate_predicate="label = 1",
     ).collect()
     assert rows and all(labels[r.neighbor_id] == 1 for r in rows)
 
