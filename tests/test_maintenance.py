@@ -2074,7 +2074,10 @@ def test_maintain_table_zorder_from_workload(spark, tmp_path):
         spark, path,
         {"target_file_bytes": 60_000, "zorder_from_workload": True},
     )
-    assert "workload log empty" in rep0["skipped"]["zorder"]
+    # the skip reason is the advisor's own refusal message (r10: it now
+    # surfaces verbatim so a stats refusal is distinguishable from an
+    # empty log)
+    assert "no workload log" in rep0["skipped"]["zorder"]
     assert "cluster_key" not in rep0["compaction"]  # plain bin-pack ran
 
     # fragment again, capture a two-column workload, re-run (bigger
