@@ -212,6 +212,27 @@ def _scaled_copy(src_dir: str, factor: int, tables: set[str] | None = None) -> s
         return None
 
 
+def _drop_bench_table(spark, tbl: str) -> None:
+    """DROP + clear the warehouse location: a table dir orphaned by a
+    previous session (whose in-memory catalog died with it) is invisible
+    to DROP TABLE IF EXISTS, and the next saveAsTable fails with
+    LOCATION_ALREADY_EXISTS — which the block's except then swallows into
+    a silent None (bit this run r10)."""
+    import shutil
+
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    except Exception:
+        pass
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(wh.removeprefix("file:"), tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    except Exception:
+        pass
+
+
 def _bucket_block(spark, scaled_dir: str) -> dict | None:
     """Quantify the pay-the-shuffle-once layout: the orders x lineitem join
     timed against plain parquet (both sides shuffle) vs pre-bucketed tables
@@ -225,7 +246,7 @@ def _bucket_block(spark, scaled_dir: str) -> dict | None:
         from bigquack_spark.sinks.partitioned import save_bucketed
 
         for tbl in ("bench_b_orders", "bench_b_lineitem"):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _drop_bench_table(spark, tbl)
         orders = spark.read.parquet(os.path.join(scaled_dir, "orders.parquet"))
         lineitem = spark.read.parquet(os.path.join(scaled_dir, "lineitem.parquet"))
         # the block models the 100 TB join where NEITHER side broadcasts —
@@ -310,7 +331,7 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
         from bigquack_spark.sinks.partitioned import save_bucketed
 
         for tbl in tables:
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _drop_bench_table(spark, tbl)
         orders = spark.read.parquet(os.path.join(trend_dir, "orders.parquet"))
         lineitem = spark.read.parquet(os.path.join(trend_dir, "lineitem.parquet"))
         events = spark.read.parquet(os.path.join(trend_dir, "events.parquet"))
@@ -481,7 +502,7 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
         from bigquack_spark.queries.events import SESSION_GAP_US
 
         table = "bench_events_shredded"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _drop_bench_table(spark, table)
         t0 = time.monotonic()
         transfer(
             spark, trend_dir, "events", table,
@@ -1107,6 +1128,7 @@ def _assemble_headline_bucketed(block: dict | None, tr_spark: dict,
             "bucketed_write_sec is the once-per-layout amortized cost"
         ),
         "bucketed_write_sec": block["bucketed_write_sec"],
+        "agg_shuffle_partitions": block.get("agg_shuffle_partitions"),
         "q68_join_input_exchange_free": block["q68_join_input_exchange_free"],
         "q68_exchanges": block["q68_exchanges"],
         "q21_exchanges": block["q21_exchanges"],
