@@ -1281,3 +1281,86 @@ def q288_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(imb, 6).alias("imbalance"),
         (imb > 3.0).alias("needs_rebalance"),
     )
+
+
+@query("q328_filtered_ann_coverage", oracle=None)  # installed below
+def q328_filtered_ann_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN coverage audit — the acceptance question a predicate
+    filter raises in production: per query, how much of the UNFILTERED
+    top-k survives the predicate, and does the filtered probe still fill
+    k slots from qualifying vectors?  Composes the q42 (unfiltered) and
+    q326 (label = 1 pre-filtered) frozen-lattice probes through one
+    full-outer join on (qid, neighbor) and reports n_unfiltered /
+    n_filtered / n_overlap / survivor_share.  A POST-filtered system
+    would show n_filtered == n_overlap (it can only ever return the
+    unfiltered list's survivors); pre-filtering backfills the freed slots
+    with qualifying neighbors, which this audit makes visible as
+    n_filtered > n_overlap.  Cost: two bounded probe plans over the same
+    corpus scan shape + one k-bounded join — rows are |Q| x k at any
+    corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    kw = dict(k=TOP_K, id_col="vec_id", vec_col="embedding",
+              n_lists=_Q42_LISTS, n_probes=_Q42_PROBES)
+    u = S.ivf_topk_frozen(e, queries, **kw).select(
+        F.col("qid").alias("uq"), F.col("neighbor_id").alias("un"))
+    f = S.ivf_topk_frozen(e, queries, candidate_predicate=_Q326_PRED, **kw).select(
+        F.col("qid").alias("fq"), F.col("neighbor_id").alias("fn"))
+    joined = u.join(
+        f, (u.uq == f.fq) & (u.un == f.fn), "full_outer"
+    ).select(
+        F.coalesce("uq", "fq").alias("qid"), "un", "fn",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count("un").cast("long").alias("n_unfiltered"),
+            F.count("fn").cast("long").alias("n_filtered"),
+            F.sum(
+                F.when(F.col("un").isNotNull() & F.col("fn").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "qid", "n_unfiltered", "n_filtered", "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.nullif(F.col("n_unfiltered").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("survivor_share"),
+        )
+    )
+
+
+def _install_q328_oracle() -> None:
+    from bigquack_spark.queries.registry import QUERIES, QuerySpec
+
+    sql = f"""
+    WITH u AS (
+      SELECT qid, neighbor_id FROM ({_frozen_ivf_oracle_sql()})
+    ),
+    f AS (
+      SELECT qid, neighbor_id FROM ({_frozen_ivf_oracle_sql(_Q326_PRED)})
+    )
+    SELECT COALESCE(u.qid, f.qid) AS qid,
+           CAST(count(u.neighbor_id) AS BIGINT) AS n_unfiltered,
+           CAST(count(f.neighbor_id) AS BIGINT) AS n_filtered,
+           CAST(sum(CASE WHEN u.neighbor_id IS NOT NULL
+                          AND f.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           round(
+             CAST(sum(CASE WHEN u.neighbor_id IS NOT NULL
+                            AND f.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(CAST(count(u.neighbor_id) AS DOUBLE), 0.0),
+             6
+           ) AS survivor_share
+    FROM u FULL JOIN f
+      ON u.qid = f.qid AND u.neighbor_id = f.neighbor_id
+    GROUP BY COALESCE(u.qid, f.qid)
+    """
+    spec = QUERIES["q328_filtered_ann_coverage"]
+    QUERIES["q328_filtered_ann_coverage"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc,
+    )
+
+
+_install_q328_oracle()
