@@ -2213,44 +2213,61 @@ def q274_interarrival_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(kt) AS BIGINT) AS n_present,
              CAST(sum(CASE WHEN regexp_full_match(kt, '-?[0-9]+')
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
-             CAST(sum(CASE WHEN regexp_full_match(kt, '-?[0-9]+\\.[0-9]+')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_float
+             CAST(sum(CASE WHEN regexp_full_match(kt,
+                    '-?[0-9]+(\\.[0-9]+([eE][+-]?[0-9]+)?|[eE][+-]?[0-9]+)')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+             CAST(sum(CASE WHEN kt IN ('true', 'false')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
       FROM x GROUP BY event_type
     )
     SELECT event_type, n_events, n_present, n_int, n_float,
            CASE WHEN n_present = 0 THEN 'STRING'
                 WHEN n_int = n_present THEN 'BIGINT'
                 WHEN n_int + n_float = n_present THEN 'DOUBLE'
+                WHEN n_bool = n_present THEN 'BOOLEAN'
                 ELSE 'STRING' END AS inferred_type
     FROM c
     """,
 )
 def q327_shred_inference_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable twin of the shred advisor's type inference
+    """Driver-checkable audit of the shred advisor's type promotion
     (planner.recommend_shred_for_workload / _infer_json_field_types): per
     event type, classify the extracted ``$.k`` texts into lexical type
-    classes and emit the promotion verdict the advisor would make —
-    all-int -> BIGINT, numeric mix -> DOUBLE, anything else (or absent
-    everywhere) -> STRING.  Both engines extract the field as TEXT and
-    apply identical anchored regexes, so the classification is
-    bit-deterministic.  One scan, one map-side-combined aggregate — the
-    same shape at any corpus size (the advisor itself reads a bounded
-    sample; this is its exhaustive audit query, the thing you run when a
-    typed column's null rate disputes the inferred schema)."""
+    classes and emit the promotion verdict — all-int -> BIGINT, numeric
+    mix (incl. exponent notation) -> DOUBLE, all-boolean -> BOOLEAN,
+    anything else (or absent everywhere) -> STRING.  Both engines extract
+    the field as TEXT and apply identical fully-anchored regexes (Spark
+    ``\\A..\\z`` == DuckDB ``regexp_full_match`` — plain ``$`` would
+    accept a trailing newline on the Java side only), so the
+    classification is bit-deterministic.  Known delta vs the advisor's
+    json.loads-based inference: extraction strips string quotes in BOTH
+    engines, so a quoted numeric ({"k": "12"}) is indistinguishable from
+    a number here — the advisor sees it as STRING; on such fields this
+    audit reports the post-extraction lexical truth, which is the side
+    that matters for a typed column serving extraction-shaped queries.
+    One scan, one map-side-combined aggregate — the same shape at any
+    corpus size (the advisor reads a bounded sample; this is the
+    exhaustive pass you run when a typed column's null rate disputes the
+    inferred schema)."""
     e = t(spark, sf_dir, "events", columns=["event_type", "props"])
     kt = F.get_json_object("props", "$.k")
-    is_int = F.col("kt").rlike(r"^-?[0-9]+$")
-    is_float = F.col("kt").rlike(r"^-?[0-9]+\.[0-9]+$")
+    is_int = F.col("kt").rlike(r"\A-?[0-9]+\z")
+    is_float = F.col("kt").rlike(
+        r"\A-?[0-9]+(\.[0-9]+([eE][+-]?[0-9]+)?|[eE][+-]?[0-9]+)\z"
+    )
+    is_bool = F.col("kt").isin("true", "false")
     c = e.select("event_type", kt.alias("kt")).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count("kt").cast("long").alias("n_present"),
         F.sum(F.when(is_int, 1).otherwise(0)).cast("long").alias("n_int"),
         F.sum(F.when(is_float, 1).otherwise(0)).cast("long").alias("n_float"),
+        F.sum(F.when(is_bool, 1).otherwise(0)).cast("long").alias("n_bool"),
     )
     verdict = (
         F.when(F.col("n_present") == 0, F.lit("STRING"))
         .when(F.col("n_int") == F.col("n_present"), F.lit("BIGINT"))
         .when(F.col("n_int") + F.col("n_float") == F.col("n_present"), F.lit("DOUBLE"))
+        .when(F.col("n_bool") == F.col("n_present"), F.lit("BOOLEAN"))
         .otherwise(F.lit("STRING"))
     )
     return c.select(
