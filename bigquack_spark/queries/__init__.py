@@ -43,18 +43,22 @@ from bigquack_spark.queries import relational  # noqa: E402,F401
 # never been driver-checked, with no manual reorder.
 
 
-def _driver_rounds_from_disk() -> dict[str, int]:
-    """name -> LATEST round with a green driver row, read from every
-    CORRECTNESS_r*.json at import time.  The round number drives staleness
-    ordering: with zero never-checked debt (achieved r6), each round's
-    window re-verifies the names whose last driver row is oldest."""
+def _driver_rounds_from_disk() -> tuple[dict[str, int], dict[str, int]]:
+    """(hash_rounds, rowsonly_rounds): name -> LATEST round with that kind of
+    green driver row, read from every CORRECTNESS_r*.json at import time.
+    The two kinds are kept apart because a rows-only ``no_oracle`` row only
+    retires a name that is rows-only BY DESIGN: a name that has an oracle
+    registered today but whose best driver row is ``no_oracle`` (its oracle
+    landed after the driver last saw it — q41/q42/q214 after round 10) must
+    re-enter the debt window until a hash-green row exists (r10 verdict #1)."""
     import glob
     import json
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    rounds: dict[str, int] = {}
+    hash_rounds: dict[str, int] = {}
+    rowsonly_rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnum = int(m.group(1)) if m else 0
@@ -62,14 +66,15 @@ def _driver_rounds_from_disk() -> dict[str, int]:
             with open(path) as fh:
                 rows = json.load(fh)
             for name, row in rows.items():
-                if isinstance(row, dict) and (
-                    row.get("hash_match") is True
-                    or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-                ):
-                    rounds[name] = max(rounds.get(name, 0), rnum)
+                if not isinstance(row, dict):
+                    continue
+                if row.get("hash_match") is True:
+                    hash_rounds[name] = max(hash_rounds.get(name, 0), rnum)
+                elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                    rowsonly_rounds[name] = max(rowsonly_rounds.get(name, 0), rnum)
         except (OSError, ValueError):
             continue  # a malformed record must never break the import
-    return rounds
+    return hash_rounds, rowsonly_rounds
 
 #: Names with green driver rows in CORRECTNESS_r01.json / r02 — they go to
 #: the BACK of the window so never-checked families get their turn.
@@ -113,7 +118,16 @@ _DRIVER_VERIFIED = {
     "q155_lang_confusion", "q173_boilerplate_spans", "q193_zipf_fit",
     "q199_truncation_loss", "q204_audio_segments", "q83_train_val_split",
 }
-_ROUNDS = _driver_rounds_from_disk()
+_HASH_ROUNDS, _ROWSONLY_ROUNDS = _driver_rounds_from_disk()
+# A name is VERIFIED when it has a hash-green row, OR a rows-only row while
+# it remains rows-only by design (oracle is None today).  A name whose
+# oracle landed AFTER its last driver sighting is debt again — it needs a
+# hash-green row before the rotation may push it to the back.
+_ROUNDS = dict(_HASH_ROUNDS)
+for _n, _r in _ROWSONLY_ROUNDS.items():
+    if _n not in _ROUNDS and (_n not in QUERIES or QUERIES[_n].oracle is None):
+        _ROUNDS[_n] = _r
+_DRIVER_VERIFIED = {n for n in _DRIVER_VERIFIED if n in _HASH_ROUNDS or (n in QUERIES and QUERIES[n].oracle is None)}
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | set(_ROUNDS)
 # Round 8: the ordering is now fully derived — no hand-edited floor (the
 # r7 "_WINDOW_BACK >= 300" constant needed a per-round bump; if forgotten,
@@ -141,4 +155,4 @@ _checked = sorted(
 _ordered = {n: QUERIES[n] for n in _debt + _checked}
 QUERIES.clear()
 QUERIES.update(_ordered)
-del _DRIVER_VERIFIED, _ROUNDS, _debt, _checked, _ordered, _qnum
+del _DRIVER_VERIFIED, _ROUNDS, _HASH_ROUNDS, _ROWSONLY_ROUNDS, _debt, _checked, _ordered, _qnum

@@ -34,3 +34,30 @@ def test_rows_only_runs(spark, name):
     df = QUERIES[name].fn(spark, SF_SMOKE)
     assert df.columns  # schema resolves
     assert df.count() >= 0
+
+
+def test_oracle_paired_debt_fronts_window():
+    """r10 verdict #1: a name that has an oracle registered today but whose
+    only driver rows are ``no_oracle`` (the oracle landed after the driver
+    last saw it) must precede every hash-green name in QUERIES order, so
+    the driver's ~50-name window reaches it next round.  Vacuously true
+    once every oracle-paired name has a hash-green row."""
+    import glob
+    import json
+
+    hash_green, rows_only = set(), set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        for qname, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                hash_green.add(qname)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only.add(qname)
+    debt = {n for n, spec in QUERIES.items() if spec.oracle and n in (rows_only - hash_green)}
+    if not debt:
+        return
+    order = list(QUERIES)
+    last_debt = max(order.index(n) for n in debt)
+    first_green = min((order.index(n) for n in order if n in hash_green), default=len(order))
+    assert last_debt < first_green, f"debt names {sorted(debt)} must front the window"
