@@ -363,17 +363,27 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
         # default 32 (q68 1.79 -> 1.45 s, q21 1.20 -> 1.11 s, median of 7
         # uncontended; 4 re-measured worse for q68+q21 both) — the same
         # size-to-data coalescing AQE would do, pinned and recorded
+        # plain-layout twins at the SAME pinned reduce-task count, so the
+        # artifact isolates the layout effect from the partitions=8 tuning
+        # (r10 advice: ratio_plain used the tier default 32)
+        q68p = nation_profit_frame(
+            lineitem, p, s, n, orders.select("o_orderkey", "o_orderdate"))
+        q21p = hourly_events_frame(events)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             t68 = _timed_noop(q68b, runs=9)
             t21 = _timed_noop(q21b, runs=9)
+            t68p = _timed_noop(q68p, runs=9)
+            t21p = _timed_noop(q21p, runs=9)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return {
             "bucketed_write_sec": write_s,
             "q68_bucketed_sec": t68,
             "q21_bucketed_sec": t21,
+            "q68_plain8_sec": t68p,
+            "q21_plain8_sec": t21p,
             "agg_shuffle_partitions": 8,
             "q68_join_input_exchange_free": (
                 "Exchange hashpartitioning(l_orderkey" not in p68
@@ -1125,10 +1135,18 @@ def _assemble_headline_bucketed(block: dict | None, tr_spark: dict,
             "layout (orders+lineitem bucketed+sorted by order key; events "
             "bucketed by user_id) — same query bodies via the shared frame "
             "functions, DuckDB denominator unchanged (same logical data); "
-            "bucketed_write_sec is the once-per-layout amortized cost"
+            "bucketed_write_sec is the once-per-layout amortized cost. "
+            "NOTE the bucketed runs pin spark.sql.shuffle.partitions to "
+            "agg_shuffle_partitions (8) for the one remaining final-agg "
+            "exchange, while ratio_plain used the tier default 32 — "
+            "ratio_bucketed therefore bundles the layout win with "
+            "reduce-task sizing; q68_plain8_sec/q21_plain8_sec isolate it "
+            "(plain layout at partitions=8, same runs protocol)"
         ),
         "bucketed_write_sec": block["bucketed_write_sec"],
         "agg_shuffle_partitions": block.get("agg_shuffle_partitions"),
+        "q68_plain8_sec": block.get("q68_plain8_sec"),
+        "q21_plain8_sec": block.get("q21_plain8_sec"),
         "q68_join_input_exchange_free": block["q68_join_input_exchange_free"],
         "q68_exchanges": block["q68_exchanges"],
         "q21_exchanges": block["q21_exchanges"],
@@ -1261,7 +1279,36 @@ def run_duckdb(sf_dir: str = SF_DIR, names: list[str] = HEADLINE) -> dict[str, f
     return timings
 
 
+def print_committed_ab() -> None:
+    """`python bench.py --print-ab`: print the ab_protocol block exactly as
+    COMMITTED at HEAD (r10 verdict #2: the SURVEY/README bench narrative
+    must quote the committed artifact verbatim, not a different run pair —
+    paste this output, byte-for-byte, into the round-close prose)."""
+    import subprocess
+
+    raw = subprocess.run(
+        ["git", "show", "HEAD:bench_full.json"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if raw.returncode != 0:
+        print(json.dumps({"err": "no committed bench_full.json at HEAD"}))
+        return
+    d = json.loads(raw.stdout)
+    print(json.dumps({
+        "committed_at": "HEAD",
+        "total_sec": d.get("value"),
+        "ratio_vs_duckdb": (
+            round(d["value"] / d["duckdb_total"], 3)
+            if d.get("duckdb_total") else None
+        ),
+        "ab_protocol": d.get("ab_protocol"),
+    }, indent=1))
+
+
 def main() -> None:
+    if "--print-ab" in sys.argv[1:]:
+        print_committed_ab()
+        return
     cpus = default_parallelism()
     spark = get_spark(
         app_name="bigquack-spark-bench",

@@ -211,13 +211,15 @@ def _lease_mutex(path: str):
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            # best-effort: a breaker may hold the flock for microseconds
-            # while inspecting our fresh lock (it will see a fresh mtime
-            # and back off); the section (ms) is far under _LOCK_BREAK_S,
-            # so running unflocked is safe — mtime still protects us.
-            if not _try_flock_nb(fd):
-                time.sleep(0.001)
-                _try_flock_nb(fd)
+            # A breaker may hold the flock for microseconds while
+            # inspecting our fresh lock (it sees a fresh mtime and backs
+            # off).  Contenders are momentary inspectors, so spinning the
+            # non-blocking flock converges in microseconds — and holding
+            # it for the whole section is what makes orphan detection
+            # exact rather than mtime-guesswork (r10 advice).
+            flock_deadline = time.time() + 1.0
+            while not _try_flock_nb(fd) and time.time() < flock_deadline:
+                time.sleep(0.0005)
             break
         except FileExistsError:
             if _try_break_orphan(lock):
@@ -235,10 +237,18 @@ def _lease_mutex(path: str):
         # POSIX order: remove WHILE the fd is still flocked (deleting an
         # open file is fine there), so no breaker can touch the path in
         # the gap; Windows cannot delete an open file, so retry the
-        # remove after the close for that platform.
+        # remove after the close for that platform.  Guard: only remove
+        # the path if it still names OUR inode — a holder stalled past
+        # _LOCK_BREAK_S whose orphaned lock was legitimately broken must
+        # not delete the NEXT holder's live lock (r10 advice).
         removed = True
         try:
-            os.remove(lock)
+            my_ino = os.fstat(fd).st_ino
+        except OSError:
+            my_ino = None
+        try:
+            if my_ino is not None and os.stat(lock).st_ino == my_ino:
+                os.remove(lock)
         except OSError:
             removed = False
         try:
@@ -247,7 +257,8 @@ def _lease_mutex(path: str):
             pass
         if not removed:
             try:
-                os.remove(lock)
+                if my_ino is not None and os.stat(lock).st_ino == my_ino:
+                    os.remove(lock)
             except OSError:
                 pass
 

@@ -483,3 +483,25 @@ def test_concurrent_maintain_single_writer_convergence(spark, tmp_path):
     # table remains acquirable and maintainable after the stampede
     maintain_table(spark, path, policy)
     assert _checksum(spark, path) == before
+
+
+def test_stalled_holder_release_spares_next_holders_lock(tmp_path):
+    """r10 advice: a holder whose orphaned lock was legitimately broken
+    must NOT delete the next holder's live lock in its finally block —
+    the remove is inode-guarded, so release only unlinks the path while
+    it still names the stalled holder's own lock file."""
+    from bigquack_spark.operators.lease import _lease_mutex, _lease_path
+
+    path = str(tmp_path / "tbl")
+    mgr = _lease_mutex(path)
+    mgr.__enter__()  # holder A enters and "stalls"
+    lock = _lease_path(path) + ".lock"
+    # Simulate the break-and-retake: A's lock is unlinked by a breaker and
+    # holder B creates a fresh lock at the same path (different inode).
+    os.remove(lock)
+    with open(lock, "w") as fh:
+        fh.write("holder-B")
+    b_ino = os.stat(lock).st_ino
+    mgr.__exit__(None, None, None)  # A's release must spare B's lock
+    assert os.path.exists(lock), "stalled holder deleted the next holder's lock"
+    assert os.stat(lock).st_ino == b_ino
