@@ -675,11 +675,11 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
         table = "bench_events_shredded"
         _drop_bench_table(spark, table)
         t0 = time.monotonic()
-        transfer(
-            spark, trend_dir, "events", table,
-            shred={"col": "props", "schema": "k INT", "keep_raw": False},
-        )
+        # shred="auto" (r10 verdict #4): the measured landing accepts the
+        # inference the product itself makes — no hand-written schema
+        transfer(spark, trend_dir, "events", table, shred="auto")
         land_sec = round(time.monotonic() - t0, 4)
+        assert "k" in spark.table(table).columns, "auto shred must type $.k"
         es = spark.table(table)
 
         q20 = es.groupBy("event_type").agg(
@@ -763,14 +763,15 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         return {
             "note": (
-                "whole events family over a pipeline.transfer(shred=...) "
-                "landing at 100x: the one-off shredded ingest (land_sec, "
-                "amortized over every later query) replaces q20's per-query "
-                "JSON parse with a typed column; q21/q22 never parsed JSON, "
-                "so their ratios here isolate the non-parse engine gap on "
-                "identical bytes.  Compare q20_typed's ratio to the raw "
-                "trend_100x q20 ratio: the difference IS the engine parse "
-                "wall, not repo plan."
+                "PRIMARY events-family numbers (r10 verdict #4): the whole "
+                "family measured over the layout a 100 TB deployment "
+                "actually runs — a pipeline.transfer(shred=\"auto\") landing "
+                "where the product's own inference typed $.k at ingest (no "
+                "hand-written schema).  The one-off ingest (land_sec) "
+                "amortizes over every later query; q20_typed replaces the "
+                "per-query JSON parse with a typed column.  The raw "
+                "trend_100x q20/q21 rows are the COMPARISON: their delta to "
+                "these ratios is the engine parse wall, not repo plan."
             ),
             "land_sec": land_sec,
             "spark_sec": spark_sec,
@@ -1778,6 +1779,21 @@ def main() -> None:
                 "q21": ((full["trend_100x"]["headline_bucketed"].get("q21_events_hourly") or {}).get("ratio_bucketed")),
             }
             if full.get("trend_100x") and full["trend_100x"].get("headline_bucketed")
+            else None
+        ),
+        # PRIMARY events posture: the shred="auto" landing's ratios
+        "events_primary_100x": (
+            full["trend_100x"]["events_shredded_block"].get("ratios")
+            if full.get("trend_100x") and full["trend_100x"].get("events_shredded_block")
+            else None
+        ),
+        "ann_serving_100x": (
+            {
+                "gemm_sec": full["trend_100x"]["ann_serving_block"].get("gemm_sec"),
+                "ivf_probe_sec": full["trend_100x"]["ann_serving_block"].get("ivf_probe_sec"),
+                "recall_at_k": (full["trend_100x"]["ann_serving_block"].get("ivf_recall") or {}).get("recall_at_k"),
+            }
+            if full.get("trend_100x") and full["trend_100x"].get("ann_serving_block")
             else None
         ),
         "detail": "bench_full.json",

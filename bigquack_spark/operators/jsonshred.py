@@ -74,3 +74,102 @@ def shred_ingest(
     df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     df.write.mode("overwrite").parquet(dst_path)
     return {"n_rows": int(obs.get["n_rows"]), "columns": df.columns}
+
+
+def auto_shred_spec(
+    df: DataFrame,
+    predicates: "list[str] | None" = None,
+    sample_rows: int = 256,
+    max_fields: int = 16,
+    min_json_share: float = 0.9,
+    min_workload_refs: int = 3,
+) -> "dict | None":
+    """Resolve ``transfer(shred="auto")`` into a concrete shred spec, or
+    None when the frame carries no JSON-bearing string column (land raw).
+
+    Two bases, workload first (r10 verdict #4 — accept the advisor's own
+    recommendation when confidence is high):
+
+    - **workload**: when ``predicates`` (the target table's captured
+      predicate log, available on re-ingest) extract JSON paths from a
+      string column at least ``min_workload_refs`` times, shred exactly
+      the referenced fields — the advisor's recommendation, applied
+      instead of proposed.
+    - **sample**: otherwise, ``sample_rows`` rows are inspected; a string
+      column qualifies when >= ``min_json_share`` of its non-null samples
+      parse as JSON objects, and its ``max_fields`` most frequent
+      top-level fields are shredded.
+
+    ``keep_raw`` is always True for auto: the spec derives from a bounded
+    sample/window, so unreferenced or late-drifting fields must stay
+    recoverable — dropping the raw column is an explicit operator
+    decision, never inference."""
+    import json
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from bigquack_spark.operators.planner import (
+        _json_path_refs,
+        promote_json_field_types,
+    )
+
+    str_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    if not str_cols:
+        return None
+    sample = df.select(*str_cols).limit(sample_rows).collect()
+
+    def spec_for(col: str, fields: list[str], basis: str, refs: int) -> dict:
+        vals = [r[col] for r in sample if r[col] is not None]
+        types = promote_json_field_types(vals, fields)
+        clash = set(df.columns)
+        fields = [f for f in fields if f not in clash]  # keep_raw keeps all cols
+        if not fields:
+            return None
+        schema = ", ".join(f"{f} {types[f]}" for f in fields)
+        return {"col": col, "schema": schema, "keep_raw": True,
+                "basis": basis, "n_json_refs": refs}
+
+    if predicates:
+        refs = Counter()
+        for pred in predicates:
+            for col, field in _json_path_refs(pred):
+                if col in str_cols:
+                    refs[(col, field)] += 1
+        by_col = Counter()
+        for (col, _f), n in refs.items():
+            by_col[col] += n
+        if by_col and by_col.most_common(1)[0][1] >= min_workload_refs:
+            target, n = by_col.most_common(1)[0]
+            fields = sorted(
+                (f for (c, f) in refs if c == target),
+                key=lambda f: (-refs[(target, f)], f),
+            )
+            got = spec_for(target, fields, "workload", int(n))
+            if got:
+                return got
+
+    best = None
+    for col in str_cols:
+        vals = [r[col] for r in sample if r[col] is not None]
+        if not vals:
+            continue
+        keys = Counter()
+        n_obj = 0
+        for s in vals:
+            try:
+                obj = json.loads(s)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(obj, dict):
+                n_obj += 1
+                keys.update(k for k in obj if isinstance(k, str))
+        if n_obj / len(vals) < min_json_share or not keys:
+            continue
+        fields = [f for f, _n in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))]
+        got = spec_for(col, fields[:max_fields], "sample", 0)
+        if got and (best is None or n_obj > best[0]):
+            best = (n_obj, got)
+    return best[1] if best else None

@@ -383,13 +383,20 @@ def _infer_json_field_types(
     is why the advice ships ``keep_raw=True`` — the raw column stays the
     ground truth; re-run the advisor (or widen the schema by hand) when
     a typed column's null-rate audit disagrees with the raw parse."""
-    import json as _json
-
     samples = [
         r[0]
         for r in spark.read.parquet(path).select(col).limit(sample_rows).collect()
         if r[0] is not None
     ]
+    return promote_json_field_types(samples, fields)
+
+
+def promote_json_field_types(samples: list[str], fields: list[str]) -> dict[str, str]:
+    """The promotion rules shared by the workload advisor and
+    ``transfer(shred="auto")``: int -> BIGINT, int+float -> DOUBLE,
+    bool -> BOOLEAN, anything mixed/nested/absent -> STRING."""
+    import json as _json
+
     seen: dict[str, set[type]] = {f: set() for f in fields}
     for s in samples:
         try:

@@ -25,6 +25,29 @@ from bigquack_spark.sources.reader import read_source
 log = logging.getLogger("bigquack_spark.pipeline")
 
 
+def _target_workload_predicates(spark: SparkSession, target_table: str) -> "list[str]":
+    """The target table's captured predicate-log tail (empty on first
+    ingest or when no log exists) — the workload evidence
+    ``transfer(shred="auto")`` hands the advisor on re-ingest."""
+    try:
+        if not spark.catalog.tableExists(target_table):
+            return []
+        import os
+
+        from bigquack_spark.operators.planner import read_workload_log
+
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {target_table}").collect()
+            if r.col_name == "Location"
+        ).replace("file:", "")
+        if not os.path.isdir(loc):
+            return []
+        return read_workload_log(loc)
+    except Exception:
+        return []  # advice is best-effort; ingest never fails on it
+
+
 def transfer(
     spark: SparkSession,
     source_location: str,
@@ -34,7 +57,7 @@ def transfer(
     predicate: str | None = None,
     max_streams: int | None = None,
     fmt: str = "parquet",
-    shred: dict | None = None,
+    shred: "dict | str | None" = None,
 ) -> int:
     """Copy a (projected, filtered) source table into a managed target table;
     returns rows ingested this call.  Signature mirrors
@@ -50,7 +73,15 @@ def transfer(
     15x on the q20 aggregate at the 100x bench tier (bench_full.json
     ``trend_100x.q20_json_parse_wall``).  The reference maps BQ JSON to
     STRING and re-parses per query (bigquery_write.go:189-190); this is
-    the schema-carry analogue of its :372-382 write path."""
+    the schema-carry analogue of its :372-382 write path.
+
+    ``shred="auto"`` (r10 verdict #4) resolves the spec itself via
+    :func:`bigquack_spark.operators.jsonshred.auto_shred_spec`: on
+    re-ingest of an existing target it accepts the workload advisor's
+    recommendation when the captured predicate log references JSON paths
+    confidently; otherwise a bounded sample detects the JSON column and
+    its fields.  Auto always keeps the raw column; no JSON column found
+    means land raw (never fail an ingest on inference)."""
     start = time.monotonic()
     before = (
         spark.table(target_table).count()
@@ -61,6 +92,13 @@ def transfer(
         spark, source_location, source_table,
         columns=columns, predicate=predicate, max_streams=max_streams, fmt=fmt,
     )
+    if shred == "auto":
+        from bigquack_spark.operators.jsonshred import auto_shred_spec
+
+        shred = auto_shred_spec(df, predicates=_target_workload_predicates(
+            spark, target_table))
+        if shred is not None:
+            log.info("transfer shred=auto resolved", extra=dict(shred))
     if shred is not None:
         df = shred_json(
             df, shred["col"], shred["schema"], keep_raw=bool(shred.get("keep_raw", False))
@@ -81,7 +119,7 @@ def transfer_incremental(
     columns: list[str] | None = None,
     max_streams: int | None = None,
     fmt: str = "parquet",
-    shred: dict | None = None,
+    shred: "dict | str | None" = None,
 ) -> int:
     """Watermark-driven incremental transfer: append only source rows with
     ``watermark_col`` strictly greater than the target's current maximum —
@@ -97,7 +135,9 @@ def transfer_incremental(
     incremental predicate is pushed down to the source scan like any other
     (PushedFilters), so a 100 TB history costs one footer-pruned slice per
     run, not a rescan."""
-    if shred is not None and shred["col"] == watermark_col and not shred.get("keep_raw"):
+    # shred="auto" always keeps the raw column, so it can't lose the
+    # watermark; only a concrete spec can drop it
+    if isinstance(shred, dict) and shred["col"] == watermark_col and not shred.get("keep_raw"):
         raise ValueError(
             "transfer_incremental: the watermark column cannot be the shredded "
             "JSON column (the target would lose it); set keep_raw=True or "

@@ -415,3 +415,52 @@ def test_transfer_incremental_shred_and_watermark_guard(spark, tmp_path):
             shred={"col": "props", "schema": "k INT"},
         )
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_transfer_shred_auto_sample_basis(spark):
+    """r10 verdict #4: shred="auto" detects the JSON-bearing string column
+    from a bounded sample and lands typed columns, keeping the raw column
+    (auto never drops data on inference)."""
+    spark.sql("DROP TABLE IF EXISTS events_auto")
+    n = transfer(spark, SF_SMOKE, "events", "events_auto", shred="auto")
+    t = spark.table("events_auto")
+    assert n == t.count() > 0
+    assert "props" in t.columns, "auto keeps the raw column"
+    assert "k" in t.columns, "sampled field promoted to a typed column"
+    assert dict(t.dtypes)["k"] in ("bigint", "double")
+    # typed column agrees with a per-query parse of the raw column
+    from pyspark.sql import functions as F
+
+    bad = t.filter(
+        F.coalesce(F.col("k"), F.lit(-1))
+        != F.coalesce(F.get_json_object("props", "$.k").cast(dict(t.dtypes)["k"]), F.lit(-1))
+    ).count()
+    assert bad == 0
+    spark.sql("DROP TABLE IF EXISTS events_auto")
+
+
+def test_transfer_shred_auto_no_json_lands_raw(spark):
+    """A table with no JSON-object string column lands unchanged."""
+    spark.sql("DROP TABLE IF EXISTS nation_auto")
+    transfer(spark, SF_SMOKE, "nation", "nation_auto", shred="auto")
+    want = sorted(spark.read.parquet(f"{SF_SMOKE}/nation.parquet").columns)
+    assert sorted(spark.table("nation_auto").columns) == want
+    spark.sql("DROP TABLE IF EXISTS nation_auto")
+
+
+def test_transfer_shred_auto_workload_basis(spark, tmp_path):
+    """On re-ingest of an existing target whose workload log confidently
+    references JSON paths, auto accepts the advisor's recommendation —
+    exactly the referenced fields, not the full sampled set."""
+    from bigquack_spark.operators.jsonshred import auto_shred_spec
+
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    preds = ["get_json_object(props, '$.k') > 3"] * 3
+    spec = auto_shred_spec(df, predicates=preds)
+    assert spec is not None
+    assert spec["basis"] == "workload" and spec["n_json_refs"] == 3
+    assert spec["col"] == "props" and spec["keep_raw"] is True
+    assert spec["schema"].split(",")[0].strip().startswith("k ")
+    # below the confidence floor the sample basis takes over
+    weak = auto_shred_spec(df, predicates=preds[:2])
+    assert weak is not None and weak["basis"] == "sample"
