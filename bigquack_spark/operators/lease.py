@@ -210,7 +210,9 @@ def _lease_mutex(path: str):
     deadline = time.time() + _LOCK_WAIT_S
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            from bigquack_spark.operators.fsops import create_exclusive
+
+            fd = create_exclusive(lock)
             # A breaker may hold the flock for microseconds while
             # inspecting our fresh lock (it sees a fresh mtime and backs
             # off).  Contenders are momentary inspectors, so spinning the
@@ -317,7 +319,15 @@ def acquire_table_lease(
     :class:`LeaseHeldError`.  An expired lease is stolen with a strictly
     higher generation.  The whole decide-and-claim runs inside the
     ``O_EXCL`` mutex, so exactly one contender wins and generations
-    never duplicate."""
+    never duplicate.
+
+    This is the choke point every mutating pass converges on, so the
+    commit-store capability gate lives here (r10 verdict #5): a backend
+    without atomic rename + exclusive create refuses BEFORE any writer
+    stages a swap it cannot commit atomically."""
+    from bigquack_spark.operators.fsops import require_commit_capabilities
+
+    require_commit_capabilities(f"acquire_table_lease({owner})")
     with _lease_mutex(path):
         now = time.time()
         cur = _read_lease(path)

@@ -58,6 +58,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigquack_spark.operators import fsops
 from bigquack_spark.operators.lease import table_lease
 from bigquack_spark.operators.reconcile import table_checksum
 from bigquack_spark.sinks.compact import (
@@ -105,7 +106,7 @@ def _write_marker(
             {"gen": gen, "olds": olds, "prefix": prefix, "others": others or []},
             fh,
         )
-    os.replace(tmp, os.path.join(staging, MARKER))
+    fsops.replace(tmp, os.path.join(staging, MARKER))  # the commit point
 
 
 def _resume_partition(leaf: str) -> str:
@@ -136,7 +137,7 @@ def _resume_partition(leaf: str) -> str:
     # this generation's published news — anything else means the partition
     # was rebuilt underneath the crashed swap
     old_names = {name: size for name, size in olds}
-    for name in os.listdir(leaf):
+    for name in fsops.listdir(leaf):
         if not _is_data_file(name):
             continue
         if name.startswith(f"{prefix}-{gen}-"):
@@ -178,9 +179,9 @@ def _finish_swap(
             os.remove(p)
     data_dir = os.path.join(staging, "data")
     if os.path.isdir(data_dir):
-        for name in sorted(os.listdir(data_dir)):
+        for name in sorted(fsops.listdir(data_dir)):
             if _is_data_file(name):
-                os.replace(
+                fsops.replace(
                     os.path.join(data_dir, name),
                     os.path.join(leaf, f"{prefix}-{gen}-{name}"),
                 )
@@ -534,7 +535,7 @@ def _purge_rows_locked(
     tmp = os.path.join(path, f"_PURGE-{gen}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
-    os.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
+    fsops.replace(tmp, os.path.join(path, f"_PURGE-{gen}.json"))
     if refresh_stats:
         # a destructive rewrite invalidates _STATS.json — fold it forward
         # from the per-file partials (removed files subtract by re-derive,
@@ -823,7 +824,7 @@ def _write_stats(path: str, manifest: dict) -> None:
     tmp = os.path.join(path, STATS_FILE + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
-    os.replace(tmp, os.path.join(path, STATS_FILE))
+    fsops.replace(tmp, os.path.join(path, STATS_FILE))
 
 
 def stats_are_fresh(path: str) -> bool:
@@ -1236,7 +1237,7 @@ def _apply_retention_locked(
     tmp = os.path.join(path, f"_RETENTION-{gen}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
-    os.replace(tmp, os.path.join(path, f"_RETENTION-{gen}.json"))
+    fsops.replace(tmp, os.path.join(path, f"_RETENTION-{gen}.json"))
     if refresh_stats:
         # removal-only fold: retired partials drop, the table section
         # re-derives from survivors — no data file opened (the fast
@@ -1398,7 +1399,7 @@ def snapshot_table(path: str, name: str, lease=None) -> dict:
             )
         os.makedirs(snap_root, exist_ok=True)
         held.check()  # fencing gate: never publish a torn snapshot
-        os.rename(tmp, final)
+        fsops.replace(tmp, final)
     return {"name": name, "files": len(files), "bytes": n_bytes}
 
 

@@ -31,6 +31,8 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigquack_spark.operators import fsops
+
 
 class WriteStreamType(enum.Enum):
     PENDING = "pending"
@@ -135,7 +137,7 @@ class AtomicWriter:
         self.finalized = True
         if self.stream_type is WriteStreamType.PENDING and os.path.exists(self._dest):
             if not os.path.exists(self.target):
-                os.rename(self._dest, self.target)  # atomic publish
+                fsops.replace(self._dest, self.target)  # atomic publish
             else:  # target pre-exists: move batch files in, then success-mark
                 for name in os.listdir(self._dest):
                     if name.startswith(("part-", ".part-")):

@@ -61,6 +61,8 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from bigquack_spark.operators import fsops
 from pyspark.sql import functions as F
 
 
@@ -94,7 +96,7 @@ def _recover_orphaned_swap(target_path: str) -> None:
         if entry.startswith(base + ".old-"):
             if not os.path.exists(target_path):
                 try:
-                    os.rename(full, target_path)
+                    fsops.replace(full, target_path)
                 except OSError:
                     pass  # concurrent owner completed its swap first
             else:
@@ -141,7 +143,7 @@ def _publish_leaf(
     data_dir = os.path.join(staging, "data")
     os.makedirs(data_dir, exist_ok=True)
     for f in stage_files or []:
-        os.replace(f, os.path.join(data_dir, os.path.basename(f)))
+        fsops.replace(f, os.path.join(data_dir, os.path.basename(f)))
     old_names = {name for name, _size in olds}
     others = [
         [n, os.path.getsize(os.path.join(leaf, n))]
@@ -491,7 +493,7 @@ def _merge_upsert_locked(
     tmp = os.path.join(target_path, f"_MERGE-{gen}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(audit, fh, indent=1)
-    os.replace(tmp, os.path.join(target_path, f"_MERGE-{gen}.json"))
+    fsops.replace(tmp, os.path.join(target_path, f"_MERGE-{gen}.json"))
     if refresh_stats:
         from bigquack_spark.operators.maintenance import refresh_table_stats
 
