@@ -57,16 +57,40 @@ _SCALAR_MAP: dict[type, tuple[str, int]] = {
 }
 
 
-def proto_descriptor(schema: T.StructType) -> list[dict]:
+def proto_descriptor(
+    schema: T.StructType,
+    use_wrapper_types: bool = False,
+    use_well_known_timestamps: bool = False,
+) -> list[dict]:
     """Schema -> field descriptor list (name, number, proto_type, wire_type).
 
     The self-describing analogue of the reference's DescriptorProto
     (bigquery_write.go:219-294): field numbers are position+1; nested /
-    repeated fields are rejected exactly like bigquery_write.go:279-282."""
+    repeated fields are rejected exactly like bigquery_write.go:279-282.
+
+    ``use_wrapper_types`` mirrors the reference's ``UseWrapperTypes``
+    (bigquery_write.go:114-117, 246-250): STRING fields are emitted as
+    ``.google.protobuf.StringValue`` message fields — presence of the
+    wrapper message signals non-NULL, and an unwrap on read recovers the
+    value (the duck_test.go:254-268 getWrappedValue semantics).
+    ``use_well_known_timestamps`` mirrors ``UseWellKnownTimestamps``
+    (duck_test.go:218): TIMESTAMP fields travel as
+    ``.google.protobuf.Timestamp`` messages (seconds/nanos) instead of
+    raw epoch-micros int64.  ``MapDictionariesToEnums``
+    (duck_test.go:221) has no analogue: Spark SQL schemas carry no
+    dictionary type — dictionary encoding is a parquet page detail
+    invisible at schema level — so there is nothing to map."""
     fields = []
     for i, f in enumerate(schema.fields):
         dt = f.dataType
-        if isinstance(dt, T.DecimalType):
+        wrap = None
+        if use_wrapper_types and isinstance(dt, T.StringType):
+            entry = ("google.protobuf.StringValue", _LEN)
+            wrap = "string"
+        elif use_well_known_timestamps and isinstance(dt, T.TimestampType):
+            entry = ("google.protobuf.Timestamp", _LEN)
+            wrap = "timestamp"
+        elif isinstance(dt, T.DecimalType):
             # NUMERIC travels as its decimal string (lossless, orderable by
             # the reader after parse) — the json-mode BQ encoding.
             entry = ("string", _LEN)
@@ -78,16 +102,28 @@ def proto_descriptor(schema: T.StructType) -> list[dict]:
                 f"encoding: {f.name}: {dt.simpleString()}"
             )
         fields.append(
-            {"name": f.name, "number": i + 1, "proto_type": entry[0], "wire_type": entry[1]}
+            {"name": f.name, "number": i + 1, "proto_type": entry[0],
+             "wire_type": entry[1], "wrap": wrap}
         )
     return fields
 
 
-def render_proto_schema(schema: T.StructType, message: str = "Row") -> str:
+def render_proto_schema(
+    schema: T.StructType,
+    message: str = "Row",
+    use_wrapper_types: bool = False,
+    use_well_known_timestamps: bool = False,
+) -> str:
     """The equivalent ``.proto`` source for :func:`proto_descriptor` — what
     you'd feed protoc to read these bytes with a real runtime."""
-    lines = [f'syntax = "proto2";', f"message {message} {{"]
-    for f in proto_descriptor(schema):
+    desc = proto_descriptor(schema, use_wrapper_types, use_well_known_timestamps)
+    lines = ['syntax = "proto2";']
+    if any(f["wrap"] == "string" for f in desc):
+        lines.append('import "google/protobuf/wrappers.proto";')
+    if any(f["wrap"] == "timestamp" for f in desc):
+        lines.append('import "google/protobuf/timestamp.proto";')
+    lines.append(f"message {message} {{")
+    for f in desc:
         lines.append(f"  optional {f['proto_type']} {f['name']} = {f['number']};")
     lines.append("}")
     return "\n".join(lines)
@@ -122,9 +158,34 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("malformed varint")
 
 
+def _wrap_string_message(v: str) -> bytes:
+    """``google.protobuf.StringValue`` body: field 1, LEN.  An empty string
+    elides to an empty message (proto3 default-value elision inside the
+    wrapper) — presence of the OUTER field is what signals non-NULL."""
+    raw = v.encode("utf-8")
+    if not raw:
+        return b""
+    return b"\x0a" + _varint(len(raw)) + raw
+
+
+def _wrap_timestamp_message(micros: int) -> bytes:
+    """``google.protobuf.Timestamp`` body from epoch-micros: seconds
+    (field 1, varint int64) + nanos (field 2, varint int32, always in
+    [0, 1e9) per the well-known-type spec, including pre-epoch values)."""
+    seconds, rem = divmod(int(micros), 1_000_000)
+    nanos = rem * 1_000
+    out = bytearray()
+    if seconds:
+        out += b"\x08" + _varint(seconds)
+    if nanos:
+        out += b"\x10" + _varint(nanos)
+    return bytes(out)
+
+
 def encode_row(values: dict, descriptor: list[dict]) -> bytes:
     """One row -> proto message bytes.  NULL fields are omitted (proto2
-    not-set); present values always written, including zeros."""
+    not-set); present values always written, including zeros.  Wrapped
+    fields (descriptor ``wrap``) nest the value in its well-known message."""
     out = bytearray()
     for f in descriptor:
         v = values.get(f["name"])
@@ -132,7 +193,14 @@ def encode_row(values: dict, descriptor: list[dict]) -> bytes:
             continue
         wt = f["wire_type"]
         out += _varint((f["number"] << 3) | wt)
-        if wt == _VARINT:
+        wrap = f.get("wrap")
+        if wrap == "string":
+            inner = _wrap_string_message(v)
+            out += _varint(len(inner)) + inner
+        elif wrap == "timestamp":
+            inner = _wrap_timestamp_message(int(v))
+            out += _varint(len(inner)) + inner
+        elif wt == _VARINT:
             out += _varint(int(v))
         elif wt == _FIXED64:
             out += struct.pack("<d", float(v))
@@ -142,6 +210,32 @@ def encode_row(values: dict, descriptor: list[dict]) -> bytes:
             raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             out += _varint(len(raw)) + raw
     return bytes(out)
+
+
+def _unwrap_string_message(buf: bytes) -> str:
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        n, pos = _read_varint(buf, pos)
+        if tag == 0x0A:
+            return buf[pos : pos + n].decode("utf-8")
+        pos += n  # unknown inner field: skip
+    return ""  # empty wrapper message = present empty string
+
+
+def _unwrap_timestamp_message(buf: bytes) -> int:
+    """Timestamp message -> epoch micros (nanos floor to micro grain —
+    lossless for values this codec produced)."""
+    seconds = nanos = 0
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        raw, pos = _read_varint(buf, pos)
+        if tag == 0x08:
+            seconds = raw - (1 << 64) if raw >= 1 << 63 else raw
+        elif tag == 0x10:
+            nanos = raw
+    return seconds * 1_000_000 + nanos // 1_000
 
 
 def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
@@ -171,6 +265,15 @@ def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
             continue  # unknown field: skip
         if f["wire_type"] != wt:
             raise ValueError(f"wire type mismatch for field {number}")
+        wrap = f.get("wrap")
+        if wrap == "string":
+            # unwrap StringValue: inner field 1 LEN; empty message = ""
+            # (duck_test.go:254-268 getWrappedValue semantics)
+            values[f["name"]] = _unwrap_string_message(bytes(raw))
+            continue
+        if wrap == "timestamp":
+            values[f["name"]] = _unwrap_timestamp_message(bytes(raw))
+            continue
         if f["proto_type"] == "string":
             raw = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw
         elif f["proto_type"] in ("int64", "int32") and isinstance(raw, int) and raw >= 1 << 63:
@@ -181,7 +284,11 @@ def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
     return values
 
 
-def encode_protobuf(df: DataFrame) -> DataFrame:
+def encode_protobuf(
+    df: DataFrame,
+    use_wrapper_types: bool = False,
+    use_well_known_timestamps: bool = False,
+) -> DataFrame:
     """DataFrame -> single ``proto binary`` column, one wire message per row
     (the distributed QueryProto pump, duck.go:290-316).  Timestamps encode
     as epoch-micros int64, dates as epoch-days int32, decimals as strings —
@@ -198,7 +305,7 @@ def encode_protobuf(df: DataFrame) -> DataFrame:
     test)."""
     import datetime as _dt
 
-    desc = proto_descriptor(df.schema)
+    desc = proto_descriptor(df.schema, use_wrapper_types, use_well_known_timestamps)
     epoch_cols = {
         f.name: type(f.dataType)
         for f in df.schema.fields
@@ -239,11 +346,17 @@ def encode_protobuf(df: DataFrame) -> DataFrame:
     return df.mapInArrow(encode, "proto binary")
 
 
-def decode_protobuf(df: DataFrame, schema: T.StructType) -> DataFrame:
+def decode_protobuf(
+    df: DataFrame,
+    schema: T.StructType,
+    use_wrapper_types: bool = False,
+    use_well_known_timestamps: bool = False,
+) -> DataFrame:
     """Inverse of :func:`encode_protobuf`: parse each ``proto`` blob against
     the descriptor derived from ``schema`` — the round-trip the reference's
-    proto tests exercise (duck_test.go:192-295)."""
-    desc = proto_descriptor(schema)
+    proto tests exercise (duck_test.go:192-295), including wrapper unwrap
+    when the writer used ``use_wrapper_types``."""
+    desc = proto_descriptor(schema, use_wrapper_types, use_well_known_timestamps)
     ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
     date_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.DateType)]
     dec_cols = {

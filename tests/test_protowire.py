@@ -159,3 +159,63 @@ def test_distributed_round_trip_large_int64_with_nulls(spark):
     df = spark.createDataFrame(rows, "k bigint, v bigint")
     back = P.decode_protobuf(P.encode_protobuf(df), df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_wrapper_types_roundtrip_people(spark):
+    """Port of duck_test.go:192-295 with UseWrapperTypes=true (r10 verdict
+    #7): the people rows encode with STRING fields nested in
+    google.protobuf.StringValue, the rendered .proto declares the wrapper
+    import, and decode unwraps field-by-field to equality — including the
+    NULL-vs-empty-string distinction only wrappers can carry."""
+    schema = T._parse_datatype_string("id int, name string, score double")
+    rows = [(1, "Alice", 95.5), (2, "Bob", 87.2), (3, "Eve", 78.9),
+            (4, "", 0.0), (5, None, None)]
+    df = spark.createDataFrame(rows, schema)
+    enc = P.encode_protobuf(df, use_wrapper_types=True)
+    dec = P.decode_protobuf(enc, schema, use_wrapper_types=True)
+    got = sorted(map(tuple, dec.collect()))
+    assert got == sorted(rows)
+
+    # wire shape: name is a LEN-typed field 2 whose payload is the
+    # StringValue message (field 1 inside) — check Alice's blob by hand
+    desc = P.proto_descriptor(schema, use_wrapper_types=True)
+    blob = P.encode_row({"id": 1, "name": "Alice", "score": 95.5}, desc)
+    inner = b"\x0a\x05Alice"
+    assert b"\x12" + bytes([len(inner)]) + inner in blob  # field 2, LEN
+    # NULL name: outer field absent; empty name: outer field present,
+    # empty wrapper message
+    null_blob = P.encode_row({"id": 5, "name": None, "score": None}, desc)
+    assert b"\x12" not in null_blob
+    empty_blob = P.encode_row({"id": 4, "name": "", "score": 0.0}, desc)
+    assert b"\x12\x00" in empty_blob
+    assert P.decode_row(empty_blob, desc)["name"] == ""
+    assert P.decode_row(null_blob, desc)["name"] is None
+
+    rendered = P.render_proto_schema(schema, use_wrapper_types=True)
+    assert 'import "google/protobuf/wrappers.proto";' in rendered
+    assert "optional google.protobuf.StringValue name = 2;" in rendered
+
+
+def test_well_known_timestamp_roundtrip(spark):
+    """UseWellKnownTimestamps (duck_test.go:218): TIMESTAMP fields travel
+    as google.protobuf.Timestamp (seconds/nanos) and round-trip exactly,
+    including a pre-epoch value (nanos stay non-negative per the WKT
+    spec)."""
+    schema = T._parse_datatype_string("event_id long, ts timestamp")
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)),
+        (2, datetime.datetime(1969, 12, 31, 23, 59, 59, 750000)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    enc = P.encode_protobuf(df, use_well_known_timestamps=True)
+    dec = P.decode_protobuf(enc, schema, use_well_known_timestamps=True)
+    assert sorted(map(tuple, dec.collect()), key=lambda r: r[0]) == rows
+
+    desc = P.proto_descriptor(schema, use_well_known_timestamps=True)
+    # pre-epoch: seconds = -1, nanos = 750_000_000 (non-negative)
+    blob = P.encode_row({"event_id": 2, "ts": -250_000}, desc)
+    assert P.decode_row(blob, desc)["ts"] == -250_000
+    rendered = P.render_proto_schema(schema, use_well_known_timestamps=True)
+    assert 'import "google/protobuf/timestamp.proto";' in rendered
+    assert "optional google.protobuf.Timestamp ts = 2;" in rendered
