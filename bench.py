@@ -327,20 +327,26 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
         from pyspark.sql import functions as F
 
         from bigquack_spark.queries.events import hourly_events_frame
+        from bigquack_spark.pipeline import transfer
         from bigquack_spark.queries.relational import nation_profit_frame
-        from bigquack_spark.sinks.partitioned import save_bucketed
 
         for tbl in tables:
             _drop_bench_table(spark, tbl)
         orders = spark.read.parquet(os.path.join(trend_dir, "orders.parquet"))
         lineitem = spark.read.parquet(os.path.join(trend_dir, "lineitem.parquet"))
         events = spark.read.parquet(os.path.join(trend_dir, "events.parquet"))
+        # landed via transfer(bucket_by=...) — the r10 verdict #8 ingest
+        # path — so the measured layout IS what a deployment lands, not a
+        # separate save_bucketed rewrite
         t0 = time.monotonic()
-        save_bucketed(orders, "bench_hb_orders", ["o_orderkey"],
-                      num_buckets=32, sort_cols=["o_orderkey"])
-        save_bucketed(lineitem, "bench_hb_lineitem", ["l_orderkey"],
-                      num_buckets=32, sort_cols=["l_orderkey"])
-        save_bucketed(events, "bench_hb_events", ["user_id"], num_buckets=32)
+        transfer(spark, trend_dir, "orders", "bench_hb_orders",
+                 bucket_by={"cols": ["o_orderkey"], "num_buckets": 32,
+                            "sort_cols": ["o_orderkey"]})
+        transfer(spark, trend_dir, "lineitem", "bench_hb_lineitem",
+                 bucket_by={"cols": ["l_orderkey"], "num_buckets": 32,
+                            "sort_cols": ["l_orderkey"]})
+        transfer(spark, trend_dir, "events", "bench_hb_events",
+                 bucket_by={"cols": ["user_id"], "num_buckets": 32})
         write_s = round(time.monotonic() - t0, 4)
 
         p = (
@@ -379,6 +385,7 @@ def _headline_bucketed_block(spark, trend_dir: str) -> dict | None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return {
+            "landed_via": "pipeline.transfer(bucket_by=...)",
             "bucketed_write_sec": write_s,
             "q68_bucketed_sec": t68,
             "q21_bucketed_sec": t21,
@@ -1305,6 +1312,7 @@ def _assemble_headline_bucketed(block: dict | None, tr_spark: dict,
             "reduce-task sizing; q68_plain8_sec/q21_plain8_sec isolate it "
             "(plain layout at partitions=8, same runs protocol)"
         ),
+        "landed_via": block.get("landed_via"),
         "bucketed_write_sec": block["bucketed_write_sec"],
         "agg_shuffle_partitions": block.get("agg_shuffle_partitions"),
         "q68_plain8_sec": block.get("q68_plain8_sec"),

@@ -334,10 +334,42 @@ def recommend_layout_for_workload(
     # would leave every non-prefix column's footer ranges at full width
     rangeable.sort(key=lambda t: (-t[0][0], -t[0][1], t[1]))
     zorder = [c for _s, c in rangeable[:2]] if len(rangeable) >= 2 else None
+    # Bucket advice (r10 verdict #8): an EQUALITY-shaped, id-cardinality
+    # column is join/distinct-shaped — the layout win bucketing buys
+    # (q68/q21 class) that range clustering cannot.  Consumable directly
+    # by pipeline.transfer(bucket_by=...); num_buckets sizes to ~4M rows
+    # per bucket, power of two, so both sides of a co-located join can
+    # agree on it from each table's own stats grain.
+    import math
+    import re as _re
+
+    n_rows = int(stats.get("rows", 0) or 0)
+    eq_usage: dict[str, int] = {}
+    for pred in predicates:
+        for c in col_types:
+            if _re.search(
+                rf"(?<![\w.`]){_re.escape(c)}`?\s*(=|IN\s*\()", pred, _re.IGNORECASE
+            ):
+                eq_usage[c] = eq_usage.get(c, 0) + 1
+    bucket_best = None
+    for c, n_eq in eq_usage.items():
+        if usage.get(c, 0) == 0 or c in existing_parts:
+            continue
+        ndv = (stats["columns"].get(c, {}) or {}).get("ndv_approx")
+        if ndv is None or ndv < max(1000, n_rows // 100):
+            continue  # low-cardinality: a groupBy on it barely shuffles
+        score = (n_eq, ndv)
+        if bucket_best is None or score > bucket_best[0]:
+            bucket_best = (score, c)
+    bucket_by = None
+    if bucket_best:
+        nb = 1 << max(3, math.ceil(math.log2(max(1, n_rows) / 4_000_000)) if n_rows else 3)
+        bucket_by = {"cols": [bucket_best[1]], "num_buckets": min(4096, nb)}
     return {
         "partition_key": part_best[1]["column"] if part_best else None,
         "cluster_key": cluster_best[1] if cluster_best else None,
         "zorder_cols": zorder,
+        "bucket_by": bucket_by,
         "shred": recommend_shred_for_workload(spark, path, predicates, col_types),
         "column_usage": {c: n for c, n in sorted(usage.items()) if n},
         "n_predicates": len(predicates),

@@ -58,6 +58,7 @@ def transfer(
     max_streams: int | None = None,
     fmt: str = "parquet",
     shred: "dict | str | None" = None,
+    bucket_by: dict | None = None,
 ) -> int:
     """Copy a (projected, filtered) source table into a managed target table;
     returns rows ingested this call.  Signature mirrors
@@ -74,6 +75,16 @@ def transfer(
     ``trend_100x.q20_json_parse_wall``).  The reference maps BQ JSON to
     STRING and re-parses per query (bigquery_write.go:189-190); this is
     the schema-carry analogue of its :372-382 write path.
+
+    ``bucket_by`` (r10 verdict #8) lands the table BUCKETED so the
+    q68/q21-class layout win is available at ingest time, not only via a
+    separate ``save_bucketed`` rewrite: pass ``{"cols": ["o_orderkey"],
+    "num_buckets": 32, "sort_cols": ["o_orderkey"]}`` and every later
+    join/groupBy on the bucket columns runs exchange-free (both sides of
+    a co-located join must agree on cols + num_buckets).  Appends reuse
+    the same clause, so the table's bucket spec stays consistent; the
+    layout advisor recommends the spec from the captured workload
+    (``recommend_layout_from_log`` -> ``bucket_by``).
 
     ``shred="auto"`` (r10 verdict #4) resolves the spec itself via
     :func:`bigquack_spark.operators.jsonshred.auto_shred_spec`: on
@@ -103,7 +114,19 @@ def transfer(
         df = shred_json(
             df, shred["col"], shred["schema"], keep_raw=bool(shred.get("keep_raw", False))
         )
-    ingest_create_append(df, target_table)
+    if bucket_by is not None:
+        from bigquack_spark.sinks.table import check_schema_compatible, table_exists
+
+        if table_exists(spark, target_table):
+            check_schema_compatible(spark, target_table, df)
+        writer = df.write.mode("append").bucketBy(
+            int(bucket_by.get("num_buckets", 32)), *bucket_by["cols"]
+        )
+        if bucket_by.get("sort_cols"):
+            writer = writer.sortBy(*bucket_by["sort_cols"])
+        writer.saveAsTable(target_table)
+    else:
+        ingest_create_append(df, target_table)
     total = spark.table(target_table).count() - before
     # duration log, bigquack.go:135-138
     log.info("transfer complete", extra={"rows": total, "seconds": time.monotonic() - start})

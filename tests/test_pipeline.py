@@ -464,3 +464,69 @@ def test_transfer_shred_auto_workload_basis(spark, tmp_path):
     # below the confidence floor the sample basis takes over
     weak = auto_shred_spec(df, predicates=preds[:2])
     assert weak is not None and weak["basis"] == "sample"
+
+
+def test_transfer_bucket_by_lands_exchange_free_join(spark):
+    """r10 verdict #8: bucket-by at ingest — transfer(bucket_by=...) lands
+    both fact tables bucketed+sorted on the join key, and the q68-class
+    headline frame over the landed tables plans its fact join with NO
+    exchange on either input (the layout win, paid once at landing)."""
+    from pyspark.sql import functions as F
+
+    from bigquack_spark.queries.relational import nation_profit_frame
+
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    transfer(spark, SF_SMOKE, "orders", "bkt_orders",
+             bucket_by={"cols": ["o_orderkey"], "num_buckets": 8,
+                        "sort_cols": ["o_orderkey"]})
+    transfer(spark, SF_SMOKE, "lineitem", "bkt_lineitem",
+             bucket_by={"cols": ["l_orderkey"], "num_buckets": 8,
+                        "sort_cols": ["l_orderkey"]})
+    p = (spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+         .filter("p_type = 'PROMO'").select("p_partkey", "p_retailprice"))
+    s = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    frame = nation_profit_frame(
+        spark.table("bkt_lineitem"), p, s, n,
+        spark.table("bkt_orders").select("o_orderkey", "o_orderdate"),
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # appends keep the bucket spec usable (no incompatible-spec error)
+    before = spark.table("bkt_orders").count()
+    transfer(spark, SF_SMOKE, "orders", "bkt_orders",
+             bucket_by={"cols": ["o_orderkey"], "num_buckets": 8,
+                        "sort_cols": ["o_orderkey"]})
+    assert spark.table("bkt_orders").count() == 2 * before
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_layout_advisor_recommends_bucket_by(spark, tmp_path):
+    """The workload advisor emits a transfer-consumable bucket_by spec for
+    an equality-shaped id-cardinality column (join/distinct-shaped), and
+    never for low-cardinality or range-only usage."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import recommend_layout_for_workload
+
+    path = str(tmp_path / "t")
+    spark.range(200_000).selectExpr(
+        "id AS user_id", "id % 4 AS k", "CAST(id AS DOUBLE) AS v"
+    ).write.parquet(path)
+    collect_table_stats(spark, path)
+    rec = recommend_layout_for_workload(
+        spark, path,
+        predicates=["user_id = 42", "user_id IN (1, 2, 3)", "k = 1"],
+    )
+    assert rec["bucket_by"] is not None
+    assert rec["bucket_by"]["cols"] == ["user_id"]
+    assert rec["bucket_by"]["num_buckets"] >= 8
+    # range-only usage on the id column -> no bucket advice
+    rec2 = recommend_layout_for_workload(
+        spark, path, predicates=["user_id BETWEEN 1 AND 9", "k = 1"],
+    )
+    assert rec2["bucket_by"] is None
