@@ -110,8 +110,9 @@ def auto_shred_spec(
     from pyspark.sql import types as T
 
     from bigquack_spark.operators.planner import (
-        _json_path_refs,
         promote_json_field_types,
+        rank_json_refs,
+        safe_json_fields,
     )
 
     str_cols = [
@@ -123,31 +124,24 @@ def auto_shred_spec(
 
     def spec_for(col: str, fields: list[str], basis: str, refs: int) -> dict:
         vals = [r[col] for r in sample if r[col] is not None]
-        types = promote_json_field_types(vals, fields)
         clash = set(df.columns)
-        fields = [f for f in fields if f not in clash]  # keep_raw keeps all cols
+        # keep_raw keeps every existing column, so shadowing keys are
+        # skipped; non-identifier keys would break the from_json DDL (or
+        # inject columns via ', ') — shred_json never sees them, the raw
+        # column retains them (r11 review)
+        fields = [f for f in safe_json_fields(fields) if f not in clash]
         if not fields:
             return None
+        types = promote_json_field_types(vals, fields)
         schema = ", ".join(f"{f} {types[f]}" for f in fields)
         return {"col": col, "schema": schema, "keep_raw": True,
                 "basis": basis, "n_json_refs": refs}
 
     if predicates:
-        refs = Counter()
-        for pred in predicates:
-            for col, field in _json_path_refs(pred):
-                if col in str_cols:
-                    refs[(col, field)] += 1
-        by_col = Counter()
-        for (col, _f), n in refs.items():
-            by_col[col] += n
-        if by_col and by_col.most_common(1)[0][1] >= min_workload_refs:
-            target, n = by_col.most_common(1)[0]
-            fields = sorted(
-                (f for (c, f) in refs if c == target),
-                key=lambda f: (-refs[(target, f)], f),
-            )
-            got = spec_for(target, fields, "workload", int(n))
+        ranked = rank_json_refs(predicates, set(str_cols))
+        if ranked is not None and ranked[2] >= min_workload_refs:
+            target, fields, n, _field_refs = ranked
+            got = spec_for(target, fields, "workload", n)
             if got:
                 return got
 

@@ -457,6 +457,46 @@ def promote_json_field_types(samples: list[str], fields: list[str]) -> dict[str,
     return out
 
 
+def safe_json_fields(fields: "list[str]") -> "list[str]":
+    """Only fields that are valid unquoted SQL identifiers may enter a DDL
+    schema string: a key like ``user-agent`` fails ``from_json``'s parser,
+    and a key containing ``, `` could inject extra columns — shred advice
+    (and ``transfer(shred="auto")``) silently skips such keys; the raw
+    column retains them."""
+    import re
+
+    return [f for f in fields if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f)]
+
+
+def rank_json_refs(
+    predicates: "list[str]", str_cols: "set[str]"
+) -> "tuple[str, list[str], int] | None":
+    """The one aggregation the workload-shred advisor AND
+    ``transfer(shred="auto")`` share (r11 review: two copies had already
+    appeared): count (column, field) JSON-path references across the
+    predicates, pick the most-referenced string column, and return
+    ``(target, fields_by_refcount, n_refs, field_refs)`` — or None when
+    nothing extracts JSON from a string column."""
+    from collections import Counter
+
+    refs = Counter()
+    for pred in predicates:
+        for col, field in _json_path_refs(pred):
+            if col in str_cols:
+                refs[(col, field)] += 1
+    if not refs:
+        return None
+    by_col = Counter()
+    for (col, _f), n in refs.items():
+        by_col[col] += n
+    target, n = by_col.most_common(1)[0]
+    fields = sorted(
+        (f for (c, f) in refs if c == target),
+        key=lambda f: (-refs[(target, f)], f),
+    )
+    return target, fields, int(n), {f: int(refs[(target, f)]) for f in fields}
+
+
 def recommend_shred_for_workload(
     spark, path: str, predicates: list[str], col_types: dict[str, str]
 ) -> dict | None:
@@ -475,33 +515,26 @@ def recommend_shred_for_workload(
     advice derives from a bounded workload window, so fields the window
     never referenced must stay recoverable in the retained raw column —
     dropping it is an explicit operator decision, never advice."""
-    from collections import Counter
-
-    refs = Counter()
-    for pred in predicates:
-        for col, field in _json_path_refs(pred):
-            # only string-typed real columns qualify — a typo'd identifier
-            # or an already-shredded typed column must not trigger advice
-            if col_types.get(col, "").lower() in ("string", "varchar"):
-                refs[(col, field)] += 1
-    if not refs:
+    # only string-typed real columns qualify — a typo'd identifier or an
+    # already-shredded typed column must not trigger advice
+    str_cols = {
+        c for c, t in col_types.items() if t.lower() in ("string", "varchar")
+    }
+    ranked = rank_json_refs(predicates, str_cols)
+    if ranked is None:
         return None
-    by_col = Counter()
-    for (col, _f), n in refs.items():
-        by_col[col] += n
-    target = by_col.most_common(1)[0][0]
-    fields = sorted(
-        (f for (c, f) in refs if c == target),
-        key=lambda f: (-refs[(target, f)], f),
-    )
+    target, fields, n_refs, field_refs = ranked
+    fields = safe_json_fields(fields)
+    if not fields:
+        return None
     types = _infer_json_field_types(spark, path, target, fields)
     schema = ", ".join(f"{f} {types[f]}" for f in fields)
     return {
         "col": target,
         "schema": schema,
         "keep_raw": True,
-        "n_json_refs": int(by_col[target]),
-        "fields": {f: int(refs[(target, f)]) for f in fields},
+        "n_json_refs": n_refs,
+        "fields": {f: field_refs[f] for f in fields},
     }
 
 

@@ -27,8 +27,8 @@ log = logging.getLogger("bigquack_spark.pipeline")
 
 def _target_workload_predicates(spark: SparkSession, target_table: str) -> "list[str]":
     """The target table's captured predicate-log tail (empty on first
-    ingest or when no log exists) — the workload evidence
-    ``transfer(shred="auto")`` hands the advisor on re-ingest."""
+    ingest or when no log exists) — workload evidence for
+    :func:`bigquack_spark.operators.jsonshred.auto_shred_spec` callers."""
     try:
         if not spark.catalog.tableExists(target_table):
             return []
@@ -48,6 +48,40 @@ def _target_workload_predicates(spark: SparkSession, target_table: str) -> "list
         return []  # advice is best-effort; ingest never fails on it
 
 
+def _resolve_auto_shred(spark: SparkSession, df, target_table: str) -> "dict | None":
+    """Resolve ``shred="auto"`` for one transfer call.
+
+    First landing: a bounded-sample inference over the source frame
+    (``auto_shred_spec``).  Re-ingest of an EXISTING target: REPLAY the
+    target's own shred — its extra typed columns with its exact types —
+    never re-infer (r11 review: a fresh inference that resolves a
+    different field set or a promoted type fails the append's
+    exact-schema gate; schema changes under live readers stay an explicit
+    operator decision, the q20-remedy posture).  A target with no extra
+    columns means it landed raw — keep landing raw."""
+    from bigquack_spark.operators.jsonshred import auto_shred_spec
+
+    if not spark.catalog.tableExists(target_table):
+        return auto_shred_spec(df)
+    target_types = dict(spark.table(target_table).dtypes)
+    extra = [c for c in target_types if c not in df.columns]
+    if not extra:
+        return None  # target landed raw; stay raw
+    fresh = auto_shred_spec(df)
+    if fresh is None:
+        raise ValueError(
+            f"transfer(shred='auto'): target {target_table!r} carries shredded "
+            f"columns {sorted(extra)} but the incoming frame has no "
+            "JSON-bearing string column to derive them from — shred "
+            "explicitly or land to a new table"
+        )
+    # target column order, target types — from_json NULLs any field the
+    # incoming JSON lacks, so the append schema matches exactly
+    schema = ", ".join(f"{c} {target_types[c]}" for c in extra)
+    return {"col": fresh["col"], "schema": schema, "keep_raw": True,
+            "basis": "target-replay", "n_json_refs": 0}
+
+
 def transfer(
     spark: SparkSession,
     source_location: str,
@@ -59,9 +93,12 @@ def transfer(
     fmt: str = "parquet",
     shred: "dict | str | None" = None,
     bucket_by: dict | None = None,
+    meter: bool = True,
 ) -> int:
     """Copy a (projected, filtered) source table into a managed target table;
-    returns rows ingested this call.  Signature mirrors
+    returns rows ingested this call (``meter=False`` skips the before/after
+    row counts — two extra footer scans that are metering, not landing —
+    and returns -1; benches timing the landing itself use it).  Signature mirrors
     ``BQ2Duck(ctx, duckDBPath, project, dataset, table, opts)``
     (bigquack.go:64-77) with opts = SelectedFields/RowRestriction/MaxStreamCount.
 
@@ -87,16 +124,18 @@ def transfer(
     (``recommend_layout_from_log`` -> ``bucket_by``).
 
     ``shred="auto"`` (r10 verdict #4) resolves the spec itself via
-    :func:`bigquack_spark.operators.jsonshred.auto_shred_spec`: on
-    re-ingest of an existing target it accepts the workload advisor's
-    recommendation when the captured predicate log references JSON paths
-    confidently; otherwise a bounded sample detects the JSON column and
-    its fields.  Auto always keeps the raw column; no JSON column found
-    means land raw (never fail an ingest on inference)."""
+    :func:`bigquack_spark.operators.jsonshred.auto_shred_spec`: a bounded
+    sample detects the JSON column and its fields on FIRST landing (the
+    workload advisor's recommendation is accepted when callers pass its
+    captured predicates to ``auto_shred_spec`` directly); a re-ingest of
+    an existing target REPLAYS the target's own shred columns/types, so
+    appends can never fail the exact-schema gate on a drifted inference.
+    Auto always keeps the raw column; no JSON column found means land raw
+    (never fail a first ingest on inference)."""
     start = time.monotonic()
     before = (
         spark.table(target_table).count()
-        if spark.catalog.tableExists(target_table)
+        if meter and spark.catalog.tableExists(target_table)
         else 0
     )
     df = read_source(
@@ -104,10 +143,7 @@ def transfer(
         columns=columns, predicate=predicate, max_streams=max_streams, fmt=fmt,
     )
     if shred == "auto":
-        from bigquack_spark.operators.jsonshred import auto_shred_spec
-
-        shred = auto_shred_spec(df, predicates=_target_workload_predicates(
-            spark, target_table))
+        shred = _resolve_auto_shred(spark, df, target_table)
         if shred is not None:
             log.info("transfer shred=auto resolved", extra=dict(shred))
     if shred is not None:
@@ -127,7 +163,7 @@ def transfer(
         writer.saveAsTable(target_table)
     else:
         ingest_create_append(df, target_table)
-    total = spark.table(target_table).count() - before
+    total = (spark.table(target_table).count() - before) if meter else -1
     # duration log, bigquack.go:135-138
     log.info("transfer complete", extra={"rows": total, "seconds": time.monotonic() - start})
     return total

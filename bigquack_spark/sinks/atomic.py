@@ -43,6 +43,12 @@ class AtomicWriter:
     """Managed write stream over a parquet target directory."""
 
     def __init__(self, target: str, stream_type: WriteStreamType = WriteStreamType.PENDING):
+        # the PENDING publish is a directory rename — same commit primitive
+        # as the maintenance marker protocol, same gate (r11 review: the
+        # writer takes no lease, so the lease-side gate never covers it)
+        from bigquack_spark.operators.fsops import require_commit_capabilities
+
+        require_commit_capabilities(f"AtomicWriter({stream_type.name})")
         self.target = target
         self.stream_type = stream_type
         self.next_offset = 0

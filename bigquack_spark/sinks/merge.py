@@ -87,6 +87,9 @@ def _recover_orphaned_swap(target_path: str) -> None:
     deleting it would destroy in-flight work."""
     import time
 
+    from bigquack_spark.operators.fsops import require_commit_capabilities
+
+    require_commit_capabilities("merge recover_orphaned_swap")
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):

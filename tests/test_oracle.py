@@ -44,9 +44,11 @@ def test_oracle_paired_debt_fronts_window():
     once every oracle-paired name has a hash-green row."""
     import glob
     import json
+    import os
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_green, rows_only = set(), set()
-    for path in glob.glob("CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         for qname, row in json.load(open(path)).items():
             if not isinstance(row, dict):
                 continue

@@ -530,3 +530,50 @@ def test_layout_advisor_recommends_bucket_by(spark, tmp_path):
         spark, path, predicates=["user_id BETWEEN 1 AND 9", "k = 1"],
     )
     assert rec2["bucket_by"] is None
+
+
+def test_auto_shred_skips_non_identifier_keys(spark):
+    """r11 review: a JSON key that is not a valid SQL identifier
+    (user-agent, a dotted key, one containing ', ') must be skipped — it
+    would fail from_json's DDL parser or inject columns — while valid
+    keys still shred and the raw column retains the rest."""
+    from bigquack_spark.operators.jsonshred import auto_shred_spec
+
+    df = spark.createDataFrame(
+        [(i, '{"user-agent": "x", "ok_key": %d, "a.b": 1, "evil, injected INT": 2}' % i)
+         for i in range(50)],
+        "id long, props string",
+    )
+    spec = auto_shred_spec(df)
+    assert spec is not None and spec["col"] == "props"
+    assert spec["schema"] == "ok_key BIGINT"
+    # and the spec actually lands (the whole point: never fail the ingest)
+    spark.sql("DROP TABLE IF EXISTS weird_keys_auto")
+    from bigquack_spark.pipeline import transfer as _t  # direct spec path
+    from bigquack_spark.operators.jsonshred import shred_json
+
+    out = shred_json(df, spec["col"], spec["schema"], keep_raw=True)
+    assert out.filter("ok_key IS NULL").count() == 0
+
+
+def test_transfer_shred_auto_reingest_replays_target_spec(spark):
+    """r11 review: a re-ingest into an auto-shredded target must REPLAY
+    the target's own shred columns/types — never re-infer — so the append
+    cannot fail the exact-schema gate on a drifted field set or a
+    promoted type."""
+    spark.sql("DROP TABLE IF EXISTS events_auto_re")
+    n1 = transfer(spark, SF_SMOKE, "events", "events_auto_re", shred="auto")
+    cols1 = spark.table("events_auto_re").columns
+    n2 = transfer(spark, SF_SMOKE, "events", "events_auto_re", shred="auto")
+    t = spark.table("events_auto_re")
+    assert t.columns == cols1
+    assert n1 > 0 and n2 == n1 and t.count() == n1 + n2
+    spark.sql("DROP TABLE IF EXISTS events_auto_re")
+
+    # a raw-landed target stays raw on auto re-ingest
+    spark.sql("DROP TABLE IF EXISTS nation_auto_re")
+    transfer(spark, SF_SMOKE, "nation", "nation_auto_re")  # no shred
+    transfer(spark, SF_SMOKE, "nation", "nation_auto_re", shred="auto")
+    want = sorted(spark.read.parquet(f"{SF_SMOKE}/nation.parquet").columns)
+    assert sorted(spark.table("nation_auto_re").columns) == want
+    spark.sql("DROP TABLE IF EXISTS nation_auto_re")
