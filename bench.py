@@ -716,9 +716,13 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
         table = "bench_events_shredded"
         _drop_bench_table(spark, table)
         t0 = time.monotonic()
-        # shred="auto" (r10 verdict #4): the measured landing accepts the
-        # inference the product itself makes — no hand-written schema
-        transfer(spark, trend_dir, "events", table, shred="auto")
+        # the landing a deployment actually picks: shred="auto" (r10 #4 —
+        # the product's own inference types $.k, no hand-written schema)
+        # AND bucket_by user_id (r10 #8 — q21's wide distinct first phase
+        # and q22's sessionize window both become exchange-free)
+        transfer(spark, trend_dir, "events", table, shred="auto",
+                 bucket_by={"cols": ["user_id"], "num_buckets": 32},
+                 meter=False)
         land_sec = round(time.monotonic() - t0, 4)
         assert "k" in spark.table(table).columns, "auto shred must type $.k"
         es = spark.table(table)
@@ -758,6 +762,12 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
             "q20_typed": _timed_noop(q20),
             "q21_hourly": _timed_noop(q21),
             "q22_sessionize": _timed_noop(q22),
+        }
+        exchanges = {
+            name: df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange hashpartitioning"
+            )
+            for name, df in (("q21_hourly", q21), ("q22_sessionize", q22))
         }
 
         loc = next(
@@ -804,16 +814,20 @@ def _events_shredded_block(spark, trend_dir: str) -> dict | None:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         return {
             "note": (
-                "PRIMARY events-family numbers (r10 verdict #4): the whole "
-                "family measured over the layout a 100 TB deployment "
-                "actually runs — a pipeline.transfer(shred=\"auto\") landing "
-                "where the product's own inference typed $.k at ingest (no "
-                "hand-written schema).  The one-off ingest (land_sec) "
-                "amortizes over every later query; q20_typed replaces the "
-                "per-query JSON parse with a typed column.  The raw "
-                "trend_100x q20/q21 rows are the COMPARISON: their delta to "
-                "these ratios is the engine parse wall, not repo plan."
+                "PRIMARY events-family numbers (r10 verdict #4 + #8): the "
+                "whole family measured over the layout a 100 TB deployment "
+                "actually lands — ONE pipeline.transfer(shred=\"auto\", "
+                "bucket_by=user_id) where the product's own inference typed "
+                "$.k at ingest AND the bucket layout removes q21's wide "
+                "distinct first-phase exchange and q22's sessionize window "
+                "exchange.  The one-off ingest (land_sec) amortizes over "
+                "every later query; q20_typed replaces the per-query JSON "
+                "parse with a typed column.  The raw trend_100x q20/q21 "
+                "rows are the COMPARISON: their delta to these ratios is "
+                "the engine parse wall + plain layout, not repo plan."
             ),
+            "landed_via": "transfer(shred='auto', bucket_by=user_id x32)",
+            "exchanges": exchanges,
             "land_sec": land_sec,
             "spark_sec": spark_sec,
             "duckdb_sec": duck_sec,
