@@ -158,3 +158,16 @@ def test_marker_protocol_converges_across_torn_publish(spark, tmp_path):
     assert not os.path.isdir(staging)
     assert spark.read.parquet(leaf).count() == want  # no duplicates
     assert _resume_partition(leaf) == "none"  # fully idempotent
+
+
+def test_leaseless_publishers_hit_the_gate(tmp_path, object_store):
+    """AtomicWriter and merge's orphan recovery publish via rename without
+    taking a lease — they must hit the capability gate themselves (r11
+    review: the lease-side gate never covered them)."""
+    from bigquack_spark.sinks.atomic import AtomicWriter
+    from bigquack_spark.sinks.merge import _recover_orphaned_swap
+
+    with pytest.raises(UnsupportedCommitStoreError):
+        AtomicWriter(str(tmp_path / "t"))
+    with pytest.raises(UnsupportedCommitStoreError):
+        _recover_orphaned_swap(str(tmp_path / "t"))
