@@ -119,16 +119,18 @@ def listdir(path: str) -> list[str]:
     return _BACKEND.listdir(path)
 
 
-def require_commit_capabilities(operation: str) -> None:
+def require_commit_capabilities(operation: str, exclusive_create: bool = True) -> None:
     """Refuse loudly when the active backend cannot host the rename-swap
     marker protocol — called where every mutating pass converges (lease
     acquisition), so no writer can start a commit it cannot finish
-    atomically."""
+    atomically.  ``exclusive_create=False`` checks atomic rename only —
+    for publishers that rename but never take the O_EXCL lock
+    (AtomicWriter's PENDING publish, merge's orphan recovery)."""
     b = _BACKEND
     missing = []
     if not getattr(b, "atomic_rename", False):
         missing.append("atomic rename")
-    if not getattr(b, "exclusive_create", False):
+    if exclusive_create and not getattr(b, "exclusive_create", False):
         missing.append("exclusive create")
     if missing:
         raise UnsupportedCommitStoreError(

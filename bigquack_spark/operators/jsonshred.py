@@ -139,11 +139,19 @@ def auto_shred_spec(
 
     if predicates:
         ranked = rank_json_refs(predicates, set(str_cols))
-        if ranked is not None and ranked[2] >= min_workload_refs:
-            target, fields, n, _field_refs = ranked
-            got = spec_for(target, fields, "workload", n)
-            if got:
-                return got
+        if ranked is not None:
+            target, fields, _n, field_refs = ranked
+            # confidence counts only the fields that will actually shred
+            # (identifier-safe, non-shadowing) — references to skipped
+            # keys must not clear the threshold (second r11 review pass)
+            survivors = [
+                f for f in safe_json_fields(fields) if f not in set(df.columns)
+            ]
+            n_surv = sum(field_refs[f] for f in survivors)
+            if survivors and n_surv >= min_workload_refs:
+                got = spec_for(target, survivors, "workload", n_surv)
+                if got:
+                    return got
 
     best = None
     for col in str_cols:

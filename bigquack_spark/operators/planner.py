@@ -470,7 +470,7 @@ def safe_json_fields(fields: "list[str]") -> "list[str]":
 
 def rank_json_refs(
     predicates: "list[str]", str_cols: "set[str]"
-) -> "tuple[str, list[str], int] | None":
+) -> "tuple[str, list[str], int, dict[str, int]] | None":
     """The one aggregation the workload-shred advisor AND
     ``transfer(shred="auto")`` share (r11 review: two copies had already
     appeared): count (column, field) JSON-path references across the
@@ -523,7 +523,7 @@ def recommend_shred_for_workload(
     ranked = rank_json_refs(predicates, str_cols)
     if ranked is None:
         return None
-    target, fields, n_refs, field_refs = ranked
+    target, fields, _n_refs, field_refs = ranked
     fields = safe_json_fields(fields)
     if not fields:
         return None
@@ -533,7 +533,10 @@ def recommend_shred_for_workload(
         "col": target,
         "schema": schema,
         "keep_raw": True,
-        "n_json_refs": n_refs,
+        # evidence count covers ONLY the fields actually shredded —
+        # references to identifier-unsafe keys must not inflate the
+        # advice's confidence (second r11 review pass)
+        "n_json_refs": sum(field_refs[f] for f in fields),
         "fields": {f: field_refs[f] for f in fields},
     }
 

@@ -25,27 +25,26 @@ from bigquack_spark.sources.reader import read_source
 log = logging.getLogger("bigquack_spark.pipeline")
 
 
-def _target_workload_predicates(spark: SparkSession, target_table: str) -> "list[str]":
-    """The target table's captured predicate-log tail (empty on first
-    ingest or when no log exists) — workload evidence for
-    :func:`bigquack_spark.operators.jsonshred.auto_shred_spec` callers."""
-    try:
-        if not spark.catalog.tableExists(target_table):
-            return []
-        import os
+#: TBLPROPERTIES keys recording which column a landed table was shredded
+#: from and with what schema — the provenance ``shred="auto"`` replays on
+#: re-ingest (second r11 review pass: deriving the source column from a
+#: fresh inference over the NEW batch could silently shred the wrong
+#: column, or rebuild a projected-away real column as all-NULL).
+SHRED_PROP_COL = "bigquack.shred.col"
+SHRED_PROP_SCHEMA = "bigquack.shred.schema"
+SHRED_PROP_KEEPRAW = "bigquack.shred.keepraw"
 
-        from bigquack_spark.operators.planner import read_workload_log
 
-        loc = next(
-            r.data_type
-            for r in spark.sql(f"DESCRIBE EXTENDED {target_table}").collect()
-            if r.col_name == "Location"
-        ).replace("file:", "")
-        if not os.path.isdir(loc):
-            return []
-        return read_workload_log(loc)
-    except Exception:
-        return []  # advice is best-effort; ingest never fails on it
+def _record_shred_properties(spark: SparkSession, target_table: str, shred: dict) -> None:
+    def q(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    spark.sql(
+        f"ALTER TABLE {target_table} SET TBLPROPERTIES ("
+        f"{q(SHRED_PROP_COL)} = {q(shred['col'])}, "
+        f"{q(SHRED_PROP_SCHEMA)} = {q(shred['schema'])}, "
+        f"{q(SHRED_PROP_KEEPRAW)} = {q(str(bool(shred.get('keep_raw', False))))})"
+    )
 
 
 def _resolve_auto_shred(spark: SparkSession, df, target_table: str) -> "dict | None":
@@ -53,33 +52,37 @@ def _resolve_auto_shred(spark: SparkSession, df, target_table: str) -> "dict | N
 
     First landing: a bounded-sample inference over the source frame
     (``auto_shred_spec``).  Re-ingest of an EXISTING target: REPLAY the
-    target's own shred — its extra typed columns with its exact types —
-    never re-infer (r11 review: a fresh inference that resolves a
-    different field set or a promoted type fails the append's
-    exact-schema gate; schema changes under live readers stay an explicit
-    operator decision, the q20-remedy posture).  A target with no extra
-    columns means it landed raw — keep landing raw."""
+    shred spec RECORDED on the target at landing time (TBLPROPERTIES) —
+    never re-infer (r11 review, both passes: a fresh inference can
+    resolve a different field set, a promoted type, or even a different
+    source column, silently NULLing the shredded columns or failing the
+    append's exact-schema gate; schema changes under live readers stay an
+    explicit operator decision, the q20-remedy posture).  A target with
+    no recorded spec and no extra columns landed raw — keep landing raw;
+    extra columns WITHOUT provenance refuse loudly rather than guess."""
     from bigquack_spark.operators.jsonshred import auto_shred_spec
 
     if not spark.catalog.tableExists(target_table):
         return auto_shred_spec(df)
-    target_types = dict(spark.table(target_table).dtypes)
-    extra = [c for c in target_types if c not in df.columns]
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {target_table}").collect()
+    }
+    col, schema = props.get(SHRED_PROP_COL), props.get(SHRED_PROP_SCHEMA)
+    if col and schema:
+        return {"col": col, "schema": schema,
+                "keep_raw": props.get(SHRED_PROP_KEEPRAW, "True") == "True",
+                "basis": "target-replay", "n_json_refs": 0}
+    extra = [c for c in dict(spark.table(target_table).dtypes) if c not in df.columns]
     if not extra:
         return None  # target landed raw; stay raw
-    fresh = auto_shred_spec(df)
-    if fresh is None:
-        raise ValueError(
-            f"transfer(shred='auto'): target {target_table!r} carries shredded "
-            f"columns {sorted(extra)} but the incoming frame has no "
-            "JSON-bearing string column to derive them from — shred "
-            "explicitly or land to a new table"
-        )
-    # target column order, target types — from_json NULLs any field the
-    # incoming JSON lacks, so the append schema matches exactly
-    schema = ", ".join(f"{c} {target_types[c]}" for c in extra)
-    return {"col": fresh["col"], "schema": schema, "keep_raw": True,
-            "basis": "target-replay", "n_json_refs": 0}
+    raise ValueError(
+        f"transfer(shred='auto'): target {target_table!r} carries columns "
+        f"{sorted(extra)} the incoming frame lacks, and records no shred "
+        "provenance — synthesizing them from a guess would land NULLs "
+        "silently; shred explicitly (shred={'col': ..., 'schema': ...}) or "
+        "land to a new table"
+    )
 
 
 def transfer(
@@ -163,6 +166,10 @@ def transfer(
         writer.saveAsTable(target_table)
     else:
         ingest_create_append(df, target_table)
+    if isinstance(shred, dict):
+        # provenance for shred="auto" re-ingest replay (recorded for
+        # explicit specs too, so a later auto append replays them)
+        _record_shred_properties(spark, target_table, shred)
     total = (spark.table(target_table).count() - before) if meter else -1
     # duration log, bigquack.go:135-138
     log.info("transfer complete", extra={"rows": total, "seconds": time.monotonic() - start})

@@ -45,10 +45,15 @@ class AtomicWriter:
     def __init__(self, target: str, stream_type: WriteStreamType = WriteStreamType.PENDING):
         # the PENDING publish is a directory rename — same commit primitive
         # as the maintenance marker protocol, same gate (r11 review: the
-        # writer takes no lease, so the lease-side gate never covers it)
-        from bigquack_spark.operators.fsops import require_commit_capabilities
+        # writer takes no lease, so the lease-side gate never covers it).
+        # COMMITTED appends in place with no rename and no lock, so only
+        # PENDING is gated, and only on atomic rename (second review pass:
+        # the writer never uses exclusive-create in any mode).
+        if stream_type is WriteStreamType.PENDING:
+            from bigquack_spark.operators.fsops import require_commit_capabilities
 
-        require_commit_capabilities(f"AtomicWriter({stream_type.name})")
+            require_commit_capabilities("AtomicWriter(PENDING)",
+                                        exclusive_create=False)
         self.target = target
         self.stream_type = stream_type
         self.next_offset = 0

@@ -89,7 +89,9 @@ def _recover_orphaned_swap(target_path: str) -> None:
 
     from bigquack_spark.operators.fsops import require_commit_capabilities
 
-    require_commit_capabilities("merge recover_orphaned_swap")
+    # recovery renames directories but never takes the O_EXCL lock
+    require_commit_capabilities("merge recover_orphaned_swap",
+                                exclusive_create=False)
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):

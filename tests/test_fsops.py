@@ -161,13 +161,26 @@ def test_marker_protocol_converges_across_torn_publish(spark, tmp_path):
 
 
 def test_leaseless_publishers_hit_the_gate(tmp_path, object_store):
-    """AtomicWriter and merge's orphan recovery publish via rename without
-    taking a lease — they must hit the capability gate themselves (r11
-    review: the lease-side gate never covered them)."""
-    from bigquack_spark.sinks.atomic import AtomicWriter
+    """AtomicWriter's PENDING publish and merge's orphan recovery rename
+    without taking a lease — they must hit the capability gate themselves
+    (r11 review: the lease-side gate never covered them), but only for
+    the rename they actually perform: COMMITTED appends in place and must
+    keep working on a rename-less store (second review pass)."""
+    from bigquack_spark.sinks.atomic import AtomicWriter, WriteStreamType
     from bigquack_spark.sinks.merge import _recover_orphaned_swap
 
     with pytest.raises(UnsupportedCommitStoreError):
         AtomicWriter(str(tmp_path / "t"))
     with pytest.raises(UnsupportedCommitStoreError):
         _recover_orphaned_swap(str(tmp_path / "t"))
+    # COMMITTED: no rename, no lock — not gated
+    AtomicWriter(str(tmp_path / "t2"), WriteStreamType.COMMITTED)
+    # conditional-PUT store (rename still copy+delete): PENDING refuses on
+    # the rename alone, without demanding the exclusive-create it never uses
+    prev = set_backend(_ConditionalPutBackend())
+    try:
+        with pytest.raises(UnsupportedCommitStoreError) as ei:
+            AtomicWriter(str(tmp_path / "t3"))
+        assert "exclusive create" not in str(ei.value)
+    finally:
+        set_backend(prev)

@@ -548,8 +548,6 @@ def test_auto_shred_skips_non_identifier_keys(spark):
     assert spec is not None and spec["col"] == "props"
     assert spec["schema"] == "ok_key BIGINT"
     # and the spec actually lands (the whole point: never fail the ingest)
-    spark.sql("DROP TABLE IF EXISTS weird_keys_auto")
-    from bigquack_spark.pipeline import transfer as _t  # direct spec path
     from bigquack_spark.operators.jsonshred import shred_json
 
     out = shred_json(df, spec["col"], spec["schema"], keep_raw=True)
@@ -577,3 +575,42 @@ def test_transfer_shred_auto_reingest_replays_target_spec(spark):
     want = sorted(spark.read.parquet(f"{SF_SMOKE}/nation.parquet").columns)
     assert sorted(spark.table("nation_auto_re").columns) == want
     spark.sql("DROP TABLE IF EXISTS nation_auto_re")
+
+
+def test_transfer_shred_auto_refuses_extra_columns_without_provenance(spark):
+    """Second r11 review pass: extra target columns with NO recorded shred
+    provenance must refuse loudly — synthesizing them from a fresh guess
+    would silently land NULLs (e.g. a projected-away real column)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS noprov")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "real_extra", F.lit(7)
+    ).write.saveAsTable("noprov")
+    with _pytest.raises(ValueError, match="no shred provenance"):
+        transfer(spark, SF_SMOKE, "events", "noprov", shred="auto")
+    spark.sql("DROP TABLE IF EXISTS noprov")
+
+
+def test_transfer_records_and_replays_explicit_shred_spec(spark):
+    """An explicit shred dict is recorded as provenance too, so a later
+    shred=\"auto\" append replays it verbatim — including keep_raw=False
+    (the raw column stays dropped, schema stays stable)."""
+    from bigquack_spark.pipeline import SHRED_PROP_COL, SHRED_PROP_SCHEMA
+
+    spark.sql("DROP TABLE IF EXISTS events_explicit")
+    transfer(spark, SF_SMOKE, "events", "events_explicit",
+             shred={"col": "props", "schema": "k INT", "keep_raw": False})
+    props = {r["key"]: r["value"] for r in
+             spark.sql("SHOW TBLPROPERTIES events_explicit").collect()}
+    assert props.get(SHRED_PROP_COL) == "props"
+    assert props.get(SHRED_PROP_SCHEMA) == "k INT"
+    cols1 = spark.table("events_explicit").columns
+    assert "props" not in cols1 and "k" in cols1
+    n1 = spark.table("events_explicit").count()
+    transfer(spark, SF_SMOKE, "events", "events_explicit", shred="auto")
+    t = spark.table("events_explicit")
+    assert t.columns == cols1 and t.count() == 2 * n1
+    spark.sql("DROP TABLE IF EXISTS events_explicit")
