@@ -4,7 +4,8 @@ port the same operational front door plus the lakehouse-maintenance
 verbs the long-lived deployment needs.
 
     python -m bigquack_spark transfer  SRC_DIR TABLE TARGET [--columns a,b]
-                                       [--predicate SQL] [--shred col=JSON..]
+                                       [--predicate SQL] [--shred col=DDL|auto]
+                                       [--bucket-by COLS[:N[:SORT]]]
     python -m bigquack_spark query     "SELECT ..." --sf-dir DIR [--limit N]
     python -m bigquack_spark maintain  PATH [--retention SQL] [--keep-last N]
                                        [--older-than-s S] [--target-mb M]
@@ -64,10 +65,18 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--shred",
         help="schema-on-write JSON shred: COL=DDL "
-        '(e.g. --shred \'payload=k INT, tag STRING\')',
+        '(e.g. --shred \'payload=k INT, tag STRING\'), or the literal '
+        "'auto' (sample-inferred spec; re-ingest replays the target's "
+        "recorded provenance)",
     )
     t.add_argument("--shred-keep-raw", action="store_true",
                    help="retain the raw JSON column alongside shredded fields")
+    t.add_argument(
+        "--bucket-by",
+        help="land bucketed: COLS[:N[:SORT_COLS]] — comma-separated bucket "
+        "columns, bucket count (default 32), optional sort columns "
+        "(e.g. --bucket-by o_orderkey:32:o_orderkey)",
+    )
 
     q = sub.add_parser("query", help="run SQL over the registered tables")
     q.add_argument("sql")
@@ -172,19 +181,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from bigquack_spark.pipeline import transfer
 
             shred = None
-            if args.shred:
+            if args.shred == "auto":
+                shred = "auto"
+            elif args.shred:
                 col, sep, ddl = args.shred.partition("=")
                 if not sep or not col.strip() or not ddl.strip():
                     raise ValueError(
-                        "--shred expects COL=DDL, e.g. "
+                        "--shred expects COL=DDL or 'auto', e.g. "
                         "--shred 'payload=k INT, tag STRING'"
                     )
                 shred = {"col": col.strip(), "schema": ddl.strip(),
                          "keep_raw": args.shred_keep_raw}
+            bucket_by = None
+            if args.bucket_by:
+                parts = args.bucket_by.split(":")
+                if not parts[0].strip():
+                    raise ValueError(
+                        "--bucket-by expects COLS[:N[:SORT_COLS]], e.g. "
+                        "--bucket-by o_orderkey:32:o_orderkey"
+                    )
+                bucket_by = {"cols": _cols(parts[0])}
+                if len(parts) > 1 and parts[1].strip():
+                    bucket_by["num_buckets"] = int(parts[1])
+                if len(parts) > 2 and parts[2].strip():
+                    bucket_by["sort_cols"] = _cols(parts[2])
             rows = transfer(
                 _spark(), args.src_dir, args.table, args.target,
                 columns=_cols(args.columns), predicate=args.predicate,
-                fmt=args.format, shred=shred,
+                fmt=args.format, shred=shred, bucket_by=bucket_by,
             )
             out = {"cmd": "transfer", "rows": rows, "target": args.target}
         elif args.cmd == "query":

@@ -114,6 +114,38 @@ def test_cli_transfer_shred(capsys, spark, tmp_path):
     assert rc == 1 and "COL=DDL" in err
 
 
+def test_cli_transfer_shred_auto_and_bucket_by(capsys, spark, tmp_path):
+    """CLI parity for the r11 transfer surface: --shred auto lands typed
+    columns from the product's own inference, --bucket-by lands a bucketed
+    managed table (append-safe spec), malformed --bucket-by refuses with
+    usage guidance."""
+    src = str(tmp_path)
+    spark.createDataFrame(
+        [(i, i % 7, '{"k": %d}' % i) for i in range(40)],
+        "id bigint, uid bigint, props string",
+    ).write.parquet(f"{src}/ev.parquet")
+    spark.sql("DROP TABLE IF EXISTS cli_auto_t")
+    rc, out, _ = _run(capsys, spark, [
+        "transfer", src, "ev", "cli_auto_t",
+        "--shred", "auto", "--bucket-by", "uid:8:uid",
+    ])
+    try:
+        assert rc == 0 and out["rows"] == 40
+        got = spark.table("cli_auto_t")
+        assert "k" in got.columns and "props" in got.columns  # auto keeps raw
+        assert got.filter("k != id").count() == 0
+        desc = spark.sql("DESCRIBE EXTENDED cli_auto_t").collect()
+        bucket_rows = {r.col_name: r.data_type for r in desc}
+        assert bucket_rows.get("Num Buckets") == "8"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_auto_t")
+
+    rc, _, err = _run(capsys, spark, [
+        "transfer", src, "ev", "cli_bad_bucket", "--bucket-by", ":",
+    ])
+    assert rc == 1 and "COLS[:N[:SORT_COLS]]" in err
+
+
 def test_cli_ann_index_lifecycle(capsys, spark, tmp_path):
     """The simsearch verbs mirror the API lifecycle (r9 verdict #6):
     build (+PQ, +metadata) -> calibrate -> probe (plain, PQ,
