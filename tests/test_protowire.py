@@ -219,3 +219,27 @@ def test_well_known_timestamp_roundtrip(spark):
     rendered = P.render_proto_schema(schema, use_well_known_timestamps=True)
     assert 'import "google/protobuf/timestamp.proto";' in rendered
     assert "optional google.protobuf.Timestamp ts = 2;" in rendered
+
+
+def test_wrapper_wire_roundtrip_property(spark):
+    """Property: the wrapper/WKT codec is identity for arbitrary strings
+    (unicode, empty, NULL — the three-way distinction wrappers exist for)
+    and arbitrary epoch-micros timestamps, pre-epoch included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T._parse_datatype_string("s string, ts timestamp")
+    desc = P.proto_descriptor(schema, use_wrapper_types=True,
+                              use_well_known_timestamps=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        s=st.none() | st.text(max_size=64),
+        micros=st.none() | st.integers(min_value=-(2**55), max_value=2**55),
+    )
+    def check(s, micros):
+        back = P.decode_row(P.encode_row({"s": s, "ts": micros}, desc), desc)
+        assert back["s"] == s  # None stays None; "" stays "" (wrapper presence)
+        assert back["ts"] == micros
+
+    check()
