@@ -238,7 +238,7 @@ def _compact_partition(
                 "aborted before publish; live layout untouched"
             )
 
-    n_new = sum(1 for f in os.listdir(data_dir) if _is_data_file(f))
+    n_new = sum(1 for f in fsops.listdir(data_dir) if _is_data_file(f))
     gen = uuid.uuid4().hex[:12]
     if lease is not None:
         lease.check()  # fencing gate: die pre-commit if the lease was stolen
@@ -467,7 +467,7 @@ def _purge_rows_locked(
         name_set = set(names)
         others = [
             [n, os.path.getsize(os.path.join(leaf, n))]
-            for n in sorted(os.listdir(leaf))
+            for n in sorted(fsops.listdir(leaf))
             if _is_data_file(n) and n not in name_set
         ]
         files = [os.path.join(leaf, n) for n in names]
@@ -1197,7 +1197,7 @@ def _apply_retention_locked(
     report["generation"] = gen
     retired_leaves = []
     for leaf in sorted(matched):
-        names = sorted(n for n in os.listdir(leaf) if _is_data_file(n))
+        names = sorted(n for n in fsops.listdir(leaf) if _is_data_file(n))
         if not names:
             continue
         staging = os.path.join(leaf, STAGING_DIR)

@@ -61,9 +61,9 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigquack_spark.operators import fsops
-from pyspark.sql import functions as F
 
 
 #: Staging dirs younger than this are presumed owned by a live concurrent
@@ -96,7 +96,7 @@ def _recover_orphaned_swap(target_path: str) -> None:
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):
         return
-    for entry in sorted(os.listdir(parent)):
+    for entry in sorted(fsops.listdir(parent)):
         full = os.path.join(parent, entry)
         if entry.startswith(base + ".old-"):
             if not os.path.exists(target_path):
@@ -152,7 +152,7 @@ def _publish_leaf(
     old_names = {name for name, _size in olds}
     others = [
         [n, os.path.getsize(os.path.join(leaf, n))]
-        for n in sorted(os.listdir(leaf))
+        for n in sorted(fsops.listdir(leaf))
         if _is_data_file(n)
         and n not in old_names
         and not n.startswith(f"{prefix}-{gen}-")
@@ -470,7 +470,7 @@ def _merge_upsert_locked(
                     )
             stage_files = [
                 os.path.join(data_dir, n)
-                for n in sorted(os.listdir(data_dir))
+                for n in sorted(fsops.listdir(data_dir))
                 if _is_data_file(n)
             ]
         _publish_leaf(leaf, gen, olds=olds, stage_files=stage_files, lease=lease)
