@@ -751,3 +751,20 @@ def test_ivf_cell_drift_reads_no_vector_pages(spark, tmp_path):
         for m in index_scans
     ), plan
     assert not df.filter(F.col("n_now") < F.col("n_build")).take(1)
+
+
+def test_registered_ann_queries_stay_jvm_side(spark):
+    """The r11 serving knobs (arrow_scoring / arrow ADC / arrow encode)
+    are opt-in ONLY: every oracle-paired ANN/PQ registry query must plan
+    with zero Python evaluation nodes — the hash-matched paths stay in
+    codegen, so a knob default can never silently drift the oracle math."""
+    from bigquack_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name in (
+        "q40_ann_cosine_topk", "q41_ann_lsh_topk", "q42_ann_ivf_topk",
+        "q213_pq_codes", "q310_pq_adc_audit", "q326_filtered_ann",
+    ):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name} picked up a Python kernel"
