@@ -752,3 +752,86 @@ class StatsMaintainedAppendSink(ExactlyOnceBatchSink):
             except ValueError:
                 # legacy pre-partials manifest: upgrade with one recollect
                 collect_table_stats(spark, self.target)
+
+
+class AnnIndexIngestSink:
+    """foreachBatch handler: stream embedding batches into a persisted
+    IVF(-PQ) index via ``append_to_ivf_index`` — the serving-side ANN
+    ingest loop (build once, append per micro-batch, rebuild on drift).
+
+    Exactly-once: an index append is NOT naturally idempotent (cell
+    partitions take plain appends; a replayed batch would duplicate ids),
+    so the sink gates on a durable ``_COMMITTED_BATCH`` offset at the
+    index ROOT (above the generation pointer, so rebuilds preserve it) —
+    the same protocol as :class:`ExactlyOnceBatchSink`.  The one crash
+    window — append durable, offset not — re-appends that batch on
+    replay: probes stay CORRECT (both probe paths dropDuplicates on
+    (qid, neighbor_id) by design), the duplicate bytes are healed by the
+    next ``rebuild_ivf_index`` (which re-materializes from current rows),
+    and the window is disclosed here rather than papered over.
+
+    ``drift_check=True`` runs :func:`ivf_cell_drift` after each committed
+    batch (partition-column-only scan — no vector bytes) and records the
+    index-wide rebuild recommendation on ``last_drift`` / the sink log.
+    The sink never rebuilds on its own: a rebuild swaps the generation
+    pointer under live probes, which is safe, but WHEN to pay the refit
+    is an operator decision (the ``index-rebuild`` CLI verb acts on the
+    advice)."""
+
+    def __init__(
+        self,
+        index_path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        drift_check: bool = False,
+        drift_threshold: float = 1.5,
+    ):
+        self.index_path = index_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.drift_check = drift_check
+        self.drift_threshold = drift_threshold
+        self._offset_file = os.path.join(index_path, "_COMMITTED_BATCH")
+        self.next_batch_id = self._load()
+        self.appended = 0
+        self.last_drift: dict | None = None
+
+    def _load(self) -> int:
+        try:
+            with open(self._offset_file) as fh:
+                return json.load(fh)["next_batch_id"]
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _persist(self) -> None:
+        from bigquack_spark.operators import fsops
+
+        tmp = self._offset_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"next_batch_id": self.next_batch_id}, fh)
+        fsops.replace(tmp, self._offset_file)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id < self.next_batch_id:
+            return  # replayed batch: already durable — exactly-once
+        from bigquack_spark.operators.simsearch import (
+            append_to_ivf_index,
+            ivf_cell_drift,
+        )
+
+        spark = batch_df.sparkSession
+        self.appended += append_to_ivf_index(
+            spark, self.index_path, batch_df,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        self.next_batch_id = batch_id + 1
+        self._persist()
+        if self.drift_check:
+            rows = ivf_cell_drift(
+                spark, self.index_path,
+                share_ratio_threshold=self.drift_threshold,
+            ).collect()  # n_lists rows — bounded by construction
+            self.last_drift = {
+                "rebuild": bool(rows and rows[0]["rebuild"]),
+                "hot_cells": sorted(int(r["cell"]) for r in rows if r["hot"]),
+            }

@@ -1435,3 +1435,60 @@ def test_stats_maintained_sink_heals_stale_manifest_on_replay(spark, tmp_path):
     os.remove(os.path.join(target, STATS_FILE))
     sink(df, 0)  # replayed batch id
     assert stats_are_fresh(target)
+
+
+def test_ann_index_ingest_sink_exactly_once_and_drift(spark, tmp_path):
+    """Streaming ANN ingest closes the index lifecycle: build once, stream
+    embedding batches through AnnIndexIngestSink (exactly-once appends
+    into the frozen-quantizer cells), probes see new vectors immediately,
+    replayed batch ids are no-ops across 'restart', and drift monitoring
+    surfaces the rebuild recommendation without acting on it."""
+    import os
+
+    from bigquack_spark.operators import simsearch as S
+    from bigquack_spark.streaming.sink import AnnIndexIngestSink
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n_total = emb.count()
+    base = emb.filter("vec_id < 400")
+    late = emb.filter("vec_id >= 400")
+    path = str(tmp_path / "ivf")
+    assert S.build_ivf_index(base, path, n_lists=4, seed=42) == 4
+
+    # stream the late vectors in as parquet micro-batches
+    src = str(tmp_path / "incoming")
+    late.write.parquet(src)
+    sink = AnnIndexIngestSink(path, drift_check=True)
+    (
+        spark.readStream.schema(late.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    n_late = late.count()
+    assert sink.appended == n_late
+    assert sink.last_drift is not None and "rebuild" in sink.last_drift
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.count() == n_total
+    assert idx.select("id").distinct().count() == n_total
+
+    # the probe serves appended vectors with exact brute-force parity
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = S.probe_ivf_index(spark, path, queries, k=5, n_probes=4)
+    brute = S.cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, brute.collect()))
+
+    # restart: a fresh sink reloads the durable offset; replayed ids no-op
+    replay = AnnIndexIngestSink(path)
+    committed = replay.next_batch_id
+    assert committed >= 1
+    replay(late.limit(7), batch_id=0)
+    assert spark.read.parquet(f"{path}/index").count() == n_total  # no dupes
+    assert replay.appended == 0
+    # offset file lives at the index ROOT so a rebuild preserves it
+    S.rebuild_ivf_index(spark, path)
+    assert os.path.isfile(os.path.join(path, "_COMMITTED_BATCH"))
+    assert AnnIndexIngestSink(path).next_batch_id == committed
