@@ -26,6 +26,7 @@ verbs the long-lived deployment needs.
                                        [--budgets a,b] [--sample N]
     python -m bigquack_spark index-rebuild PATH [--n-lists N]
     python -m bigquack_spark stream-ingest SRC_DIR TARGET [--checkpoint DIR]
+    python -m bigquack_spark index-stream-ingest SRC_DIR INDEX [--drift-check]
                                        [--lease]
 
 Every verb prints ONE JSON object on stdout (machine-parseable, the
@@ -162,6 +163,19 @@ def _build_parser() -> argparse.ArgumentParser:
     si.add_argument("--checkpoint", help="checkpoint dir (default: TARGET/_checkpoint)")
     si.add_argument("--lease", action="store_true",
                     help="serialize batch commits with maintenance via the table lease")
+
+    isi = sub.add_parser(
+        "index-stream-ingest",
+        help="drain a parquet embedding stream into a persisted IVF index "
+        "exactly-once (frozen-quantizer appends + drift advice)",
+    )
+    isi.add_argument("src_dir")
+    isi.add_argument("index_path")
+    isi.add_argument("--id-col", default="vec_id")
+    isi.add_argument("--vec-col", default="embedding")
+    isi.add_argument("--checkpoint", help="checkpoint dir (default: INDEX/_checkpoint)")
+    isi.add_argument("--drift-check", action="store_true",
+                     help="run ivf_cell_drift after each committed batch")
     return p
 
 
@@ -357,6 +371,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             n = sp.read.parquet(args.target).count()
             out = {"cmd": "stream-ingest", "target": args.target,
                    "rows_total": n, "next_batch_id": sink.next_batch_id}
+        elif args.cmd == "index-stream-ingest":
+            from bigquack_spark.streaming.sink import AnnIndexIngestSink
+
+            sp = _spark()
+            schema = sp.read.parquet(args.src_dir).schema
+            stream = sp.readStream.schema(schema).parquet(args.src_dir)
+            sink = AnnIndexIngestSink(
+                args.index_path, id_col=args.id_col, vec_col=args.vec_col,
+                drift_check=args.drift_check,
+            )
+            ckpt = args.checkpoint or f"{args.index_path}/_checkpoint"
+            (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            out = {"cmd": "index-stream-ingest", "index": args.index_path,
+                   "appended": sink.appended,
+                   "next_batch_id": sink.next_batch_id,
+                   "drift": sink.last_drift}
         else:  # pragma: no cover - argparse enforces the choices
             raise ValueError(args.cmd)
     except Exception as exc:

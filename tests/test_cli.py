@@ -218,3 +218,23 @@ def test_cli_stream_ingest_exactly_once(capsys, spark, tmp_path):
         .write.mode("append").parquet(src)
     rc, out, _ = _run(capsys, spark, ["stream-ingest", src, target, "--lease"])
     assert rc == 0 and out["rows_total"] == 150
+
+
+def test_cli_index_stream_ingest(capsys, spark, tmp_path):
+    """The streaming half of the index lifecycle from the front door:
+    build, stream a batch of new vectors in exactly-once, report drift."""
+    from bigquack_spark.operators import simsearch as S
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    assert S.build_ivf_index(emb.filter("vec_id < 400"), path, n_lists=4) == 4
+    src = str(tmp_path / "incoming")
+    emb.filter("vec_id >= 400").write.parquet(src)
+    rc, out, _ = _run(capsys, spark, [
+        "index-stream-ingest", src, path, "--drift-check",
+    ])
+    assert rc == 0
+    assert out["appended"] == emb.filter("vec_id >= 400").count()
+    assert out["drift"] is not None and "rebuild" in out["drift"]
+    assert spark.read.parquet(f"{path}/index").count() == emb.count()
