@@ -55,6 +55,7 @@ non-POSIX deployments.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 
@@ -84,7 +85,13 @@ class PosixBackend:
             try:
                 os.write(fd, data)
             except OSError:
-                pass
+                # A created-but-empty marker would silently drop the caller's
+                # payload (r11 advice): undo the half-created file and
+                # re-raise so the caller sees the failure, not a bogus win.
+                os.close(fd)
+                with contextlib.suppress(OSError):
+                    os.unlink(path)
+                raise
         return fd
 
     def listdir(self, path: str) -> list[str]:

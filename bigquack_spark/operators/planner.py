@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from bigquack_spark.operators.maintenance import (
     STATS_FILE,
@@ -239,11 +240,30 @@ def _predicate_columns(spark, col_types: dict[str, str], predicate: str) -> set[
     string parsing: the predicate is resolved against a zero-row frame
     with each column removed in turn; removal breaking analysis means the
     predicate needs that column.  Driver-side plan compiles over an empty
-    local frame only — no data, metadata-priced."""
+    local frame only — no data, metadata-priced.
+
+    Logged single-table predicates may carry a table qualifier
+    (``o.o_orderkey = 5`` — r11 advice): a dotted prefix that is NOT
+    itself a column is treated as the table alias and applied to the
+    probe frame.  Two distinct qualifiers would mean a multi-table
+    predicate, which a single-table advisor cannot score — refused
+    loudly like any other non-analyzing predicate."""
+    qualifiers = {
+        m.group(1) for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.", predicate)
+    } - set(col_types)
+    if len(qualifiers) > 1:
+        raise ValueError(
+            f"workload predicate {predicate!r} references {len(qualifiers)} "
+            f"table qualifiers {sorted(qualifiers)} — a single-table layout "
+            "advisor cannot score a multi-table predicate"
+        )
+    alias = next(iter(qualifiers), None)
+
     def _frame(cols: list[str]):
-        return spark.createDataFrame(
+        f = spark.createDataFrame(
             [], ", ".join(f"`{c}` {col_types[c]}" for c in cols)
         )
+        return f.alias(alias) if alias else f
 
     try:
         _frame(list(col_types)).filter(predicate).columns
@@ -267,6 +287,8 @@ def _predicate_columns(spark, col_types: dict[str, str], predicate: str) -> set[
         probe = spark.createDataFrame(
             [], schema if others else "`__probe__` int"
         )
+        if alias:
+            probe = probe.alias(alias)
         try:
             probe.filter(predicate).columns
         except Exception:
@@ -340,15 +362,17 @@ def recommend_layout_for_workload(
     # by pipeline.transfer(bucket_by=...); num_buckets sizes to ~4M rows
     # per bucket, power of two, so both sides of a co-located join can
     # agree on it from each table's own stats grain.
-    import math
-    import re as _re
-
     n_rows = int(stats.get("rows", 0) or 0)
     eq_usage: dict[str, int] = {}
     for pred in predicates:
         for c in col_types:
-            if _re.search(
-                rf"(?<![\w.`]){_re.escape(c)}`?\s*(=|IN\s*\()", pred, _re.IGNORECASE
+            # Qualified references count too: `o.o_orderkey = 5` is an
+            # equality use of o_orderkey (r11 advice — the old lookbehind
+            # rejected any preceding '.', undercounting aliased workloads).
+            if re.search(
+                rf"(?:^|(?<=[^\w.`])|(?<=\w\.)){re.escape(c)}`?\s*(=|IN\s*\()",
+                pred,
+                re.IGNORECASE,
             ):
                 eq_usage[c] = eq_usage.get(c, 0) + 1
     bucket_best = None

@@ -212,14 +212,32 @@ def encode_row(values: dict, descriptor: list[dict]) -> bytes:
     return bytes(out)
 
 
+def _skip_unknown_field(buf: bytes, pos: int, wire_type: int) -> int:
+    """Advance past one unknown field's payload, branching on the tag's wire
+    type — a varint-typed inner field from a foreign proto3 writer must be
+    consumed as a varint, not misread as a length (r11 advice)."""
+    if wire_type == _VARINT:
+        _, pos = _read_varint(buf, pos)
+    elif wire_type == _FIXED64:
+        pos += 8
+    elif wire_type == _FIXED32:
+        pos += 4
+    elif wire_type == _LEN:
+        n, pos = _read_varint(buf, pos)
+        pos += n
+    else:
+        raise ValueError(f"unsupported wire type {wire_type} in wrapper message")
+    return pos
+
+
 def _unwrap_string_message(buf: bytes) -> str:
     pos = 0
     while pos < len(buf):
         tag, pos = _read_varint(buf, pos)
-        n, pos = _read_varint(buf, pos)
         if tag == 0x0A:
+            n, pos = _read_varint(buf, pos)
             return buf[pos : pos + n].decode("utf-8")
-        pos += n  # unknown inner field: skip
+        pos = _skip_unknown_field(buf, pos, tag & 0x07)
     return ""  # empty wrapper message = present empty string
 
 
@@ -230,11 +248,13 @@ def _unwrap_timestamp_message(buf: bytes) -> int:
     pos = 0
     while pos < len(buf):
         tag, pos = _read_varint(buf, pos)
-        raw, pos = _read_varint(buf, pos)
         if tag == 0x08:
+            raw, pos = _read_varint(buf, pos)
             seconds = raw - (1 << 64) if raw >= 1 << 63 else raw
         elif tag == 0x10:
-            nanos = raw
+            nanos, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip_unknown_field(buf, pos, tag & 0x07)
     return seconds * 1_000_000 + nanos // 1_000
 
 

@@ -795,6 +795,7 @@ class AnnIndexIngestSink:
         self.next_batch_id = self._load()
         self.appended = 0
         self.last_drift: dict | None = None
+        self._first_call = True
 
     def _load(self) -> int:
         try:
@@ -812,6 +813,24 @@ class AnnIndexIngestSink:
         fsops.replace(tmp, self._offset_file)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._first_call:
+            self._first_call = False
+            # A fresh/relocated streaming checkpoint restarts batch ids at 0
+            # while _COMMITTED_BATCH still holds the old high-water mark; the
+            # replay gate below would then silently DROP every new batch as a
+            # "replay" (r11 advice — data loss, not duplicates).  A genuine
+            # restart replays at most the one in-flight batch (regression of
+            # exactly 1); anything deeper on the run's first batch is a
+            # checkpoint/offset mismatch and must fail loudly.
+            if batch_id < self.next_batch_id - 1:
+                raise RuntimeError(
+                    f"AnnIndexIngestSink: first batch id {batch_id} is far below "
+                    f"the committed offset {self.next_batch_id} in "
+                    f"{self._offset_file} — the streaming checkpoint was reset "
+                    "or points at a different query than this index. Restore "
+                    "the original checkpoint dir, or rebuild the index and "
+                    "remove _COMMITTED_BATCH to restart ingest from scratch."
+                )
         if batch_id < self.next_batch_id:
             return  # replayed batch: already durable — exactly-once
         from bigquack_spark.operators.simsearch import (

@@ -184,3 +184,27 @@ def test_leaseless_publishers_hit_the_gate(tmp_path, object_store):
         assert "exclusive create" not in str(ei.value)
     finally:
         set_backend(prev)
+
+
+def test_create_exclusive_write_failure_is_loud(tmp_path, monkeypatch):
+    """r11 advice: a failed payload write inside create_exclusive must not
+    yield a created-but-EMPTY marker with no signal — the half-created
+    file is undone and the OSError propagates."""
+    path = str(tmp_path / "marker")
+
+    real_write = os.write
+
+    def failing_write(fd, data):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(os, "write", failing_write)
+    with pytest.raises(OSError, match="No space left"):
+        fsops.create_exclusive(path, b"payload")
+    monkeypatch.setattr(os, "write", real_write)
+    assert not os.path.exists(path)  # no empty marker left behind
+
+    # success path unchanged: payload lands, fd usable
+    fd = fsops.create_exclusive(path, b"payload")
+    os.close(fd)
+    with open(path, "rb") as fh:
+        assert fh.read() == b"payload"

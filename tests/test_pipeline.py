@@ -614,3 +614,33 @@ def test_transfer_records_and_replays_explicit_shred_spec(spark):
     t = spark.table("events_explicit")
     assert t.columns == cols1 and t.count() == 2 * n1
     spark.sql("DROP TABLE IF EXISTS events_explicit")
+
+
+def test_layout_advisor_counts_qualified_references(spark, tmp_path):
+    """r11 advice: logged predicates may carry a table qualifier
+    (`u.user_id = 42`).  The advisor must (a) analyze them — the probe
+    frame takes the qualifier as its alias — and (b) count them toward
+    equality usage, so aliased workloads still earn bucket advice."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import recommend_layout_for_workload
+
+    path = str(tmp_path / "t")
+    spark.range(200_000).selectExpr(
+        "id AS user_id", "id % 4 AS k", "CAST(id AS DOUBLE) AS v"
+    ).write.parquet(path)
+    collect_table_stats(spark, path)
+    rec = recommend_layout_for_workload(
+        spark, path,
+        predicates=["u.user_id = 42", "u.user_id IN (1, 2, 3)", "u.k = 1"],
+    )
+    assert rec["bucket_by"] is not None
+    assert rec["bucket_by"]["cols"] == ["user_id"]
+    assert rec["column_usage"] == {"user_id": 2, "k": 1}
+
+    # two distinct qualifiers = a multi-table predicate: refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="qualifiers"):
+        recommend_layout_for_workload(
+            spark, path, predicates=["o.user_id = l.k"],
+        )

@@ -243,3 +243,34 @@ def test_wrapper_wire_roundtrip_property(spark):
         assert back["ts"] == micros
 
     check()
+
+
+def test_wrapper_unwrap_skips_foreign_fields_by_wire_type():
+    """r11 advice: a foreign proto3 writer may add inner fields to a
+    wrapper/WKT message.  The unwrap helpers must branch the skip on the
+    tag's WIRE TYPE — a varint-typed unknown field misread as a LENGTH
+    would corrupt the rest of the decode."""
+    # StringValue with a leading unknown VARINT field 2 (tag 0x10, value 300
+    # — multi-byte varint), then the real field 1 payload.  The old skip
+    # read 300 as a length and ran off the buffer / past the value.
+    val = b"\x0a\x05Alice"
+    blob = b"\x10" + P._varint(300) + val
+    assert P._unwrap_string_message(blob) == "Alice"
+    # unknown FIXED64 field (wire type 1): 8 raw bytes, not a varint
+    blob = b"\x19" + b"\x01" * 8 + val  # field 3, wt 1
+    assert P._unwrap_string_message(blob) == "Alice"
+    # unknown FIXED32 field (wire type 5)
+    blob = b"\x25" + b"\x02" * 4 + val  # field 4, wt 5
+    assert P._unwrap_string_message(blob) == "Alice"
+    # unknown LEN field still skips by its length
+    blob = b"\x1a\x03xyz" + val  # field 3, wt 2, 3 bytes
+    assert P._unwrap_string_message(blob) == "Alice"
+
+    # Timestamp: seconds=12, nanos=750_000_000 with an unknown LEN field 3
+    # interleaved — the old loop read the length-delimited payload head as
+    # a varint value.
+    ts = b"\x08\x0c" + b"\x1a\x04abcd" + b"\x10" + P._varint(750_000_000)
+    assert P._unwrap_timestamp_message(ts) == 12 * 1_000_000 + 750_000
+    # unsupported wire type inside a wrapper fails loudly, not silently
+    with pytest.raises(ValueError, match="wire type"):
+        P._unwrap_string_message(b"\x0b\x00")  # field 1, wt 3 (group)

@@ -1492,3 +1492,34 @@ def test_ann_index_ingest_sink_exactly_once_and_drift(spark, tmp_path):
     S.rebuild_ivf_index(spark, path)
     assert os.path.isfile(os.path.join(path, "_COMMITTED_BATCH"))
     assert AnnIndexIngestSink(path).next_batch_id == committed
+
+
+def test_ann_ingest_sink_detects_checkpoint_reset(tmp_path):
+    """r11 advice: a fresh/relocated streaming checkpoint restarts batch
+    ids at 0 while the index's _COMMITTED_BATCH keeps the old high-water
+    mark — without a guard every new batch is silently dropped as a
+    "replay" (data loss).  The sink must fail LOUDLY on a first-batch id
+    far below the committed offset, while a genuine restart (replay of
+    exactly the last in-flight batch) still no-ops quietly."""
+    import json as _json
+    import os as _os
+
+    from bigquack_spark.streaming.sink import AnnIndexIngestSink
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root)
+    with open(_os.path.join(root, "_COMMITTED_BATCH"), "w") as fh:
+        _json.dump({"next_batch_id": 7}, fh)
+
+    # checkpoint reset: first batch id 0 against committed offset 7
+    sink = AnnIndexIngestSink(root)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(None, 0)  # gate fires before the DataFrame is touched
+
+    # genuine restart: the one in-flight batch (id 6) replays as a no-op,
+    # and earlier ids on SUBSEQUENT calls are plain replays, never a raise
+    sink = AnnIndexIngestSink(root)
+    sink(None, 6)  # no raise, no append
+    assert sink.appended == 0
+    sink(None, 3)  # later call: ordinary replay no-op
+    assert sink.next_batch_id == 7
