@@ -29,6 +29,7 @@ ever visits the driver.  With the spark-protobuf jar deployed, swap
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Iterator
 
@@ -61,6 +62,8 @@ def proto_descriptor(
     schema: T.StructType,
     use_wrapper_types: bool = False,
     use_well_known_timestamps: bool = False,
+    map_dictionaries_to_enums: bool = False,
+    enum_columns: dict[str, list[str]] | None = None,
 ) -> list[dict]:
     """Schema -> field descriptor list (name, number, proto_type, wire_type).
 
@@ -76,15 +79,51 @@ def proto_descriptor(
     ``use_well_known_timestamps`` mirrors ``UseWellKnownTimestamps``
     (duck_test.go:218): TIMESTAMP fields travel as
     ``.google.protobuf.Timestamp`` messages (seconds/nanos) instead of
-    raw epoch-micros int64.  ``MapDictionariesToEnums``
-    (duck_test.go:221) has no analogue: Spark SQL schemas carry no
-    dictionary type — dictionary encoding is a parquet page detail
-    invisible at schema level — so there is nothing to map."""
+    raw epoch-micros int64.
+
+    ``map_dictionaries_to_enums`` mirrors ``MapDictionariesToEnums``
+    (duck_test.go:221) with one honest difference: in Arrow the dictionary
+    (the category list) travels WITH the column; a Spark SQL schema carries
+    no dictionary type — dictionary encoding is a parquet page detail
+    invisible at schema level — so the categories must come from the
+    caller via ``enum_columns`` ({column: [category, ...]}, index order =
+    enum number order).  Each named STRING column is emitted as a proto2
+    ``enum`` field (VARINT index on the wire, closed value set — an
+    unknown category fails the encode loudly, exactly like a closed proto2
+    enum).  Setting the flag WITHOUT ``enum_columns`` is refused loudly
+    rather than silently ignored."""
+    if map_dictionaries_to_enums and not enum_columns:
+        raise ValueError(
+            "map_dictionaries_to_enums: a Spark SQL schema carries no "
+            "dictionary type (dictionary encoding is a parquet page detail, "
+            "invisible at schema level), so the enum value sets cannot be "
+            "derived from the schema — pass enum_columns={column: "
+            "[category, ...]} with the categories in enum-number order"
+        )
+    enum_columns = dict(enum_columns or {}) if map_dictionaries_to_enums else {}
+    field_names = {f.name for f in schema.fields}
+    for col, cats in enum_columns.items():
+        if col not in field_names:
+            raise ValueError(f"enum_columns: no field {col!r} in schema")
+        if not cats or len(set(cats)) != len(cats):
+            raise ValueError(
+                f"enum_columns[{col!r}]: categories must be non-empty and "
+                "distinct (proto enum numbers are a bijection)"
+            )
     fields = []
     for i, f in enumerate(schema.fields):
         dt = f.dataType
         wrap = None
-        if use_wrapper_types and isinstance(dt, T.StringType):
+        enum_values = None
+        if f.name in enum_columns:
+            if not isinstance(dt, T.StringType):
+                raise ValueError(
+                    f"enum_columns[{f.name!r}]: only STRING fields map to "
+                    f"enums, got {dt.simpleString()}"
+                )
+            entry = (_enum_type_name(f.name), _VARINT)
+            enum_values = list(enum_columns[f.name])
+        elif use_wrapper_types and isinstance(dt, T.StringType):
             entry = ("google.protobuf.StringValue", _LEN)
             wrap = "string"
         elif use_well_known_timestamps and isinstance(dt, T.TimestampType):
@@ -103,9 +142,24 @@ def proto_descriptor(
             )
         fields.append(
             {"name": f.name, "number": i + 1, "proto_type": entry[0],
-             "wire_type": entry[1], "wrap": wrap}
+             "wire_type": entry[1], "wrap": wrap, "enum": enum_values}
         )
     return fields
+
+
+def _enum_type_name(field_name: str) -> str:
+    """``name`` -> ``NameEnum`` (sanitized CamelCase, the arrowpb shape)."""
+    parts = [p for p in re.split(r"[^A-Za-z0-9]+", field_name) if p]
+    return "".join(p[:1].upper() + p[1:] for p in parts) + "Enum"
+
+
+def _enum_value_ident(field_name: str, value: str, number: int) -> str:
+    """Proto2 enum value identifier — enum values share the enclosing
+    message scope, so they are prefixed with the field name; a category
+    that sanitizes to nothing falls back to its number."""
+    body = re.sub(r"[^A-Za-z0-9]+", "_", value).strip("_").upper()
+    prefix = re.sub(r"[^A-Za-z0-9]+", "_", field_name).strip("_").upper()
+    return f"{prefix}_{body}" if body else f"{prefix}_VALUE_{number}"
 
 
 def render_proto_schema(
@@ -113,16 +167,27 @@ def render_proto_schema(
     message: str = "Row",
     use_wrapper_types: bool = False,
     use_well_known_timestamps: bool = False,
+    map_dictionaries_to_enums: bool = False,
+    enum_columns: dict[str, list[str]] | None = None,
 ) -> str:
     """The equivalent ``.proto`` source for :func:`proto_descriptor` — what
     you'd feed protoc to read these bytes with a real runtime."""
-    desc = proto_descriptor(schema, use_wrapper_types, use_well_known_timestamps)
+    desc = proto_descriptor(
+        schema, use_wrapper_types, use_well_known_timestamps,
+        map_dictionaries_to_enums, enum_columns,
+    )
     lines = ['syntax = "proto2";']
     if any(f["wrap"] == "string" for f in desc):
         lines.append('import "google/protobuf/wrappers.proto";')
     if any(f["wrap"] == "timestamp" for f in desc):
         lines.append('import "google/protobuf/timestamp.proto";')
     lines.append(f"message {message} {{")
+    for f in desc:
+        if f.get("enum"):
+            lines.append(f"  enum {f['proto_type']} {{")
+            for n, v in enumerate(f["enum"]):
+                lines.append(f"    {_enum_value_ident(f['name'], v, n)} = {n};")
+            lines.append("  }")
     for f in desc:
         lines.append(f"  optional {f['proto_type']} {f['name']} = {f['number']};")
     lines.append("}")
@@ -194,7 +259,15 @@ def encode_row(values: dict, descriptor: list[dict]) -> bytes:
         wt = f["wire_type"]
         out += _varint((f["number"] << 3) | wt)
         wrap = f.get("wrap")
-        if wrap == "string":
+        if f.get("enum") is not None:
+            try:
+                out += _varint(f["enum"].index(v))
+            except ValueError:
+                raise ValueError(
+                    f"enum field {f['name']!r}: value {v!r} is not in the "
+                    f"declared categories — proto2 enums are a closed set"
+                ) from None
+        elif wrap == "string":
             inner = _wrap_string_message(v)
             out += _varint(len(inner)) + inner
         elif wrap == "timestamp":
@@ -286,6 +359,15 @@ def decode_row(buf: bytes, descriptor: list[dict]) -> dict:
         if f["wire_type"] != wt:
             raise ValueError(f"wire type mismatch for field {number}")
         wrap = f.get("wrap")
+        if f.get("enum") is not None:
+            cats = f["enum"]
+            if not isinstance(raw, int) or not 0 <= raw < len(cats):
+                raise ValueError(
+                    f"enum field {f['name']!r}: wire number {raw!r} outside "
+                    f"the declared categories [0, {len(cats)})"
+                )
+            values[f["name"]] = cats[raw]
+            continue
         if wrap == "string":
             # unwrap StringValue: inner field 1 LEN; empty message = ""
             # (duck_test.go:254-268 getWrappedValue semantics)
@@ -308,6 +390,8 @@ def encode_protobuf(
     df: DataFrame,
     use_wrapper_types: bool = False,
     use_well_known_timestamps: bool = False,
+    map_dictionaries_to_enums: bool = False,
+    enum_columns: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """DataFrame -> single ``proto binary`` column, one wire message per row
     (the distributed QueryProto pump, duck.go:290-316).  Timestamps encode
@@ -325,7 +409,10 @@ def encode_protobuf(
     test)."""
     import datetime as _dt
 
-    desc = proto_descriptor(df.schema, use_wrapper_types, use_well_known_timestamps)
+    desc = proto_descriptor(
+        df.schema, use_wrapper_types, use_well_known_timestamps,
+        map_dictionaries_to_enums, enum_columns,
+    )
     epoch_cols = {
         f.name: type(f.dataType)
         for f in df.schema.fields
@@ -371,12 +458,17 @@ def decode_protobuf(
     schema: T.StructType,
     use_wrapper_types: bool = False,
     use_well_known_timestamps: bool = False,
+    map_dictionaries_to_enums: bool = False,
+    enum_columns: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_protobuf`: parse each ``proto`` blob against
     the descriptor derived from ``schema`` — the round-trip the reference's
     proto tests exercise (duck_test.go:192-295), including wrapper unwrap
     when the writer used ``use_wrapper_types``."""
-    desc = proto_descriptor(schema, use_wrapper_types, use_well_known_timestamps)
+    desc = proto_descriptor(
+        schema, use_wrapper_types, use_well_known_timestamps,
+        map_dictionaries_to_enums, enum_columns,
+    )
     ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
     date_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.DateType)]
     dec_cols = {

@@ -274,3 +274,59 @@ def test_wrapper_unwrap_skips_foreign_fields_by_wire_type():
     # unsupported wire type inside a wrapper fails loudly, not silently
     with pytest.raises(ValueError, match="wire type"):
         P._unwrap_string_message(b"\x0b\x00")  # field 1, wt 3 (group)
+
+
+def test_map_dictionaries_to_enums(spark):
+    """MapDictionariesToEnums analogue (duck_test.go:221, r11 verdict #6):
+    caller-supplied categories map a STRING column to a proto2 enum —
+    VARINT index on the wire, closed value set, rendered enum block — and
+    the distributed round-trip recovers the strings exactly.  The flag
+    without categories is refused loudly (Spark schemas carry no
+    dictionary type to derive them from)."""
+    schema = T._parse_datatype_string("id int, color string, note string")
+    cats = {"color": ["red", "green", "blue"]}
+    rows = [(1, "red", "a"), (2, "blue", None), (3, None, "c"), (4, "green", "")]
+    df = spark.createDataFrame(rows, schema)
+    enc = P.encode_protobuf(df, map_dictionaries_to_enums=True, enum_columns=cats)
+    dec = P.decode_protobuf(
+        enc, schema, map_dictionaries_to_enums=True, enum_columns=cats
+    )
+    assert sorted(map(tuple, dec.collect())) == sorted(rows)
+
+    desc = P.proto_descriptor(
+        schema, map_dictionaries_to_enums=True, enum_columns=cats
+    )
+    # wire shape: color is field 2 VARINT; "blue" = index 2 -> tag 0x10 val 2
+    blob = P.encode_row({"id": 2, "color": "blue", "note": None}, desc)
+    assert b"\x10\x02" in blob
+    assert P.decode_row(blob, desc)["color"] == "blue"
+    # NULL -> field absent (proto2 presence)
+    assert b"\x10" not in P.encode_row({"id": 3, "color": None, "note": "c"}, desc)
+    # closed set: unknown category fails the encode loudly
+    with pytest.raises(ValueError, match="closed set"):
+        P.encode_row({"id": 9, "color": "mauve", "note": None}, desc)
+    # out-of-range wire number fails the decode loudly
+    with pytest.raises(ValueError, match="outside"):
+        P.decode_row(b"\x10\x07", desc)
+
+    rendered = P.render_proto_schema(
+        schema, map_dictionaries_to_enums=True, enum_columns=cats
+    )
+    assert "enum ColorEnum {" in rendered
+    assert "COLOR_RED = 0;" in rendered
+    assert "COLOR_BLUE = 2;" in rendered
+    assert "optional ColorEnum color = 2;" in rendered
+
+    # flag without categories: loud refusal, never silent ignore
+    with pytest.raises(ValueError, match="no[\\s\\S]*dictionary type"):
+        P.proto_descriptor(schema, map_dictionaries_to_enums=True)
+    # bad category sets and non-string columns are refused too
+    with pytest.raises(ValueError, match="distinct"):
+        P.proto_descriptor(schema, map_dictionaries_to_enums=True,
+                           enum_columns={"color": ["red", "red"]})
+    with pytest.raises(ValueError, match="only STRING"):
+        P.proto_descriptor(schema, map_dictionaries_to_enums=True,
+                           enum_columns={"id": ["1"]})
+    with pytest.raises(ValueError, match="no field"):
+        P.proto_descriptor(schema, map_dictionaries_to_enums=True,
+                           enum_columns={"nope": ["x"]})
