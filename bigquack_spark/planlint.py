@@ -80,6 +80,26 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 "mapInPandas/pandas_udf",
             )
         )
+    # Exact distinct aggregates shuffle the columns' VALUE SETS (multi-
+    # distinct additionally Expand-multiplies every input row); at the
+    # 100x tier the repo's exact column profile (q118) measured 8.98x the
+    # engine baseline while the sketch profile (q252) holds a within-5pct
+    # contract.  Exact distinct should be a CHOICE at scale, not a default
+    # (r11 verdict #5) — warn, because correctness-critical exact counts
+    # are legitimate.
+    if "count(distinct " in plan or "count(DISTINCT " in plan:
+        findings.append(
+            (
+                "warn",
+                "exact_distinct",
+                "exact count(DISTINCT ...) in plan: shuffles the column's "
+                "value set (and Expand-multiplies rows when combined with "
+                "other aggregates) — over large tables prefer "
+                "approx_count_distinct(rsd) (HyperLogLog++, mergeable O(1) "
+                "state; see recommend_distinct_strategy and the q252 "
+                "within-5pct contract)",
+            )
+        )
     # Filter sitting directly on a parquet scan whose PushedFilters is empty
     # usually means a cast/expression blocked pushdown.
     if "PushedFilters: []" in plan and "Filter" in plan and "Scan parquet" in plan:

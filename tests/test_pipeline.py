@@ -644,3 +644,43 @@ def test_layout_advisor_counts_qualified_references(spark, tmp_path):
         recommend_layout_for_workload(
             spark, path, predicates=["o.user_id = l.k"],
         )
+
+
+def test_distinct_strategy_advisor_and_lint(spark, tmp_path):
+    """r11 verdict #5: exact distinct at scale must be a CHOICE, not a
+    default.  The stats-gated rule proposes approx_count_distinct(rsd)
+    with the q252 contract exactly when both gates pass (big table AND
+    high-ndv column); the plan lint warns on any exact-distinct plan."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import recommend_distinct_strategy
+    from bigquack_spark.planlint import lint_plan
+
+    path = str(tmp_path / "t")
+    spark.range(300_000).selectExpr(
+        "id AS user_id", "id % 50 AS k"
+    ).write.parquet(path)
+    collect_table_stats(spark, path)
+
+    # thresholds scaled to the fixture: rows gate passes, so the high-ndv
+    # column goes approx and the low-ndv column stays exact
+    rec = recommend_distinct_strategy(
+        path, row_threshold=100_000, ndv_threshold=10_000
+    )
+    assert rec["columns"]["user_id"]["strategy"] == "approx"
+    assert rec["columns"]["user_id"]["rewrite"].startswith("approx_count_distinct")
+    assert "q252" in rec["columns"]["user_id"]["contract"]
+    assert rec["columns"]["k"]["strategy"] == "exact"
+    assert "collapses" in rec["columns"]["k"]["reason"]
+    # small table: everything exact, whatever the ndv
+    rec2 = recommend_distinct_strategy(path)  # default 10M-row gate
+    assert {v["strategy"] for v in rec2["columns"].values()} == {"exact"}
+
+    # plan lint: exact distinct warns, the sketch twin does not
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    exact = df.groupBy("k").agg(F.countDistinct("user_id"))
+    codes = {c for _, c, _ in lint_plan(exact)}
+    assert "exact_distinct" in codes
+    approx = df.groupBy("k").agg(F.approx_count_distinct("user_id"))
+    assert "exact_distinct" not in {c for _, c, _ in lint_plan(approx)}
