@@ -16,6 +16,19 @@ parquet job-commit path (still atomic per job via the FileOutputCommitter
 _SUCCESS protocol — SURVEY §2.2 K4).  On a cluster with
 ``io.delta:delta-spark`` or ``org.apache.iceberg:iceberg-spark-runtime``
 on the classpath, the same call lands in the real thing.
+
+**Environmental seam, verified 2026-08 (r12, like the PIL seam in
+operators/multimodal.py):** installing Delta in this container was
+attempted and is impossible — no ``delta-spark`` wheel or Delta jar is
+baked in (pyspark ships 287 jars, none Delta/Iceberg), and the container
+has no network route to Maven/PyPI (``repo1.maven.org`` does not
+resolve), so ``spark.jars.packages`` cannot fetch either.  The real-Delta
+commit-semantics test exists and self-gates:
+``tests/test_sinks.py::test_lakehouse_real_delta_commit_semantics`` runs
+the full txn-log contract (``_delta_log`` JSON commits, append
+atomicity, overwrite-as-new-snapshot) whenever ``available_formats``
+reports delta, and skips with this seam's message otherwise — exactly
+one skip in this container, zero on a provisioned cluster.
 """
 
 from __future__ import annotations
