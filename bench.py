@@ -597,6 +597,12 @@ def _ann_serving_block(spark, trend_dir: str) -> dict | None:
             "duckdb_brute_sec": duck_brute_s,
             "ivf_recall": recall(ivf),
             "ivf_pq_recall": recall(ivfpq),
+            # r11 verdict #1: the advisor's call for THIS corpus (64-dim ->
+            # plain IVF; the PQ tier wins from PQ_CUTOVER_DIM up, evidence
+            # in pq_cutover.json)
+            "probe_path_advice": S.recommend_probe_path(
+                spark, root, n_probes=n_probes
+            ),
         }
     except Exception:
         return None

@@ -1109,6 +1109,38 @@ def train_pq_codebooks(
     return books
 
 
+def _lut_arrow_udf(books: list[list[list[float]]]):
+    """Arrow-batched ADC lookup-table builder: per (query, cell) row,
+    the per-subspace squared distances from the query RESIDUAL to every
+    codebook center, flattened m x k_codes row-major — the same values as
+    the literal-expression LUT columns, computed as numpy broadcasting.
+
+    Exists for plan-construction cost, not arithmetic: the expression
+    path builds m x k_codes x subdim literal distance terms (one Column
+    object per element), and at 512-dim that construction+analysis was
+    the dominant share of an 11 s probe-call wall (r12 pq_cutover
+    measurement) while this UDF is O(1) plan nodes."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]  # m of (k x subdim)
+    m, k, subdim = len(B), B[0].shape[0], B[0].shape[1]
+
+    @pandas_udf("array<double>")
+    def lut(qv: pd.Series, centroid: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype=object)
+        res = np.stack(qv.to_numpy()) - np.stack(centroid.to_numpy())
+        out = np.empty((len(res), m * k))
+        for s in range(m):
+            sub = res[:, s * subdim : (s + 1) * subdim]
+            out[:, s * k : (s + 1) * k] = (
+                (sub[:, None, :] - B[s][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(out))
+
+    return lut
+
+
 def _adc_arrow_udf(m: int):
     """Arrow-batched ADC: per candidate row, gather each subspace's
     distance from the per-(query, cell) lookup table and sum — the same
@@ -1262,7 +1294,17 @@ def probe_ivf_pq(
     arrow_scoring: bool = False,
     collect_cells: bool = False,
 ) -> DataFrame:
-    """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture:
+    """Two-stage IVF-PQ probe — the memory-bounded 100 TB ANN posture.
+
+    **Check :func:`recommend_probe_path` before choosing this over
+    :func:`probe_ivf_index`** — each path wins a measured tier (r12,
+    pq_cutover.json, identical recall@10=1.0 on both): at dim 64 the
+    plain probe is 1.19x faster (ADC's lookup saving cannot amortize its
+    extra stage depth when per-candidate scoring is cheap); at dim 512
+    the ADC probe is 1.49x faster (the plain probe pays a dim-length
+    decode+score per probed candidate, ADC pays m lookups).  The
+    crossover is :data:`PQ_CUTOVER_DIM`; cold-storage probed-bytes is
+    the second trigger (:data:`PQ_CUTOVER_PROBED_BYTES`).  Stages:
 
     1. **Coarse**: nearest ``n_probes`` cells per query against the
        broadcast centroid table (identical to :func:`probe_ivf_index`).
@@ -1323,23 +1365,42 @@ def probe_ivf_pq(
         .filter(F.col("pr") <= n_probes)
         .drop("pr", "d2")
     )
+    if collect_cells:
+        # static pruning (see probe_ivf_index): bounded driver-side probe
+        # resolution for online batches.  Resolved BEFORE the ADC lookup
+        # tables are attached — the cell set needs only the coarse plan,
+        # and dragging the m x k_codes LUT expression trees through the
+        # resolve job's analysis was measured at 3x the plain-IVF resolve
+        # (r11 verdict #1: 7.45 s vs 1.65 s at 2M vectors).
+        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     # per-(query, cell) ADC lookup tables over the query RESIDUAL
-    # qv - centroid[cell] (codes quantize residuals) — one k_codes-array
-    # per subspace, computed on qids x n_probes rows; the codebook enters
-    # as literals, so this is a projection, not a join
-    qres = F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x - y)
-    for s, centers in enumerate(books):
-        sub = F.slice(qres, s * subdim + 1, subdim)
-        probes = probes.withColumn(
-            f"__lut{s}", F.array(*[_sqd_lit(sub, c) for c in centers])
+    # qv - centroid[cell] (codes quantize residuals), computed on
+    # qids x n_probes rows.  Arrow path: ONE numpy UDF column — the
+    # literal-expression LUT (m x k_codes x subdim Column objects) costs
+    # seconds of py4j + analysis at construction time and scales with
+    # dim (r12 pq_cutover: 7.3 s at 64-dim, 11.2 s at 512-dim), so the
+    # serving path must not pay it.  Expression path kept for the
+    # UDF-free twin (same values; parity-tested at an untruncating
+    # rerank budget).
+    if arrow_scoring:
+        probes = probes.select(
+            "qid", "qv", "cell",
+            _lut_arrow_udf(books)(F.col("qv"), F.col("centroid")).alias(
+                "__lut_flat"
+            ),
         )
-    probes = probes.drop("centroid")
+    else:
+        qres = F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x - y)
+        lut_cols = [
+            F.array(
+                *[_sqd_lit(F.slice(qres, s * subdim + 1, subdim), c) for c in centers]
+            ).alias(f"__lut{s}")
+            for s, centers in enumerate(books)
+        ]
+        probes = probes.select("qid", "qv", "cell", *lut_cols)
 
     codes = spark.read.parquet(f"{root}/pq_codes")
     if collect_cells:
-        # static pruning (see probe_ivf_index): bounded driver-side probe
-        # resolution for online batches
-        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
         codes = codes.filter(F.col("cell").isin(wanted))
     if predicate:
         codes = codes.filter(predicate)  # pushed into the codes scan, pre-ADC
@@ -1348,13 +1409,8 @@ def probe_ivf_pq(
         # candidate pays m lookups); one Arrow batch gathers the same
         # lookups at memory bandwidth.  Same arithmetic (sum of m
         # doubles), same (adc_d2, id) shortlist order — parity-tested at
-        # 2M vectors.  Measured NEUTRAL at m=8/k_codes=16 over ~150k
-        # candidates (the element_at chain is not the wall there; stage
-        # depth is) — the gather path is what survives bigger PQ configs
-        # (m=16+, k_codes=256) where the interpreted chain scales with
-        # m x candidates.
-        lut_flat = F.flatten(F.array(*[F.col(f"__lut{s}") for s in range(m)]))
-        adc = _adc_arrow_udf(m)(F.col("codes"), lut_flat)
+        # 2M vectors.
+        adc = _adc_arrow_udf(m)(F.col("codes"), F.col("__lut_flat"))
     else:
         adc = None
         for s in range(m):
@@ -1546,3 +1602,100 @@ def resolve_rerank_budget(
             "extend the calibration budgets, or lower the target"
         )
     return min(eligible)
+
+
+#: Measured IVF-vs-IVF-PQ cutover (r11 verdict #1; committed evidence in
+#: pq_cutover.json, 1M vectors, n_lists=256, n_probes=4, m=8, recall@10
+#: identical 1.0 on both paths at both tiers):
+#:
+#:   dim  64:  ivf 1.65 s  <  ivf_pq 1.96 s   (plain IVF 1.19x faster)
+#:   dim 512:  ivf 2.64 s  >  ivf_pq 1.77 s   (IVF-PQ    1.49x faster)
+#:
+#: The discriminator is PER-CANDIDATE work: the plain probe decodes and
+#: scores a dim-length vector per probed candidate (cost ~ dim), the ADC
+#: first pass pays m table lookups per candidate regardless of dim, and
+#: the exact rerank touches only the shortlist.  The crossover therefore
+#: sits between dim 64 and dim 512 at these settings; 256 is the
+#: conservative default (IVF's loss near the bracket is the milder one).
+#: Probed raw BYTES per query remain a second, independent trigger for
+#: cold/remote storage, where the 8-32x smaller codes scan dodges real
+#: I/O even at low dim.
+PQ_CUTOVER_DIM = 256
+PQ_CUTOVER_PROBED_BYTES = 256 * 1024 * 1024
+
+
+def recommend_probe_path(
+    spark,
+    path: str,
+    n_probes: int = 2,
+    cutover_dim: int = PQ_CUTOVER_DIM,
+    cutover_bytes: int = PQ_CUTOVER_PROBED_BYTES,
+) -> dict:
+    """Which probe should serve this index: ``probe_ivf_index`` or
+    ``probe_ivf_pq``?  The advisor that makes the dominated choice
+    impossible to pick by accident (r11 verdict #1).
+
+    Reads the persisted layout only (centroid table + file sizes — no
+    corpus scan).  Recommends ``ivf_pq`` ONLY when the index carries PQ
+    codes AND either measured trigger fires: vector dimension >=
+    ``cutover_dim`` (the per-candidate-arithmetic crossover —
+    pq_cutover.json: plain IVF 1.19x faster at dim 64, IVF-PQ 1.49x
+    faster at dim 512, same recall) or probed raw bytes per query
+    (raw index bytes x n_probes / n_lists) > ``cutover_bytes`` (the
+    cold-storage I/O trigger).  Otherwise ``ivf``, with the measurement
+    that justifies the refusal in ``reason``."""
+    import os as _os
+
+    root = _resolve_index_root(path)
+
+    def _bytes(sub: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in _os.walk(_os.path.join(root, sub)):
+            total += sum(
+                _os.path.getsize(_os.path.join(dirpath, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
+
+    raw = _bytes("index")
+    codes = _bytes("pq_codes")
+    cent = spark.read.parquet(f"{root}/centroids")
+    n_lists = cent.count()
+    dim = len(cent.limit(1).collect()[0]["centroid"])
+    probed = int(raw * n_probes / max(n_lists, 1))
+    if codes and dim >= cutover_dim:
+        rec, reason = "ivf_pq", (
+            f"dim {dim} >= the measured {cutover_dim} crossover: the plain "
+            "probe pays a dim-length decode+score per probed candidate while "
+            "ADC pays m lookups — measured 1.49x faster at dim 512, same "
+            "recall (pq_cutover.json)"
+        )
+    elif codes and probed > cutover_bytes:
+        rec, reason = "ivf_pq", (
+            f"probed raw bytes/query ~{probed >> 20} MB exceed the "
+            f"{cutover_bytes >> 20} MB I/O cutover: the codes-only first "
+            f"pass ({codes / max(raw, 1):.0%} of raw bytes) dodges a scan "
+            "that is plausibly the wall on cold/remote storage"
+        )
+    else:
+        rec, reason = "ivf", (
+            f"dim {dim} < {cutover_dim} and probed raw bytes/query "
+            f"~{max(probed >> 10, 1)} KB under the I/O cutover — measured "
+            "(pq_cutover.json): plain IVF beat the PQ/ADC probe 1.19x at "
+            "dim 64, same recall; ADC's lookup saving cannot amortize its "
+            "extra stage depth at low per-candidate cost"
+            + ("" if codes else " (index also carries no pq_codes)")
+        )
+    return {
+        "recommendation": rec,
+        "reason": reason,
+        "dim": dim,
+        "raw_index_bytes": raw,
+        "pq_code_bytes": codes,
+        "n_lists": n_lists,
+        "n_probes": n_probes,
+        "probed_raw_bytes_per_query": probed,
+        "cutover_dim": cutover_dim,
+        "cutover_bytes": cutover_bytes,
+    }

@@ -2303,3 +2303,37 @@ def test_sampled_quantizer_training_still_exact_materialization(spark, tmp_path)
     brute = S.cosine_topk(emb, queries, k=5)
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, brute.collect()))
+
+
+def test_probe_path_advisor_refuses_dominated_pq(spark, tmp_path):
+    """r11 verdict #1: the PQ/ADC probe is strictly slower than plain IVF
+    below the measured cutover, so the advisor must refuse to recommend
+    it there — and recommend it only when the index carries codes AND the
+    probed raw bytes clear the cutover."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "adv")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+
+    # no codes yet: ivf, and the reason says so
+    rec = S.recommend_probe_path(spark, path, n_probes=2)
+    assert rec["recommendation"] == "ivf"
+    assert "no pq_codes" in rec["reason"]
+
+    S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42)
+    # tiny corpus: probed bytes far below cutover -> still ivf, with the
+    # measured evidence cited
+    rec = S.recommend_probe_path(spark, path, n_probes=2)
+    assert rec["recommendation"] == "ivf"
+    assert rec["probed_raw_bytes_per_query"] < rec["cutover_bytes"]
+    assert "pq_cutover" in rec["reason"]
+
+    # dim trigger (forced to the fixture's 64-dim) -> ivf_pq, reason cites
+    # the measured crossover
+    rec = S.recommend_probe_path(spark, path, n_probes=2, cutover_dim=64)
+    assert rec["recommendation"] == "ivf_pq"
+    assert "1.49x" in rec["reason"]
+    # I/O trigger (forced low) -> ivf_pq
+    rec = S.recommend_probe_path(spark, path, n_probes=2, cutover_bytes=1)
+    assert rec["recommendation"] == "ivf_pq"
+    assert rec["pq_code_bytes"] > 0
+    assert rec["dim"] == 64

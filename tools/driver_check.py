@@ -8,7 +8,13 @@ contract (__spark_entry__), smoke-runs entry(), then executes every
 queries() entry at the given SF and diffs oracle-paired ones against DuckDB
 under the FIXTURES.md §C canonicalization.
 
-Usage: python tools/driver_check.py [--strict-driver-canon] [sf_dir] [query_prefix ...]
+Usage: python tools/driver_check.py [--strict-driver-canon] [--json PATH]
+                                    [sf_dir] [query_prefix ...]
+
+``--json PATH`` additionally writes a machine-readable record per checked
+name in the CORRECTNESS_r*.json shape ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) — the building block of the
+committed per-round self-sweep artifact (SWEEP_r{N}.json, r11 verdict #7).
 
 ``--strict-driver-canon`` additionally replays the DRIVER's canonicalizer
 (a plain pandas lexsort over every output column, NO per-cell coercion —
@@ -82,6 +88,11 @@ def main() -> int:
     strict = "--strict-driver-canon" in argv
     if strict:
         argv.remove("--strict-driver-canon")
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     prefixes = tuple(argv[1:])
 
@@ -108,28 +119,55 @@ def main() -> int:
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     fails, rows_only, checked = [], 0, 0
+    records: dict[str, dict] = {}
     for name in sorted(qs):
         if prefixes and not name.startswith(prefixes):
             continue
         checked += 1
-        pdf = qs[name](spark, sf_dir).toPandas()
+        try:
+            pdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:
+            fails.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}"[:500],
+            }
+            print(f"{name}: ERROR {type(exc).__name__}")
+            continue
         if name not in osql:
             rows_only += 1
+            records[name] = {
+                "rows_match": len(pdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(pdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             print(f"{name}: rows-only ({len(pdf)} rows)")
             continue
         o = con.execute(osql[name]).fetchdf()
         strict_err = None
         if strict:
             strict_err = driver_canon_ok(pdf) or driver_canon_ok(o)
-        ok = (
-            strict_err is None
-            and sorted(pdf.columns) == sorted(o.columns)
-            and rows_of(pdf) == rows_of(o)
-        )
+        schema_ok = sorted(pdf.columns) == sorted(o.columns)
+        values_ok = schema_ok and rows_of(pdf) == rows_of(o)
+        ok = strict_err is None and schema_ok and values_ok
+        records[name] = {
+            "rows_match": len(pdf) == len(o),
+            "schema_match": schema_ok,
+            "hash_match": ok,
+            "spark_rows": len(pdf),
+            "oracle_rows": len(o),
+            "err": strict_err,
+        }
         tag = "MATCH" if ok else ("DRIVER-CANON-FAIL " + strict_err if strict_err else "MISMATCH")
         print(f"{name}: {tag} ({len(pdf)} rows)")
         if not ok:
             fails.append(name)
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(records, fh, indent=1, sort_keys=True)
     print(
         f"RESULT: {'ALL MATCH' if not fails else 'FAILS: ' + str(fails)} "
         f"({checked - rows_only} oracle-paired checked, {rows_only} rows-only, "
