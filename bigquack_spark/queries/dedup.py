@@ -1654,3 +1654,104 @@ def q272_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q329_dedup_cluster_quality",
+    oracle=f"""
+    WITH comps AS (SELECT node, cluster_id FROM ({_CLOSURE_ORACLE})),
+    qual AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             round(
+               CAST(len(list_distinct(list_filter(
+                      string_split_regex(lower(text), '\\s+'), t -> t <> ''
+                    ))) AS DOUBLE)
+               / CAST(greatest(len(list_filter(
+                        string_split_regex(lower(text), '\\s+'), t -> t <> ''
+                      )), 1) AS DOUBLE),
+               6) AS score
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.node AS doc_id, q.n_chars, q.score,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY q.n_chars DESC, c.node
+             ) AS keep_rk,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY q.score DESC, c.node
+             ) AS best_rk
+      FROM comps c JOIN qual q ON q.doc_id = c.node
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN keep_rk = 1 THEN doc_id END) AS BIGINT)
+             AS kept_doc_id,
+           max(CASE WHEN keep_rk = 1 THEN score END) AS kept_score,
+           CAST(max(CASE WHEN best_rk = 1 THEN doc_id END) AS BIGINT)
+             AS best_doc_id,
+           max(CASE WHEN best_rk = 1 THEN score END) AS best_score,
+           CAST(max(CASE WHEN best_rk = 1 THEN score END)
+                  > max(CASE WHEN keep_rk = 1 THEN score END) AS BOOLEAN)
+             AS quality_regret
+    FROM scored GROUP BY cluster_id
+    """,
+)
+def q329_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster quality eval vs the q227 representatives (r11 verdict
+    #8): q227 keeps the LONGEST member of each near-dup cluster — this
+    query measures what that criterion costs on an INDEPENDENT quality
+    axis (lexical diversity: distinct-token share of non-empty tokens).
+    Per cluster it emits the kept representative's score, the
+    best-scoring member, and a ``quality_regret`` flag — true when the
+    length criterion kept a strictly lower-diversity copy than some
+    dropped member (the boilerplate-padded-mirror failure: padding wins
+    on length, loses on diversity).  A curation pipeline alerts on the
+    regret rate before shipping the dedup pass.
+
+    Plan shape is q227's: the CC output (cluster-membership cardinality)
+    joins documents once for the two per-doc scalars, two
+    cluster-keyed windows (SAME partition key — one exchange) pick
+    keeper and best, one aggregate emits the roster.  Nothing here
+    rescans pairs; at 100 TB the cost is the dedup closure it already
+    audits."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+        shingle_len=1, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b")
+    comps = D.connected_components(pairs)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    qual = docs.select(
+        F.col("doc_id").alias("node"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    scored = comps.join(qual, "node")
+    w_keep = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "node")
+    w_best = Window.partitionBy("cluster_id").orderBy(F.desc("score"), "node")
+    ranked = scored.withColumn("keep_rk", F.row_number().over(w_keep)).withColumn(
+        "best_rk", F.row_number().over(w_best)
+    )
+    kept_score = F.max(F.when(F.col("keep_rk") == 1, F.col("score")))
+    best_score = F.max(F.when(F.col("best_rk") == 1, F.col("score")))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("keep_rk") == 1, F.col("node")))
+        .cast("long")
+        .alias("kept_doc_id"),
+        kept_score.alias("kept_score"),
+        F.max(F.when(F.col("best_rk") == 1, F.col("node")))
+        .cast("long")
+        .alias("best_doc_id"),
+        best_score.alias("best_score"),
+        (best_score > kept_score).alias("quality_regret"),
+    )

@@ -1364,3 +1364,120 @@ def _install_q328_oracle() -> None:
 
 
 _install_q328_oracle()
+
+
+@query(
+    "q330_cross_rerank_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.qid, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine_sim,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN (q.qe[i] >= 0) = (v.e[i] >= 0)
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS sign_agree
+      FROM q, v WHERE v.vec_id <> q.qid
+    ),
+    pool AS (
+      SELECT qid, neighbor_id, cosine_sim, sign_agree, bi_rank FROM (
+        SELECT qid, neighbor_id, cosine_sim, sign_agree,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY cosine_sim DESC, neighbor_id
+               ) AS bi_rank
+        FROM scored
+      ) WHERE bi_rank <= {RERANK_POOL}
+    ),
+    cr AS (
+      SELECT qid, neighbor_id, bi_rank,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY sign_agree DESC, cosine_sim DESC, neighbor_id
+             ) AS cr_rank
+      FROM pool
+    )
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_pool,
+           CAST(sum(CASE WHEN bi_rank <= {TOP_K} AND cr_rank <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS topk_overlap,
+           CAST(max(abs(bi_rank - cr_rank)) AS BIGINT) AS max_rank_jump,
+           CAST(sum((bi_rank - cr_rank) * (bi_rank - cr_rank)) AS BIGINT)
+             AS sum_sq_rank_delta,
+           CAST(max(CASE WHEN cr_rank = 1 THEN neighbor_id END) AS BIGINT)
+             AS cross_top1_id
+    FROM cr GROUP BY qid
+    """,
+)
+def q330_cross_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style rerank audit over the ANN shortlist (r11
+    verdict #8): stage 1 is the bi-encoder shortlist (exact cosine
+    top-{RERANK_POOL} per query — the same pool a probe serves); stage 2
+    re-scores every (query, candidate) PAIR with a pairwise feature the
+    bi-encoder cannot see — here the deterministic stand-in is per-dim
+    sign agreement (integer-valued, so the audit is hash-exact; a real
+    deployment swaps in a cross-encoder model via the same
+    mapInPandas seam as the multimodal kernels).  The audit reports,
+    per query, how much the rerank MOVED the list: top-{TOP_K} overlap
+    between the two orders, the largest rank jump, and the summed
+    squared displacement — the numbers that tell a serving team whether
+    the expensive second stage is earning its latency before they ship
+    it.
+
+    Plan: corpus stays in place, the {N_QUERY_VECS}-query set broadcasts
+    (bounded BNLJ, the q40 contract); both rank windows share the qid
+    partition key, so the pool's one exchange carries the whole audit;
+    the pairwise stage touches {RERANK_POOL} x |Q| rows only.  At 1e9
+    vectors the shortlist is what a probe returns — the audit cost is
+    rerank-pool-sized, independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    agree = F.expr(
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "CASE WHEN (element_at(qe, i) >= CAST(0 AS DOUBLE)) = "
+        "(element_at(e, i) >= CAST(0 AS DOUBLE)) "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("e"), F.col("qe")), 6).alias("cosine_sim"),
+            agree.alias("sign_agree"),
+        )
+    )
+    w_bi = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("bi_rank", F.row_number().over(w_bi))
+        .filter(F.col("bi_rank") <= RERANK_POOL)
+    )
+    w_cr = Window.partitionBy("qid").orderBy(
+        F.desc("sign_agree"), F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    cr = pool.withColumn("cr_rank", F.row_number().over(w_cr))
+    delta = F.col("bi_rank") - F.col("cr_rank")
+    return cr.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool"),
+        F.sum(
+            F.when(
+                (F.col("bi_rank") <= TOP_K) & (F.col("cr_rank") <= TOP_K), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("topk_overlap"),
+        F.max(F.abs(delta)).cast("long").alias("max_rank_jump"),
+        F.sum((delta * delta).cast("long")).cast("long").alias("sum_sq_rank_delta"),
+        F.max(F.when(F.col("cr_rank") == 1, F.col("neighbor_id")))
+        .cast("long")
+        .alias("cross_top1_id"),
+    )

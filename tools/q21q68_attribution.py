@@ -48,24 +48,22 @@ def _timed(df, runs: int = 7) -> float:
 
 
 def q21_variant_frame(e):
-    """q21's aggregate grouped by the truncated TIMESTAMP, hour string
-    formatted AFTER the aggregate (output-identical to
-    hourly_events_frame; the per-row date_format moves to the ~K grouped
-    rows)."""
+    """The PRE-r12 q21 body (hour string formatted per input row, BEFORE
+    the aggregate) — kept as the comparison cell documenting why
+    hourly_events_frame moved the format after the agg (-28.6% measured;
+    this is the losing side of that delta)."""
     from pyspark.sql import functions as F
 
     return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_key")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum("value").alias("total_value"),
-        )
-        .select(
-            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_key"),
-            "n_events",
-            "n_users",
-            "total_value",
         )
     )
 
@@ -151,14 +149,20 @@ def main(trend_dir: str) -> dict:
             cell(f"{qname}_parts{parts}", fn,
                  {"spark.sql.shuffle.partitions": parts})
     # plan variants
-    cell("q21_format_after_agg",
+    cell("q21_format_before_agg",
          lambda: q21_variant_frame(spark.table("attr_events")), base)
     cell("q68_aqe_off", q68_frame,
          {**base, "spark.sql.adaptive.enabled": "false"})
+    # warm re-run of the landed cells LAST: each query's first cell pays
+    # codegen compile + broadcast build once — landed_again vs landed
+    # quantifies that warm-up so knob deltas aren't credited with it
+    cell("q21_landed_again", q21_frame, base)
+    cell("q68_landed_again", q68_frame, base)
 
-    # verdicts
+    # verdicts (vs the WARM landed run — the cold first cell pays one-time
+    # codegen compile + broadcast build that knobs must not be credited with)
     for qname in ("q21", "q68"):
-        landed = out["cells"][f"{qname}_landed"]["sec"]
+        landed = out["cells"][f"{qname}_landed_again"]["sec"]
         best = min(
             (
                 (v["sec"], k)
