@@ -328,6 +328,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "q298_hll_merge_audit",  # 1-row x 1-row sketch-estimate assembly
         "q303_storage_tiering",  # broadcast 1-row max-date aggregate
         "q306_retention_policy_sizing",  # broadcast 1-row max-date aggregate
+        "q330_cross_rerank_audit",  # bounded query set broadcast (the q40 shape)
     }
     offenders = []
     for name, spec in QUERIES.items():
