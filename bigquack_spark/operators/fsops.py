@@ -79,7 +79,16 @@ class PosixBackend:
     def create_exclusive(self, path: str, data: bytes = b"") -> int:
         """Create ``path`` exclusively and return an open fd (the lease
         keeps it for its flock liveness beacon).  Raises FileExistsError
-        when another creator won."""
+        when another creator won.
+
+        On a failed payload write the half-created file is unlinked and
+        the OSError re-raised.  A contender racing into the
+        create-to-unlink window sees FileExistsError and backs off — a
+        TRANSIENT spurious loss its next retry resolves (the unlink only
+        ever removes THIS call's own file; O_EXCL guarantees ownership).
+        That beats the alternative of leaving an empty marker, which
+        would block every contender until the stale-lock break
+        timeout."""
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         if data:
             try:

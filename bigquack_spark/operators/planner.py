@@ -247,9 +247,12 @@ def _predicate_columns(spark, col_types: dict[str, str], predicate: str) -> set[
     itself a column is treated as the table alias and applied to the
     probe frame.  Two distinct qualifiers would mean a multi-table
     predicate, which a single-table advisor cannot score — refused
-    loudly like any other non-analyzing predicate."""
+    loudly like any other non-analyzing predicate.  Dotted text inside
+    SQL string literals (``url = 'cdn.example.com'``) is NOT a
+    qualifier — literals are blanked before the scan (r12 review)."""
+    no_literals = re.sub(r"'(?:[^']|'')*'", "''", predicate)
     qualifiers = {
-        m.group(1) for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.", predicate)
+        m.group(1) for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.", no_literals)
     } - set(col_types)
     if len(qualifiers) > 1:
         raise ValueError(

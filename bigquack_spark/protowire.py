@@ -100,6 +100,13 @@ def proto_descriptor(
             "derived from the schema — pass enum_columns={column: "
             "[category, ...]} with the categories in enum-number order"
         )
+    if enum_columns and not map_dictionaries_to_enums:
+        raise ValueError(
+            "enum_columns was supplied without map_dictionaries_to_enums=True "
+            "— refusing to silently encode those columns as plain strings "
+            "(the reader configured with both would fail every row with a "
+            "wire-type mismatch pointing at the wrong side)"
+        )
     enum_columns = dict(enum_columns or {}) if map_dictionaries_to_enums else {}
     field_names = {f.name for f in schema.fields}
     for col, cats in enum_columns.items():
@@ -109,6 +116,16 @@ def proto_descriptor(
             raise ValueError(
                 f"enum_columns[{col!r}]: categories must be non-empty and "
                 "distinct (proto enum numbers are a bijection)"
+            )
+        idents = [_enum_value_ident(col, v, i) for i, v in enumerate(cats)]
+        if len(set(idents)) != len(idents):
+            # 'red-x' and 'red_x' both sanitize to RED_X: the rendered
+            # .proto would carry duplicate identifiers protoc rejects
+            dupes = sorted({x for x in idents if idents.count(x) > 1})
+            raise ValueError(
+                f"enum_columns[{col!r}]: categories collide after proto "
+                f"identifier sanitization ({dupes}) — rename the categories "
+                "so each maps to a distinct enum identifier"
             )
     fields = []
     for i, f in enumerate(schema.fields):

@@ -1451,15 +1451,22 @@ def q330_cross_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             F.round(S.cosine(F.col("e"), F.col("qe")), 6).alias("cosine_sim"),
-            agree.alias("sign_agree"),
+            "e",
+            "qe",
         )
     )
     w_bi = Window.partitionBy("qid").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    # the pairwise (cross-encoder) feature is computed AFTER the pool cut —
+    # RERANK_POOL x |Q| rows, never |corpus| x |Q| (r12 review: computing
+    # it inside the cross join doubled the per-pair stage-1 cost for
+    # values the filter then threw away)
     pool = (
         scored.withColumn("bi_rank", F.row_number().over(w_bi))
         .filter(F.col("bi_rank") <= RERANK_POOL)
+        .select("qid", "neighbor_id", "cosine_sim", "bi_rank",
+                agree.alias("sign_agree"))
     )
     w_cr = Window.partitionBy("qid").orderBy(
         F.desc("sign_agree"), F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -684,3 +684,29 @@ def test_distinct_strategy_advisor_and_lint(spark, tmp_path):
     assert "exact_distinct" in codes
     approx = df.groupBy("k").agg(F.approx_count_distinct("user_id"))
     assert "exact_distinct" not in {c for _, c, _ in lint_plan(approx)}
+
+
+def test_layout_advisor_ignores_dotted_string_literals(spark, tmp_path):
+    """r12 review: dotted text inside SQL string literals ('cdn.example.com')
+    must not be read as table qualifiers — neither rejecting the predicate
+    as multi-table nor installing a bogus probe alias."""
+    from bigquack_spark.operators.maintenance import collect_table_stats
+    from bigquack_spark.operators.planner import recommend_layout_for_workload
+
+    path = str(tmp_path / "t")
+    spark.range(200_000).selectExpr(
+        "id AS user_id", "CAST(id AS STRING) AS url"
+    ).write.parquet(path)
+    collect_table_stats(spark, path)
+    # dotted literal alone: analyzes fine, no qualifier inferred
+    rec = recommend_layout_for_workload(
+        spark, path,
+        predicates=["url = 'cdn.example.com'", "user_id = 42",
+                    "u.user_id IN (1, 2)"],
+    )
+    assert rec["column_usage"]["user_id"] == 2
+    # qualified column + dotted literal in ONE predicate: single qualifier
+    rec2 = recommend_layout_for_workload(
+        spark, path, predicates=["u.user_id = 1 AND u.url <> 'a.txt'"],
+    )
+    assert rec2["column_usage"] == {"user_id": 1, "url": 1}

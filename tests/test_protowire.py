@@ -330,3 +330,25 @@ def test_map_dictionaries_to_enums(spark):
     with pytest.raises(ValueError, match="no field"):
         P.proto_descriptor(schema, map_dictionaries_to_enums=True,
                            enum_columns={"nope": ["x"]})
+
+
+def test_enum_guardrails_round12_review():
+    """r12 review: (a) enum_columns without the flag is refused loudly —
+    silently encoding plain strings would make the configured READER fail
+    with a wire-type mismatch pointing at the wrong side; (b) categories
+    that collide after proto identifier sanitization ('red-x'/'red_x' ->
+    RED_X twice) are refused at descriptor build, not shipped as a
+    .proto protoc rejects."""
+    schema = T._parse_datatype_string("id int, color string")
+    with pytest.raises(ValueError, match="without map_dictionaries_to_enums"):
+        P.proto_descriptor(schema, enum_columns={"color": ["red"]})
+    with pytest.raises(ValueError, match="collide"):
+        P.proto_descriptor(
+            schema, map_dictionaries_to_enums=True,
+            enum_columns={"color": ["red-x", "red_x"]},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        P.render_proto_schema(
+            schema, map_dictionaries_to_enums=True,
+            enum_columns={"color": ["Red", "red"]},
+        )

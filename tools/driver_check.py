@@ -91,6 +91,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: --json requires an output path argument")
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -137,8 +140,10 @@ def main() -> int:
             continue
         if name not in osql:
             rows_only += 1
+            # no oracle: nothing was COMPARED, so every match field is None
+            # (a True rows_match here would read as a verified row count)
             records[name] = {
-                "rows_match": len(pdf) >= 0, "schema_match": None,
+                "rows_match": None, "schema_match": None,
                 "hash_match": None, "spark_rows": len(pdf),
                 "oracle_rows": None, "err": "no_oracle",
             }

@@ -57,11 +57,17 @@ def main() -> int:
         )
     merged: dict[str, dict] = {}
     rc = 0
-    for p, part in zip(procs, parts):
+    for i, (p, part) in enumerate(zip(procs, parts)):
         out, _ = p.communicate()
         rc |= p.returncode
         tail = [ln for ln in out.splitlines() if ln.startswith("RESULT:")]
         print(tail[-1] if tail else f"(no RESULT line; rc={p.returncode})")
+        # a chunk that died before writing its part file (OOM, Spark startup
+        # failure) must not lose the other chunks' records (r12 review)
+        if not os.path.exists(part):
+            print(f"CHUNK {i} FAILED: no {part} written (rc={p.returncode})")
+            rc |= 1
+            continue
         with open(part) as fh:
             merged.update(json.load(fh))
         os.remove(part)
