@@ -159,14 +159,14 @@ def compression_ratio(
     def kernel(batches):
         import zlib
 
+        def ratio(t):
+            if not isinstance(t, str) or not t:
+                return None
+            raw = t.encode("utf-8")  # encode once; it was paid twice per doc
+            return len(zlib.compress(raw, level)) / len(raw)
+
         for pdf in batches:
-            raw = pdf[text_col]
-            pdf[out_col] = [
-                (len(zlib.compress(t.encode("utf-8"), level)) / len(t.encode("utf-8")))
-                if isinstance(t, str) and len(t) > 0
-                else None
-                for t in raw
-            ]
+            pdf[out_col] = [ratio(t) for t in pdf[text_col]]
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)

@@ -42,7 +42,8 @@ def load_table(
     name: str,
     columns: list[str] | None = None,
     predicate: str | None = None,
-    rebalance: bool = False,
+    rebalance: bool | str = False,
+    rebalance_key: str | None = None,
 ) -> DataFrame:
     """Scan one table with source-level pushdown.
 
@@ -58,6 +59,22 @@ def load_table(
     folds, regex) to a few tasks; one cheap exchange spreads it across the
     cluster.  Wide/fact tables at scale arrive with natural parallelism and
     must not pay the shuffle.
+
+    ``rebalance="auto"`` (r12, guide §2.5 "input skew: repartition
+    immediately after the read") pays the exchange ONLY when the scan
+    actually under-parallelizes — scan splits < the cluster's default
+    parallelism.  A one-row-group parquet file (the primary bench layout)
+    pins the whole downstream pipeline — joins, JSON parse, partial
+    aggregation — to ONE task; the guard detects that from the planned
+    split count and spreads it.  On a properly laid-out table (multi-file /
+    multi-row-group, the 10x/100x tiers and any real ingest) the guard is
+    false and the plan is unchanged, so the fix cannot regress at scale and
+    adapts to whatever core count the session runs at.
+
+    ``rebalance_key`` hash-repartitions by that column instead of
+    round-robin: skips round-robin's local sort-before-repartition pass
+    (SPARK-23207 determinism cost) and stays deterministic by key hash.
+    Pick a near-unique key that the query already reads.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     df = _normalize_nanos(df)
@@ -66,7 +83,12 @@ def load_table(
     if columns:
         df = df.select(*columns)
     if rebalance:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        target = spark.sparkContext.defaultParallelism
+        if rebalance != "auto" or df.rdd.getNumPartitions() < target:
+            if rebalance_key:
+                df = df.repartition(target, rebalance_key)
+            else:
+                df = df.repartition(target)
     return df
 
 

@@ -150,7 +150,7 @@ def test_q75_no_corpus_shuffle_before_python_kernel(spark):
     """GEMM ANN: the mapInPandas kernel feeds straight off the scan; the
     only exchange is the tiny partial-top-k merge."""
     plan = plan_of(spark, "q75_ann_gemm_topk")
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # r12: the GEMM kernel is mapInArrow
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") <= 2
 
