@@ -86,6 +86,12 @@ def decode_media(df: DataFrame) -> DataFrame:
     Batch shape: each pandas chunk is one Arrow batch of media records; the
     kernel is vectorized per batch.  Swap ``_fake_decode`` for a real codec
     to productionize — the plan shape does not change.
+
+    Only the three columns the kernel reads cross the Python boundary
+    (guide §4.1: Spark cannot see inside the function, so an opaque map
+    would otherwise ship — and prevent pruning of — every input column;
+    here that pruning folds the caller's ``media_meta`` to_json away
+    entirely).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,7 +111,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        kernel, IMAGE_FEATURES_SCHEMA
+    )
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -134,7 +142,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
                     out["frame_bytes"].append(None)  # real demuxer would fill
             yield pd.DataFrame(out)
 
-    return df.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")  # only what the kernel reads (§4.1)
+        .mapInPandas(kernel, FRAME_SCHEMA)
+    )
 
 
 EMBED_SCHEMA = T.StructType(
@@ -167,7 +179,9 @@ def pseudo_embed(media: DataFrame, dim: int = 8) -> DataFrame:
                 embs.append([(d[i] - 127.5) / 127.5 for i in range(dim)])
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
-    return media.mapInPandas(kernel, schema=EMBED_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=EMBED_SCHEMA
+    )
 
 
 AUDIO_CHUNK_BYTES = 400  # stand-in for a fixed-duration PCM window

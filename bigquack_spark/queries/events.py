@@ -447,12 +447,16 @@ def q66_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = activity.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
     return (
         firsts.join(activity, "user_id")
-        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"))
+        .groupBy(F.col("cohort_day").alias("cohort_dt"))
         .agg(
             F.countDistinct("user_id").alias("cohort_size"),
             F.countDistinct(
                 F.when(F.col("active_day") > F.col("cohort_day"), F.col("user_id"))
             ).alias("n_retained"),
+        )
+        .select(  # format on the ~cohort output rows, not per user-day row
+            F.date_format("cohort_dt", "yyyy-MM-dd").alias("cohort_day"),
+            "cohort_size", "n_retained",
         )
     )
 
@@ -461,14 +465,18 @@ def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First rollup tier: hourly partial aggregates (the materialized
     'continuous aggregate' a hypertable would maintain)."""
     e = t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(  # format on the ~K hourly rows AFTER the agg (q21 lever)
+            F.date_format("hour_ts", "yyyy-MM-dd HH:00:00").alias("hour_key"),
+            "event_type", "n_events", "total_value", "min_value", "max_value",
+        )
     )
 
 
@@ -934,22 +942,31 @@ def q116_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-tier rollup costs the same exchange as a flat hourly groupBy;
     at 100 TB the day tier rides along for free instead of a second scan.
     Bucket keys are formatted strings — engine-invariant vs timestamp
-    physical types."""
+    physical types.  The rollup groups by the truncated TIMESTAMPS and
+    formats the strings on the ~K output rows AFTER the agg (r12, the q21
+    format-after-agg lever): grouping by the formatted string paid two
+    per-input-row date_formats on the full scan; trunc-then-format is
+    injective per bucket and date_format(NULL) is NULL, so the rollup's
+    grouped-out tiers and every key string are identical."""
     e = t(spark, sf_dir, "events")
     return (
         e.select(
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key"),
+            F.date_trunc("day", "ts").alias("day_ts"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
             "user_id", "value",
         )
-        .rollup("day_key", "hour_key")
+        .rollup("day_ts", "hour_ts")
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum("value").alias("total_value"),
         )
-        .select("day_key", "hour_key", "lvl", "n_events", "n_users", "total_value")
+        .select(
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day_key"),
+            F.date_format("hour_ts", "yyyy-MM-dd HH:00:00").alias("hour_key"),
+            "lvl", "n_events", "n_users", "total_value",
+        )
     )
 
 
@@ -976,14 +993,16 @@ def q122_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the exact reporting tier."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_key")
-        )
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.expr("percentile(value, 0.5D)").alias("p50"),
             F.expr("percentile(value, 0.95D)").alias("p95"),
             F.expr("percentile(value, 0.99D)").alias("p99"),
+        )
+        .select(  # format on the ~K output rows, not the scan (q21 lever)
+            F.date_format("hour_ts", "yyyy-MM-dd HH:00:00").alias("hour_key"),
+            "n_events", "p50", "p95", "p99",
         )
     )
 
@@ -1058,7 +1077,9 @@ def q135_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the path string as tiebreak."""
     e = t(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
     seq = (
-        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        # the day key never reaches the output — date_trunc groups the same
+        # calendar buckets without paying a per-row string format (q21 lever)
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),

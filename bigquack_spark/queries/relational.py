@@ -2048,17 +2048,19 @@ def q114_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
             "p_brand",
-            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
-                "month_key"
-            ),
+            # group/window by the truncated TIMESTAMP; format the 'yyyy-MM'
+            # string on the ~brand-month output rows after the agg (q21
+            # lever) — injective per month, and the lag order over the
+            # timestamp equals the string order.
+            F.date_trunc("month", "l_shipdate").alias("month_ts"),
         )
         .agg(F.sum(_money_cents_units()).cast("long").alias("rev_units"))
     )
-    w = Window.partitionBy("p_brand").orderBy("month_key")
+    w = Window.partitionBy("p_brand").orderBy("month_ts")
     prev = F.lag("rev_units").over(w)
     return monthly.select(
         "p_brand",
-        "month_key",
+        F.date_format("month_ts", "yyyy-MM").alias("month_key"),
         (F.col("rev_units") / F.lit(10000.0)).alias("revenue"),
         ((F.col("rev_units") - prev) / F.lit(10000.0)).alias("mom_delta"),
         ((F.col("rev_units") - prev).cast("double") / prev).alias("mom_pct"),
