@@ -710,3 +710,48 @@ def test_layout_advisor_ignores_dotted_string_literals(spark, tmp_path):
         spark, path, predicates=["u.user_id = 1 AND u.url <> 'a.txt'"],
     )
     assert rec2["column_usage"] == {"user_id": 1, "url": 1}
+
+
+def test_load_table_auto_rebalance_guard(spark, tmp_path):
+    """rebalance="auto" pays the spread-exchange only when the planned scan
+    has fewer splits than the session's parallelism; a hash key partitions
+    by that column instead of round-robin (r12 optimization)."""
+    from bigquack_spark.sources.parquet import load_table
+
+    target = spark.sparkContext.defaultParallelism
+
+    # the smoke parquet is one row group -> 1-split scan: guard fires
+    d = load_table(spark, SF_SMOKE, "documents", rebalance="auto")
+    assert d.rdd.getNumPartitions() == target
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" in plan
+
+    # hash key -> hashpartitioning, not round robin
+    h = load_table(
+        spark, SF_SMOKE, "documents",
+        columns=["doc_id", "text"], rebalance="auto", rebalance_key="doc_id",
+    )
+    hplan = h._sc._jvm.PythonSQLUtils.explainString(
+        h._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(doc_id" in hplan
+    assert "roundrobin" not in hplan.lower()
+
+    # a many-file layout already at/above parallelism: guard must NOT fire
+    path = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(target).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).write.parquet(path)
+    import bigquack_spark.sources.parquet as P
+    orig = P.table_path
+    P.table_path = lambda sf_dir, name: path
+    try:
+        m = P.load_table(spark, "ignored", "many", rebalance="auto")
+    finally:
+        P.table_path = orig
+    mplan = m._sc._jvm.PythonSQLUtils.explainString(
+        m._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in mplan

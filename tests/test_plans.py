@@ -383,9 +383,10 @@ def test_q130_incremental_dedup_no_window(spark):
 
 def test_q131_nfc_zero_shuffle(spark):
     """NFC canonicalization is a pure projection: the only exchange in the
-    plan is the explicit rebalance repartition — nothing keyed."""
+    plan is the explicit rebalance repartition (hash-by-doc_id spread since
+    r12) — no aggregation/join shuffle."""
     plan = plan_of(spark, "q131_nfc_canonical_fingerprint")
-    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "SinglePartition" not in plan
 
 
