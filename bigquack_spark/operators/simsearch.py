@@ -744,9 +744,14 @@ def probe_ivf_index(
       the online-serving default a deployment wants.
     - ``collect_cells`` resolves the probed cells driver-side (a bounded
       n_queries x n_probes collect) and STATICALLY prunes the index scan
-      with an IN filter, instead of relying on runtime DPP.  Right for
-      online batches (few queries); leave False for corpus-scale offline
-      query frames where a driver collect is the anti-pattern."""
+      with an IN filter, instead of relying on runtime DPP.  The resolved
+      probe assignment is also re-issued as a LITERAL frame (r13, guide
+      §2.4): the per-execution coarse subtree — query x centroid
+      crossJoin, per-qid window, its Exchange — disappears from the
+      executed plan entirely, leaving LocalTableScan -> broadcast -> one
+      pruned index join.  Right for online batches (few queries); leave
+      False for corpus-scale offline query frames where a driver collect
+      is the anti-pattern."""
     path = _resolve_index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
@@ -767,7 +772,12 @@ def probe_ivf_index(
     )
     index = spark.read.parquet(f"{path}/index")
     if collect_cells:
-        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+        rows = probes.collect()  # bounded: n_queries x n_probes rows
+        wanted = sorted({r.cell for r in rows})
+        # literal re-issue: exact same (qid, qv, cell) values (collect
+        # round-trips IEEE doubles bit-exactly), so scoring and tie order
+        # are unchanged — parity-pinned in tests/test_ops.py
+        probes = spark.createDataFrame(rows, probes.schema)
         index = index.filter(F.col("cell").isin(wanted))  # static pruning
     if predicate:
         index = index.filter(predicate)  # pushed into the probed-cell scan
@@ -1411,8 +1421,14 @@ def probe_ivf_pq(
         # tables are attached — the cell set needs only the coarse plan,
         # and dragging the m x k_codes LUT expression trees through the
         # resolve job's analysis was measured at 3x the plain-IVF resolve
-        # (r11 verdict #1: 7.45 s vs 1.65 s at 2M vectors).
-        wanted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+        # (r11 verdict #1: 7.45 s vs 1.65 s at 2M vectors).  r13: the
+        # resolved assignment is re-issued as a LITERAL frame (guide §2.4)
+        # so the per-execution coarse crossJoin+window subtree — and its
+        # Exchange — vanishes from the executed plan; values round-trip
+        # bit-exactly, parity-pinned in tests/test_ops.py.
+        rows = probes.collect()  # bounded: n_queries x n_probes rows
+        wanted = sorted({r.cell for r in rows})
+        probes = spark.createDataFrame(rows, probes.schema)
     # per-(query, cell) ADC lookup tables over the query RESIDUAL
     # qv - centroid[cell] (codes quantize residuals), computed on
     # qids x n_probes rows.  Arrow path: ONE numpy UDF column — the

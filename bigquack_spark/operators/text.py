@@ -254,39 +254,63 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     nearby fingerprints — the robust-to-edits triage key that whole-doc
     hashing (q53) lacks.  Pure per-row array projection; adds columns
     ``fps`` (array<bigint>), ``n_fps``."""
-    wins = winnow_windows(text_col)
-    fps = F.array_distinct(wins)
-    return df.withColumns({"fps": fps, "n_fps": F.size(fps).cast("bigint")})
+    staged = winnow_windows_frame(df, text_col, out_col="__winnow_wins")
+    fps = F.array_distinct(F.col("__winnow_wins"))
+    return staged.withColumns(
+        {"fps": fps, "n_fps": F.size(fps).cast("bigint")}
+    ).drop("__winnow_wins")
 
 
-def winnow_windows(text_col: str = "text") -> Column:
-    """The positional winnowing sequence behind :func:`winnow_fingerprints`:
-    one ``array<bigint>`` element per winnowing window, IN ORDER (index i =
+def winnow_windows_frame(
+    df: DataFrame, text_col: str = "text", out_col: str = "wins"
+) -> DataFrame:
+    """Attach the positional winnowing sequence as ``out_col``: one
+    ``array<bigint>`` element per winnowing window, IN ORDER (index i =
     the fingerprint selected at window position i), duplicates preserved.
     Callers that only triage docs use the deduplicated ``fps``; span-level
-    consumers (q247's MOSS-style pair report) need the positions."""
+    consumers (q247's MOSS-style pair report) need the positions.
+
+    Frame-shaped ON PURPOSE (r13, guide §1.2 "the distributed algorithm
+    first"): the per-token hash array and the rolling-hash array are staged
+    as their own projected columns, each referenced as a bound ATTRIBUTE by
+    the next stage.  The previous single-Column form inlined the whole
+    upstream expression at every reference — higher-order lambdas are not
+    covered by codegen subexpression elimination, so each ``get(h, i)``
+    re-ran the full per-token md5 transform and each window's ``slice``
+    re-ran the full rolling fold: superlinear re-evaluation that clocked
+    q139 at 51 s on the SMALLEST test factor.  Catalyst's CollapseProject
+    keeps multi-referenced non-cheap aliases staged, so each array now
+    computes exactly once per row (plan-asserted in tests/test_ops.py)."""
+    k, w, b = WINNOW_K, WINNOW_W, WINNOW_BASE
     toks = F.split(F.lower(text_col), r"\s+")
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("bigint")
     )
-    k, w, b = WINNOW_K, WINNOW_W, WINNOW_BASE
-    n_roll = F.size(h) - (k - 1)  # rolling hashes available
+    hh = F.col("__winnow_h")
+    n_roll = F.size(hh) - (k - 1)  # rolling hashes available
     roll = F.when(
-        F.size(h) >= k,
+        F.size(hh) >= k,
         F.transform(
             F.sequence(F.lit(0), n_roll - 1),
             lambda i: (
-                (F.get(h, i) * b + F.get(h, i + 1)) * b + F.get(h, i + 2)
-            ) * b + F.get(h, i + 3),
+                (F.get(hh, i) * b + F.get(hh, i + 1)) * b + F.get(hh, i + 2)
+            ) * b + F.get(hh, i + 3),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return F.when(
-        F.size(roll) >= w,
+    rr = F.col("__winnow_roll")
+    wins = F.when(
+        F.size(rr) >= w,
         F.transform(
-            F.sequence(F.lit(0), F.size(roll) - w),
-            lambda i: F.array_min(F.slice(roll, i + 1, w)),
+            F.sequence(F.lit(0), F.size(rr) - w),
+            lambda i: F.array_min(F.slice(rr, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.withColumn("__winnow_h", h)
+        .withColumn("__winnow_roll", roll)
+        .withColumn(out_col, wins)
+        .drop("__winnow_h", "__winnow_roll")
+    )
 
 
 # -- BPE trainer (r7 verdict #6) ---------------------------------------------

@@ -1706,7 +1706,7 @@ def q247_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-array array_position projection — no extra shuffle beyond the
     (fp)-keyed cap count and the capped pair join itself."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance="auto", rebalance_key="doc_id")
-    w = d.withColumn("wins", X.winnow_windows("text"))
+    w = X.winnow_windows_frame(d, "text", out_col="wins")
     flat = w.select(
         "doc_id",
         F.size(F.array_distinct("wins")).cast("bigint").alias("n_fps"),

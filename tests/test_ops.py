@@ -987,6 +987,23 @@ def test_winnowing_short_doc_empty(spark):
     assert r.fps == [] and r.n_fps == 0
 
 
+def test_winnowing_stages_evaluate_once(spark):
+    """r13 (guide §1.2/§4): the winnow chain must stay STAGED in the plan —
+    the per-token md5 transform and the rolling fold each computed once per
+    row as their own aliases.  The pre-r13 single-Column form inlined the
+    md5 transform at every get()/slice() reference (HOF lambdas get no
+    codegen subexpression elimination), which clocked q139 at 51 s on
+    sf0.001; staged it is ~0.2 s.  Pin the plan property that fixed it:
+    exactly ONE md5-transform occurrence and staged winnow aliases."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    plan = X.winnow_fingerprints(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan
+    assert "__winnow_h" in plan and "__winnow_roll" in plan
+
+
 def test_bloom_semi_join_equals_plain_semi_join(spark):
     """bloom_semi_join is an OPTIMIZATION, not a semantics change: for any
     key set, its output must equal the plain left-semi join (false
@@ -1072,6 +1089,30 @@ def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
     assert got == want
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_probe_collect_cells_literal_parity_and_plan(spark, tmp_path):
+    """r13 serving-path optimization (guide §2.4): ``collect_cells=True``
+    re-issues the bounded driver-resolved probe assignment as a LITERAL
+    frame, so the per-execution coarse crossJoin+window subtree (and its
+    Exchange) disappears from the executed plan.  Contracts: (1) output
+    identical to the DPP variant for BOTH probe paths; (2) the literal
+    plan carries a LocalTableScan and strictly fewer Exchanges."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfcc")
+    assert S.build_ivf_index(emb, path, n_lists=4, seed=42) == 4
+    S.add_pq_to_ivf_index(spark, path, m=8, k_codes=16, seed=42)
+    for fn, kw in ((S.probe_ivf_index, {}), (S.probe_ivf_pq, {"rerank": 10_000})):
+        dyn = fn(spark, path, queries, k=5, n_probes=2, **kw)
+        lit = fn(spark, path, queries, k=5, n_probes=2, collect_cells=True, **kw)
+        assert sorted(map(tuple, dyn.collect())) == sorted(map(tuple, lit.collect()))
+        lplan = lit._jdf.queryExecution().executedPlan().toString()
+        dplan = dyn._jdf.queryExecution().executedPlan().toString()
+        # createDataFrame(rows) plans as a literal local input —
+        # LocalTableScan or Scan ExistingRDD depending on the codepath
+        assert "LocalTableScan" in lplan or "Scan ExistingRDD" in lplan
+        assert lplan.count("Exchange") < dplan.count("Exchange")
 
 
 def test_filtered_ann_probe_prunes_before_scoring(spark, tmp_path):

@@ -4,9 +4,11 @@ pushdown-preserving reader (bigquery.go:85-129), offline parquet harness
 
 from __future__ import annotations
 
+import os
+
 from bigquack_spark.pipeline import transfer
 from bigquack_spark.sources.reader import Reader, read_source
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, SF_T2
 
 
 def test_transfer_full_table(spark):
@@ -755,3 +757,63 @@ def test_load_table_auto_rebalance_guard(spark, tmp_path):
         m._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in mplan
+
+
+def test_estimated_scan_splits_matches_planner(spark, tmp_path):
+    """r12 verdict #5: the auto-rebalance guard's r12 probe
+    (`df.rdd.getNumPartitions()`) forced an analyzer pass + RDD conversion
+    per load_table call at query-BUILD time.  The r13 probe computes the
+    planner's split count from the file listing alone
+    (`_estimated_scan_splits`).  Pin (a) decision-equivalence with the real
+    planner count on every bench table at both smoke SFs, (b) closeness and
+    zero-Exchange on a single-file multi-row-group layout (the bench
+    multifile shape: a properly laid-out table at scale must NOT pay the
+    spread exchange)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bigquack_spark.sources.parquet as P
+    from bigquack_spark.sources.parquet import _estimated_scan_splits, load_table
+
+    par = spark.sparkContext.defaultParallelism
+
+    # (a) every real bench table, both smoke dirs, default split conf
+    for sf_dir in (SF_SMOKE, SF_T2):
+        for name in P.TABLES:
+            path = P.table_path(sf_dir, name)
+            if not os.path.exists(path):
+                continue
+            actual = spark.read.parquet(path).rdd.getNumPartitions()
+            est = _estimated_scan_splits(spark, path)
+            assert (est < par) == (actual < par), (
+                f"{path}: est {est} vs planner {actual} flip the guard at {par}"
+            )
+
+    # (b) single file, many row groups, enough byte-range splits to reach
+    # parallelism once maxPartitionBytes is tier-sized (the multifile/scale
+    # layout): guard must stay silent and the estimate must track the planner
+    n = 200_000
+    text = [hashlib.md5(str(i).encode()).hexdigest() * 2 for i in range(n)]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(text)})
+    path = str(tmp_path / "mrg.parquet")
+    pq.write_table(tbl, path, row_group_size=20_000, compression="none")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    orig = P.table_path
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        actual = spark.read.parquet(path).rdd.getNumPartitions()
+        est = _estimated_scan_splits(spark, path)
+        assert actual >= par, "layout under test must be multi-split"
+        assert (est < par) == (actual < par)
+        assert abs(est - actual) <= max(2, actual // 4)
+        P.table_path = lambda sf_dir, name: path
+        m = load_table(spark, "ignored", "mrg", rebalance="auto", rebalance_key="doc_id")
+        mplan = m._sc._jvm.PythonSQLUtils.explainString(
+            m._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in mplan
+    finally:
+        P.table_path = orig
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

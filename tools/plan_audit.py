@@ -26,7 +26,7 @@ from bigquack_spark.queries import QUERIES  # noqa: E402
 from bigquack_spark.session import get_spark  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "plan_audit_r12.json")
+OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "plan_audit_r13.json")
 
 
 def audit_one(df) -> dict:
@@ -44,7 +44,10 @@ def audit_one(df) -> dict:
         "cartesian": plan.count("CartesianProduct"),
         "batch_eval_python": plan.count("BatchEvalPython"),
         "arrow_eval_python": plan.count("ArrowEvalPython"),
-        "map_in_arrow_or_pandas": plan.count("MapInPandas") + plan.count("PythonMapInArrow"),
+        # 'MapInArrow' also matches the older 'PythonMapInArrow' spelling;
+        # Spark 4.1.2 prints the physical node as plain 'MapInArrow'
+        # (ADVICE r12: the old 'PythonMapInArrow'-only count missed q75).
+        "map_in_arrow_or_pandas": plan.count("MapInPandas") + plan.count("MapInArrow"),
         "parquet_scans": len(re.findall(r"FileScan parquet|Scan parquet", plan)),
         "lint": [list(f) for f in lint_plan(df)],
     }
