@@ -64,6 +64,36 @@ def _shingles(text_col: str, shingle_len: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingles_frame(
+    df: DataFrame, text_col: str, shingle_len: int, out_col: str
+) -> DataFrame:
+    """Staged twin of :func:`_shingles` (r13, the q139 winnowing lesson):
+    for ``shingle_len >= 2`` the gram transform slices the token array once
+    PER ELEMENT, and a Column-shaped ``toks`` is a full ``split()``
+    re-evaluated at every lambda reference — higher-order lambdas get no
+    codegen subexpression elimination, so the Column form costs
+    O(tokens^2) splits per row.  Staging the token array as its own
+    projected column makes every lambda reference a bound attribute: one
+    split per row (Catalyst's CollapseProject keeps multi-referenced
+    non-cheap aliases staged).  ``shingle_len == 1`` has no lambda over the
+    tokens and stays the single _shingles expression."""
+    if shingle_len == 1:
+        return df.withColumn(out_col, _shingles(text_col, 1))
+    toks = F.col("__shingle_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - shingle_len)
+    grams = F.when(
+        F.size(toks) >= shingle_len,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_len), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("__shingle_toks", F.split(F.lower(text_col), r"\s+"))
+        .withColumn(out_col, grams)
+        .drop("__shingle_toks")
+    )
+
+
 def minhash_signature_wide(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -74,8 +104,12 @@ def minhash_signature_wide(
     row, element ``seed`` = min over shingles of md5(seed || '|' || shingle).
 
     Computed as a per-row array fold (array_min over the hashed shingle
-    array, once per seed) — ZERO shuffle, pure projection."""
-    toks = _shingles(text_col, 1)
+    array, once per seed) — ZERO shuffle, pure projection.  The token set
+    is STAGED as its own column (r13): a Column-shaped ``toks`` would be
+    re-inlined into every per-seed transform, re-running the
+    split+array_distinct ``num_hashes`` times per row."""
+    staged = df.withColumn("__mh_toks", _shingles(text_col, 1))
+    toks = F.col("__mh_toks")
 
     def seed_min(seed: int) -> Column:
         # NB: single-arg lambda only — F.transform treats a 2-arg lambda as
@@ -84,7 +118,7 @@ def minhash_signature_wide(
         return F.array_min(F.transform(toks, lambda s: F.md5(F.concat(F.lit(prefix), s))))
 
     sig = F.array(*[seed_min(seed) for seed in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return staged.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_signatures(
@@ -141,15 +175,17 @@ def minhash_signatures_fast(
 ) -> DataFrame:
     """Scale-path MinHash: wide format (id, sig array<bigint>), xxhash64 per
     seed, computed without exploding — the per-row array fold keeps this a
-    pure projection (zero shuffle)."""
-    sh = _shingles(text_col, shingle_len)
+    pure projection (zero shuffle).  Shingles are staged (r13): the Column
+    form would re-run the O(tokens^2) gram build once per seed."""
+    staged = _shingles_frame(df, text_col, shingle_len, "__mh_sh")
+    sh = F.col("__mh_sh")
     sig = F.array(
         *[
             F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
             for seed in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return staged.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_bands(
@@ -219,7 +255,23 @@ def lsh_candidate_pairs(
         .filter(F.col(id_col) > F.col("__mn"))
         .select(F.col("__mn").alias("a"), F.col(id_col).alias("b"))
     )
-    return pairs.unionAll(big_star).distinct()
+    # Hash-repartition by (a, b) to the session's parallelism BEFORE the
+    # dedup (r13, guide §2.2/§2.5): the candidate multiset can be orders of
+    # magnitude larger than its inputs (9.9M pairs from 5k docs at sf0.1),
+    # and the per-pair verify compute downstream runs in the SAME stage as
+    # this dedup's reduce side — sizing that stage by
+    # spark.sql.shuffle.partitions (tuned to post-shuffle *bytes* of the
+    # small exchanges) starves it of cores.  HashPartitioning(a, b)
+    # satisfies the distinct's clustering requirement, so this REPLACES the
+    # distinct's own exchange rather than adding one (plan-asserted in
+    # tests), and map-side partial dedup was a no-op here anyway: copies of
+    # a pair come from different band partitions.
+    sc = bands.sparkSession.sparkContext
+    return (
+        pairs.unionAll(big_star)
+        .repartition(sc.defaultParallelism, "a", "b")
+        .distinct()
+    )
 
 
 def jaccard_verify(
@@ -229,19 +281,75 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_len: int = 3,
     threshold: float = 0.8,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
-    similarity >= threshold.  Shingle sets are joined in (two broadcast-or-
-    shuffle hash joins on the id), intersect/union are per-row array ops."""
-    sa = df.select(F.col(id_col).alias("a"), _shingles(text_col, shingle_len).alias("sh_a"))
-    sb = df.select(F.col(id_col).alias("b"), _shingles(text_col, shingle_len).alias("sh_b"))
+    similarity >= threshold, plus any ``keep_cols`` carried through from
+    ``pairs`` (so callers that need pair metadata downstream don't re-join
+    — and re-compute — the whole candidate subtree).
+
+    Per-pair cost shape (r13, measured on the q140 profile: 9.9M candidate
+    pairs at sf0.1, guide §1.2/§2.3):
+    - ``|A∪B| = |A| + |B| − |A∩B|`` — the shingle arrays are DISTINCT by
+      construction, so the per-pair ``array_union`` (a second full hash-set
+      pass that also materializes the merged array) is replaced by two
+      O(1) length reads; ``array_intersect`` is the only per-pair set op.
+      Same integers, bit-identical division.
+    - For ``threshold <= 0`` the filter only has to drop the undefined 0/0
+      case, which is exactly ``|A| + |B| = 0`` (inter/union >= 0 whenever
+      defined, and NULL is dropped by ``>=`` either way) — so the pushed-
+      down join condition no longer duplicates the intersect (the q140
+      before-plan evaluated intersect AND union once in the join condition
+      and AGAIN in the output projection).  Selective thresholds keep the
+      intersect in the condition; survivors re-evaluate it once in the
+      projection — paid only on matches.
+    - Shingles are built via :func:`_shingles_frame`: linear in tokens per
+      row, not O(tokens^2).
+    """
+    sa = _shingles_frame(
+        df.select(F.col(id_col).alias("a"), F.col(text_col)), text_col, shingle_len, "sh_a"
+    ).select("a", "sh_a")
+    sb = _shingles_frame(
+        df.select(F.col(id_col).alias("b"), F.col(text_col)), text_col, shingle_len, "sh_b"
+    ).select("b", "sh_b")
     joined = pairs.join(sa, "a").join(sb, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    n_a, n_b = F.size("sh_a"), F.size("sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # NULL-text parity: under size(NULL) = -1 (ansi off), the direct form
+    # yielded -1/-1 = 1.0 for any pair with a NULL side — preserved below
+    # (inter < 0 iff either shingle array is NULL).  The NULL guard lives
+    # in the FILTER, not in a when() around the jaccard: codegen
+    # subexpression elimination does not reach inside conditional branches,
+    # so a branched jaccard re-evaluated the intersect 3x per pair
+    # (measured: q241 6.0 s -> 18.5 s).
+    null_side = (n_a < 0) | (n_b < 0)
+    if threshold <= 0.0:
+        # j >= t<=0 keeps everything except the undefined 0/0 (both sides
+        # empty AND non-NULL) — expressible in length reads alone, so the
+        # pushed-down join condition carries no array_intersect at all
+        cond = null_side | ((n_a + n_b) > 0)
+    else:
+        # the division term is garbage when a side is NULL, but the OR is
+        # already true there (1.0 >= t for every real threshold <= 1);
+        # inter appears twice in one non-branching tree — CSE folds it
+        cond = null_side | (
+            inter.cast("double") / ((n_a + n_b) - inter).cast("double") >= threshold
+        )
+    # stage the intersect as its own column so the survivors' projection
+    # computes it ONCE (CollapseProject keeps multi-referenced non-cheap
+    # aliases staged); the when() below touches only the staged attribute
+    st = F.col("__inter")
     return (
-        joined.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        joined.filter(cond)
+        .withColumn("__inter", inter)
+        .select(
+            "a",
+            "b",
+            *keep_cols,
+            F.when(st < 0, F.lit(1.0))
+            .otherwise(st.cast("double") / ((n_a + n_b) - st).cast("double"))
+            .alias("jaccard"),
+        )
     )
 
 
@@ -274,9 +382,9 @@ def simhash64(
     (explode of bit positions — NOT per token), per-bit vote as a SQL
     higher-order fold, then one groupBy(id) to pack.  Shuffle volume is
     64 rows/doc regardless of document size."""
-    sh = _shingles(text_col, shingle_len)
-    hashed = df.select(
-        F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("hashes")
+    staged = _shingles_frame(df, text_col, shingle_len, "__sh")
+    hashed = staged.select(
+        F.col(id_col), F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("hashes")
     )
     bits = hashed.select(
         F.col(id_col), "hashes", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
@@ -403,11 +511,11 @@ def simhash_portable(
     """
     if bits > 60:
         raise ValueError("portable simhash caps at 60 bits (15 hex chars)")
-    sh = _shingles(text_col, shingle_len)
-    hashed = df.select(
+    staged = _shingles_frame(df, text_col, shingle_len, "__sh")
+    hashed = staged.select(
         F.col(id_col),
         F.transform(
-            sh,
+            F.col("__sh"),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         ).alias("hashes"),
     )
@@ -478,8 +586,13 @@ def simhash_jaccard_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    verified = jaccard_verify(cands, df, id_col, text_col, shingle_len, threshold)
-    return verified.join(cands, ["a", "b"]).select("a", "b", "hamming", "jaccard")
+    # carry hamming THROUGH the verify (r13): the old `verified.join(cands)`
+    # re-referenced the cands frame, and Spark re-computes a re-referenced
+    # DataFrame subtree — the whole simhash+blocking pipeline ran twice
+    verified = jaccard_verify(
+        cands, df, id_col, text_col, shingle_len, threshold, keep_cols=("hamming",)
+    )
+    return verified.select("a", "b", "hamming", "jaccard")
 
 
 # ------------------------------------------------ dedup clustering ----------
@@ -689,10 +802,14 @@ def chunk_dedup(
     where the fingerprint is md5 of the kept chunks joined in position
     order ('' when everything was dropped).
     """
-    toks = F.split(F.lower(text_col), r"\s+")
+    # token array STAGED as a column (r13, q139 lesson): a Column-shaped
+    # `toks` inside the chunk lambda re-runs the split once per chunk
+    toks = F.col("__ck_toks")
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks)), F.lit(chunk_tokens))
     chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
-    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    ex = df.withColumn("__ck_toks", F.split(F.lower(text_col), r"\s+")).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
     hashed = ex.select(
         F.col(id_col),
         F.col("chunk_idx"),

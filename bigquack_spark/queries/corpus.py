@@ -263,7 +263,13 @@ def q108_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — zero shuffle, pushed to the scan stage; the cross-document
     twin is q101."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
+    # STAGE the token array and the gram array as projected columns (r13,
+    # the q139 winnowing lesson): a Column-shaped `toks` referenced inside
+    # the gram lambda is a full split() re-evaluated PER ELEMENT (no
+    # codegen subexpression elimination for lambdas) — O(tokens^2) splits
+    # per row — and `grams` referenced twice (size + array_distinct)
+    # doubled the whole gram build.  Staged, each computes once per row.
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.size(toks) - _DUP_SHINGLE_LEN)
     # short-doc guard: sequence() descends for size<n and slice(start=0)
     # throws — short docs must yield an empty gram list, as the oracle does
@@ -273,11 +279,16 @@ def q108_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx, lambda i: F.array_join(F.slice(toks, i + 1, _DUP_SHINGLE_LEN), " ")
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = d.select(
-        "doc_id",
-        F.size(grams).cast("bigint").alias("n_total"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
-    ).filter(F.col("n_total") > 0)
+    out = (
+        d.withColumn("__toks", F.split(F.lower("text"), r"\s+"))
+        .withColumn("__grams", grams)
+        .select(
+            "doc_id",
+            F.size("__grams").cast("bigint").alias("n_total"),
+            F.size(F.array_distinct("__grams")).cast("bigint").alias("n_distinct"),
+        )
+        .filter(F.col("n_total") > 0)
+    )
     return out.select(
         "doc_id",
         "n_total",

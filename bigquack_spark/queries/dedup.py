@@ -576,20 +576,43 @@ def q140_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.lsh_candidate_pairs(bands, "doc_id")
     scored = D.jaccard_verify(cands, docs, "doc_id", "text", shingle_len=1, threshold=0.0)
     scored = scored.withColumn("jaccard", F.round("jaccard", 6))
+    # symmetrize by EXPLODING each scored pair into both directions (r13):
+    # the old unionAll(swap) referenced `scored` twice, and a re-referenced
+    # DataFrame subtree is re-computed — the before-plan carried TWO full
+    # copies of the banding+verify pipeline (plans/r13/q140_*_before.txt).
     sym = scored.select(
-        F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"), "jaccard"
-    ).unionAll(
-        scored.select(
-            F.col("b").alias("doc_id"), F.col("a").alias("neighbor_id"), "jaccard"
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "neighbor_id")
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("doc_id"),
+                    F.col("b").alias("neighbor_id"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("b").alias("doc_id"),
+                    F.col("a").alias("neighbor_id"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.neighbor_id", "e.jaccard")
+    # per-doc argmax as an AGGREGATE, not a window (guide §2.3 "aggregate
+    # before you shuffle"): min(struct(-jaccard, neighbor_id)) orders
+    # exactly like (jaccard DESC, neighbor_id ASC) — jaccard is >= 0 and
+    # non-NULL here, negation is an exact IEEE sign flip — and the partial
+    # agg collapses the candidate fan-in map-side instead of shuffling and
+    # sorting every sym row (q129's keep-first precedent).
+    best = F.min(
+        F.struct((-F.col("jaccard")).alias("nj"), F.col("neighbor_id").alias("nid"))
+    ).alias("best")
     return (
-        sym.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "neighbor_id", "jaccard")
+        sym.groupBy("doc_id")
+        .agg(best)
+        .select(
+            "doc_id",
+            F.col("best.nid").alias("neighbor_id"),
+            (-F.col("best.nj")).alias("jaccard"),
+        )
     )
 
 

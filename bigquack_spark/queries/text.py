@@ -279,7 +279,9 @@ def q56_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bigrams via list slicing — both sides join consecutive token
     pairs with a single space."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "text"], rebalance="auto", rebalance_key="doc_id")
-    tk = X.tokens("text")
+    # token array STAGED as a column (r13, q139 lesson): a Column-shaped
+    # `tk` inside the bigram lambda re-runs the tokenizer split per element
+    tk = F.col("__tk")
     # guard: sequence(0, -1) would DESCEND for 1-token docs — emit no bigrams
     bigrams = F.when(
         F.size(tk) >= 2,
@@ -289,7 +291,8 @@ def q56_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.withColumn("__tk", X.tokens("text"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "bigram")
@@ -2199,7 +2202,9 @@ def q295_repetitiveness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram strings once per source — at 100 TB the grams hash to 8 bytes
     and the distinct becomes approx_count_distinct, same audit shape."""
     d = t(spark, sf_dir, "documents", columns=["doc_id", "source", "text"], rebalance="auto", rebalance_key="doc_id")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    # token array STAGED as a column (r13, q139 lesson): a Column-shaped
+    # `toks` inside the gram lambda re-runs the split per element
+    toks = F.col("__toks")
     # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (it would
     # fabricate grams for a <4-token doc); DuckDB's range is empty there
     grams = F.when(
@@ -2209,7 +2214,9 @@ def q295_repetitiveness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 4), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("source", F.explode(grams).alias("gram"))
+    sh = d.withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+")).select(
+        "source", F.explode(grams).alias("gram")
+    )
     rep = 1.0 - F.countDistinct("gram") / F.count(F.lit(1)).cast("double")
     return sh.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),

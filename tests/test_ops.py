@@ -1004,6 +1004,157 @@ def test_winnowing_stages_evaluate_once(spark):
     assert "__winnow_h" in plan and "__winnow_roll" in plan
 
 
+def test_jaccard_verify_inclusion_exclusion_parity(spark):
+    """r13 (guide §2.3): jaccard_verify now computes |A∪B| as
+    |A|+|B|−|A∩B| (the shingle arrays are distinct by construction) and,
+    for threshold <= 0, filters on |A|+|B| > 0 instead of on the jaccard
+    itself.  Contract: bit-identical jaccard values and the same kept-pair
+    set as the direct intersect/union formulation, including the empty-doc
+    (0/0 -> dropped) and one-side-empty (jaccard 0.0 -> kept at t=0)
+    edges; keep_cols carries pair metadata through."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "the quick brown fox jumps over the sleepy dog tonight"),
+            (2, "completely different words entirely here now"),
+            (3, ""),  # tokenizes to [""] -> 1 distinct shingle at len=1
+            (4, None),  # NULL text -> NULL shingles -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 7), (0, 2, 9), (0, 3, 11), (0, 4, 13), (3, 4, 17)],
+        "a bigint, b bigint, meta bigint",
+    )
+    for shingle_len, threshold in ((1, 0.0), (1, 0.5), (3, 0.0), (3, 0.4)):
+        got = {
+            (r.a, r.b): (r.jaccard, r.meta)
+            for r in D.jaccard_verify(
+                pairs, docs, "doc_id", "text", shingle_len, threshold,
+                keep_cols=("meta",),
+            ).collect()
+        }
+        # reference: the pre-r13 direct formulation
+        sh = D._shingles("text", shingle_len)
+        sa = docs.select(F.col("doc_id").alias("a"), sh.alias("sh_a"))
+        sb = docs.select(F.col("doc_id").alias("b"), sh.alias("sh_b"))
+        ref_j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+            F.array_union("sh_a", "sh_b")
+        ).cast("double")
+        ref = {
+            (r.a, r.b): (r.jaccard, r.meta)
+            for r in pairs.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard", ref_j)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "meta", "jaccard")
+            .collect()
+        }
+        assert got == ref, (shingle_len, threshold, got, ref)
+
+
+def test_shingle_and_signature_staging_evaluate_once(spark):
+    """r13 (q139 lesson, guide §1.2): the n-gram shingle build and the
+    per-seed minhash folds must reference STAGED arrays — one split()
+    per row in the optimized plan, not one per lambda element/seed."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    # _shingles_frame(n>=2): one split, staged token alias survives
+    plan = D._shingles_frame(df, "text", 3, "sh")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert "__shingle_toks" in plan, plan
+    # portable wide signature: one tokenize feeding all seeds
+    plan = D.minhash_signature_wide(df, "doc_id", "text", 8)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    # fast signatures at shingle_len 3: one split feeding all seeds
+    plan = D.minhash_signatures_fast(df, "doc_id", "text", 16, 3)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
+def test_lsh_candidate_pairs_single_dedup_exchange(spark):
+    """r13 (guide §2.2/§2.4): the explicit hash repartition by (a, b) must
+    REPLACE the distinct's own exchange, not stack a second one — the plan
+    carries exactly one (a, b)-keyed shuffle, sized to defaultParallelism
+    so the downstream per-pair verify stage is never starved by a
+    bytes-tuned spark.sql.shuffle.partitions."""
+    docs = spark.createDataFrame(
+        [(i, f"common shared tokens everywhere {i % 2}") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", 8, 2)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    n_pair_exchanges = plan.count("hashpartitioning(a#")
+    assert n_pair_exchanges == 1, plan
+    expected = docs.sparkSession.sparkContext.defaultParallelism
+    assert f"hashpartitioning(a#" in plan and f", {expected})" in plan, plan
+
+
+def test_knn_graph_agg_matches_window_argmax(spark, tmp_path):
+    """r13: q140's per-doc top-1 is now min(struct(-jaccard, neighbor))
+    over the exploded symmetric pairs.  Contract: identical rows to the
+    pre-r13 unionAll + row_number() window formulation, including the
+    (jaccard DESC, neighbor_id ASC) tie-break."""
+    import bigquack_spark.queries.dedup as QD
+    from pyspark.sql.window import Window
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the sleepy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "unrelated words about spark shuffle partitions and joins"),
+        (5, "unrelated words about spark shuffle partitions and joins"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_id): (r.neighbor_id, r.jaccard)
+        for r in QD.q140_knn_graph(spark, str(tmp_path)).collect()
+    }
+    # reference: re-run the window formulation over the same scored pairs
+    from bigquack_spark.sources.parquet import load_table
+
+    docs = load_table(spark, str(tmp_path), "documents")
+    bands = D.minhash_bands_portable(docs, "doc_id", "text", QD.NUM_HASHES, QD.ROWS_PER_BAND)
+    cands = D.lsh_candidate_pairs(bands, "doc_id")
+    scored = D.jaccard_verify(cands, docs, "doc_id", "text", shingle_len=1, threshold=0.0)
+    scored = scored.withColumn("jaccard", F.round("jaccard", 6))
+    sym = scored.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"), "jaccard"
+    ).unionAll(
+        scored.select(F.col("b").alias("doc_id"), F.col("a").alias("neighbor_id"), "jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "neighbor_id")
+    ref = {
+        r.doc_id: (r.neighbor_id, r.jaccard)
+        for r in sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "neighbor_id", "jaccard")
+        .collect()
+    }
+    assert got == ref and got, (got, ref)
+
+
+def test_simhash_jaccard_carries_hamming_single_subtree(spark, planted):
+    """r13: simhash_jaccard_near_dup carries hamming THROUGH the verify
+    (keep_cols) instead of re-joining the candidate frame — the optimized
+    plan must contain the simhash vote fold exactly twice (once per join
+    side of the blocking self-join), not four times."""
+    out = D.simhash_jaccard_near_dup(planted, max_hamming=3, threshold=0.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(hashes") == 2, plan
+    rows = out.collect()
+    assert rows and all(
+        r.hamming is not None and r.jaccard is not None for r in rows
+    )
+
+
 def test_bloom_semi_join_equals_plain_semi_join(spark):
     """bloom_semi_join is an OPTIMIZATION, not a semantics change: for any
     key set, its output must equal the plain left-semi join (false
