@@ -459,7 +459,19 @@ def q216_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-to-edges equi-join — the same shuffle shape as q148's
     unrolled iterations, with the engine managing termination; the top-1
     kNN graph keeps out-degrees (and therefore walk fan-out) bounded."""
-    knn = QUERIES_REF["q140_knn_graph"].fn(spark, sf_dir).select("doc_id", "neighbor_id")
+    # Flatten the kNN derivation ONCE (r13, guide §3.3 "materialising an
+    # intermediate truncates the plan" — the q211 idiom): the edges view is
+    # referenced by the recursion's anchor (min(src) subquery) AND by every
+    # UnionLoop iteration, and the unionAll symmetrization reads `knn`
+    # twice, so the full LSH -> candidate -> Jaccard-argmax chain executed
+    # ~10x per run (2 x (1 anchor + hops+1 steps)).  The lazy checkpoint
+    # materializes the bounded (doc_id, neighbor_id) list on first use;
+    # every other reference re-reads rows instead of re-deriving them.
+    knn = (
+        QUERIES_REF["q140_knn_graph"].fn(spark, sf_dir)
+        .select("doc_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     edges = knn.select(F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")).unionAll(
         knn.select(F.col("neighbor_id").alias("src"), F.col("doc_id").alias("dst"))
     )
